@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.7): filters,
+  * joins, aggregates, windows, sorts, set ops — each restated over the
+  * driver's TPC-H-ish tables with a DuckDB oracle.
+  *
+  * Scale notes are per-query; the general stance: declarative plans so
+  * Catalyst pushes filters/projections into the parquet scan, broadcast
+  * hints on dimension tables, decimal-exact aggregation for oracle parity.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** A2/A5-style grand rollup — TPC-H Q1 shape over lineitem.
+    * Mirrors the reference's stats queries (database.py:473-499): filtered
+    * counts, sums, derived ratios, grouped by low-cardinality keys.
+    * Scale: map-side partial agg, 6-group output — no shuffle pressure. */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** P1: multi-column case-insensitive contains OR-filter
+    * (reference database.py:298-307 — ILIKE on name/number/address). */
+  val p1IlikeOr = Q(
+    "p1_ilike_or",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .filter(lower(col("c_name")).contains("00001") ||
+          lower(col("c_mktsegment")).contains("auto"))
+        .select("c_custkey", "c_name", "c_mktsegment"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE lower(c_name) LIKE '%00001%' OR lower(c_mktsegment) LIKE '%auto%'"""))
+
+  /** P4: date-range predicate (reference applicant_pipeline.py:446-451),
+    * pushed into the parquet scan by Catalyst. */
+  val p4DateRange = Q(
+    "p4_daterange",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty")),
+    Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag"""))
+
+  /** J1: left-outer join + per-key aggregate (reference database.py:344-378,
+    * companies ⟕ enrichment grouped per company).
+    * Scale: both sides shuffle-partition on the key; count(col) keeps
+    * no-match rows at 0, sum stays NULL — matching SQL semantics. */
+  val j1LeftJoinAgg = Q(
+    "j1_left_join_agg",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey").as("c_custkey"), c("c_name").as("c_name"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          dsum(o("o_totalprice")).as("total_spent"))
+    },
+    Some("""SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_name"""))
+
+  /** J4: self-join shared-key edge build (reference database.py:945-959 —
+    * companies sharing officers; here parts co-occurring in orders).
+    * The one shuffle-heavy operator: equi-join on the grouping key
+    * (l_orderkey) so Spark hash-partitions both aliases identically —
+    * a single shuffle, no cartesian. `<` keeps each undirected edge once.
+    * At 100 TB: salt hot orderkeys or pre-aggregate lines per order. */
+  val j4SharedEdges = Q(
+    "j4_shared_edges",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      l.as("a").join(l.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"),
+          col("a.l_orderkey").as("ok"))
+        .groupBy("part_a", "part_b")
+        .agg(countDistinct("ok").as("n_orders"))
+        .filter(col("n_orders") >= 2)
+    },
+    Some("""SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        count(DISTINCT a.l_orderkey) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2"""))
+
+  /** W1: top-k per group via row_number window (reference
+    * applicant_processor.py:262-266 — top-5 matches per applicant).
+    * Deterministic total order: score desc then unique key. */
+  val w1TopkPerGroup = Q(
+    "w1_topk_per_group",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3"""))
+
+  /** A9: GROUP_CONCAT per group (reference
+    * database_sqlite_backup.py:202-206). Sorted inside the array so the
+    * concatenation is deterministic under parallel collection. */
+  val a9GroupConcat = Q(
+    "a9_group_concat",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(*) AS n
+      FROM nation GROUP BY n_regionkey"""))
+
+  /** T7/A10: event-time tumbling daily rollup (reference
+    * automation_monitoring.py:237-292) — Structured-Streaming-shaped
+    * window() over event time, run as a batch here. */
+  val t7DailyWindow = Q(
+    "t7_daily_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+        .select(col("window.start").cast("date").as("day"),
+          col("n"), col("sum_value"), col("n_errors")),
+    Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(q1Agg, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
+    j4SharedEdges, w1TopkPerGroup, a9GroupConcat, t7DailyWindow)
+}
