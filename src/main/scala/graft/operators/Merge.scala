@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Upsert/merge semantics over immutable DataFrames (SURVEY.md §2.9
+  * M1–M10). The reference's `INSERT … ON CONFLICT DO UPDATE`
+  * (database.py:255-290 and friends) becomes pure relational algebra:
+  * the merged relation = updates ∪ (base ⟕anti updates). Writing it back
+  * is the caller's job (overwrite the table / partition — M8's
+  * delete-and-rebuild is a full overwrite of a derived table).
+  *
+  * Scale: the anti-join shuffles both sides by the business key once; with
+  * the base table bucketed by key the shuffle disappears. One writer per
+  * table (the reference serializes via Postgres row locks +
+  * max_instances=1 — SURVEY §7.4.2).
+  */
+object Merge {
+
+  /** MERGE: rows from `updates` win on key collision; unmatched base rows
+    * pass through. Both frames must share the schema. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** Insert-only-if-new (M10, weekly_scheduler.py:833-946): keep base
+    * untouched, append only rows whose key is absent. */
+  def insertIfAbsent(base: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    base.unionByName(incoming.join(base.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** Keyed column update (M7, app.py:2077-2111): for each key present in
+    * `updates`, replace the named columns; other columns and unmatched
+    * rows unchanged. `updates` carries keys + the update columns. */
+  def updateColumns(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      updateCols: Seq[String]): DataFrame = {
+    val u = updates.select((keys ++ updateCols).map(col): _*)
+      .withColumnsRenamed(updateCols.map(c => c -> s"__u_$c").toMap)
+    val joined = base.join(u, keys, "left_outer")
+    val out = base.columns.map { c =>
+      if (updateCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c)
+      else col(c)
+    }
+    joined.select(out.toIndexedSeq: _*)
+  }
+
+  /** Exactly-once-per-key ingest filter (T3/U3,
+    * weekly_scheduler.py:586-609): drop incoming rows whose business key
+    * already exists in the sink. */
+  def newOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+}

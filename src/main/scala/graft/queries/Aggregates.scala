@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.DateFunctions
+import Q._
+
+/** Aggregation inventory (SURVEY.md §2.4) + date-window behaviors (§2.5,
+  * §2.8 D4–D7). */
+object Aggregates {
+
+  /** A3: GROUP BY count (reference database.py:708-716). */
+  val a3CountByType = Q(
+    "a3_count_by_type",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n")),
+    Some("SELECT event_type, count(*) AS n FROM events GROUP BY 1"))
+
+  /** A5: multi-metric single-row aggregate (reference database.py:1269-1275
+    * — SUM×4 + AVG over completed runs). */
+  val a5MultiAgg = Q(
+    "a5_multi_agg",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .agg(count(lit(1)).as("n"),
+          dsum("value").as("sum_value"),
+          davg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct("user_id").as("n_users")),
+    Some("""SELECT count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS avg_value,
+        min(value) AS min_value, max(value) AS max_value,
+        count(DISTINCT user_id) AS n_users
+      FROM events"""))
+
+  /** A6: COUNT(DISTINCT) per group (reference database.py:978-980). */
+  val a6DistinctPerGroup = Q(
+    "a6_distinct_per_group",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(countDistinct("user_id").as("n_users")),
+    Some("SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"))
+
+  /** A8: GROUP BY + HAVING (reference database.py:685-687). */
+  val a8Having = Q(
+    "a8_having",
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50),
+    Some("""SELECT c_nationkey, count(*) AS n FROM customer
+      GROUP BY 1 HAVING count(*) >= 50"""))
+
+  /** A11: categorize then top-5 frequency (reference
+    * automation_monitoring.py:294-354 error categorization). */
+  val a11CategorizeTop = Q(
+    "a11_categorize_top",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("category",
+          when(col("event_type") === "error" && col("value") > 25, "error_big")
+            .when(col("event_type") === "error", "error_small")
+            .when(col("value") > 25, "ok_big")
+            .otherwise("ok_small"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("category")).limit(5),
+    Some("""SELECT category, n FROM (
+        SELECT CASE WHEN event_type = 'error' AND value > 25 THEN 'error_big'
+                    WHEN event_type = 'error' THEN 'error_small'
+                    WHEN value > 25 THEN 'ok_big' ELSE 'ok_small' END AS category,
+               count(*) AS n
+        FROM events GROUP BY 1) ORDER BY n DESC, category LIMIT 5"""))
+
+  /** A12: recent-vs-older trend buckets (reference
+    * automation_monitoring.py:356-398 — avg of last-N vs prior-N). */
+  val a12Trend = Q(
+    "a12_trend",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2000)
+        .withColumn("bucket", when(col("rn") <= 1000, "recent").otherwise("older"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+    },
+    Some("""SELECT bucket, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS avg_value
+      FROM (
+        SELECT value, CASE WHEN rn <= 1000 THEN 'recent' ELSE 'older' END AS bucket
+        FROM (SELECT value, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn <= 2000)
+      GROUP BY 1"""))
+
+  /** A15: data-quality score — fraction of non-null key fields ×100
+    * (reference utils.py:223-272). Nulls synthesized via nullif since the
+    * generated data is fully populated. */
+  val a15QualityScore = Q(
+    "a15_quality_score",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val score = (when(nullif(col("lang"), lit("fr")).isNotNull, 1).otherwise(0) +
+        when(nullif(col("source"), lit("src3")).isNotNull, 1).otherwise(0) +
+        when(col("n_chars") > 100, 1).otherwise(0) +
+        when(length(col("text")) > 0, 1).otherwise(0)) * lit(25)
+      d.withColumn("quality", score)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), davg(col("quality")).as("avg_quality"))
+    },
+    Some("""SELECT source, count(*) AS n,
+        CAST(sum(CAST(quality AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(quality) AS DOUBLE) AS avg_quality
+      FROM (
+        SELECT source,
+          (CASE WHEN nullif(lang,'fr') IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN nullif(source,'src3') IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN n_chars > 100 THEN 1 ELSE 0 END
+           + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) * 25 AS quality
+        FROM documents)
+      GROUP BY 1"""))
+
+  /** D4/T7: Monday-aligned weekly rollup (reference
+    * weekly_scheduler.py:459-463). */
+  val d4WeeklyRollup = Q(
+    "d4_weekly_rollup",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(DateFunctions.weekStart(col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value")),
+    Some("""SELECT CAST(date_trunc('week', ts) AS DATE) AS week, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1"""))
+
+  /** D7: exact duration per key in microseconds (reference
+    * database.py:1236-1238; micros, not unix_timestamp's seconds). */
+  val d7Duration = Q(
+    "d7_duration",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("span_us"), count(lit(1)).as("n")),
+    Some("""SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+        count(*) AS n
+      FROM events GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(a3CountByType, a5MultiAgg, a6DistinctPerGroup,
+    a8Having, a11CategorizeTop, a12Trend, a15QualityScore, d4WeeklyRollup,
+    d7Duration)
+}

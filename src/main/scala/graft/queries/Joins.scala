@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** Join inventory beyond Relational.scala (SURVEY.md §2.3). */
+object Joins {
+
+  /** J2: inner join + filter + COUNT(DISTINCT) (reference
+    * database.py:481-483 — enriched-company count). Dimension side
+    * broadcast; countDistinct shuffles once on the counted key. */
+  val j2DistinctCount = Q(
+    "j2_join_distinct_count",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_totalprice") > 200000)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .agg(countDistinct("c_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+    },
+    Some("""SELECT count(DISTINCT c.c_custkey) AS n_customers, count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 200000"""))
+
+  /** J3: join + filter + narrow projection (reference app.py:2018-2028 —
+    * csv-tier query, 7-col projection). part is broadcast. */
+  val j3JoinFilterProject = Q(
+    "j3_join_filter_project",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type") === "ECONOMY" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_name",
+          "p_brand", "l_quantity", "l_extendedprice")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand,
+        l_quantity, l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'ECONOMY' AND l.l_quantity > 45"""))
+
+  /** J5: 1-hop graph neighborhood of the hottest node (reference
+    * database.py:985-1011). The "id" is resolved declaratively (most
+    * frequent part, tiebreak lowest key) so the query is deterministic at
+    * every scale factor; the 1-row anchor is broadcast into the edge
+    * filter. */
+  val j5Neighborhood = Q(
+    "j5_neighborhood",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val hot = l.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(1)
+        .select(col("l_partkey").as("hot_key"))
+      val edges = l.as("a").join(l.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"),
+          col("a.l_orderkey").as("ok"))
+        .groupBy("part_a", "part_b").agg(countDistinct("ok").as("n_orders"))
+      val p = Tables.load(s, dir, "part")
+      edges.join(broadcast(hot),
+          col("part_a") === col("hot_key") || col("part_b") === col("hot_key"))
+        .withColumn("neighbor",
+          when(col("part_a") === col("hot_key"), col("part_b")).otherwise(col("part_a")))
+        .join(broadcast(p), col("neighbor") === col("p_partkey"))
+        .select(col("hot_key"), col("neighbor"), col("p_name"), col("n_orders"))
+    },
+    Some("""WITH hot AS (
+        SELECT l_partkey AS hot_key FROM lineitem GROUP BY 1
+        ORDER BY count(*) DESC, l_partkey LIMIT 1),
+      edges AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          count(DISTINCT a.l_orderkey) AS n_orders
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+      SELECT h.hot_key,
+        CASE WHEN e.part_a = h.hot_key THEN e.part_b ELSE e.part_a END AS neighbor,
+        p.p_name, e.n_orders
+      FROM edges e JOIN hot h ON e.part_a = h.hot_key OR e.part_b = h.hot_key
+      JOIN part p ON p.p_partkey =
+        CASE WHEN e.part_a = h.hot_key THEN e.part_b ELSE e.part_a END"""))
+
+  /** J7: anti-join existence check (reference weekly_scheduler.py:593-607 —
+    * "only ingest records we don't have"). */
+  val j7Anti = Q(
+    "j7_anti_join",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"""))
+
+  /** J8: semi-join of a selection set (reference app.py:1344-1348). */
+  val j8Semi = Q(
+    "j8_semi_join",
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49).select(col("l_suppkey").as("s_suppkey"))
+      sup.join(l, Seq("s_suppkey"), "left_semi").select("s_suppkey", "s_name")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)"""))
+
+  /** J9: positional zip-join — align two sequences by rank (reference
+    * api_clients.py:78-86 batch results matched to inputs by index).
+    * Deterministic ranks via unique sort keys. */
+  val j9ZipIndex = Q(
+    "j9_zip_index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.load(s, dir, "nation")
+        .withColumn("idx", row_number().over(Window.orderBy("n_nationkey")))
+      val r = Tables.load(s, dir, "region")
+        .withColumn("idx", row_number().over(Window.orderBy("r_regionkey")))
+      n.join(r, Seq("idx")).select("idx", "n_name", "r_name")
+    },
+    Some("""SELECT n.idx, n.n_name, r.r_name
+      FROM (SELECT row_number() OVER (ORDER BY n_nationkey) AS idx, n_name FROM nation) n
+      JOIN (SELECT row_number() OVER (ORDER BY r_regionkey) AS idx, r_name FROM region) r
+      USING (idx)"""))
+
+  val all: Seq[Q] = Seq(j2DistinctCount, j3JoinFilterProject, j5Neighborhood,
+    j7Anti, j8Semi, j9ZipIndex)
+}

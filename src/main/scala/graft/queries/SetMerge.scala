@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Merge
+import Q._
+
+/** Set operations, dedup, and upsert/merge semantics (SURVEY.md §2.7,
+  * §2.9) — each restated as a pure query so the DuckDB oracle can check
+  * the merged relation. */
+object SetMerge {
+
+  /** U1: union of overlapping partitioned scans, distinct by id (reference
+    * api_clients.py:957-1095 seen_ids harvest). Rows for the same key are
+    * identical, so dropDuplicates is deterministic. */
+  val u1UnionDedup = Q(
+    "u1_union_dedup",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      o.filter(col("o_totalprice") > 300000)
+        .union(o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+        .dropDuplicates("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_totalprice > 300000
+      UNION
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'"""))
+
+  /** U2: composite-key dedup keeping the lowest id — deterministic
+    * survivor via window, unlike bare dropDuplicates (reference
+    * applicant_processor.py:317-336 dedup by (ref, normalized name)). */
+  val u2DedupComposite = Q(
+    "u2_dedup_composite",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("lang", "source", "doc_id", "n_chars")
+    },
+    Some("""SELECT lang, source, doc_id, n_chars FROM (
+        SELECT lang, source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1"""))
+
+  /** U4: id-set union + distinct (reference applicant_pipeline.py:441-463). */
+  val u4UnionDistinct = Q(
+    "u4_union_distinct",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.filter(col("event_type") === "click").select("user_id")
+        .union(e.filter(col("event_type") === "view").select("user_id"))
+        .distinct()
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+      UNION SELECT user_id FROM events WHERE event_type = 'view'"""))
+
+  /** M1: MERGE/upsert on a business key via graft.operators.Merge —
+    * updates win, unmatched base rows pass through (reference
+    * database.py:255-290 ON CONFLICT DO UPDATE). */
+  val m1Upsert = Q(
+    "m1_upsert",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val base = c.filter(col("c_custkey") < 1000)
+      val updates = c.filter(col("c_custkey") >= 500 && col("c_custkey") < 1200)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      Merge.upsert(base, updates, Seq("c_custkey"))
+    },
+    Some("""WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey < 1000),
+      updates AS (
+        SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal FROM customer
+        WHERE c_custkey >= 500 AND c_custkey < 1200)
+      SELECT * FROM updates
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)"""))
+
+  /** M7: keyed column update from an import file, zero-padded key
+    * (reference app.py:2077-2111 — lpad(num, 8, '0') CSV update). */
+  val m7KeyedUpdate = Q(
+    "m7_keyed_update",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .withColumn("key", lpad(col("c_custkey").cast("string"), 8, "0"))
+        .select("key", "c_name", "c_acctbal")
+      val updates = c.filter(col("key") < "00000100")
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .select("key", "c_acctbal")
+      Merge.updateColumns(c, updates, Seq("key"), Seq("c_acctbal"))
+    },
+    Some("""WITH c AS (
+        SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key, c_name, c_acctbal
+        FROM customer),
+      u AS (SELECT key, c_acctbal * 2 AS new_bal FROM c WHERE key < '00000100')
+      SELECT c.key, c.c_name,
+        CASE WHEN u.key IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS c_acctbal
+      FROM c LEFT JOIN u USING (key)"""))
+
+  /** M10/T3: insert-only-if-new — exactly-once-per-key ingest (reference
+    * weekly_scheduler.py:833-946; stream-static anti-join shape). */
+  val m10InsertIfAbsent = Q(
+    "m10_insert_if_absent",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val existing = o.filter(col("o_orderkey") % 3 === 0)
+      val incoming = o.filter(col("o_orderkey") < 5000)
+      Merge.insertIfAbsent(existing, incoming, Seq("o_orderkey"))
+    },
+    Some("""WITH existing AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+      incoming AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 5000)
+      SELECT * FROM existing
+      UNION ALL
+      SELECT i.* FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)"""))
+
+  val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
+    m1Upsert, m7KeyedUpdate, m10InsertIfAbsent)
+}
