@@ -9,7 +9,7 @@ object SparkEntry {
   /** Every registered operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
     Relational.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
-      SetMerge.all ++ Scalars.all
+      SetMerge.all ++ Scalars.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -27,7 +27,8 @@ object SparkEntry {
   /** Headline subset used by Bench (shuffle/join/agg heavy + pipeline ops). */
   def benchQueries: Seq[String] = {
     val preferred = Seq("q1_agg", "j1_left_join_agg", "j4_shared_edges",
-      "w1_topk_per_group", "t7_daily_window")
+      "w1_topk_per_group", "t7_daily_window", "dd_exact", "dd_minhash_lsh",
+      "sim_topk_bruteforce", "txt_quality")
     preferred.filter(queries.contains)
   }
 }

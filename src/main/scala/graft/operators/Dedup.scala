@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale corpus pipelines: exact
+  * (content-hash), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * All hashing is md5-derived so every stage is reproducible in the
+  * DuckDB oracle (md5_number_lower) as well as in Spark (`conv` over the
+  * byte-reversed hex) — no engine-private hash functions.
+  *
+  * Scale design (100 TB): everything is shuffle-by-bucket — shingling and
+  * signatures are map-side; candidate generation is an equi-join on
+  * (band, band-hash) buckets, never an all-pairs product; only bucket-mates
+  * are verified with true Jaccard. Hot buckets (boilerplate text) should be
+  * capped or salted before the pair join at production scale.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31−1 — modulus for MinHash permutations. */
+  val P: Long = 2147483647L
+
+  /** 2^56 — the stable-hash domain. */
+  val M56: Long = 72057594037927936L
+
+  /** Deterministic 56-bit content hash: md5 bytes 8..14 little-endian.
+    * Chosen so DuckDB reproduces it as `md5_number_lower(s) % 2^56`
+    * (md5_number_lower = little-endian uint64 of md5 bytes 8..15; the
+    * mod drops byte 15, keeping the value inside a signed long). */
+  def hash56(c: Column): Column = {
+    val h = md5(c)
+    val rev = concat(
+      substring(h, 29, 2), substring(h, 27, 2), substring(h, 25, 2),
+      substring(h, 23, 2), substring(h, 21, 2), substring(h, 19, 2),
+      substring(h, 17, 2))
+    conv(rev, 16, 10).cast("long")
+  }
+
+  /** Hash folded into [0, P). */
+  def hash31(c: Column): Column = hash56(c) % P
+
+  /** Distinct character n-gram shingles of a text column. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Jaccard similarity of two (already-distinct) shingle arrays, as an
+    * exact double (|∩| / |∪| with integer operands). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0)
+  }
+
+  /** MinHash permutation parameters — deterministic, shared with the
+    * oracle SQL builder. */
+  def minhashA(j: Int): Long = (j * 2654435761L + 1) % P
+  def minhashB(j: Int): Long = (j * 40503L + 17) % P
+
+  /** j-th MinHash component over a pre-hashed shingle array (hash each
+    * shingle once with hash31, then permute per component — k× cheaper
+    * than hashing inside every component). */
+  def minhashComponent(hashes: Column, j: Int): Column =
+    array_min(transform(hashes,
+      h => (lit(minhashA(j)) * h + lit(minhashB(j))) % P))
+
+  /** Near-duplicate pairs via MinHash + LSH banding.
+    *
+    * k signature components in `bands` bands of k/bands rows; candidate
+    * pairs share all rows of at least one band; candidates are then
+    * verified with true shingle Jaccard ≥ `threshold`.
+    *
+    * Reference behavior being replaced: the fuzzy dedup in
+    * applicant_processor.py:317-336 is an O(N) dict scan on a normalized
+    * key — adequate at 10^3 rows, not at 10^10; MinHash LSH is the
+    * scale-correct restatement. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), n).as("shingles"))
+      .withColumn("hashes", transform(col("shingles"), s => hash31(s)))
+      .withColumns((0 until k).map(j =>
+        s"mh$j" -> minhashComponent(col("hashes"), j)).toMap)
+      .cache()
+    val buckets = sig.select(col("id") +: (0 until bands).map { b =>
+        struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
+      }: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over a token array: bit i is set when the weighted
+    * sum of token-hash bit i is positive. Token hashes are computed once
+    * per document; at production scale this expression tree should become
+    * a single custom Catalyst Expression (one pass, codegen) — the
+    * semantics stay identical. */
+  def simhash32(tokens: Column): Column = {
+    val hashes = transform(array_distinct(tokens), t => hash56(t))
+    (0 until 32).map { i =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

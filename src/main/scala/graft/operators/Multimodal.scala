@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded media item: opaque binary payload + typed metadata. */
+final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Metadata extracted by the (stubbed) decoder. */
+final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+    frame_count: Long, checksum: Long)
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded per-partition through a typed
+  * Dataset.
+  *
+  * The Spark-side plumbing is real — schema, encoders, partition-iterator
+  * batch shape (the Scala analog of mapInPandas batches). The decode step
+  * is a clearly-marked DETERMINISTIC STUB: this container has no codec
+  * libraries, so `decodeStub` derives metadata arithmetically from the
+  * payload; a production build swaps in the real codec per media_type
+  * without touching the surrounding plan.
+  */
+object Multimodal {
+
+  /** Build a media table from documents: payload = UTF-8 bytes of text
+    * standing in for encoded media; media_type alternates img/aud. */
+  def toMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, "img").otherwise("aud").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder — deterministic fake standing in for a real codec.
+    * Real implementation: decode payload with an image/audio library and
+    * emit true dimensions/frames. Kept pure and arithmetic so tests and
+    * the DuckDB oracle can verify the pipeline end-to-end. */
+  def decodeStub(row: MediaRow): MediaMeta = {
+    val n = row.payload.length.toLong
+    val frames = row.media_type match {
+      case "img" => 1L                  // stills decode to one frame
+      case "aud" => n / 50L + 1L        // fake 50-bytes-per-frame codec
+      case _     => n / 100L + 1L
+    }
+    var sum = 0L
+    var i = 0
+    while (i < row.payload.length) {
+      sum = (sum + (row.payload(i) & 0xffL)) % 1000000007L
+      i += 1
+    }
+    MediaMeta(row.doc_id, row.media_type, n, frames, sum)
+  }
+
+  /** Decode a media table per partition (batched iterator — the executor
+    * never materializes the whole partition). */
+  def extractMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeStub))
+  }
+}

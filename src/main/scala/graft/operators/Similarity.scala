@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the LSH
+  * (random-hyperplane) bucketed variant is the scale path: at 100 TB the
+  * query side is broadcast and candidates are pruned to same-bucket rows,
+  * turning O(Q×N) scoring into O(Q×N/2^planes) expected.
+  *
+  * All arithmetic is double-precision sequential folds so the DuckDB
+  * oracle (list_reduce with the same operand order) reproduces results
+  * bit-for-bit. Hyperplanes are integer-valued and deterministic.
+  */
+object Similarity {
+
+  /** Elementwise float→double view of an embedding. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity (dot / (‖a‖·‖b‖)), NULL-safe on zero norms. */
+  def cosine(aRaw: Column, bRaw: Column): Column = {
+    val a = asDouble(aRaw)
+    val b = asDouble(bRaw)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k: every query row scored against every
+    * candidate row, ranked per query. Query side must be small (it is
+    * broadcast); candidate side streams in one pass. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
+  /** Deterministic integer hyperplane component for plane j, dim i —
+    * shared with the oracle SQL builder. Values in [−504, 504]. */
+  def planeCoeff(j: Int, i: Int): Long =
+    ((i + 1).toLong * (j + 3).toLong * 2654435761L) % 1009L - 504L
+
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes. Integer
+    * plane coefficients are exact in doubles, so the bucket id is
+    * reproducible across engines. */
+  def lshBucket(vRaw: Column, planes: Int, dims: Int): Column = {
+    val v = asDouble(vRaw)
+    (0 until planes).map { j =>
+      val coeffs = array((0 until dims).map(i => lit(planeCoeff(j, i).toDouble)): _*)
+      when(dot(v, coeffs) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: brute-force ranking restricted to same-LSH-bucket
+    * candidates. Recall < 1 by construction; the bucket join replaces the
+    * all-pairs product. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "bucket", "rank", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    * Exact all-pairs here; at scale, run through lshTopK-style bucketing
+    * first. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. Pure Column
+  * expressions (codegen-friendly, no UDFs), every one reproducible in the
+  * DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val EnStop: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "with", "for", "on")
+  val FrStop: Seq[String] = Seq("le", "la", "les", "et", "de", "des", "un", "une", "est", "avec")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "von", "zu", "ein", "eine", "ist", "mit")
+  val EsStop: Seq[String] = Seq("el", "la", "los", "las", "y", "de", "un", "una", "es", "con")
+
+  /** Distinct lowercase word tokens. */
+  def tokens(text: Column): Column =
+    array_distinct(split(lower(trim(text)), "\\s+"))
+
+  private def hits(toks: Column, stop: Seq[String]): Column =
+    size(array_intersect(toks, array(stop.map(lit): _*)))
+
+  /** Language ID by stopword-hit voting (en/fr/de), deterministic
+    * tie-break order en > fr > de, 'und' (undetermined) when no hits. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hits(t, EnStop)
+    val fr = hits(t, FrStop)
+    val de = hits(t, DeStop)
+    when(en === 0 && fr === 0 && de === 0, "und")
+      .when(en >= fr && en >= de, "en")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and individual
+    * punctuation each count as one token (the pre-tokenizer shape used by
+    * byte-pair encoders). */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality heuristics: length, word count, mean word length, stopword
+    * ratio, punctuation ratio — composed into a 0-100 score. */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text)
+    val words = wordCount(text)
+    val meanWordLen = chars.cast("double") / words.cast("double")
+    val stopRatio = hits(tokens(text), EnStop).cast("double") / lit(10.0)
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val punctRatio = punct.cast("double") / chars.cast("double")
+    val lenScore = when(chars.between(100, 5000), 40.0)
+      .when(chars.between(20, 10000), 20.0).otherwise(0.0)
+    val wordScore = when(meanWordLen.between(3.0, 10.0), 30.0).otherwise(10.0)
+    val stopScore = when(stopRatio >= 0.2, 20.0).otherwise(stopRatio * 100.0)
+    val punctScore = when(punctRatio <= 0.1, 10.0).otherwise(0.0)
+    lenScore + wordScore + stopScore + punctScore
+  }
+
+  /** Refine-style collision fingerprint: md5 of the sorted distinct
+    * normalized tokens — word order and duplication invariant, so
+    * shuffled near-duplicates collide. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokens(text)), " "))
+
+  /** Polynomial rolling hash over characters mod 1e9+7 (order-sensitive
+    * fingerprint, the classic Rabin-Karp shape). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(text), lit(1))),
+        i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+}

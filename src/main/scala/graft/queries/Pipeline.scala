@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Q._
+
+/** LLM-training-data pipeline operators as verifiable queries:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH ANN),
+  * text analysis, multimodal metadata extraction.
+  *
+  * Oracle SQL for the hash-based operators is *generated* from the same
+  * Scala constants the Spark plans use (MinHash coefficients, LSH plane
+  * vectors), so both engines compute literally the same arithmetic.
+  */
+object Pipeline {
+
+  // ---- shared oracle fragments -------------------------------------------
+
+  /** DuckDB twin of Dedup.hash56: md5_number_lower is the little-endian
+    * uint64 of md5 bytes 8..15; mod 2^56 drops byte 15, matching the
+    * byte-reversed conv() in Spark. */
+  private def h56(x: String) =
+    s"((md5_number_lower($x) % ${Dedup.M56})::BIGINT)"
+  private def h31(x: String) = s"(${h56(x)} % ${Dedup.P})"
+
+  private val shinglesSql =
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))"
+
+  private def jaccardSql(a: String, b: String) =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  /** DuckDB twin of Similarity.dot on two indexable double lists. */
+  private def dotSql(a: String, b: String, dims: Int = 64) =
+    s"list_reduce(list_transform(generate_series(1, $dims), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  // ---- dedup --------------------------------------------------------------
+
+  /** Exact dedup by content hash. The corpus has no byte-identical dups,
+    * so collisions are synthesized (docs 0..99 re-appended under new ids);
+    * representative = lowest id, with copy count. */
+  val ddExact = Q(
+    "dd_exact",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val dup = d.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      d.union(dup)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS n_copies
+      FROM all_docs GROUP BY 1"""))
+
+  /** MinHash + LSH near-dup pairs (k=8 components, 4 bands × 2 rows,
+    * verified at Jaccard ≥ 0.5 over char 5-gram shingles). */
+  val ddMinhash = Q(
+    "dd_minhash_lsh",
+    (s, dir) => Dedup.minhashPairs(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5), {
+      val mhCols = (0 until 8).map { j =>
+        s"list_min(list_transform(hs, h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P})) AS mh$j"
+      }.mkString(",\n          ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+      }.mkString("\n        UNION ALL ")
+      Some(s"""WITH sh AS (
+        SELECT doc_id, $shinglesSql AS sset FROM documents),
+      hashed AS (
+        SELECT doc_id, sset, list_transform(sset, t -> ${h31("t")}) AS hs FROM sh),
+      sig AS (
+        SELECT doc_id, sset,
+          $mhCols
+        FROM hashed),
+      buckets AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+          AND a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b, ${jaccardSql("x.sset", "y.sset")} AS jaccard
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.id_a
+      JOIN sig y ON y.doc_id = c.id_b
+      WHERE ${jaccardSql("x.sset", "y.sset")} >= 0.5""")
+    })
+
+  /** SimHash near-dup pairs: 32-bit signatures over char 5-gram shingles
+    * (word tokens collapse here — every doc shares one small vocabulary,
+    * so token-level signatures collide massively), pairs at Hamming ≤ 4.
+    * All-pairs comparison is fine at verify scale; production path is
+    * bit-chunk bucketing (see Dedup scaladoc). */
+  val ddSimhash = Q(
+    "dd_simhash",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash32(Dedup.charShingles(col("text"), 5)).as("simhash"))
+      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          Dedup.hamming(col("a.simhash"), col("b.simhash")).cast("int"))
+        .filter(col("hamming") <= 4)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("hamming"))
+    }, {
+      val bits = (0 until 32).map { i =>
+        s"(CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      Some(s"""WITH tok AS (
+        SELECT doc_id, $shinglesSql AS t FROM documents),
+      hashed AS (
+        SELECT doc_id, list_transform(t, x -> ${h56("x")}) AS hs FROM tok),
+      sh AS (
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""")
+    })
+
+  /** Exact n-gram Jaccard near-dup pairs — the ground truth the LSH
+    * variants approximate. All-pairs at verify scale; blocked (LSH or
+    * prefix) at production scale. */
+  val ddNgram = Q(
+    "dd_ngram_jaccard",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sset"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("a.sset"), col("b.sset")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("jaccard"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id, $shinglesSql AS sset FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ${jaccardSql("a.sset", "b.sset")} AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ${jaccardSql("a.sset", "b.sset")} >= 0.5"""))
+
+  /** Embedding-cosine near-dup pairs at cosine ≥ 0.4 (the corpus has no
+    * truly duplicated vectors; 0.4 captures the closest cluster pairs). */
+  val ddEmbed = Q(
+    "dd_embed_cosine",
+    (s, dir) => Similarity.cosineNearDupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${dotSql("a.e", "b.e")} /
+          (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ${dotSql("a.e", "b.e")} /
+          (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) >= 0.4"""))
+
+  // ---- similarity search --------------------------------------------------
+
+  /** Brute-force cosine top-5: query vectors (vec_id < 10, broadcast)
+    * against all other vectors. */
+  val simTopk = Q(
+    "sim_topk_bruteforce",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${dotSql("q.e", "c.e")} /
+            (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("c.e", "c.e")})) AS cos
+        FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
+      SELECT query_id, cand_id, rank, cos FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM s) WHERE rank <= 5"""))
+
+  /** LSH-bucketed ANN top-5: sign-bit buckets from 8 deterministic
+    * integer hyperplanes prune candidates before scoring. */
+  val simLsh = Q(
+    "sim_lsh_topk",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, planes = 8, dims = 64)
+    }, {
+      def planeSql(j: Int) =
+        (0 until 64).map(i => s"${Similarity.planeCoeff(j, i)}.0").mkString("[", ", ", "]::DOUBLE[]")
+      val bucketBits = (0 until 8).map { j =>
+        s"(CASE WHEN ${dotSql("e", s"(${planeSql(j)})")} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      vb AS (
+        SELECT vec_id, e, CAST($bucketBits AS BIGINT) AS bucket FROM v),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+          ${dotSql("q.e", "c.e")} /
+            (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("c.e", "c.e")})) AS cos
+        FROM vb q JOIN vb c ON q.bucket = c.bucket
+          AND q.vec_id < 10 AND c.vec_id >= 10)
+      SELECT query_id, cand_id, bucket, rank, cos FROM (
+        SELECT query_id, cand_id, bucket, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM s) WHERE rank <= 5""")
+    })
+
+  // ---- text analysis ------------------------------------------------------
+
+  private def stopSql(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Stopword-vote language ID (en/fr/de/es, deterministic tie order).
+    * The corpus `lang` column is synthetic noise over one shared
+    * vocabulary, so `detected` is a function check, not an accuracy
+    * claim — both columns are emitted for comparison. */
+  val txtLangid = Q(
+    "txt_langid",
+    (s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val en = size(array_intersect(t, array(TextAnalysis.EnStop.map(lit): _*)))
+      val fr = size(array_intersect(t, array(TextAnalysis.FrStop.map(lit): _*)))
+      val de = size(array_intersect(t, array(TextAnalysis.DeStop.map(lit): _*)))
+      val es = size(array_intersect(t, array(TextAnalysis.EsStop.map(lit): _*)))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(en === 0 && fr === 0 && de === 0 && es === 0, "und")
+            .when(en >= fr && en >= de && en >= es, "en")
+            .when(fr >= de && fr >= es, "fr")
+            .when(de >= es, "de")
+            .otherwise("es").as("detected"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, lang,
+          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents),
+      hits AS (
+        SELECT doc_id, lang,
+          len(list_intersect(t, ${stopSql(TextAnalysis.EnStop)})) AS en,
+          len(list_intersect(t, ${stopSql(TextAnalysis.FrStop)})) AS fr,
+          len(list_intersect(t, ${stopSql(TextAnalysis.DeStop)})) AS de,
+          len(list_intersect(t, ${stopSql(TextAnalysis.EsStop)})) AS es
+        FROM tok)
+      SELECT doc_id, lang,
+        CASE WHEN en = 0 AND fr = 0 AND de = 0 AND es = 0 THEN 'und'
+             WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+             WHEN fr >= de AND fr >= es THEN 'fr'
+             WHEN de >= es THEN 'de' ELSE 'es' END AS detected
+      FROM hits"""))
+
+  /** Quality scoring: length/word/stopword/punctuation heuristics. */
+  val txtQuality = Q(
+    "txt_quality",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("chars"),
+          TextAnalysis.wordCount(col("text")).as("words"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+    Some(s"""WITH m AS (
+        SELECT doc_id, length(text) AS chars,
+          len(string_split_regex(trim(text), '\\s+')) AS words,
+          len(list_intersect(
+            list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+            ${stopSql(TextAnalysis.EnStop)})) AS stop_hits,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+        FROM documents)
+      SELECT doc_id, chars, words,
+        (CASE WHEN chars BETWEEN 100 AND 5000 THEN 40.0
+              WHEN chars BETWEEN 20 AND 10000 THEN 20.0 ELSE 0.0 END)
+        + (CASE WHEN CAST(chars AS DOUBLE) / CAST(words AS DOUBLE) BETWEEN 3.0 AND 10.0
+                THEN 30.0 ELSE 10.0 END)
+        + (CASE WHEN CAST(stop_hits AS DOUBLE) / 10.0 >= 0.2 THEN 20.0
+                ELSE CAST(stop_hits AS DOUBLE) / 10.0 * 100.0 END)
+        + (CASE WHEN CAST(punct AS DOUBLE) / CAST(chars AS DOUBLE) <= 0.1
+                THEN 10.0 ELSE 0.0 END) AS quality
+      FROM m"""))
+
+  /** Token counting: whitespace words + BPE-ish sub-tokens. */
+  val txtTokens = Q(
+    "txt_token_count",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).as("words"),
+          TextAnalysis.subTokenCount(col("text")).as("subtokens")),
+    Some("""SELECT doc_id,
+        len(string_split_regex(trim(text), '\s+')) AS words,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subtokens
+      FROM documents"""))
+
+  /** Fingerprinting: order-invariant collision fingerprint (sorted token
+    * md5) + order-sensitive polynomial rolling hash. */
+  val txtFingerprint = Q(
+    "txt_fingerprint",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.rollingHash(col("text")).as("rolling_hash")),
+    Some("""SELECT doc_id,
+        md5(list_aggregate(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 'string_agg', ' ')) AS fingerprint,
+        list_reduce(list_transform(generate_series(1, greatest(length(text), 1)),
+          i -> CAST(ord(substring(text, i, 1)) AS BIGINT)),
+          (x, y) -> (x * 31 + y) % 1000000007) AS rolling_hash
+      FROM documents"""))
+
+  /** Fingerprint dup clusters — shuffled near-duplicates collide on the
+    * order-invariant fingerprint. */
+  val txtFpClusters = Q(
+    "txt_fp_clusters",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1),
+    Some("""SELECT md5(list_aggregate(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 'string_agg', ' ')) AS fingerprint,
+        min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents GROUP BY 1 HAVING count(*) > 1"""))
+
+  // ---- multimodal ---------------------------------------------------------
+
+  /** Multimodal metadata extraction through the typed-Dataset decode
+    * pipeline (stub codec — see Multimodal.decodeStub). */
+  val mmDecode = Q(
+    "mm_decode_meta",
+    (s, dir) => Multimodal.extractMetadata(s,
+      Multimodal.toMediaTable(Tables.load(s, dir, "documents"))).toDF(),
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'img' ELSE 'aud' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                  ELSE octet_length(encode(text)) // 50 + 1 END AS BIGINT) AS frame_count,
+        CAST(list_sum(list_transform(generate_series(1, length(text)),
+          i -> ord(substring(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
+      FROM documents"""))
+
+  val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
+    simTopk, simLsh, txtLangid, txtQuality, txtTokens, txtFingerprint,
+    txtFpClusters, mmDecode)
+}
