@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{DateFunctions, TextFunctions}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).collect()(0).get(0)
+
+  test("F1 normalizeName lowercases, strips punct, collapses whitespace") {
+    assert(one(TextFunctions.normalizeName(lit("  ACME!!  Ltd's   Co.  ")))
+      == "acme ltd's co")
+  }
+
+  test("F2 removeCompanySuffixes peels stacked suffixes") {
+    assert(one(TextFunctions.removeCompanySuffixes(lit("Acme Holdings Limited"))) == "Acme")
+    assert(one(TextFunctions.removeCompanySuffixes(lit("Acme Ltd."))) == "Acme")
+    assert(one(TextFunctions.removeCompanySuffixes(lit("Acme"))) == "Acme")
+  }
+
+  test("F3 isLikelyIndividual: titles and short bare names yes, companies no") {
+    assert(one(TextFunctions.isLikelyIndividual(lit("Mr John Smith"))) == true)
+    assert(one(TextFunctions.isLikelyIndividual(lit("John Smith"))) == true)
+    assert(one(TextFunctions.isLikelyIndividual(lit("Acme Developments Limited"))) == false)
+  }
+
+  test("F7 tokenJaccard with subset bonus capped at 1.0") {
+    val a = array(lit("acme"), lit("homes"))
+    val b = array(lit("acme"), lit("homes"), lit("north"))
+    val j = one(TextFunctions.tokenJaccard(a, b)).asInstanceOf[Double]
+    assert(math.abs(j - (2.0 / 3.0 + 0.2)) < 1e-12)
+    val same = one(TextFunctions.tokenJaccard(a, a)).asInstanceOf[Double]
+    assert(same == 1.0)
+  }
+
+  test("F8 cleanOfficerName flips LAST, First and strips titles") {
+    assert(one(TextFunctions.cleanOfficerName(lit("SMITH, John"))) == "John Smith")
+    assert(one(TextFunctions.cleanOfficerName(lit("Dr Jane Ann Doe"))) == "Jane Doe")
+  }
+
+  test("F10 formatAddress skips null and empty parts") {
+    assert(one(TextFunctions.formatAddress(lit("1 High St"), lit(""), lit("Leeds")))
+      == "1 High St, Leeds")
+  }
+
+  test("F12 extractPostcode finds UK postcodes") {
+    assert(one(TextFunctions.extractPostcode(lit("Flat 2, SS9 2UJ, England"))) == "SS9 2UJ")
+  }
+
+  test("F14 isValidCompanyNumber accepts 8-digit and SC-prefixed") {
+    assert(one(TextFunctions.isValidCompanyNumber(lit("15434477"))) == true)
+    assert(one(TextFunctions.isValidCompanyNumber(lit("SC123456"))) == true)
+    assert(one(TextFunctions.isValidCompanyNumber(lit("1234"))) == false)
+  }
+
+  test("F13 guessDomain uses first three meaningful tokens") {
+    assert(one(TextFunctions.guessDomain(lit("The Acme Building Company Limited")))
+      == "acmebuilding.com")
+  }
+
+  test("D1 parseTimestampMulti handles ISO, date-only, UK formats") {
+    val df = Seq("2024-01-23T10:30:00", "2024-01-23", "23/01/2024", "garbage")
+      .toDF("s").select(DateFunctions.parseTimestampMulti($"s").as("t"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got(0).get.startsWith("2024-01-23 10:30"))
+    assert(got(1).get.startsWith("2024-01-23 00:00"))
+    assert(got(2).get.startsWith("2024-01-23 00:00"))
+    assert(got(3).isEmpty)
+  }
+
+  test("D3 friendlyDate ordinal suffixes incl. 11th-13th") {
+    val df = Seq("2023-06-23", "2023-06-11", "2023-06-01", "2023-06-02")
+      .toDF("s").select(DateFunctions.friendlyDate($"s".cast("date")).as("f"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) == "Friday 23rd June 2023")
+    assert(got(1) == "Sunday 11th June 2023")
+    assert(got(2) == "Thursday 1st June 2023")
+    assert(got(3) == "Friday 2nd June 2023")
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Merge --------------------------------------------------------------
+
+  test("Merge.upsert: updates win, unmatched base rows survive") {
+    val base = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "name", "v")
+    val updates = Seq((2, "b2", 25), (3, "c", 30)).toDF("id", "name", "v")
+    val got = Merge.upsert(base, updates, Seq("id"))
+      .orderBy("id").as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((1, "a", 10), (2, "b2", 25), (3, "c", 30)))
+  }
+
+  test("Merge.insertIfAbsent keeps existing row on key collision") {
+    val base = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val inc = Seq((2, "B!"), (3, "c")).toDF("id", "name")
+    val got = Merge.insertIfAbsent(base, inc, Seq("id"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("Merge.updateColumns patches only named columns for matched keys") {
+    val base = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "name", "v")
+    val upd = Seq((2, 99)).toDF("id", "v")
+    val got = Merge.updateColumns(base, upd, Seq("id"), Seq("v"))
+      .orderBy("id").as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((1, "a", 10), (2, "b", 99)))
+  }
+
+  test("Merge.newOnly drops already-seen business keys") {
+    val existing = Seq(("b1", "r1"), ("b1", "r2")).toDF("borough", "ref")
+    val inc = Seq(("b1", "r1"), ("b1", "r3")).toDF("borough", "ref")
+    val got = Merge.newOnly(inc, existing, Seq("borough", "ref"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("b1", "r3")))
+  }
+
+  // ---- Dedup --------------------------------------------------------------
+
+  test("Dedup.hash56 matches the md5-derived fixture (DuckDB parity)") {
+    val got = Seq("abc", "hello world").toDF("s")
+      .select(Dedup.hash56($"s")).as[Long].collect().toSeq
+    assert(got == Seq(35994886058514134L, 57801943592127379L))
+  }
+
+  test("Dedup.charShingles produces distinct n-grams") {
+    val got = Seq("ababab").toDF("s")
+      .select(Dedup.charShingles($"s", 3)).as[Seq[String]].collect()(0)
+    assert(got.sorted == Seq("aba", "bab"))
+  }
+
+  test("Dedup.minhashPairs finds planted near-duplicates only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and agaim"),
+      (3L, "completely different content about spark query engines here"),
+      (4L, "zzz unrelated words qqq xxx yyy vvv www uuu ttt sss rrr")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("Dedup.simhash32 identical for identical input, close for near-dup") {
+    val df = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee"),
+      (2L, "aaaa bbbb cccc dddd eeee"),
+      (3L, "totally different words entirely elsewhere")
+    ).toDF("id", "text")
+      .select($"id", Dedup.simhash32(Dedup.charShingles($"text", 5)).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 4)
+  }
+
+  // ---- Similarity ---------------------------------------------------------
+
+  test("Similarity.cosine known values") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b").select(Similarity.cosine($"a", $"b").as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("Similarity.bruteForceTopK ranks by cosine desc") {
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (10L, Array(0.9f, 0.1f, 0f)),
+      (11L, Array(0f, 1f, 0f)),
+      (12L, Array(0.5f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+      vs.filter($"vec_id" === 0), vs.filter($"vec_id" > 0),
+      "vec_id", "embedding", k = 2)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq((10L, 1), (12L, 2)))
+  }
+
+  test("Similarity.lshTopK only scores same-bucket candidates") {
+    val vs = Seq(
+      (0L, Array.fill(64)(1f)),
+      (10L, Array.fill(64)(1f)),
+      (11L, Array.fill(64)(-1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(
+      vs.filter($"vec_id" === 0), vs.filter($"vec_id" > 0),
+      "vec_id", "embedding", k = 5, planes = 8, dims = 64)
+      .select("cand_id").as[Long].collect().toSet
+    assert(got == Set(10L)) // opposite vector lands in the complement bucket
+  }
+
+  // ---- TextAnalysis -------------------------------------------------------
+
+  test("TextAnalysis.langId picks the profile with most stopword hits") {
+    val df = Seq(
+      "the cat is on the mat with a hat",
+      "le chat est sur la table avec un livre",
+      "der hund ist mit der katze und dem ball",
+      "xyzzy plugh").toDF("text")
+      .select(TextAnalysis.langId($"text").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "fr", "de", "und"))
+  }
+
+  test("TextAnalysis word/subtoken counts") {
+    val df = Seq("Hello, world! 42 times").toDF("text")
+      .select(TextAnalysis.wordCount($"text").as("w"),
+        TextAnalysis.subTokenCount($"text").as("s"))
+    val (w, s) = df.as[(Int, Int)].collect()(0)
+    assert(w == 4)
+    // Hello , world ! 42 times
+    assert(s == 6)
+  }
+
+  test("TextAnalysis.fingerprint is word-order invariant; rollingHash is not") {
+    val df = Seq(("alpha beta gamma", "gamma beta alpha")).toDF("a", "b")
+      .select(TextAnalysis.fingerprint($"a").as("fa"),
+        TextAnalysis.fingerprint($"b").as("fb"),
+        TextAnalysis.rollingHash($"a").as("ra"),
+        TextAnalysis.rollingHash($"b").as("rb"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getLong(2) != r.getLong(3))
+  }
+
+  test("TextAnalysis.rollingHash matches hand-computed fixture") {
+    val got = Seq("abc").toDF("s")
+      .select(TextAnalysis.rollingHash($"s")).as[Long].collect()(0)
+    assert(got == 96354L)
+  }
+
+  // ---- Multimodal ---------------------------------------------------------
+
+  test("Multimodal metadata pipeline: byte counts, frames, checksum") {
+    val docs = Seq((0L, "abc"), (1L, "x" * 120)).toDF("doc_id", "text")
+    val got = Multimodal.extractMetadata(spark, Multimodal.toMediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    assert(got(0) == MediaMeta(0L, "img", 3L, 1L, ('a' + 'b' + 'c').toLong))
+    assert(got(1) == MediaMeta(1L, "aud", 120L, 3L, 120L * 'x'))
+  }
+}
