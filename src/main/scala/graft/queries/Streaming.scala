@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventPipeline
+
+/** Batch twins of the streaming semantics (SURVEY.md §2.10) — the same
+  * EventPipeline code paths, run on static frames so the DuckDB oracle
+  * can check them. */
+object Streaming {
+
+  /** T8: gap-based sessionization (4h silence starts a new session). */
+  val t8Sessionize = Q(
+    "t8_sessionize",
+    (s, dir) => EventPipeline.sessionize(
+      Tables.load(s, dir, "events"), gapMinutes = 240),
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 14400000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      x AS (
+        SELECT user_id, ts,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM m)
+      SELECT user_id, session_seq, count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end
+      FROM x GROUP BY 1, 2"""))
+
+  /** T3: exactly-once-per-key ingest — the stream-static anti-join run on
+    * static frames (odd events are "already ingested"). */
+  val t3NewOnly = Q(
+    "t3_new_only",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      EventPipeline.newOnly(e, e.filter(col("event_id") % 2 === 1))
+    },
+    Some("""SELECT event_id, user_id, event_type FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM events x
+        WHERE x.event_id % 2 = 1 AND x.event_id = e.event_id)"""))
+
+  val all: Seq[Q] = Seq(t8Sessionize, t3NewOnly)
+}

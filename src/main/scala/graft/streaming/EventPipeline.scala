@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Merge
+
+/** One event as fed by the webhook/scheduler sources (SURVEY.md §2.10). */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running state for the stateful connection tracker (T6-shape:
+  * webhook events folded into per-entity status). */
+final case class UserState(user_id: Long, n_events: Long, total_value: Double,
+    last_type: String, last_ts: java.sql.Timestamp)
+
+/** Structured-Streaming restatement of the reference's incremental
+  * semantics (weekly_scheduler.py / webhook_handler.py):
+  *
+  *  - T2/T7: event-time windowed rollups with watermarks
+  *  - T3/U3: exactly-once-per-key ingest via stream-static anti-join
+  *  - T5/T6: foreachBatch merge into a keyed sink table
+  *  - stateful per-key tracking via mapGroupsWithState
+  *
+  * Every transform takes/returns DataFrames so the same code runs on a
+  * batch frame (Trigger.AvailableNow shape) or a readStream source. At
+  * cluster scale, state stores partition by the group key and watermarks
+  * bound state size — nothing here holds unbounded driver state.
+  */
+object EventPipeline {
+
+  /** T7: tumbling event-time daily rollup with a watermark bounding
+    * late-data state (automation_monitoring.py:237-292). */
+  def dailyRollup(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** T3: drop events whose business key already exists in the sink
+    * (stream-static anti-join; weekly_scheduler.py:586-609). */
+  def newOnly(incoming: DataFrame, existing: DataFrame): DataFrame =
+    Merge.newOnly(incoming, existing, Seq("event_id"))
+
+  /** T5/T6: micro-batch upsert into a parquet sink keyed by event_id —
+    * the foreachBatch body. Idempotent per key, so at-least-once batch
+    * delivery still yields exactly-once table contents. */
+  def mergeIntoTable(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
+    val target = new java.io.File(tableDir)
+    val merged =
+      if (target.exists() && target.list().nonEmpty)
+        Merge.upsert(spark.read.parquet(tableDir), batch, Seq("event_id"))
+      else batch
+    // Write via temp dir then swap: the source of the merge is also the
+    // sink, and overwrite-in-place would truncate before the read runs.
+    val tmp = tableDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val cleaned = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = cleaned.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(cleaned, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), cleaned)
+  }
+
+  /** Stateful per-user tracker (mapGroupsWithState): running count/sum and
+    * last event seen. Update-mode output, one row per touched user per
+    * micro-batch. */
+  def trackUsers(spark: SparkSession, events: Dataset[Event]): Dataset[UserState] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0, "", null))
+          val next = evs.foldLeft(prev) { (acc, e) =>
+            UserState(uid, acc.n_events + 1, acc.total_value + e.value,
+              e.event_type, e.ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Gap-based sessionization, batch form: a new session starts after
+    * `gapMinutes` of per-user silence. Pure window functions — the
+    * streaming twin is trackUsers-style state with a timeout; the batch
+    * form is what the oracle can verify. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+}
