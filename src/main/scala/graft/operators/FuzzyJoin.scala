@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Fuzzy applicant↔company similarity join (SURVEY.md §2.3 J6;
+  * reference applicant_processor.py:200-266, applicant_pipeline.py:40-41).
+  *
+  * The reference bounds the O(N·M) pair space with a per-applicant API
+  * name search (20 candidates); the scale-correct Spark restatement is a
+  * token-overlap blocking join: explode rare name tokens, equi-join on
+  * token, dedupe pairs — candidates shrink from N·M to pairs sharing at
+  * least one informative token, and the join shuffles by token instead of
+  * broadcasting anything unbounded. Score tiers and thresholds follow the
+  * reference: exact / suffix-normalized ≥0.95 / token-Jaccard ≥0.7 /
+  * fuzzy ≥0.8, confidence floor 0.7, top-k per applicant.
+  */
+object FuzzyJoin {
+
+  /** Normalized-Levenshtein similarity in [0,1] — the engine's F6.
+    * The reference uses difflib.SequenceMatcher.ratio (Ratcliff-Obershelp);
+    * that exact algorithm is provided as `roRatio`/UDF for parity tests,
+    * while the plan-level scorer uses this codegen-friendly built-in
+    * (documented semantic substitution, SURVEY §7.3 — thresholds hold for
+    * both on the reference's calibration pairs). */
+  def levSimilarity(a: Column, b: Column): Column = {
+    val maxLen = greatest(length(a), length(b))
+    when(maxLen === 0, 1.0)
+      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))
+  }
+
+  /** Ratcliff-Obershelp ratio, difflib-compatible (recursive longest
+    * common substring). Scala implementation for exact reference parity;
+    * register with `registerRoRatio` to use from SQL/Columns. */
+  def roRatio(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    if (a.isEmpty && b.isEmpty) return 1.0
+    def matches(al: Int, ah: Int, bl: Int, bh: Int): Int = {
+      // longest common substring within the window
+      var best = 0; var bestA = al; var bestB = bl
+      val dp = Array.ofDim[Int](ah - al + 1, bh - bl + 1)
+      var i = al
+      while (i < ah) {
+        var j = bl
+        while (j < bh) {
+          if (a.charAt(i) == b.charAt(j)) {
+            val v = dp(i - al)(j - bl) + 1
+            dp(i - al + 1)(j - bl + 1) = v
+            if (v > best) { best = v; bestA = i - v + 1; bestB = j - v + 1 }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (best == 0) 0
+      else best + matches(al, bestA, bl, bestB) +
+        matches(bestA + best, ah, bestB + best, bh)
+    }
+    2.0 * matches(0, a.length, 0, b.length) / (a.length + b.length)
+  }
+
+  /** Register roRatio as the SQL/Column UDF `ro_ratio`. */
+  def registerRoRatio(spark: SparkSession): Unit =
+    spark.udf.register("ro_ratio", (a: String, b: String) => roRatio(a, b))
+
+  /** Blocking tokens: normalized name tokens minus ubiquitous words —
+    * blocking on a token every row shares would degenerate to a cross
+    * join. `commonTokens` plays the role of a df-computed stoplist. */
+  private def blockingTokens(name: Column, commonTokens: Seq[String]): Column =
+    TextFunctions.nameTokens(name, Seq("the", "and", "of") ++ commonTokens)
+
+  /** The similarity join.
+    *
+    * @param applicants (idCol, nameCol) — left side
+    * @param companies  (idCol, nameCol) — right side
+    * @param minConfidence floor (reference: 0.7)
+    * @param topK matches kept per applicant (reference: 3)
+    * @param commonTokens tokens excluded from blocking (corpus-ubiquitous)
+    */
+  def matchNames(applicants: DataFrame, companies: DataFrame,
+      applicantId: String, applicantName: String,
+      companyId: String, companyName: String,
+      minConfidence: Double = 0.7, topK: Int = 3,
+      commonTokens: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val a = applicants.select(
+      col(applicantId).as("applicant_id"),
+      col(applicantName).as("applicant_name"),
+      TextFunctions.normalizeName(col(applicantName)).as("a_norm"),
+      TextFunctions.normalizeName(
+        TextFunctions.removeCompanySuffixes(col(applicantName))).as("a_base"))
+    val c = companies.select(
+      col(companyId).as("company_id"),
+      col(companyName).as("company_name"),
+      TextFunctions.normalizeName(col(companyName)).as("c_norm"),
+      TextFunctions.normalizeName(
+        TextFunctions.removeCompanySuffixes(col(companyName))).as("c_base"))
+
+    val aTok = a.select(col("applicant_id"),
+      explode(blockingTokens(col("applicant_name"), commonTokens)).as("token"))
+    val cTok = c.select(col("company_id"),
+      explode(blockingTokens(col("company_name"), commonTokens)).as("token"))
+    val cand = aTok.join(cTok, "token")
+      .select("applicant_id", "company_id").distinct()
+
+    val aTokens = TextFunctions.nameTokens(col("applicant_name"))
+    val cTokens = TextFunctions.nameTokens(col("company_name"))
+    val scored = cand.join(a, "applicant_id").join(c, "company_id")
+      .withColumn("token_sim", TextFunctions.tokenJaccard(aTokens, cTokens))
+      .withColumn("fuzzy_sim", levSimilarity(col("a_base"), col("c_base")))
+      .withColumn("method",
+        when(col("a_norm") === col("c_norm"), "exact")
+          .when(col("a_base") === col("c_base"), "suffix_normalized")
+          .when(col("token_sim") >= 0.7, "token")
+          .when(col("fuzzy_sim") >= 0.8, "fuzzy")
+          .otherwise(lit(null)))
+      .withColumn("confidence",
+        when(col("method") === "exact", 1.0)
+          .when(col("method") === "suffix_normalized", 0.95)
+          .when(col("method") === "token", col("token_sim"))
+          .when(col("method") === "fuzzy", col("fuzzy_sim")))
+      .filter(col("confidence") >= minConfidence)
+
+    val w = Window.partitionBy("applicant_id")
+      .orderBy(col("confidence").desc, col("company_id"))
+    scored.withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= topK)
+      .select("applicant_id", "applicant_name", "company_id", "company_name",
+        "method", "confidence", "match_rank")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CacheStore, FuzzyJoin}
+
+class CacheAndFuzzySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ro_ratio matches difflib fixtures") {
+    assert(FuzzyJoin.roRatio("abcd", "bcde") == 0.75)
+    assert(FuzzyJoin.roRatio("abc", "abc") == 1.0)
+    assert(FuzzyJoin.roRatio("abc", "xyz") == 0.0)
+    // difflib.SequenceMatcher(None, 'acme building', 'acme buildings ltd').ratio()
+    val r = FuzzyJoin.roRatio("acme building", "acme buildings ltd")
+    assert(math.abs(r - 2.0 * 13 / 31) < 1e-12)
+  }
+
+  test("fuzzy matchNames picks the right tier per noise type") {
+    val companies = Seq((1L, "Acme Building 1234"), (2L, "Zenith Homes 9876"))
+      .toDF("id", "name")
+    val applicants = Seq(
+      (10L, "Acme Building 1234"),          // exact
+      (11L, "Acme Building 1234 Limited"),  // suffix_normalized
+      (12L, "Acmo Building 1234"),          // fuzzy (1 char off)
+      (13L, "Totally Unrelated 5555")       // no match
+    ).toDF("id", "name")
+    val got = FuzzyJoin.matchNames(applicants, companies, "id", "name", "id", "name")
+      .select("applicant_id", "company_id", "method")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((10L, 1L, "exact"), (11L, 1L, "suffix_normalized"),
+      (12L, 1L, "fuzzy")))
+  }
+
+  test("CacheStore: put/get roundtrip, TTL expiry, size eviction") {
+    var clock = 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache").toString
+    val cache = new CacheStore(spark, dir, ttlMs = 500L, maxEntries = 2,
+      now = () => clock)
+
+    val k1 = cache.keyFor(Map("q" -> "Acme", "status" -> "active"))
+    assert(k1 == cache.keyFor(Map("status" -> " ACTIVE ", "q" -> "acme"))) // canonicalized
+    assert(cache.get(k1).isEmpty)
+
+    cache.put(k1, Seq((1, "a")).toDF("id", "v"))
+    assert(cache.get(k1).get.count() == 1)
+
+    clock += 200
+    cache.put("k2", Seq((2, "b")).toDF("id", "v"))
+    clock += 100
+    cache.put("k3", Seq((3, "c")).toDF("id", "v")) // maxEntries=2 → k1 evicted (oldest)
+    assert(cache.size() == 2)
+    assert(cache.get(k1).isEmpty)
+    assert(cache.get("k2").isDefined)
+    assert(cache.get("k3").isDefined)
+
+    clock += 450 // k2 (created at 1200, expires 1700) now dead; k3 alive until 1800
+    assert(cache.get("k2").isEmpty)
+    assert(cache.get("k3").isDefined)
+  }
+}
