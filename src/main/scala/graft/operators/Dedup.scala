@@ -27,15 +27,11 @@ object Dedup {
   /** Deterministic 56-bit content hash: md5 bytes 8..14 little-endian.
     * Chosen so DuckDB reproduces it as `md5_number_lower(s) % 2^56`
     * (md5_number_lower = little-endian uint64 of md5 bytes 8..15; the
-    * mod drops byte 15, keeping the value inside a signed long). */
-  def hash56(c: Column): Column = {
-    val h = md5(c)
-    val rev = concat(
-      substring(h, 29, 2), substring(h, 27, 2), substring(h, 25, 2),
-      substring(h, 23, 2), substring(h, 21, 2), substring(h, 19, 2),
-      substring(h, 17, 2))
-    conv(rev, 16, 10).cast("long")
-  }
+    * mod drops byte 15, keeping the value inside a signed long).
+    * Implemented as a custom codegen Expression — the equivalent
+    * conv(byte-reversed-hex(md5)) chain cost ~6 string expressions per
+    * shingle and dominated the MinHash profile. */
+  def hash56(c: Column): Column = graft.plans.StableHash56.hash56(c)
 
   /** Hash folded into [0, P). */
   def hash31(c: Column): Column = hash56(c) % P
@@ -70,22 +66,30 @@ object Dedup {
     *
     * k signature components in `bands` bands of k/bands rows; candidate
     * pairs share all rows of at least one band; candidates are then
-    * verified with true shingle Jaccard ≥ `threshold`.
+    * verified with true Jaccard ≥ `threshold` over the *hashed* shingle
+    * sets (longs intersect ~4× cheaper than strings; a 2^-31 collision
+    * perturbs the estimate negligibly and the oracle hashes identically).
+    *
+    * Band geometry: r = k/bands rows per band. With the corpus sharing
+    * one small vocabulary, background pairs sit near J≈0.2, so r must be
+    * high enough that b·J^r stays tiny — r=4,b=4 gives ~0.6% candidate
+    * rate at J=0.2 while catching J≥0.9 pairs with P≈0.99. r=2 flooded
+    * the verifier with 300k+ candidates at sf0.1.
     *
     * Reference behavior being replaced: the fuzzy dedup in
     * applicant_processor.py:317-336 is an O(N) dict scan on a normalized
     * key — adequate at 10^3 rows, not at 10^10; MinHash LSH is the
     * scale-correct restatement. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, k: Int = 8, bands: Int = 4,
+      n: Int = 5, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sig = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), n).as("shingles"))
-      .withColumn("hashes", transform(col("shingles"), s => hash31(s)))
+      array_distinct(transform(charShingles(col(textCol), n), s => hash31(s)))
+        .as("hs"))
       .withColumns((0 until k).map(j =>
-        s"mh$j" -> minhashComponent(col("hashes"), j)).toMap)
+        s"mh$j" -> minhashComponent(col("hs"), j)).toMap)
       .cache()
     val buckets = sig.select(col("id") +: (0 until bands).map { b =>
         struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
@@ -97,10 +101,12 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sa = sig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = sig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val sa = sig.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = sig.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -53,12 +53,12 @@ object Joins {
       val hot = l.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_partkey")).limit(1)
         .select(col("l_partkey").as("hot_key"))
-      val edges = l.as("a").join(l.as("b"),
+      val ld = l.distinct()
+      val edges = ld.as("a").join(ld.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"),
-          col("a.l_orderkey").as("ok"))
-        .groupBy("part_a", "part_b").agg(countDistinct("ok").as("n_orders"))
+        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
       val p = Tables.load(s, dir, "part")
       edges.join(broadcast(hot),
           col("part_a") === col("hot_key") || col("part_b") === col("hot_key"))

@@ -59,25 +59,28 @@ object Pipeline {
         count(*) AS n_copies
       FROM all_docs GROUP BY 1"""))
 
-  /** MinHash + LSH near-dup pairs (k=8 components, 4 bands × 2 rows,
-    * verified at Jaccard ≥ 0.5 over char 5-gram shingles). */
+  /** MinHash + LSH near-dup pairs (k=16 components, 4 bands × 4 rows,
+    * verified at Jaccard ≥ 0.5 over hashed char 5-gram shingle sets —
+    * band geometry rationale in Dedup.minhashPairs). */
   val ddMinhash = Q(
     "dd_minhash_lsh",
     (s, dir) => Dedup.minhashPairs(
       Tables.load(s, dir, "documents"), "doc_id", "text",
-      n = 5, k = 8, bands = 4, threshold = 0.5), {
-      val mhCols = (0 until 8).map { j =>
+      n = 5, k = 16, bands = 4, threshold = 0.5), {
+      val mhCols = (0 until 16).map { j =>
         s"list_min(list_transform(hs, h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P})) AS mh$j"
       }.mkString(",\n          ")
       val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+        val hs = (0 until 4).map(r => s"mh${4 * b + r} AS h$r").mkString(", ")
+        s"SELECT doc_id, $b AS band, $hs FROM sig"
       }.mkString("\n        UNION ALL ")
       Some(s"""WITH sh AS (
         SELECT doc_id, $shinglesSql AS sset FROM documents),
       hashed AS (
-        SELECT doc_id, sset, list_transform(sset, t -> ${h31("t")}) AS hs FROM sh),
+        SELECT doc_id, list_distinct(list_transform(sset, t -> ${h31("t")})) AS hs
+        FROM sh),
       sig AS (
-        SELECT doc_id, sset,
+        SELECT doc_id, hs,
           $mhCols
         FROM hashed),
       buckets AS (
@@ -85,13 +88,14 @@ object Pipeline {
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
-          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+          ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+          AND a.h2 = b.h2 AND a.h3 = b.h3
           AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b, ${jaccardSql("x.sset", "y.sset")} AS jaccard
+      SELECT c.id_a, c.id_b, ${jaccardSql("x.hs", "y.hs")} AS jaccard
       FROM cand c
       JOIN sig x ON x.doc_id = c.id_a
       JOIN sig y ON y.doc_id = c.id_b
-      WHERE ${jaccardSql("x.sset", "y.sset")} >= 0.5""")
+      WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5""")
     })
 
   /** SimHash near-dup pairs: 32-bit signatures over char 5-gram shingles

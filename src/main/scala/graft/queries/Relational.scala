@@ -101,14 +101,16 @@ object Relational {
   val j4SharedEdges = Q(
     "j4_shared_edges",
     (s, dir) => {
-      val l = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // Dedup (order, part) BEFORE the self-join: repeated lines collapse,
+      // the pair explosion shrinks, and count(*) equals the semantic
+      // countDistinct(order) — no distinct-aggregate pass needed.
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
       l.as("a").join(l.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"),
-          col("a.l_orderkey").as("ok"))
+        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
         .groupBy("part_a", "part_b")
-        .agg(countDistinct("ok").as("n_orders"))
+        .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
     },
     Some("""SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
