@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Physical-plan regression tests — the properties that keep these
+  * operators viable at 100 TB: scans must receive pushed filters and
+  * pruned schemas, dimension joins must broadcast, aggregates must be
+  * partial+final, and hot paths must stay inside whole-stage codegen.
+  * A code change that silently loses one of these fails here, not in a
+  * cluster bill. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: Q): String =
+    q.run(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("p4: date-range predicate reaches the parquet scan") {
+    val p = plan(Relational.p4DateRange)
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_shipdate"))
+  }
+
+  test("p4/q1: column pruning — scan reads only referenced columns") {
+    val p = plan(Relational.p4DateRange)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp"))
+    assert(!p.contains("l_extendedprice"), "scan must not read unused columns")
+  }
+
+  test("q1: aggregation is partial (map-side) + final") {
+    val p = plan(Relational.q1Agg)
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    assert(p.split("HashAggregate").length >= 3, "expected two HashAggregate stages")
+  }
+
+  test("j3: dimension join is broadcast, not shuffle") {
+    val p = plan(Joins.j3JoinFilterProject)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), "dim filter must be pushed to scan")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), "fact filter must be pushed to scan")
+  }
+
+  test("j4: self-join shuffles both sides on the join key once") {
+    val p = plan(Relational.j4SharedEdges)
+    assert(p.contains("hashpartitioning(l_orderkey"))
+    assert(!p.contains("CartesianProduct"), "edge build must never be a cross product")
+  }
+
+  test("p7: narrow projection stays in whole-stage codegen") {
+    val p = plan(Filters.p7Project)
+    assert(p.contains("codegen id"))
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_type:string>"))
+  }
+
+  test("o1: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Filters.o1OrderLimit)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("sim_topk: query side is broadcast against the candidate stream") {
+    val p = plan(Pipeline.simTopk)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
