@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every registered operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
     Relational.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
-      SetMerge.all ++ Scalars.all ++ Pipeline.all ++ Streaming.all ++ Fuzzy.all
+      SetMerge.all ++ Scalars.all ++ Pipeline.all ++ Streaming.all ++
+      Fuzzy.all ++ Extras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** JSON handling and set-merge shapes (SURVEY.md §2.8 array/map/json,
+  * §2.7 U5). */
+object Extras {
+
+  /** JSON key extraction from a raw payload column (reference
+    * app.py:2038-2043 — enrichment_data JSON queried by key). */
+  val jsonExtract = Q(
+    "f_json_extract",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")),
+    Some("""SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
+        count(*) AS n,
+        sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS sum_k
+      FROM events GROUP BY 1"""))
+
+  /** U5: set-merge across group members — distinct union of token arrays
+    * (reference data_enrichment.py:209-230 technology/profile merge). */
+  val u5ArrayMerge = Q(
+    "u5_array_merge",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(size(array_distinct(flatten(collect_list(split(col("text"), " ")))))
+          .as("n_distinct_tokens"),
+          count(lit(1)).as("n_docs")),
+    Some("""SELECT lang,
+        len(list_distinct(flatten(list(string_split(text, ' '))))) AS n_distinct_tokens,
+        count(*) AS n_docs
+      FROM documents GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge)
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.operators.{EtlJob, ExternalLookup, Flatten, Merge}
+import graft.sources.Sources
+
+class SourcesEtlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S1-S2 domain slice: lender CSV -> normalize -> upsert -> tier -> export") {
+    // FIXTURES.md §1 example row + one chargeless row
+    val csv =
+      """CompanyNumber,CompanyName,RegisteredOffice,LatestChargeID,LatestChargeStatus,LatestChargeRegisteredDate,PersonsEntitled,Officers
+        |15434477,007 INVESTMENTS LTD,"1386 London Road, Leigh On Sea, Essex, SS9 2UJ, England",,outstanding,08/05/2024,Lendco Limited,"COOPER, Neil (secretary, 2024-01-23); COOPER, Neil John (director, 2024-01-23)"
+        |1234567,ACME BUILDERS LIMITED,"2 Low Rd, York",,,,,""".stripMargin
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/lender.csv"), csv)
+
+    val raw = Sources.readCsv(spark, s"$dir/lender.csv", Sources.LenderCsvSchema)
+    // normalize: zfill(8) company number (app.py:2078), tier rule
+    // charges => "Lender (No Contact)" else raw (weekly_scheduler.py:915-918)
+    val normalized = raw.select(
+      lpad(col("CompanyNumber"), 8, "0").as("company_number"),
+      col("CompanyName").as("company_name"),
+      TextFunctions.removeCompanySuffixes(col("CompanyName")).as("base_name"),
+      when(col("LatestChargeStatus").isNotNull, "Lender (No Contact)")
+        .otherwise("Sic 41100 (Raw Data)").as("data_tier"),
+      graft.functions.DateFunctions.parseUkDate(col("LatestChargeRegisteredDate"))
+        .as("charge_date"))
+    val rows = normalized.orderBy("company_number").collect()
+    assert(rows(0).getString(0) == "01234567") // zero-padded
+    assert(rows(1).getString(0) == "15434477")
+    assert(rows(1).getString(2) == "007 INVESTMENTS")
+    assert(rows(1).getString(3) == "Lender (No Contact)")
+    assert(rows(0).getString(3) == "Sic 41100 (Raw Data)")
+    assert(rows(1).getDate(4).toString == "2024-05-08") // dd/MM/yyyy parsed
+
+    // upsert into an existing companies table on the business key
+    val existing = Seq(("15434477", "OLD NAME LTD", "old", "old", null: java.sql.Date))
+      .toDF(normalized.columns: _*)
+    val merged = Merge.upsert(existing, normalized, Seq("company_number"))
+    assert(merged.count() == 2) // existing key collides with an update
+    assert(merged.filter($"company_number" === "15434477")
+      .select("company_name").as[String].collect().head == "007 INVESTMENTS LTD")
+
+    // export
+    Sources.writeCsv(merged, s"$dir/out")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 2)
+  }
+
+  test("ExternalLookup.lookupJoin enriches rows with rate limiting and retry") {
+    val df = (1 to 6).map(i => (i.toLong, s"key$i")).toDF("id", "key")
+      .repartition(1)
+    val out = ExternalLookup.lookupJoin(df, "key",
+      k => if (k == "key3") None else Some(k.toUpperCase),
+      minIntervalMs = 5, maxRetries = 2)
+    val got = out.select("key", "lookup_value").as[(String, String)]
+      .collect().toMap
+    assert(got("key1") == "KEY1")
+    assert(got("key3") == null)
+    assert(got.size == 6)
+  }
+
+  test("ExternalLookup retries transient failures") {
+    // fails on first call per key, succeeds on retry — counter must be
+    // static so it lives in the executor (same JVM in local mode)
+    FlakyService.calls.clear()
+    val df = Seq(("a", 1)).toDF("key", "x").repartition(1)
+    val out = ExternalLookup.lookupJoin(df, "key", FlakyService.call,
+      minIntervalMs = 1, maxRetries = 2)
+    assert(out.select("lookup_value").as[String].collect().head == "A")
+    assert(FlakyService.calls.get("a") == 2) // one failure + one success
+  }
+
+  test("EtlJob.validate counts valid/invalid in one pass") {
+    val df = Seq(("REF001", "Acme Ltd"), ("x", "Bo"), ("REF002", "Zenith Plc"))
+      .toDF("planning_reference", "applicant_name")
+    val (valid, stats) = EtlJob.validate(spark, df,
+      length(col("planning_reference")) >= 3 && length(col("applicant_name")) >= 2)
+    assert(valid.count() == 2)
+    assert(stats.valid.value == 2)
+    assert(stats.invalid.value == 1)
+  }
+
+  test("Flatten resolves nested structs and arrays at plan time") {
+    val df = spark.read.json(Seq(
+      """{"id":1,"address":{"line1":"1 High St","city":"York"},"sic_codes":["41100","68209"],"officers":[{"name":"A","role":"director"}]}"""
+    ).toDS())
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.toSet ==
+      Set("id", "address_city", "address_line1", "sic_codes", "officers"))
+    val r = flat.select("address_line1", "sic_codes", "officers").collect()(0)
+    assert(r.getString(0) == "1 High St")
+    assert(r.getString(1) == "41100, 68209")
+    assert(r.getString(2) == """[{"name":"A","role":"director"}]""")
+  }
+
+  test("S10 webhook JSON events parse with explicit schema") {
+    val jsonl =
+      """{"event_type":"connection_accepted","timestamp":"2024-03-01T10:00:00","contact":{"full_name":"Jane Doe","company":"Acme","linkedin_url":"https://li/x"}}""" + "\n" +
+      """{"event_type":"message_replied","timestamp":"2024-03-02T11:00:00","contact":{"full_name":"Bob Roe","company":"Zenith","linkedin_url":"https://li/y"}}"""
+    val dir = Files.createTempDirectory("graft_wh").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/events.jsonl"), jsonl)
+    val df = Sources.readJsonl(spark, s"$dir/events.jsonl", Sources.WebhookEventSchema)
+    // status mapping (webhook_handler.py:46-53)
+    val mapped = df.select(col("contact.full_name").as("name"),
+      when(col("event_type") === "connection_accepted", "connected")
+        .when(col("event_type") === "message_replied", "responded")
+        .otherwise("pending").as("status"))
+    assert(mapped.as[(String, String)].collect().toSet ==
+      Set(("Jane Doe", "connected"), ("Bob Roe", "responded")))
+  }
+}
+
+/** Deterministic flaky external service for retry tests. */
+object FlakyService {
+  val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def call(k: String): Option[String] = {
+    val n = calls.merge(k, 1, (a, b) => a + b)
+    if (n == 1) throw new RuntimeException("transient")
+    Some(k.toUpperCase)
+  }
+}
