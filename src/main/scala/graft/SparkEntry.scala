@@ -10,7 +10,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
       SetMerge.all ++ Scalars.all ++ Pipeline.all ++ Streaming.all ++
-      Fuzzy.all ++ Extras.all
+      Fuzzy.all ++ Extras.all ++ Windows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -28,8 +28,9 @@ object SparkEntry {
   /** Headline subset used by Bench (shuffle/join/agg heavy + pipeline ops). */
   def benchQueries: Seq[String] = {
     val preferred = Seq("q1_agg", "j1_left_join_agg", "j4_shared_edges",
-      "w1_topk_per_group", "t7_daily_window", "dd_exact", "dd_minhash_lsh",
-      "sim_topk_bruteforce", "txt_quality")
+      "j6_fuzzy_join", "w1_topk_per_group", "t7_daily_window",
+      "t8_sessionize", "dd_exact", "dd_minhash_lsh", "sim_topk_bruteforce",
+      "txt_quality")
     preferred.filter(queries.contains)
   }
 }

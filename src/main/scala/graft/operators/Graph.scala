@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Co-membership graph materialization (SURVEY.md §2.3 J4/J5; reference
+  * shared_officer_edges, database.py:937-1011): entities that share a
+  * group become an undirected edge weighted by shared-group count.
+  *
+  * Scale: dedup (group, item) first; the self-join is an equi-join on the
+  * group key (one shuffle, no product); `<` emits each edge once. The
+  * edge table is a derived table rebuilt wholesale (M8) — overwrite, no
+  * incremental merge needed. Hot groups (an officer on thousands of
+  * boards) explode quadratically: cap group size explicitly at ingest and
+  * log the drop, don't let one key own the stage. */
+object Graph {
+
+  /** Build the edge list: (item_a, item_b, weight = distinct shared
+    * groups), for groups with at most `maxGroupSize` members. */
+  def sharedKeyEdges(df: DataFrame, groupCol: String, itemCol: String,
+      minShared: Int = 1, maxGroupSize: Int = 1000): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val bounded = m.withColumn("gsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("gsize") <= maxGroupSize)
+      .drop("gsize")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minShared)
+  }
+
+  /** 1-hop neighborhood of `id` over an edge list (reference
+    * database.py:985-1011). */
+  def neighborhood(edges: DataFrame, id: Column): DataFrame =
+    edges.filter(col("item_a") === id || col("item_b") === id)
+      .select(when(col("item_a") === id, col("item_b"))
+        .otherwise(col("item_a")).as("neighbor"), col("weight"))
+
+  /** Degree distribution — the A6/A7 network stats. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("item_a").as("item"))
+      .union(edges.select(col("item_b").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("degree"))
+}

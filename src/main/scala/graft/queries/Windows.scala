@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Q._
+
+/** Remaining window/ratio shapes (SURVEY.md §2.5 W2/W3, §2.4 A2). */
+object Windows {
+
+  /** W2: "primary charge" selection — first row per key by a status
+    * preference then ordinal (reference app.py:604-619: outstanding/
+    * part-satisfied first, else first listed). Here: per order, the
+    * preferred lineitem is returnflag 'R' first, then linenumber. */
+  val w2PrimaryPerKey = Q(
+    "w2_primary_per_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pref = when(col("l_returnflag") === "R", 0).otherwise(1)
+      // l_linenumber alone is not unique in the synthetic data — the
+      // ordinal must be a total order or the pick is nondeterministic
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(pref, col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+          row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END,
+                     l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+        FROM lineitem) WHERE rn = 1"""))
+
+  /** W3: first-N per group as an array slice (reference app.py:588-594 —
+    * first 3 officers for display), deterministic inner order. */
+  val w3FirstNSlice = Q(
+    "w3_first_n_slice",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_list(col("l_partkey"))), 1, 3)
+          .as("first_parts"), count(lit(1)).as("n_lines"))
+        .select(col("l_orderkey"),
+          concat_ws(",", col("first_parts").cast("array<string>")).as("first_parts"),
+          col("n_lines")),
+    Some("""SELECT l_orderkey,
+        array_to_string(list_sort(list(l_partkey))[1:3], ',') AS first_parts,
+        count(*) AS n_lines
+      FROM lineitem GROUP BY 1"""))
+
+  /** A2: filtered counts + derived success ratio (reference
+    * database.py:473-499 — enrichment success rate). Ratio kept exact:
+    * integer counts divided as doubles. */
+  val a2SuccessRatio = Q(
+    "a2_success_ratio",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 20, 1L).otherwise(0L)).as("n_big"))
+        .withColumn("big_rate",
+          col("n_big").cast("double") / col("n").cast("double") * 100.0),
+    Some("""SELECT event_type, count(*) AS n,
+        sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS n_big,
+        CAST(sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) * 100.0 AS big_rate
+      FROM events GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(w2PrimaryPerKey, w3FirstNSlice, a2SuccessRatio)
+}

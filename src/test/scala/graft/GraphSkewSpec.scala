@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Skew}
+
+class GraphSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val appointments = Seq(
+    // officer -> company (group = officer, item = company)
+    ("o1", "c1"), ("o1", "c2"), ("o1", "c3"),
+    ("o2", "c1"), ("o2", "c2"),
+    ("o3", "c9"),
+    ("o1", "c1") // duplicate appointment must not double-count
+  ).toDF("officer", "company")
+
+  test("Graph.sharedKeyEdges builds weighted undirected edges once") {
+    val edges = Graph.sharedKeyEdges(appointments, "officer", "company")
+      .as[(String, String, Long)].collect().toSet
+    assert(edges == Set(("c1", "c2", 2L), ("c1", "c3", 1L), ("c2", "c3", 1L)))
+  }
+
+  test("Graph.sharedKeyEdges honors minShared and maxGroupSize") {
+    val strong = Graph.sharedKeyEdges(appointments, "officer", "company",
+      minShared = 2).as[(String, String, Long)].collect().toSet
+    assert(strong == Set(("c1", "c2", 2L)))
+    val capped = Graph.sharedKeyEdges(appointments, "officer", "company",
+      maxGroupSize = 2).as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("c1", "c2", 1L))) // o1's 3-company group dropped
+  }
+
+  test("Graph.neighborhood and degrees") {
+    val edges = Graph.sharedKeyEdges(appointments, "officer", "company")
+    val n = Graph.neighborhood(edges, lit("c1"))
+      .as[(String, Long)].collect().toMap
+    assert(n == Map("c2" -> 2L, "c3" -> 1L))
+    val d = Graph.degrees(edges).as[(String, Long)].collect().toMap
+    assert(d == Map("c1" -> 2L, "c2" -> 2L, "c3" -> 2L))
+  }
+
+  test("Skew.saltedJoin equals the plain join") {
+    val left = (1 to 500).map(i => (i % 3, i)).toDF("k", "v") // key 0/1/2, skewed-ish
+    val right = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+      .as[(Int, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "v", "name").as[(Int, Int, String)].collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 500)
+  }
+
+  test("approx_count_distinct within 5% of exact at test scale") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val (approx, exact) = e.agg(
+      approx_count_distinct("l_partkey").as("a"),
+      countDistinct("l_partkey").as("e"))
+      .as[(Long, Long)].collect().head
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
