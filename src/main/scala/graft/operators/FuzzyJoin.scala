@@ -24,11 +24,8 @@ object FuzzyJoin {
     * while the plan-level scorer uses this codegen-friendly built-in
     * (documented semantic substitution, SURVEY §7.3 — thresholds hold for
     * both on the reference's calibration pairs). */
-  def levSimilarity(a: Column, b: Column): Column = {
-    val maxLen = greatest(length(a), length(b))
-    when(maxLen === 0, 1.0)
-      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))
-  }
+  def levSimilarity(a: Column, b: Column): Column =
+    graft.plans.LevenshteinSimilarity.levSimilarity(a, b)
 
   /** Ratcliff-Obershelp ratio, difflib-compatible (recursive longest
     * common substring). Scala implementation for exact reference parity;

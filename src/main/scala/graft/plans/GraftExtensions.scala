@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: a Filter conjunct `lev_similarity(a, b) >= t` implies
+  * the far cheaper length band |len(a) − len(b)| ≤ (1−t)·max(len) —
+  * because edit distance is bounded below by the length difference. The
+  * rule conjoins that band ahead of the similarity term, so codegen's
+  * short-circuit AND skips the O(len²) DP for pairs that can't reach the
+  * threshold, and Catalyst may push the band further down on its own.
+  * (SURVEY.md §4: the reference's "search first, score second"
+  * candidate-pruning shape as a Catalyst rewrite.) */
+object SimilarityPrefilter extends Rule[LogicalPlan] {
+
+  private def band(a: Expression, b: Expression, t: Double): Expression = {
+    val la = Cast(Length(a), DoubleType)
+    val lb = Cast(Length(b), DoubleType)
+    LessThanOrEqual(Abs(Subtract(la, lb)),
+      Multiply(Literal(1.0 - t), Greatest(Seq(la, lb))))
+  }
+
+  private def rewrite(cond: Expression): Expression = cond match {
+    case And(l, r) => And(rewrite(l), rewrite(r))
+    case g @ GreaterThanOrEqual(LevenshteinSimilarity(a, b), Literal(t: Double, DoubleType)) =>
+      And(band(a, b, t), g)
+    case g @ GreaterThan(LevenshteinSimilarity(a, b), Literal(t: Double, DoubleType)) =>
+      And(band(a, b, t), g)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      val next = rewrite(cond)
+      if (next fastEquals cond) f else Filter(next, child)
+  }
+}
+
+/** Session extensions: SQL-visible functions for the custom expressions
+  * plus the similarity pre-filter rule.
+  *
+  * ```
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  * ```
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash56"),
+      new ExpressionInfo(classOf[StableHash56].getName, "graft_hash56"),
+      (args: Seq[Expression]) => StableHash56(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lev_similarity"),
+      new ExpressionInfo(classOf[LevenshteinSimilarity].getName, "lev_similarity"),
+      (args: Seq[Expression]) => LevenshteinSimilarity(args.head, args(1))))
+    ext.injectOptimizerRule(_ => SimilarityPrefilter)
+  }
+}

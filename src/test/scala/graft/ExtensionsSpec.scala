@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.LevenshteinSimilarity
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_hash56 and lev_similarity are SQL-callable via extensions") {
+    val r = spark.sql(
+      "SELECT graft_hash56('abc') AS h, lev_similarity('kitten', 'sitting') AS s")
+      .as[(Long, Double)].collect().head
+    assert(r._1 == 35994886058514134L)
+    assert(math.abs(r._2 - (1.0 - 3.0 / 7.0)) < 1e-12)
+  }
+
+  test("LevenshteinSimilarity expression: bounds and empty handling") {
+    val got = Seq(("", ""), ("abc", "abc"), ("abc", "xyz"))
+      .toDF("a", "b")
+      .select(LevenshteinSimilarity.levSimilarity($"a", $"b"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 1.0, 0.0))
+  }
+
+  test("SimilarityPrefilter injects the length band ahead of the DP") {
+    // parquet-backed source: a literal LocalRelation would be folded away
+    // by ConvertToLocalRelation before the rule's effect is observable
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_name").as("a"), concat(col("c_name"), lit("X")).as("b"))
+      .filter(LevenshteinSimilarity.levSimilarity($"a", $"b") >= 0.8)
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("abs("), s"band missing in:\n$optimized")
+    assert(optimized.contains("levenshteinsimilarity"), optimized)
+    assert(df.count() > 0) // one appended char keeps similarity ≥ 0.8
+  }
+
+  test("prefilter preserves semantics on a corpus sample") {
+    val names = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_name").as("a"),
+        regexp_replace(col("c_name"), "0", "O").as("b"))
+    val withRule = names
+      .filter(LevenshteinSimilarity.levSimilarity($"a", $"b") >= 0.6).count()
+    val manual = names
+      .withColumn("s", LevenshteinSimilarity.levSimilarity($"a", $"b"))
+      .filter($"s" >= 0.6).count() // rule matches only direct Filter conjuncts
+    assert(withRule == manual)
+  }
+}
