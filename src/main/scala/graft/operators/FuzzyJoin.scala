@@ -61,11 +61,12 @@ object FuzzyJoin {
   def registerRoRatio(spark: SparkSession): Unit =
     spark.udf.register("ro_ratio", (a: String, b: String) => roRatio(a, b))
 
-  /** Blocking tokens: normalized name tokens minus ubiquitous words —
+  /** Blocking tokens: the precomputed name tokens minus ubiquitous words —
     * blocking on a token every row shares would degenerate to a cross
     * join. `commonTokens` plays the role of a df-computed stoplist. */
-  private def blockingTokens(name: Column, commonTokens: Seq[String]): Column =
-    TextFunctions.nameTokens(name, Seq("the", "and", "of") ++ commonTokens)
+  private def blockingTokens(tokens: Column, commonTokens: Seq[String]): Column =
+    if (commonTokens.isEmpty) tokens
+    else array_except(tokens, array(commonTokens.map(lit): _*))
 
   /** The similarity join.
     *
@@ -82,30 +83,34 @@ object FuzzyJoin {
       commonTokens: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // normalize/tokenize once per input row — every derived column the
+    // scorer needs rides along the candidate join instead of re-running
+    // the regex chains per candidate pair
     val a = applicants.select(
       col(applicantId).as("applicant_id"),
       col(applicantName).as("applicant_name"),
       TextFunctions.normalizeName(col(applicantName)).as("a_norm"),
       TextFunctions.normalizeName(
-        TextFunctions.removeCompanySuffixes(col(applicantName))).as("a_base"))
+        TextFunctions.removeCompanySuffixes(col(applicantName))).as("a_base"),
+      TextFunctions.nameTokens(col(applicantName)).as("a_tokens"))
     val c = companies.select(
       col(companyId).as("company_id"),
       col(companyName).as("company_name"),
       TextFunctions.normalizeName(col(companyName)).as("c_norm"),
       TextFunctions.normalizeName(
-        TextFunctions.removeCompanySuffixes(col(companyName))).as("c_base"))
+        TextFunctions.removeCompanySuffixes(col(companyName))).as("c_base"),
+      TextFunctions.nameTokens(col(companyName)).as("c_tokens"))
 
     val aTok = a.select(col("applicant_id"),
-      explode(blockingTokens(col("applicant_name"), commonTokens)).as("token"))
+      explode(blockingTokens(col("a_tokens"), commonTokens)).as("token"))
     val cTok = c.select(col("company_id"),
-      explode(blockingTokens(col("company_name"), commonTokens)).as("token"))
+      explode(blockingTokens(col("c_tokens"), commonTokens)).as("token"))
     val cand = aTok.join(cTok, "token")
       .select("applicant_id", "company_id").distinct()
 
-    val aTokens = TextFunctions.nameTokens(col("applicant_name"))
-    val cTokens = TextFunctions.nameTokens(col("company_name"))
     val scored = cand.join(a, "applicant_id").join(c, "company_id")
-      .withColumn("token_sim", TextFunctions.tokenJaccard(aTokens, cTokens))
+      .withColumn("token_sim",
+        TextFunctions.tokenJaccard(col("a_tokens"), col("c_tokens")))
       .withColumn("fuzzy_sim", levSimilarity(col("a_base"), col("c_base")))
       .withColumn("method",
         when(col("a_norm") === col("c_norm"), "exact")

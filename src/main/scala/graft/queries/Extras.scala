@@ -37,5 +37,22 @@ object Extras {
         count(*) AS n_docs
       FROM documents GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge)
+  /** A4: parallel per-dimension counts as one CUBE pass (reference
+    * database.py:1163-1181 runs three separate GROUP BYs; cube is the
+    * single-scan upgrade — SURVEY §2.4). */
+  val a4Cube = Q(
+    "a4_cube",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n"), col("gid")),
+    Some("""SELECT coalesce(lang, '(all)') AS lang,
+        coalesce(source, '(all)') AS source, count(*) AS n,
+        grouping(lang) * 2 + grouping(source) AS gid
+      FROM documents GROUP BY CUBE (lang, source)"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube)
 }

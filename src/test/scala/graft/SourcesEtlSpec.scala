@@ -100,6 +100,24 @@ class SourcesEtlSpec extends AnyFunSuite {
     assert(r.getString(2) == """[{"name":"A","role":"director"}]""")
   }
 
+  test("S3 two-sheet export flattens nested enrichment") {
+    val companies = Seq((1L, "Acme")).toDF("id", "name")
+    val enrichment = spark.read.json(Seq(
+      """{"company_id":1,"provider":"csv","data":{"charge_status":"outstanding","officers":["A","B"]}}"""
+    ).toDS())
+    val dir = Files.createTempDirectory("graft_xls").toString
+    graft.sources.Exports.exportSheets(dir,
+      "companies" -> companies, "enrichment" -> enrichment)
+    val comp = spark.read.option("header", "true").csv(s"$dir/companies")
+    val enr = spark.read.option("header", "true").csv(s"$dir/enrichment")
+    assert(comp.columns.toSeq == Seq("id", "name"))
+    assert(enr.columns.toSet ==
+      Set("company_id", "data_charge_status", "data_officers", "provider"))
+    val r = enr.collect()(0)
+    assert(r.getAs[String]("data_charge_status") == "outstanding")
+    assert(r.getAs[String]("data_officers") == "A, B")
+  }
+
   test("S10 webhook JSON events parse with explicit schema") {
     val jsonl =
       """{"event_type":"connection_accepted","timestamp":"2024-03-01T10:00:00","contact":{"full_name":"Jane Doe","company":"Acme","linkedin_url":"https://li/x"}}""" + "\n" +

@@ -20,7 +20,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(r[i] for i in order) for r in rows), [cols[i] for i in order]
+    def key(row):
+        return tuple((v is None, str(type(v)), v if v is not None else 0)
+                     for v in row)
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=key), [cols[i] for i in order]
 
 
 def approx_eq(a, b):
