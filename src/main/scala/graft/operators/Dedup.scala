@@ -128,4 +128,36 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash chunk boundaries: 32 bits in 5 chunks (7+7+6+6+6). By
+    * pigeonhole, two signatures within Hamming distance 4 agree on at
+    * least one chunk — so a bucket join per chunk finds every qualifying
+    * pair without an all-pairs product. */
+  val SimhashChunks: Seq[(Int, Int)] =
+    Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
+
+  /** Near-duplicate pairs at Hamming distance ≤ `maxHamming` (must be
+    * < number of chunks) over precomputed simhash values `(id, simhash)`.
+    * Candidates share at least one bit-chunk; the XOR/bit_count verify
+    * runs only on bucket-mates. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming < SimhashChunks.length,
+      "pigeonhole guarantee needs maxHamming < chunk count")
+    val chunks = SimhashChunks.zipWithIndex.map { case ((shift, width), i) =>
+      struct(lit(i).as("c"),
+        shiftright(col("simhash"), shift).bitwiseAND((1L << width) - 1).as("v"))
+        .as(s"chunk$i")
+    }
+    val buckets = sig.select(col("id"), col("simhash"),
+        posexplode(array(chunks: _*)))
+      .select(col("id"), col("simhash"), col("col.c").as("c"), col("col.v").as("v"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

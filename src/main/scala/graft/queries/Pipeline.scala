@@ -100,21 +100,18 @@ object Pipeline {
 
   /** SimHash near-dup pairs: 32-bit signatures over char 5-gram shingles
     * (word tokens collapse here — every doc shares one small vocabulary,
-    * so token-level signatures collide massively), pairs at Hamming ≤ 4.
-    * All-pairs comparison is fine at verify scale; production path is
-    * bit-chunk bucketing (see Dedup scaladoc). */
+    * so token-level signatures collide massively), pairs at Hamming ≤ 4
+    * via bit-chunk bucket join (Dedup.simhashPairs). The pigeonhole
+    * guarantee makes the chunked join EXACTLY equal to an all-pairs
+    * scan, so the oracle below stays the straightforward quadratic SQL. */
   val ddSimhash = Q(
     "dd_simhash",
     (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
+      val sig = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"),
           Dedup.simhash32(Dedup.charShingles(col("text"), 5)).as("simhash"))
-      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          Dedup.hamming(col("a.simhash"), col("b.simhash")).cast("int"))
-        .filter(col("hamming") <= 4)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("hamming"))
+      Dedup.simhashPairs(sig, maxHamming = 4)
+        .select(col("id_a"), col("id_b"), col("hamming"))
     }, {
       val bits = (0 until 32).map { i =>
         s"(CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"

@@ -14,6 +14,14 @@ final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 final case class UserState(user_id: Long, n_events: Long, total_value: Double,
     last_type: String, last_ts: java.sql.Timestamp)
 
+/** One open per-user session held in the state store. */
+final case class OpenSession(start: java.sql.Timestamp,
+    end: java.sql.Timestamp, n: Long)
+
+/** A session emitted once closed (by gap or by event-time timeout). */
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
 /** Structured-Streaming restatement of the reference's incremental
   * semantics (weekly_scheduler.py / webhook_handler.py):
   *
@@ -81,10 +89,52 @@ object EventPipeline {
       }
   }
 
+  /** Streaming gap-based sessionization: flatMapGroupsWithState keyed by
+    * user, one open session per key; an arriving event past the gap
+    * closes-and-emits the previous session, and an event-time timeout
+    * (watermark-driven) flushes sessions that never see another event.
+    * Append-mode twin of [[sessionize]]. */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int, watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes.toLong * 60000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (!it.hasNext && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.start, s.end, s.n))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            evs.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.end.getTime > gapMs =>
+                  closed += ClosedSession(uid, s.start, s.end, s.n)
+                  open = Some(OpenSession(e.ts, e.ts, 1L))
+                case Some(s) =>
+                  open = Some(OpenSession(s.start, e.ts, s.n + 1))
+                case None =>
+                  open = Some(OpenSession(e.ts, e.ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization, batch form: a new session starts after
     * `gapMinutes` of per-user silence. Pure window functions — the
-    * streaming twin is trackUsers-style state with a timeout; the batch
-    * form is what the oracle can verify. */
+    * streaming twin is [[sessionizeStream]]; the batch form is what the
+    * oracle can verify. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

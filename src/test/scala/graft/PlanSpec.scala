@@ -60,6 +60,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed tables co-locate the join — no shuffle exchange") {
+    val df = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    df.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("bt_orders_a")
+    df.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("bt_orders_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_orders_a")
+        .join(spark.table("bt_orders_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == df.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sim_topk: query side is broadcast against the candidate stream") {
     val p = plan(Pipeline.simTopk)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

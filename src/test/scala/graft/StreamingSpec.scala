@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{Event, EventPipeline}
+import graft.streaming.{ClosedSession, Event, EventPipeline}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -96,6 +96,26 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.read.parquet(dir)
       assert(got.count() == 5)
       assert(got.select("event_id").distinct().count() == 5)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes sessions on gap arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.sessionizeStream(spark, mem.toDS(), gapMinutes = 240)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*) // user1: 00:00,00:10; user2: 00:20
+      q.processAllAvailable()
+      mem.addData(batch2: _*) // next day 09:00/09:30 — closes both sessions
+      q.processAllAvailable()
+      val closed = spark.table("sess_out")
+        .as[ClosedSession].collect()
+        .map(c => (c.user_id, c.n_events, c.session_start.toString)).toSet
+      assert(closed == Set(
+        (1L, 2L, "2024-01-01 00:00:00.0"),
+        (2L, 1L, "2024-01-01 00:20:00.0")))
     } finally q.stop()
   }
 
