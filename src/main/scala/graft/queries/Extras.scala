@@ -54,5 +54,25 @@ object Extras {
         grouping(lang) * 2 + grouping(source) AS gid
       FROM documents GROUP BY CUBE (lang, source)"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube)
+  /** S7: ES bool-query source — term + range + should-phrases translated
+    * to pushed-down predicates with a `_source` projection (reference
+    * api_clients.py:677-741). */
+  val s7EsBool = Q(
+    "s7_es_bool_query",
+    (s, dir) => {
+      import graft.sources.EsQuery._
+      search(
+        Tables.load(s, dir, "documents"),
+        Bool(
+          must = Seq(Term("lang", "en"), Range("n_chars", gte = Some(100), lt = Some(400))),
+          should = Seq(MatchPhrase("text", "the row"), MatchPhrase("text", "spark")),
+          mustNot = Seq(Term("source", "src3"))),
+        source = Seq("doc_id", "lang", "source", "n_chars"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 400
+        AND (text LIKE '%the row%' OR text LIKE '%spark%')
+        AND NOT (source = 'src3')"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube, s7EsBool)
 }

@@ -119,6 +119,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IncrementalIngest is exactly-once-per-key across re-runs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val r1 = graft.streaming.IncrementalIngest.run(spark, src, "ts",
+      "2024-01-01", "2024-01-08", Seq("event_id"),
+      s"$base/sink", s"$base/stats", "run1")
+    assert(r1.status == "completed" && r1.discovered > 0)
+    assert(r1.inserted == r1.discovered)
+    // same window again: everything already ingested
+    val r2 = graft.streaming.IncrementalIngest.run(spark, src, "ts",
+      "2024-01-01", "2024-01-08", Seq("event_id"),
+      s"$base/sink", s"$base/stats", "run2")
+    assert(r2.discovered == r1.discovered && r2.inserted == 0)
+    // overlapping wider window: only the new days land
+    val r3 = graft.streaming.IncrementalIngest.run(spark, src, "ts",
+      "2024-01-01", "2024-01-15", Seq("event_id"),
+      s"$base/sink", s"$base/stats", "run3")
+    assert(r3.inserted == r3.discovered - r1.discovered)
+    val sink = spark.read.parquet(s"$base/sink")
+    assert(sink.count() == sink.select("event_id").distinct().count())
+    assert(spark.read.parquet(s"$base/stats").count() == 3)
+  }
+
   test("batch sessionize splits on gaps") {
     val events = (batch1 ++ batch2).toDF()
     val got = EventPipeline.sessionize(events, gapMinutes = 240)
