@@ -13,6 +13,9 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // one ~20 MB parquet file would otherwise be a single input split —
+      // small splits keep all local[32] threads on the scan
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

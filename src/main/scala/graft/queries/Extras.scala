@@ -74,5 +74,76 @@ object Extras {
         AND (text LIKE '%the row%' OR text LIKE '%spark%')
         AND NOT (source = 'src3')"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube, s7EsBool)
+  /** F19: email-pattern candidate generation — six deterministic
+    * patterns exploded per contact (reference
+    * contact_enrichment.py:232-240). */
+  val f19EmailPatterns = Q(
+    "f19_email_patterns",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          lower(regexp_extract(col("c_name"), "([A-Za-z]+)", 1)).as("first"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("last"),
+          concat(lower(col("c_mktsegment")), lit(".test")).as("domain"))
+        .filter(col("c_custkey") < 200)
+      c.select(col("c_custkey"), posexplode(array(
+          concat(col("first"), lit("."), col("last"), lit("@"), col("domain")),
+          concat(col("first"), lit("@"), col("domain")),
+          concat(col("last"), lit("@"), col("domain")),
+          concat(substring(col("first"), 1, 1), col("last"), lit("@"), col("domain")),
+          concat(col("first"), lit("_"), col("last"), lit("@"), col("domain")),
+          concat(col("last"), lit("."), col("first"), lit("@"), col("domain")))))
+        .select(col("c_custkey"), col("pos").as("pattern_idx"),
+          col("col").as("email"))
+    },
+    Some("""WITH c AS (
+        SELECT c_custkey,
+          lower(regexp_extract(c_name, '([A-Za-z]+)', 1)) AS f,
+          regexp_extract(c_name, '([0-9]+)', 1) AS l,
+          lower(c_mktsegment) || '.test' AS d
+        FROM customer WHERE c_custkey < 200)
+      SELECT c_custkey, u.pattern_idx, u.email FROM c,
+        LATERAL (SELECT unnest(['0','1','2','3','4','5'])::INT AS pattern_idx,
+                        unnest([f || '.' || l || '@' || d,
+                                f || '@' || d,
+                                l || '@' || d,
+                                substring(f, 1, 1) || l || '@' || d,
+                                f || '_' || l || '@' || d,
+                                l || '.' || f || '@' || d]) AS email) u"""))
+
+  /** D5: month-chunk iteration — sequence + explode over a date range
+    * (reference api_clients.py:998-1048 month partitioning to bypass the
+    * ES 10k cap; the engine-side analog of manual partition pruning). */
+  val d5MonthChunks = Q(
+    "d5_month_chunks",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val months = o
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 MONTH"))).as("month"))
+      val counts = o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      months.join(counts, Seq("month"), "left_outer")
+        .select(col("month").cast("date").as("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some("""WITH bounds AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders),
+      months AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+        FROM bounds),
+      counts AS (
+        SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT CAST(m.month AS DATE) AS month,
+        coalesce(c.n_orders, 0) AS n_orders
+      FROM months m LEFT JOIN counts c ON m.month = c.month"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube, s7EsBool,
+    f19EmailPatterns, d5MonthChunks)
 }
