@@ -10,6 +10,9 @@ final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte]
 final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
     frame_count: Long, checksum: Long)
 
+/** One sampled frame of a media payload. */
+final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition through a typed
   * Dataset.
@@ -56,5 +59,44 @@ object Multimodal {
   def extractMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map(decodeStub))
+  }
+
+  /** Sample every `every`-th fixed-size frame from each payload — the
+    * frame-sampling stage of a video/audio pipeline. The 1→N flatMap is
+    * the real plumbing; the "codec" is byte-slicing (STUB — a real build
+    * decodes with a media library and emits actual frames). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 50, every: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames).by(every).map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
+  /** Fixed-width feature vector per frame (STUB standing in for a real
+    * embedding model: mean byte value + normalized length + head bytes).
+    * The shape — binary in, Array[Float] out, batched per partition — is
+    * what a model-server UDF needs. */
+  def frameFeatures(spark: SparkSession, frames: Dataset[Frame], dims: Int = 8):
+      Dataset[(Long, Int, Array[Float])] = {
+    import spark.implicits._
+    frames.mapPartitions(_.map { f =>
+      val v = new Array[Float](dims)
+      if (f.frame.nonEmpty) {
+        v(0) = f.frame.map(b => (b & 0xff).toFloat).sum / f.frame.length
+        v(1) = f.frame.length.toFloat
+        var i = 0
+        while (i < dims - 2 && i < f.frame.length) {
+          v(i + 2) = (f.frame(i) & 0xff).toFloat
+          i += 1
+        }
+      }
+      (f.doc_id, f.frame_idx, v)
+    })
   }
 }

@@ -348,7 +348,27 @@ object Pipeline {
           i -> ord(substring(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
       FROM documents"""))
 
+  /** Frame sampling through the typed flatMap pipeline: every 4th
+    * 50-byte frame per payload, surfaced as text for the oracle (payload
+    * is ASCII, so byte slices equal substring slices). */
+  val mmFrames = Q(
+    "mm_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(s,
+          Multimodal.toMediaTable(Tables.load(s, dir, "documents")))
+        .map(f => (f.doc_id, f.frame_idx, new String(f.frame, "UTF-8")))
+        .toDF("doc_id", "frame_idx", "frame_text")
+    },
+    Some("""WITH n AS (
+        SELECT doc_id, text,
+          (octet_length(encode(text)) + 49) // 50 AS n_frames
+        FROM documents)
+      SELECT doc_id, i AS frame_idx, substring(text, i * 50 + 1, 50) AS frame_text
+      FROM n, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i)
+      WHERE i % 4 = 0"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     simTopk, simLsh, txtLangid, txtQuality, txtTokens, txtFingerprint,
-    txtFpClusters, mmDecode)
+    txtFpClusters, mmDecode, mmFrames)
 }

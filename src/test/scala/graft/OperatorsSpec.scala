@@ -158,6 +158,22 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- Multimodal ---------------------------------------------------------
 
+  test("Multimodal frame sampling and feature extraction") {
+    val docs = Seq((1L, "a" * 220)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs))
+      .collect().sortBy(_.frame_idx)
+    // 220 bytes -> 5 frames (0..4), sampled every 4th -> idx 0 and 4
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 4))
+    assert(frames(0).frame.length == 50)
+    assert(frames(1).frame.length == 20) // tail frame is short
+    val feats = Multimodal.frameFeatures(spark,
+      Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs)))
+      .collect().sortBy(_._2)
+    assert(feats.head._3.length == 8)
+    assert(feats.head._3(0) == 'a'.toFloat) // mean byte of "aaaa..." is 'a'
+    assert(feats.head._3(1) == 50.0f)
+  }
+
   test("Multimodal metadata pipeline: byte counts, frames, checksum") {
     val docs = Seq((0L, "abc"), (1L, "x" * 120)).toDF("doc_id", "text")
     val got = Multimodal.extractMetadata(spark, Multimodal.toMediaTable(docs))
