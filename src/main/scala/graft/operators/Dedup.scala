@@ -88,8 +88,10 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"),
       array_distinct(transform(charShingles(col(textCol), n), s => hash31(s)))
         .as("hs"))
+      .withColumn("sig", graft.plans.MinhashSig.minhashSig(col("hs"), k))
       .withColumns((0 until k).map(j =>
-        s"mh$j" -> minhashComponent(col("hs"), j)).toMap)
+        s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
+      .drop("sig")
       .cache()
     val buckets = sig.select(col("id") +: (0 until bands).map { b =>
         struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")

@@ -101,14 +101,20 @@ object Relational {
   val j4SharedEdges = Q(
     "j4_shared_edges",
     (s, dir) => {
-      // Dedup (order, part) BEFORE the self-join: repeated lines collapse,
-      // the pair explosion shrinks, and count(*) equals the semantic
-      // countDistinct(order) — no distinct-aggregate pass needed.
-      val l = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-      l.as("a").join(l.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      // Instead of a self-join, collect each order's distinct parts once
+      // (collect_set dedups repeated lines) and emit the pairs from the
+      // sorted array in-row: one shuffle to group by order, one to count
+      // pairs — the join and its second full shuffle of lineitem
+      // disappear. count(*) equals the semantic countDistinct(order)
+      // because each order contributes each pair at most once.
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+        .select(col("p.part_a"), col("p.part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
