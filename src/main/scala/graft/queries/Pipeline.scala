@@ -129,12 +129,15 @@ object Pipeline {
     })
 
   /** Exact n-gram Jaccard near-dup pairs — the ground truth the LSH
-    * variants approximate. All-pairs at verify scale; blocked (LSH or
-    * prefix) at production scale. */
+    * variants approximate. All-pairs is O(N²) by definition, so the
+    * baseline is pinned to a deterministic id-subset (doc_id < 1000 —
+    * the whole corpus at verify scale, bounded at every larger scale);
+    * the production near-dup path is dd_minhash_lsh. */
   val ddNgram = Q(
     "dd_ngram_jaccard",
     (s, dir) => {
       val sh = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
         .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sset"))
       sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard", Dedup.jaccard(col("a.sset"), col("b.sset")))
@@ -143,20 +146,24 @@ object Pipeline {
           col("jaccard"))
     },
     Some(s"""WITH sh AS (
-        SELECT doc_id, $shinglesSql AS sset FROM documents)
+        SELECT doc_id, $shinglesSql AS sset FROM documents WHERE doc_id < 1000)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         ${jaccardSql("a.sset", "b.sset")} AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE ${jaccardSql("a.sset", "b.sset")} >= 0.5"""))
 
   /** Embedding-cosine near-dup pairs at cosine ≥ 0.4 (the corpus has no
-    * truly duplicated vectors; 0.4 captures the closest cluster pairs). */
+    * truly duplicated vectors; 0.4 captures the closest cluster pairs).
+    * Pinned to vec_id < 1000 like dd_ngram — exact all-pairs is the
+    * baseline, sim_lsh_topk is the scale path. */
   val ddEmbed = Q(
     "dd_embed_cosine",
     (s, dir) => Similarity.cosineNearDupPairs(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
+      "vec_id", "embedding", 0.4),
     Some(s"""WITH v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id < 1000)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${dotSql("a.e", "b.e")} /
           (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) AS cos
