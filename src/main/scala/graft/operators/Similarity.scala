@@ -83,6 +83,45 @@ object Similarity {
       .select("query_id", "cand_id", "bucket", "rank", "cos")
   }
 
+  /** IVF-style ANN top-k: a deterministic coarse quantizer (seed
+    * centroids = the vectors whose id ≡ 0 mod `seedStride`, no Lloyd
+    * refinement — documented simplification), each vector assigned to
+    * its nearest centroid cell, queries probing their `nprobe` nearest
+    * cells, exact re-rank inside the probed cells.
+    *
+    * Scale shape: the centroid table is tiny and broadcast twice
+    * (assignment + probe); the only wide operation is the equi-join on
+    * cell id — candidates shrink by ~|cells|/nprobe versus brute force. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, seedStride: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = candidates
+      .filter(col(idCol) % seedStride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("cos_c").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cos_c", cosine(col(v), col("cent_v")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .select(col(id), col(v), col("cent_id").as("cell"))
+    }
+
+    val cellCand = assign(candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv")), "cand_id", "cv", keep = 1)
+    val cellQ = assign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "query_id", "qv", keep = nprobe)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    cellCand.join(cellQ, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact all-pairs here; at scale, run through lshTopK-style bucketing
     * first. */

@@ -226,6 +226,44 @@ object Pipeline {
         FROM s) WHERE rank <= 5""")
     })
 
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** IVF ANN top-5: deterministic seeded coarse quantizer, nprobe=2. */
+  val simIvf = Q(
+    "sim_ivf_topk",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, seedStride = 16, nprobe = 2)
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT * FROM v WHERE vec_id < 10),
+      c AS (SELECT * FROM v WHERE vec_id >= 10),
+      cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 16 = 0),
+      cand_cell AS (
+        SELECT cand_id, cv, cell FROM (
+          SELECT c.vec_id AS cand_id, c.e AS cv, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM c CROSS JOIN cents) WHERE r <= 1),
+      q_cell AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.e AS qv, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM q CROSS JOIN cents) WHERE r <= 2),
+      scored AS (
+        SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos
+        FROM cand_cell JOIN q_cell USING (cell)
+        WHERE query_id != cand_id)
+      SELECT query_id, cand_id, rank, cos FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM scored) WHERE rank <= 5"""))
+
   // ---- text analysis ------------------------------------------------------
 
   private def stopSql(words: Seq[String]) =
@@ -376,6 +414,6 @@ object Pipeline {
       WHERE i % 4 = 0"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    simTopk, simLsh, txtLangid, txtQuality, txtTokens, txtFingerprint,
-    txtFpClusters, mmDecode, mmFrames)
+    simTopk, simLsh, simIvf, txtLangid, txtQuality, txtTokens,
+    txtFingerprint, txtFpClusters, mmDecode, mmFrames)
 }
