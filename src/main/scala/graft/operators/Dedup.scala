@@ -85,9 +85,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    // fused shingle→hash→distinct (see ShingleHash): value-identical to
+    // array_distinct(transform(charShingles(text,n), hash31)) with no
+    // intermediate string array
     val sig = df.select(col(idCol).as("id"),
-      array_distinct(transform(charShingles(col(textCol), n), s => hash31(s)))
-        .as("hs"))
+      graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
       .withColumn("sig", graft.plans.MinhashSig.minhashSig(col("hs"), k))
       .withColumns((0 until k).map(j =>
         s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
