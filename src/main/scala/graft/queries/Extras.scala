@@ -144,6 +144,76 @@ object Extras {
         coalesce(c.n_orders, 0) AS n_orders
       FROM months m LEFT JOIN counts c ON m.month = c.month"""))
 
+  /** A1: catalog-wide table counts as one relation (reference
+    * database.py:458-471 — the 9-table stats panel). */
+  val a1TableCounts = Q(
+    "a1_table_counts",
+    (s, dir) =>
+      Tables.names.map { n =>
+        Tables.load(s, dir, n).agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows"))
+      }.reduce(_.unionByName(_)),
+    Some(Tables.names
+      .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+      .mkString("\n      UNION ALL ")))
+
+  /** F17: per-group display string — "item (qty); …" sorted for
+    * determinism (reference weekly_scheduler.py:955-966 officer
+    * display). Strings are built before sorting: binary string order is
+    * identical across engines, struct-sort semantics are not. */
+  val f17DisplayString = Q(
+    "f17_display_string",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"),
+          concat(col("l_partkey").cast("string"), lit(" ("),
+            col("l_quantity").cast("int").cast("string"), lit(")")).as("d"))
+        .groupBy("l_orderkey")
+        .agg(array_join(array_sort(collect_list(col("d"))), "; ").as("parts_display")),
+    Some("""SELECT l_orderkey,
+        array_to_string(list_sort(list(d)), '; ') AS parts_display
+      FROM (
+        SELECT l_orderkey,
+          CAST(l_partkey AS VARCHAR) || ' (' || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || ')' AS d
+        FROM lineitem WHERE l_orderkey < 500)
+      GROUP BY 1"""))
+
+  /** F20: confidence scoring with bonuses, floor and cap (reference
+    * contact_enrichment.py:289-322 — Hunter score/100 with clamps,
+    * LinkedIn +0.2/+0.1 bonuses). */
+  val f20Confidence = Q(
+    "f20_confidence",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          least(greatest(col("value") / 100.0, lit(0.1)), lit(0.9)).as("base"),
+          when(col("event_type") === "purchase", 0.2)
+            .when(col("event_type") === "click", 0.1)
+            .otherwise(0.0).as("bonus"))
+        .select(col("event_id"),
+          least(col("base") + col("bonus"), lit(1.0)).as("confidence")),
+    Some("""SELECT event_id,
+        least(least(greatest(value / 100.0, 0.1), 0.9) +
+          CASE WHEN event_type = 'purchase' THEN 0.2
+               WHEN event_type = 'click' THEN 0.1 ELSE 0.0 END, 1.0) AS confidence
+      FROM events"""))
+
+  /** D2: UK dd/MM/yyyy format round-trip (reference app.py:237-238,
+    * api_clients.py:692-698). */
+  val d2UkRoundtrip = Q(
+    "d2_uk_roundtrip",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.functions.DateFunctions.formatUkDate(col("o_orderdate")).as("uk"),
+          graft.functions.DateFunctions.parseUkDate(
+            graft.functions.DateFunctions.formatUkDate(col("o_orderdate"))).as("back")),
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS uk,
+        CAST(try_strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS back
+      FROM orders"""))
+
   val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube, s7EsBool,
-    f19EmailPatterns, d5MonthChunks)
+    f19EmailPatterns, d5MonthChunks, a1TableCounts, f17DisplayString,
+    f20Confidence, d2UkRoundtrip)
 }
