@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("dd_minhash: candidate generation is a bucket equi-join, never a product") {
+    val p = plan(Pipeline.ddMinhash)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j6: fuzzy join blocks on tokens — no cartesian scoring") {
+    val p = plan(Fuzzy.j6FuzzyJoin)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed tables co-locate the join — no shuffle exchange") {
     val df = Tables.load(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
