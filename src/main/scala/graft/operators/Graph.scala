@@ -16,21 +16,26 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Build the edge list: (item_a, item_b, weight = distinct shared
-    * groups), for groups with at most `maxGroupSize` members. */
+    * groups), for groups with at most `maxGroupSize` members.
+    *
+    * Collect each group's distinct members once and emit pairs from the
+    * sorted array in-row (same rewrite as query j4): one shuffle to group,
+    * one to count — no self-join, and the size cap is a plain filter on
+    * the collected array instead of a window pass. */
   def sharedKeyEdges(df: DataFrame, groupCol: String, itemCol: String,
-      minShared: Int = 1, maxGroupSize: Int = 1000): DataFrame = {
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    val bounded = m.withColumn("gsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("gsize") <= maxGroupSize)
-      .drop("gsize")
-    bounded.as("a").join(bounded.as("b"),
-        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      minShared: Int = 1, maxGroupSize: Int = 1000): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .filter(size(col("items")) <= maxGroupSize)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+           transform(slice(items, i + 2, size(items)),
+                     y -> struct(x AS item_a, y AS item_b))))""")).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minShared)
-  }
 
   /** 1-hop neighborhood of `id` over an edge list (reference
     * database.py:985-1011). */
