@@ -86,6 +86,20 @@ object TextFunctions {
   def formatAddress(parts: Column*): Column =
     concat_ws(", ", parts.map(p => nullif(trim(p), lit(""))): _*)
 
+  /** F11 — borough name normalization: & → "and", collapse whitespace,
+    * title case, plus the reference's special-case renames.
+    * Reference: utils.py:323-365. */
+  def normalizeBorough(c: Column): Column = {
+    val cleaned = initcap(trim(regexp_replace(
+      regexp_replace(lower(c), "\\s*&\\s*", " and "), "\\s+", " ")))
+    when(cleaned === "City Of London", "City of London")
+      .when(cleaned === "City Of Westminster", "Westminster")
+      .when(cleaned === "Kingston Upon Thames", "Kingston upon Thames")
+      .when(cleaned === "Richmond Upon Thames", "Richmond upon Thames")
+      .when(cleaned === "Kensington And Chelsea", "Kensington and Chelsea")
+      .otherwise(regexp_replace(cleaned, " And ", " and "))
+  }
+
   /** F12 — UK postcode extraction. Reference: data_enrichment.py:259-269. */
   def extractPostcode(c: Column): Column =
     regexp_extract(upper(c), "([A-Z]{1,2}[0-9][A-Z0-9]?\\s*[0-9][A-Z]{2})", 1)

@@ -42,6 +42,12 @@ object Merge {
     joined.select(out.toIndexedSeq: _*)
   }
 
+  /** Delete rows matching a predicate (M9, database.py:724-729,
+    * 1137-1144): with immutable storage, delete = overwrite with the
+    * complement. Caller writes the result back. */
+  def deleteWhere(base: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
+    base.filter(!predicate || predicate.isNull)
+
   /** Exactly-once-per-key ingest filter (T3/U3,
     * weekly_scheduler.py:586-609): drop incoming rows whose business key
     * already exists in the sink. */

@@ -122,6 +122,37 @@ object SetMerge {
       SELECT i.* FROM incoming i
       WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)"""))
 
+  /** U6: proper INTERSECT / EXCEPT (absent from the reference; the
+    * natural completion of its id-set algebra — SURVEY §2.7). */
+  val u6IntersectExcept = Q(
+    "u6_intersect_except",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clickers = e.filter(col("event_type") === "click").select("user_id")
+      val buyers = e.filter(col("event_type") === "purchase").select("user_id")
+      clickers.intersect(buyers).withColumn("set_op", lit("both"))
+        .unionByName(clickers.except(buyers).withColumn("set_op", lit("click_only")))
+    },
+    Some("""SELECT user_id, 'both' AS set_op FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+      UNION ALL
+      SELECT user_id, 'click_only' AS set_op FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')"""))
+
+  /** M9: predicate delete as complement-overwrite (reference
+    * database.py:724-729). */
+  val m9Delete = Q(
+    "m9_delete_where",
+    (s, dir) => Merge.deleteWhere(
+      Tables.load(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+      col("c_acctbal") < 0),
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE NOT (c_acctbal < 0) OR (c_acctbal < 0) IS NULL"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
-    m1Upsert, m7KeyedUpdate, m10InsertIfAbsent)
+    m1Upsert, m7KeyedUpdate, m10InsertIfAbsent, u6IntersectExcept, m9Delete)
 }

@@ -62,6 +62,30 @@ class FunctionsSpec extends AnyFunSuite {
       == "acmebuilding.com")
   }
 
+  test("F11 normalizeBorough handles &, case, and special renames") {
+    assert(one(TextFunctions.normalizeBorough(lit("barking & dagenham")))
+      == "Barking and Dagenham")
+    assert(one(TextFunctions.normalizeBorough(lit("CITY OF LONDON")))
+      == "City of London")
+    assert(one(TextFunctions.normalizeBorough(lit("city of westminster")))
+      == "Westminster")
+    assert(one(TextFunctions.normalizeBorough(lit("kingston  upon   thames")))
+      == "Kingston upon Thames")
+  }
+
+  test("F21 fixHtmlEntities and F22 sanitizeFilename") {
+    assert(one(TextFunctions.fixHtmlEntities(lit("A &amp; B&nbsp;Ltd"))) == "A & B Ltd")
+    assert(one(TextFunctions.sanitizeFilename(lit("a b/c:d.csv"))) == "a_b_c_d.csv")
+    assert(one(TextFunctions.sanitizeFilename(lit("x" * 200))).asInstanceOf[String].length == 100)
+  }
+
+  test("D6 sinceDaysAgo is now-relative") {
+    val df = Seq(1).toDF("x")
+      .select((DateFunctions.sinceDaysAgo(7) < current_timestamp()).as("past"),
+        (DateFunctions.sinceDaysAgo(7) > current_timestamp() - expr("INTERVAL 8 DAYS")).as("bounded"))
+    assert(df.collect()(0) == org.apache.spark.sql.Row(true, true))
+  }
+
   test("D1 parseTimestampMulti handles ISO, date-only, UK formats") {
     val df = Seq("2024-01-23T10:30:00", "2024-01-23", "23/01/2024", "garbage")
       .toDF("s").select(DateFunctions.parseTimestampMulti($"s").as("t"))
