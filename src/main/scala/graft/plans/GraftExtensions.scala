@@ -24,19 +24,28 @@ object SimilarityPrefilter extends Rule[LogicalPlan] {
       Multiply(Literal(1.0 - t), Greatest(Seq(la, lb))))
   }
 
-  private def rewrite(cond: Expression): Expression = cond match {
-    case And(l, r) => And(rewrite(l), rewrite(r))
-    case g @ GreaterThanOrEqual(LevenshteinSimilarity(a, b), Literal(t: Double, DoubleType)) =>
-      And(band(a, b, t), g)
-    case g @ GreaterThan(LevenshteinSimilarity(a, b), Literal(t: Double, DoubleType)) =>
-      And(band(a, b, t), g)
-    case other => other
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
   }
 
+  /** Idempotent: the bands implied by the similarity conjuncts, minus any
+    * already present (semanticEquals) — so the fixed-point optimizer batch
+    * converges after one pass instead of re-prepending every iteration. */
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, child) =>
-      val next = rewrite(cond)
-      if (next fastEquals cond) f else Filter(next, child)
+      val existing = conjuncts(cond)
+      val implied = existing.collect {
+        case GreaterThanOrEqual(LevenshteinSimilarity(a, b), Literal(t: Double, DoubleType)) =>
+          band(a, b, t)
+        case GreaterThan(LevenshteinSimilarity(a, b), Literal(t: Double, DoubleType)) =>
+          band(a, b, t)
+      }
+      val missing = implied.foldLeft(Seq.empty[Expression]) { (acc, bd) =>
+        if ((existing ++ acc).exists(_.semanticEquals(bd))) acc else acc :+ bd
+      }
+      if (missing.isEmpty) f
+      else Filter(And(missing.reduce(And), cond), child)
   }
 }
 

@@ -19,7 +19,7 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")),
     Some("""SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
         count(*) AS n,
-        sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS sum_k
+        CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
       FROM events GROUP BY 1"""))
 
   /** U5: set-merge across group members — distinct union of token arrays

@@ -173,7 +173,7 @@ object Relational {
           col("n"), col("sum_value"), col("n_errors")),
     Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
       FROM events GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(q1Agg, p1IlikeOr, p4DateRange, j1LeftJoinAgg,

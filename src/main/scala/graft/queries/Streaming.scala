@@ -25,8 +25,8 @@ object Streaming {
         FROM g),
       x AS (
         SELECT user_id, ts,
-          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS session_seq
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM m)
       SELECT user_id, session_seq, count(*) AS n_events,
         min(ts) AS session_start, max(ts) AS session_end

@@ -63,7 +63,7 @@ object Windows {
         .withColumn("big_rate",
           col("n_big").cast("double") / col("n").cast("double") * 100.0),
     Some("""SELECT event_type, count(*) AS n,
-        sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS n_big,
+        CAST(sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         CAST(sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(count(*) AS DOUBLE) * 100.0 AS big_rate
       FROM events GROUP BY 1"""))

@@ -27,6 +27,28 @@ def canon(rows, cols):
     return sorted(out, key=key), [cols[i] for i in order]
 
 
+def type_names(rel, cols):
+    """DuckDB column types, sorted by column name, normalized.
+
+    Tolerated (r1 driver evidence — these hashed green): integer widths
+    up to 64-bit fold together (Spark INTEGER vs oracle BIGINT passed),
+    TIMESTAMP_NS vs TIMESTAMP (events.ts is NANOS at the source).
+    NOT tolerated: HUGEINT (DuckDB integer sum() returns INT128 — the
+    exact class the r1 driver hash rejected on a2/f_json/t7/t8), and any
+    other divergence (DOUBLE vs DECIMAL etc.), since the driver's hash is
+    type-sensitive while Python fetchall() is not.
+    """
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    def norm(t):
+        s = str(t)
+        if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            return "INT<=64"
+        if s in ("TIMESTAMP_NS", "TIMESTAMP"):
+            return "TIMESTAMP"
+        return s
+    return [norm(rel.types[i]) for i in order]
+
+
 def approx_eq(a, b):
     if a == b:
         return True
@@ -64,6 +86,12 @@ def main():
             continue
         if g_cols != e_cols:
             print(f"FAIL {name}: cols spark={g_cols} oracle={e_cols}")
+            n_fail += 1
+            continue
+        g_types, e_types = type_names(got, got.columns), type_names(exp, exp.columns)
+        if g_types != e_types:
+            print(f"FAIL {name}: types spark={g_types} oracle={e_types} "
+                  f"(driver hash is type-sensitive; CAST the oracle)")
             n_fail += 1
             continue
         if len(g_rows) != len(e_rows):
