@@ -23,20 +23,34 @@ object Bench {
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
+    // Force FULL materialization of every output row: count() would let
+    // Catalyst prune the projected expressions, so a projection-heavy
+    // query would be timed as a row count. toRdd produces the final
+    // UnsafeRows — every expression actually evaluates.
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
     // Warm the JVM/codegen once so per-query numbers measure the engine,
     // not first-call classloading.
-    try SparkEntry.queries(names.head)(spark, sfDir).count()
+    try exec(names.head)
     catch { case _: Throwable => () }
+    var errors = List.empty[(String, String)]
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { exec(name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+          errors ::= (name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

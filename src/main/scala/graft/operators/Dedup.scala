@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): everything is shuffle-by-bucket — shingling and
   * signatures are map-side; candidate generation is an equi-join on
   * (band, band-hash) buckets, never an all-pairs product; only bucket-mates
-  * are verified with true Jaccard. Hot buckets (boilerplate text) should be
-  * capped or salted before the pair join at production scale.
+  * are verified with true Jaccard. Hot buckets (boilerplate text) are
+  * dropped before the pair join (`maxBucketSize`) so no single key owns
+  * the stage — see [[minhashPairs]].
   */
 object Dedup {
 
@@ -82,8 +83,9 @@ object Dedup {
     * scale-correct restatement. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100000): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    require(maxBucketSize > 1, "maxBucketSize must allow at least one pair")
     val rows = k / bands
     // fused shingle→hash→distinct (see ShingleHash): value-identical to
     // array_distinct(transform(charShingles(text,n), hash31)) with no
@@ -95,11 +97,20 @@ object Dedup {
         s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
       .drop("sig")
       .cache()
-    val buckets = sig.select(col("id") +: (0 until bands).map { b =>
+    val allBuckets = sig.select(col("id") +: (0 until bands).map { b =>
         struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
       }: _*)
       .select(col("id"), posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    // Hot-bucket cap: a bucket of m members emits m(m-1)/2 candidates, so
+    // one boilerplate bucket can own the whole stage at corpus scale. Drop
+    // buckets over `maxBucketSize` via a map-side count + broadcast
+    // anti-join (the hot set is tiny by construction — never collected).
+    // True duplicates inside a dropped bucket are the exact-dedup stage's
+    // job (identical text ⇒ identical content hash), not LSH's.
+    val hot = allBuckets.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucketSize).select("band", "bh")
+    val buckets = allBuckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))

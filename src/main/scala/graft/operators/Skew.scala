@@ -17,6 +17,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // The right side is replicated `salts`×, so any join type that emits
+    // unmatched RIGHT rows (right/full outer) would duplicate them, and
+    // anti/semi flip which side is probed — only inner/left shapes are
+    // salt-compatible.
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     // pmod of a deterministic per-row hash, not rand(): reproducible plans
     val l = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))

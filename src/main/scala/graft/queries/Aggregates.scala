@@ -80,10 +80,15 @@ object Aggregates {
     "a12_trend",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Global top-2000 via orderBy+limit (TakeOrderedAndProject — per-
+      // partition top-k then a 2000-row merge on the driver side), THEN a
+      // row_number over only those 2000 rows. The r1 version ranked the
+      // ENTIRE table through one partition-less WindowExec.
+      val top = Tables.load(s, dir, "events")
+        .select("ts", "event_id", "value")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(2000)
       val w = Window.orderBy(col("ts").desc, col("event_id").desc)
-      Tables.load(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2000)
+      top.withColumn("rn", row_number().over(w))
         .withColumn("bucket", when(col("rn") <= 1000, "recent").otherwise("older"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))

@@ -111,9 +111,14 @@ object Filters {
     "o3_pagination",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // orderBy + offset + limit plans as a top-k with offset — the page is
+      // cut BEFORE ranking, so the row_number window only ever sees the 20
+      // page rows (r1 ranked the whole table in one partition).
       Tables.load(s, dir, "customer")
-        .withColumn("rn", row_number().over(Window.orderBy("c_custkey")))
-        .filter(col("rn") > 40 && col("rn") <= 60)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .offset(40).limit(20)
+        .withColumn("rn", row_number().over(Window.orderBy("c_custkey")) + lit(40))
         .select("rn", "c_custkey", "c_name")
     },
     Some("""SELECT rn, c_custkey, c_name FROM (

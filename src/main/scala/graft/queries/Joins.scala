@@ -44,8 +44,15 @@ object Joins {
   /** J5: 1-hop graph neighborhood of the hottest node (reference
     * database.py:985-1011). The "id" is resolved declaratively (most
     * frequent part, tiebreak lowest key) so the query is deterministic at
-    * every scale factor; the 1-row anchor is broadcast into the edge
-    * filter. */
+    * every scale factor.
+    *
+    * Scale-safe shape: the hot anchor restricts lineitem to the orders
+    * containing it BEFORE any pair logic — a neighbor of the hot part is
+    * simply another part in one of those orders, so no edge expansion or
+    * full co-occurrence graph is ever built (the r1 version aggregated
+    * ALL pairs and then filtered — the whole graph for a 1-node answer).
+    * Both joins are equi-joins; the 1-row anchor and the part dimension
+    * broadcast; the orderkey join shuffles only the hot orders' slice. */
   val j5Neighborhood = Q(
     "j5_neighborhood",
     (s, dir) => {
@@ -54,16 +61,13 @@ object Joins {
         .orderBy(col("cnt").desc, col("l_partkey")).limit(1)
         .select(col("l_partkey").as("hot_key"))
       val ld = l.distinct()
-      val edges = ld.as("a").join(ld.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      val hotOrders = ld.join(broadcast(hot), col("l_partkey") === col("hot_key"))
+        .select("l_orderkey", "hot_key")
       val p = Tables.load(s, dir, "part")
-      edges.join(broadcast(hot),
-          col("part_a") === col("hot_key") || col("part_b") === col("hot_key"))
-        .withColumn("neighbor",
-          when(col("part_a") === col("hot_key"), col("part_b")).otherwise(col("part_a")))
+      ld.join(hotOrders, Seq("l_orderkey"))
+        .filter(col("l_partkey") =!= col("hot_key"))
+        .groupBy(col("hot_key"), col("l_partkey").as("neighbor"))
+        .agg(count(lit(1)).as("n_orders"))
         .join(broadcast(p), col("neighbor") === col("p_partkey"))
         .select(col("hot_key"), col("neighbor"), col("p_name"), col("n_orders"))
     },

@@ -117,7 +117,11 @@ object EventPipeline {
                   closed += ClosedSession(uid, s.start, s.end, s.n)
                   open = Some(OpenSession(e.ts, e.ts, 1L))
                 case Some(s) =>
-                  open = Some(OpenSession(s.start, e.ts, s.n + 1))
+                  // max(ts): an out-of-order event above the watermark must
+                  // not move the session end (and its timeout) backwards —
+                  // keeps parity with the batch twin's max(ts) aggregation
+                  open = Some(OpenSession(s.start,
+                    if (e.ts.after(s.end)) e.ts else s.end, s.n + 1))
                 case None =>
                   open = Some(OpenSession(e.ts, e.ts, 1L))
               }

@@ -68,6 +68,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("Dedup.minhashPairs caps hot buckets — boilerplate can't go quadratic") {
+    // 60 identical boilerplate docs land in the same bucket in every band
+    // (60*59/2 = 1770 candidate pairs uncapped); one genuine near-dup pair
+    // with distinct text sits in its own buckets.
+    val boiler = (100L until 160L).map(i =>
+      (i, "standard legal boilerplate footer text all rights reserved"))
+    val docs = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and agaim")
+    )).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      "hot-bucket members must be dropped, distinct near-dups kept")
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .count()
+    assert(uncapped == 1770 + 1, "default cap must not drop small buckets")
+  }
+
   test("Dedup.simhash32 identical for identical input, close for near-dup") {
     val df = Seq(
       (1L, "aaaa bbbb cccc dddd eeee"),

@@ -49,6 +49,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "edge build must never be a cross product")
   }
 
+  test("j5: neighborhood filters to hot orders before any pair logic") {
+    val p = plan(Joins.j5Neighborhood)
+    // r1 shape joined the FULL edge set to the anchor on an OR condition
+    // (=> BroadcastNestedLoopJoin over the whole co-occurrence graph).
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // No pair-expansion self-join survives: lineitem appears in only two
+    // scans (anchor count + distinct pairs), not three.
+    assert(!p.contains("part_a"), "edge expansion must be gone")
+  }
+
+  test("a12/o3: global windows rank only a bounded top-k, not the table") {
+    // The limit must sit BELOW the Window: plan shows a top-k operator
+    // (TakeOrderedAndProject) feeding the window, so the partition-less
+    // WindowExec only ever sees <= 2000 (a12) / 20 (o3) rows.
+    val pa = plan(Aggregates.a12Trend)
+    assert(pa.contains("TakeOrderedAndProject"), pa)
+    val po = plan(Filters.o3Pagination)
+    assert(po.contains("TakeOrderedAndProject"), po)
+  }
+
   test("p7: narrow projection stays in whole-stage codegen") {
     val p = plan(Filters.p7Project)
     assert(p.contains("codegen id"))
