@@ -1,0 +1,157 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Catalog, TableStore}
+
+/** The 16-table domain catalog (SURVEY §1.4) and its parquet TableStore:
+  * schema round-trips, and every M1-M6 merge running on the table's REAL
+  * business key, not a TPC-H stand-in. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshStore(): TableStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    new TableStore(spark, dir)
+  }
+
+  private def mk(td: Catalog.TableDef, maps: Map[String, Any]*) =
+    Catalog.rows(spark, td, maps)
+
+  test("catalog registers all 16 tables with their business keys") {
+    assert(Catalog.all.size == 16)
+    assert(Catalog.byName("planning_applications").businessKey ==
+      Seq("borough", "reference"))
+    assert(Catalog.byName("companies").businessKey == Seq("company_number"))
+    assert(Catalog.byName("officers").businessKey == Seq("ch_officer_id"))
+    assert(Catalog.byName("appointments").businessKey ==
+      Seq("officer_id", "company_id", "role", "appointed_date"))
+    assert(Catalog.byName("applicant_company_matches").businessKey ==
+      Seq("applicant_id", "company_id"))
+    assert(Catalog.byName("enrichment_data").businessKey ==
+      Seq("company_id", "provider"))
+    assert(Catalog.byName("shared_officer_edges").businessKey ==
+      Seq("company_a_id", "company_b_id"))
+    assert(Catalog.byName("automation_config").businessKey == Seq("config_key"))
+    assert(Catalog.byName("automation_schedules").businessKey == Seq("job_id"))
+  }
+
+  test("createIfNotExists + read round-trips every schema") {
+    val store = freshStore()
+    Catalog.all.foreach { td =>
+      store.createIfNotExists(td.name)
+      val got = store.read(td.name)
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        td.schema.fields.map(f => (f.name, f.dataType)).toSeq, td.name)
+      assert(got.count() == 0)
+    }
+  }
+
+  test("M1: planning application upsert on (borough, reference)") {
+    val store = freshStore()
+    val td = Catalog.planningApplications
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "borough" -> "camden", "reference" -> "24/001", "status" -> "pending")))
+    store.upsert(td.name, mk(td,
+      Map("id" -> 9L, "borough" -> "camden", "reference" -> "24/001", "status" -> "approved"),
+      Map("id" -> 2L, "borough" -> "hackney", "reference" -> "24/001", "status" -> "pending")))
+    val got = store.read(td.name).select("borough", "reference", "status")
+      .as[(String, String, String)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)).collect().toSet
+    assert(got == Set(("camden", "24/001", "approved"),
+      ("hackney", "24/001", "pending")))
+  }
+
+  test("M2: company upsert on company_number") {
+    val store = freshStore()
+    val td = Catalog.companies
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "company_number" -> "01234567", "company_status" -> "active")))
+    store.upsert(td.name, mk(td,
+      Map("id" -> 1L, "company_number" -> "01234567", "company_status" -> "dissolved")))
+    val got = store.read(td.name)
+    assert(got.count() == 1)
+    assert(got.select("company_status").head().getString(0) == "dissolved")
+  }
+
+  test("M3: officer upsert on ch_officer_id") {
+    val store = freshStore()
+    val td = Catalog.officers
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "ch_officer_id" -> "OFF1", "name" -> "JANE DOE")))
+    store.upsert(td.name, mk(td,
+      Map("id" -> 1L, "ch_officer_id" -> "OFF1", "name" -> "JANE A DOE"),
+      Map("id" -> 2L, "ch_officer_id" -> "OFF2", "name" -> "SAM ROE")))
+    val got = store.read(td.name).select("ch_officer_id", "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("OFF1", "JANE A DOE"), ("OFF2", "SAM ROE")))
+  }
+
+  test("M4: appointment upsert on its 4-column unique index") {
+    val store = freshStore()
+    val td = Catalog.appointments
+    val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "officer_id" -> 10L, "company_id" -> 20L,
+        "role" -> "director", "appointed_date" -> t0, "is_active" -> true)))
+    // same officer+company+date, different role => a NEW appointment
+    store.upsert(td.name, mk(td,
+      Map("id" -> 2L, "officer_id" -> 10L, "company_id" -> 20L,
+        "role" -> "secretary", "appointed_date" -> t0, "is_active" -> true),
+      Map("id" -> 3L, "officer_id" -> 10L, "company_id" -> 20L,
+        "role" -> "director", "appointed_date" -> t0, "is_active" -> false)))
+    val got = store.read(td.name).select("role", "is_active")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(got == Set(("director", false), ("secretary", true)))
+  }
+
+  test("M5: enrichment check-then-insert keeps the existing row") {
+    val store = freshStore()
+    val td = Catalog.enrichmentData
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "company_id" -> 5L, "provider" -> "hunter",
+        "enrichment_data" -> """{"v":1}""")))
+    store.insertIfAbsent(td.name, mk(td,
+      Map("id" -> 2L, "company_id" -> 5L, "provider" -> "hunter",
+        "enrichment_data" -> """{"v":2}"""),
+      Map("id" -> 3L, "company_id" -> 5L, "provider" -> "clearbit",
+        "enrichment_data" -> """{"v":3}""")))
+    val got = store.read(td.name).select("provider", "enrichment_data")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("hunter", """{"v":1}"""), ("clearbit", """{"v":3}""")))
+  }
+
+  test("M6: match upsert on (applicant_id, company_id)") {
+    val store = freshStore()
+    val td = Catalog.applicantCompanyMatches
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "applicant_id" -> 7L, "company_id" -> 8L,
+        "match_method" -> "fuzzy_name", "confidence_score" -> 0.72)))
+    store.upsert(td.name, mk(td,
+      Map("id" -> 1L, "applicant_id" -> 7L, "company_id" -> 8L,
+        "match_method" -> "exact_name", "confidence_score" -> 1.0)))
+    val got = store.read(td.name)
+    assert(got.count() == 1)
+    assert(got.select("match_method").head().getString(0) == "exact_name")
+  }
+
+  test("keyViolations flags duplicate business keys") {
+    val store = freshStore()
+    val td = Catalog.companies
+    store.overwrite(td.name, mk(td,
+      Map("id" -> 1L, "company_number" -> "X1"),
+      Map("id" -> 2L, "company_number" -> "X1"),
+      Map("id" -> 3L, "company_number" -> "X2")))
+    val bad = store.keyViolations(td.name).collect()
+    assert(bad.length == 1 && bad(0).getString(0) == "X1")
+  }
+
+  test("overwrite rejects a frame missing catalog columns") {
+    val store = freshStore()
+    import spark.implicits._
+    val wrong = Seq((1L, "X1")).toDF("id", "company_number")
+    intercept[Exception] { store.overwrite("companies", wrong) }
+  }
+}
