@@ -9,12 +9,12 @@ import graft.operators.FuzzyJoin
   * join must recover the source row through the right scoring tier. */
 object Fuzzy {
 
-  private val SuffixReSql =
+  private[queries] val SuffixReSql =
     """(?i)[\s.,]+(limited|ltd\.?|plc|llp|llc|l\.l\.c\.|inc\.?|incorporated|corp\.?|corporation|company|co\.?|group|holdings?|partners(hip)?|properties|developments?|construction|builders?|homes)\s*$"""
 
-  private def normSql(x: String) =
+  private[queries] def normSql(x: String) =
     s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9''\\- ]', ' ', 'g'), ' +', ' ', 'g'))"
-  private def stripSql(x: String) =
+  private[queries] def stripSql(x: String) =
     s"regexp_replace(regexp_replace($x, '$SuffixReSql', ''), '$SuffixReSql', '')"
 
   val j6FuzzyJoin = Q(

@@ -231,6 +231,15 @@ object Catalog {
 
   val byName: Map[String, TableDef] = all.map(t => t.name -> t).toMap
 
+  /** Project a frame onto a catalog schema: present columns are cast to
+    * the catalog type, absent ones become typed nulls — the adapter every
+    * ingestion path uses to write catalog-shaped rows. */
+  def conform(df: DataFrame, td: TableDef): DataFrame =
+    df.select(td.schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Build rows for a catalog table from partial column maps (absent
     * columns → null) — ingestion adapters and tests share this so they
     * can't drift from the schema. */
