@@ -18,16 +18,19 @@ final class CacheStore(spark: SparkSession, dir: String, ttlMs: Long,
 
   private val indexPath = s"$dir/_index"
 
+  // all filesystem access goes through the Hadoop FS API so the cache
+  // works on any supported filesystem, not just local disk
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def indexOpt(): Option[DataFrame] =
-    if (new java.io.File(indexPath).exists())
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
       Some(spark.read.parquet(indexPath))
     else None
 
   private def writeIndex(df: DataFrame): Unit = {
     val tmp = indexPath + ".tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(indexPath))
   }
@@ -67,11 +70,10 @@ final class CacheStore(spark: SparkSession, dir: String, ttlMs: Long,
     val keep = alive.collect().map(_.getString(0)).toSet
     writeIndex(alive)
     // drop payload dirs no longer indexed
-    val root = new java.io.File(dir)
-    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val n = f.getName
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { f =>
+      val n = f.getPath.getName
       if (f.isDirectory && n != "_index" && !n.endsWith(".tmp") && !keep.contains(n))
-        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        fs.delete(f.getPath, true)
     }
   }
 

@@ -1,0 +1,269 @@
+package graft.sources.v2
+
+import java.util
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Types => PTypes}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 skeleton for the reference's live ES/REST sources
+  * (SURVEY §4 source story; reference api_clients.py:231-280,645-950):
+  * a file-backed stand-in whose READER enforces the pushed predicates —
+  * the moving parts of a live connector (filter translation, projection
+  * pushdown, partition planning) are real; only the transport is a
+  * parquet file instead of HTTP.
+  *
+  * - `SupportsPushDownFilters`: Catalyst filters are translated to the
+  *   EsQuery bool-AST vocabulary (term / range / match_phrase — exactly
+  *   what api_clients.py:677-741 can express server-side); translatable
+  *   ones are evaluated INSIDE the partition reader ("server-side"),
+  *   untranslatable ones stay as Spark's residual.
+  * - `SupportsPushDownRequiredColumns`: the pruned schema becomes the
+  *   parquet requested-projection (`_source` in ES terms) — unreferenced
+  *   columns are never materialized.
+  * - Partition planning: one InputPartition per file; a production
+  *   connector would split by row group / ES slice-scroll here.
+  *
+  * Usage: spark.read.format(classOf[EsTableProvider].getName)
+  *   .load(dir) — supported column types: BIGINT, DOUBLE, STRING, BOOLEAN.
+  */
+class EsTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EsFileSource.inferSchema(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EsFileTable(properties.get("path"), schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[v2] object EsFileSource {
+  def conf = new Configuration()
+
+  def listFiles(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val root = fs.getFileStatus(p)
+    if (root.isFile) Seq(root)
+    else fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.toString)
+  }
+
+  def inferSchema(dir: String): StructType = {
+    val first = listFiles(dir).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no parquet files under $dir"))
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(first.getPath, conf))
+    try fromParquet(footer.getFileMetaData.getSchema)
+    finally footer.close()
+  }
+
+  /** Minimal parquet→Spark type conversion for the supported types. */
+  def fromParquet(m: MessageType): StructType = StructType(
+    m.getFields.asScala.toSeq.map { f =>
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 => LongType
+        case PrimitiveTypeName.DOUBLE => DoubleType
+        case PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveTypeName.BINARY
+          if p.getLogicalTypeAnnotation ==
+            LogicalTypeAnnotation.stringType() => StringType
+        case other =>
+          throw new IllegalArgumentException(s"unsupported parquet type $other")
+      }
+      StructField(f.getName, dt)
+    })
+
+  /** Spark schema → parquet requested projection (all optional). */
+  def toParquet(s: StructType): MessageType = {
+    val b = PTypes.buildMessage()
+    s.fields.foreach { f =>
+      val prim = f.dataType match {
+        case LongType => b.optional(PrimitiveTypeName.INT64)
+        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE)
+        case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType => b.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case other =>
+          throw new IllegalArgumentException(s"unsupported type $other")
+      }
+      prim.named(f.name)
+    }
+    b.named("spark_schema")
+  }
+
+  /** Can this filter run "server-side" (ES bool-query vocabulary)? */
+  def translatable(f: sources.Filter): Boolean = f match {
+    case _: sources.EqualTo | _: sources.GreaterThan |
+         _: sources.GreaterThanOrEqual | _: sources.LessThan |
+         _: sources.LessThanOrEqual | _: sources.StringContains |
+         _: sources.In | _: sources.IsNotNull | _: sources.IsNull => true
+    case sources.And(l, r) => translatable(l) && translatable(r)
+    case sources.Or(l, r) => translatable(l) && translatable(r)
+    case sources.Not(c) => translatable(c)
+    case _ => false
+  }
+
+  /** Row-level evaluation of a pushed filter — the "server" executing the
+    * bool query. Nulls follow SQL semantics (comparisons → false). */
+  def eval(f: sources.Filter, row: String => Any): Boolean = f match {
+    case sources.EqualTo(a, v) => cmp(row(a), v).contains(0)
+    case sources.GreaterThan(a, v) => cmp(row(a), v).exists(_ > 0)
+    case sources.GreaterThanOrEqual(a, v) => cmp(row(a), v).exists(_ >= 0)
+    case sources.LessThan(a, v) => cmp(row(a), v).exists(_ < 0)
+    case sources.LessThanOrEqual(a, v) => cmp(row(a), v).exists(_ <= 0)
+    case sources.StringContains(a, v) => row(a) match {
+      case s: String => s.contains(v); case _ => false
+    }
+    case sources.In(a, vs) => vs.exists(v => cmp(row(a), v).contains(0))
+    case sources.IsNull(a) => row(a) == null
+    case sources.IsNotNull(a) => row(a) != null
+    case sources.And(l, r) => eval(l, row) && eval(r, row)
+    case sources.Or(l, r) => eval(l, row) || eval(r, row)
+    case sources.Not(c) => { // three-valued NOT: null comparisons stay false
+      val childNullFree = c match {
+        case sources.IsNull(_) | sources.IsNotNull(_) => true
+        case _ => refs(c).forall(row(_) != null)
+      }
+      childNullFree && !eval(c, row)
+    }
+    case _ => false
+  }
+
+  private def refs(f: sources.Filter): Seq[String] = f.references.toSeq
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: String, y) => Some(x.compareTo(y.toString))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+}
+
+private[v2] class EsFileTable(path: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"es_file($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EsScanBuilder(path, schema)
+}
+
+private[v2] class EsScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (ok, residual) = filters.partition(EsFileSource.translatable)
+    pushed = ok
+    residual // Spark keeps evaluating these (and re-checks `ok` too — safe)
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new EsScan(path, full, required, pushed)
+}
+
+private[v2] class EsScan(path: String, full: StructType, required: StructType,
+    pushed: Array[sources.Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EsFileScan pushed=[${pushed.mkString(", ")}] read=${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    EsFileSource.listFiles(path)
+      .map(f => EsInputPartition(f.getPath.toString)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // pushed filters may reference columns outside the projection — the
+    // reader fetches (projection ∪ filter refs), emits the projection
+    val filterCols = pushed.flatMap(_.references).distinct
+      .filterNot(required.fieldNames.contains)
+    val fetch = StructType(required.fields ++ filterCols.map(c => full(c)))
+    EsReaderFactory(fetch, required, pushed)
+  }
+}
+
+private[v2] case class EsInputPartition(file: String) extends InputPartition
+
+private[v2] case class EsReaderFactory(fetch: StructType, out: StructType,
+    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new EsPartitionReader(p.asInstanceOf[EsInputPartition].file, fetch, out, pushed)
+}
+
+/** Reads one parquet file through the example Group API with a pruned
+  * requested-projection, applies the pushed bool-query filters row by
+  * row, and emits InternalRows of the projected schema. */
+private[v2] class EsPartitionReader(file: String, fetch: StructType,
+    out: StructType, pushed: Array[sources.Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val reader = {
+    val c = EsFileSource.conf
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      EsFileSource.toParquet(fetch).toString)
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), new Path(file)).withConf(c).build()
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var g: Group = reader.read()
+    while (g != null) {
+      val vals = mutable.LinkedHashMap.empty[String, Any]
+      fetch.fields.foreach { f =>
+        val idx = g.getType.getFieldIndex(f.name)
+        val v =
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else f.dataType match {
+            case LongType => g.getLong(idx, 0)
+            case DoubleType => g.getDouble(idx, 0)
+            case BooleanType => g.getBoolean(idx, 0)
+            case StringType => g.getBinary(idx, 0).toStringUsingUTF8
+            case other => throw new IllegalArgumentException(s"$other")
+          }
+        vals(f.name) = v
+      }
+      if (pushed.forall(EsFileSource.eval(_, vals.apply))) {
+        row = new GenericInternalRow(out.fields.map { f =>
+          vals(f.name) match {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }
+        }.asInstanceOf[Array[Any]])
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

@@ -29,8 +29,10 @@ object IncrementalIngest {
           .filter(col(tsCol) >= lit(windowStart).cast("timestamp") &&
             col(tsCol) < lit(windowEnd).cast("timestamp"))
         val nDiscovered = discovered.count()
+        val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+        val sinkFs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (new java.io.File(sinkDir).exists())
+          if (sinkFs.exists(sinkPath))
             Merge.newOnly(discovered, spark.read.parquet(sinkDir), keys)
           else discovered
         val nFresh = fresh.count()

@@ -142,6 +142,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/stats").count() == 3)
   }
 
+  test("T4: restart from checkpoint resumes without duplicate ingestion") {
+    // crash-recovery semantics (reference weekly_scheduler.py:150-163):
+    // the checkpoint records which source files were committed, so a
+    // restarted query picks up ONLY files that arrived while it was down
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    def startQ() = spark.readStream
+      .schema("event_id LONG, v LONG").parquet(src)
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("event_id", "v")
+      .write.mode("append").parquet(src)
+    val q1 = startQ()
+    q1.processAllAvailable(); q1.stop() // "crash" after committing batch 0
+
+    Seq((4L, 40L), (5L, 50L)).toDF("event_id", "v")
+      .write.mode("append").parquet(src)
+    val q2 = startQ() // fresh query instance, same checkpoint
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(sink).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)),
+      "restart must ingest only the files that arrived while down")
+  }
+
   test("batch sessionize splits on gaps") {
     val events = (batch1 ++ batch2).toDF()
     val got = EventPipeline.sessionize(events, gapMinutes = 240)
