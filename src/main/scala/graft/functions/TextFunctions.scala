@@ -81,6 +81,23 @@ object TextFunctions {
       .otherwise(concat_ws(" ", toks))))
   }
 
+  /** F9 — officer full name → (first_name, last_name) struct: uppercase,
+    * strip titles, collapse whitespace; first + last token title-cased,
+    * middle names dropped; fewer than 2 parts → ("", "").
+    * Reference: contact_enrichment.py:270-287. */
+  def splitOfficerName(c: Column): Column = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(upper(c), "\\b(MR|MRS|MS|MISS|DR|PROF)\\b\\.?\\s*", ""),
+      "\\s+", " "))
+    val parts = split(cleaned, " ")
+    val enough = size(parts) >= 2
+    struct(
+      when(enough, initcap(lower(element_at(parts, 1)))).otherwise("")
+        .as("first_name"),
+      when(enough, initcap(lower(element_at(parts, -1)))).otherwise("")
+        .as("last_name"))
+  }
+
   /** F10 — join non-empty address parts with ", " (concat_ws skips NULLs;
     * empty strings are nulled first). Reference: database.py:530-537. */
   def formatAddress(parts: Column*): Column =

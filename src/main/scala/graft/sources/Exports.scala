@@ -18,4 +18,34 @@ object Exports {
     sheets.foreach { case (name, df) =>
       Sources.writeCsv(Flatten.flatten(df).coalesce(1), s"$dir/$name")
     }
+
+  /** The reference's Companies-sheet column order (utils.py:71-74) —
+    * pinned so the workbook export is column-for-column comparable. */
+  val CompaniesSheetColumns: Seq[String] = Seq(
+    "company_name", "company_number", "company_status", "company_type",
+    "jurisdiction", "date_of_creation", "address", "sic_codes", "created_at")
+
+  /** The two-sheet companies workbook (utils.py:60-163): a Companies
+    * sheet in the reference's exact column order, and an Enrichment sheet
+    * of flattened payloads keyed by (company, provider). The reference
+    * prefixes each flattened key with the provider VALUE (utils.py:121) —
+    * a per-row column set, which pandas unions; the relational equivalent
+    * is the `provider` column alongside the flattened fields, carrying
+    * the same information with a stable schema. `enrichment_data` must be
+    * a struct column (parse JSON strings with from_json upstream). */
+  def companiesWorkbook(dir: String, companies: DataFrame,
+      enrichment: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    val sheet1 = companies.select(CompaniesSheetColumns.map(col): _*)
+    val sheets = enrichment.map { e =>
+      val flat = Flatten.flatten(
+        e.join(companies.select("company_name", "company_number"),
+            Seq("company_number"))
+          .filter(col("enrichment_data").isNotNull)
+          .select(col("company_name"), col("company_number"), col("provider"),
+            col("enrichment_data")))
+      "Enrichment Data" -> flat
+    }.toSeq
+    exportSheets(dir, (("Companies" -> sheet1) +: sheets): _*)
+  }
 }

@@ -73,6 +73,15 @@ class FunctionsSpec extends AnyFunSuite {
       == "Kingston upon Thames")
   }
 
+  test("F9 splitOfficerName: titles stripped, middle names dropped") {
+    val got = Seq("MR JOHN MICHAEL SMITH", "Dr. Jane Doe", "MADONNA", "")
+      .toDF("n")
+      .select(TextFunctions.splitOfficerName($"n").as("s"))
+      .select("s.first_name", "s.last_name")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("John", "Smith"), ("Jane", "Doe"), ("", ""), ("", "")))
+  }
+
   test("F21 fixHtmlEntities and F22 sanitizeFilename") {
     assert(one(TextFunctions.fixHtmlEntities(lit("A &amp; B&nbsp;Ltd"))) == "A & B Ltd")
     assert(one(TextFunctions.sanitizeFilename(lit("a b/c:d.csv"))) == "a_b_c_d.csv")

@@ -118,6 +118,49 @@ class SourcesEtlSpec extends AnyFunSuite {
     assert(r.getAs[String]("data_officers") == "A, B")
   }
 
+  test("S3 companies workbook pins the reference column order") {
+    import org.apache.spark.sql.functions._
+    val companies = Seq(
+      ("Acme Ltd", "01234567", "active", "ltd", "uk", "2020-01-01",
+        "1 High St", "41100", "2024-01-01"))
+      .toDF("company_name", "company_number", "company_status", "company_type",
+        "jurisdiction", "date_of_creation", "address", "sic_codes", "created_at")
+      .withColumn("extra_col", lit("must not leak into the sheet"))
+    val enrichment = spark.read.json(Seq(
+      """{"company_number":"01234567","provider":"hunter","enrichment_data":{"data_tier":"Lender (No Contact)","has_charges":true}}"""
+    ).toDS())
+    val dir = Files.createTempDirectory("graft_wb").toString
+    graft.sources.Exports.companiesWorkbook(dir, companies, Some(enrichment))
+    val comp = spark.read.option("header", "true").csv(s"$dir/Companies")
+    // utils.py:71-74 export_columns, exactly and in order
+    assert(comp.columns.toSeq == graft.sources.Exports.CompaniesSheetColumns)
+    val enr = spark.read.option("header", "true").csv(s"$dir/Enrichment Data")
+    assert(enr.columns.toSeq == Seq("company_name", "company_number",
+      "provider", "enrichment_data_data_tier", "enrichment_data_has_charges"))
+    val r = enr.collect()(0)
+    assert(r.getAs[String]("enrichment_data_data_tier") == "Lender (No Contact)")
+  }
+
+  test("S15 migration job full-copies tables in FK order with counts") {
+    val src = Files.createTempDirectory("graft_mig_src").toString
+    Seq((1L, "01234567"), (2L, "SC123456"))
+      .toDF("id", "company_number").write.parquet(s"$src/companies")
+    Seq((10L, 1L, "hunter", true))
+      .toDF("id", "company_id", "provider", "success")
+      .write.parquet(s"$src/enrichment_data")
+    // processing_log/linkedhelper/planning_data absent at source → skipped
+    val dest = new graft.sources.TableStore(spark,
+      Files.createTempDirectory("graft_mig_dst").toString)
+    val copied = graft.operators.MigrationJob.run(dest,
+      graft.operators.MigrationJob.parquetSource(spark, src))
+    assert(copied == Seq(
+      graft.operators.MigrationJob.TableCopied("companies", 2L),
+      graft.operators.MigrationJob.TableCopied("enrichment_data", 1L)))
+    assert(dest.read("companies").schema.map(f => (f.name, f.dataType)) ==
+      graft.sources.Catalog.companies.schema.map(f => (f.name, f.dataType)))
+    assert(dest.keyViolations("companies").count() == 0)
+  }
+
   test("S10 webhook JSON events parse with explicit schema") {
     val jsonl =
       """{"event_type":"connection_accepted","timestamp":"2024-03-01T10:00:00","contact":{"full_name":"Jane Doe","company":"Acme","linkedin_url":"https://li/x"}}""" + "\n" +
