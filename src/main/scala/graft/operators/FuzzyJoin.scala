@@ -74,13 +74,23 @@ object FuzzyJoin {
     * @param companies  (idCol, nameCol) — right side
     * @param minConfidence floor (reference: 0.7)
     * @param topK matches kept per applicant (reference: 3)
-    * @param commonTokens tokens excluded from blocking (corpus-ubiquitous)
+    * @param commonTokens tokens excluded from blocking (corpus-ubiquitous,
+    *                     caller-known)
+    * @param maxTokenDf data-computed stoplist: tokens whose company-side
+    *                   document frequency exceeds this are dropped from
+    *                   blocking (a token half the corpus shares would
+    *                   degenerate the candidate join toward a product —
+    *                   the fuzzy-join analog of the LSH hot-bucket cap).
+    *                   Pairs whose ONLY shared token is that frequent are
+    *                   missed by design; at such frequency the token
+    *                   carries no matching signal.
     */
   def matchNames(applicants: DataFrame, companies: DataFrame,
       applicantId: String, applicantName: String,
       companyId: String, companyName: String,
       minConfidence: Double = 0.7, topK: Int = 3,
-      commonTokens: Seq[String] = Nil): DataFrame = {
+      commonTokens: Seq[String] = Nil,
+      maxTokenDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // normalize/tokenize once per input row — every derived column the
@@ -105,7 +115,17 @@ object FuzzyJoin {
       explode(blockingTokens(col("a_tokens"), commonTokens)).as("token"))
     val cTok = c.select(col("company_id"),
       explode(blockingTokens(col("c_tokens"), commonTokens)).as("token"))
-    val cand = aTok.join(cTok, "token")
+    // df-computed stoplist: the hot-token set is tiny by construction, so
+    // the anti-join broadcasts (map-side count → filter → broadcast)
+    val (aTokB, cTokB) =
+      if (maxTokenDf == Long.MaxValue) (aTok, cTok)
+      else {
+        val hot = cTok.groupBy("token").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTokenDf).select("token")
+        (aTok.join(broadcast(hot), Seq("token"), "left_anti"),
+          cTok.join(broadcast(hot), Seq("token"), "left_anti"))
+      }
+    val cand = aTokB.join(cTokB, "token")
       .select("applicant_id", "company_id").distinct()
 
     val scored = cand.join(a, "applicant_id").join(c, "company_id")

@@ -32,6 +32,23 @@ class CacheAndFuzzySpec extends AnyFunSuite {
       (12L, 1L, "fuzzy")))
   }
 
+  test("fuzzy matchNames df-computed stoplist drops ubiquitous block tokens") {
+    // every name shares "properties"; the discriminating tokens are unique.
+    // Without the stoplist the candidate join is all-pairs (4x2=8);
+    // with maxTokenDf=1 "properties" is dropped and only true pairs block.
+    val companies = Seq((1L, "Aardvark Properties 1111"), (2L, "Bobcat Properties 2222"))
+      .toDF("id", "name")
+    val applicants = Seq(
+      (10L, "Aardvark Properties 1111"), (11L, "Bobcat Properties 2222 Ltd"),
+      (12L, "Cormorant Properties 3333"), (13L, "Dingo Properties 4444"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.matchNames(applicants, companies, "id", "name",
+      "id", "name", maxTokenDf = 1L)
+      .select("applicant_id", "company_id", "method")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((10L, 1L, "exact"), (11L, 2L, "suffix_normalized")))
+  }
+
   test("CacheStore: put/get roundtrip, TTL expiry, size eviction") {
     var clock = 1000L
     val dir = java.nio.file.Files.createTempDirectory("graft_cache").toString
