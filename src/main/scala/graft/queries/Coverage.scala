@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Graph
+
+/** Round-2 coverage queries: functions that previously had only unit
+  * tests (F3, F9, F11, F13) and the graph degree stats (A6/A7 network
+  * shape), each oracle-checked end to end. */
+object Coverage {
+
+  /** F3: individual-vs-company classification over synthesized applicant
+    * names (reference applicant_processor.py:104-125). Four name shapes
+    * per customer exercise every branch: title prefix, corporate suffix,
+    * single token, and bare two-word name. */
+  val f3Classify = Q(
+    "f3_classify",
+    (s, dir) => {
+      val name = when(col("c_custkey") % 4 === 0, concat(lit("Mr "), col("c_name")))
+        .when(col("c_custkey") % 4 === 1, concat(col("c_name"), lit(" Ltd")))
+        .when(col("c_custkey") % 4 === 2, col("c_name"))
+        .otherwise(concat(lit("John "), col("c_name")))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), name.as("name"))
+        .withColumn("applicant_type",
+          when(TextFunctions.isLikelyIndividual(col("name")), "individual")
+            .otherwise("company"))
+    },
+    Some(s"""WITH n AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 4 = 0 THEN 'Mr ' || c_name
+               WHEN c_custkey % 4 = 1 THEN c_name || ' Ltd'
+               WHEN c_custkey % 4 = 2 THEN c_name
+               ELSE 'John ' || c_name END AS name
+        FROM customer)
+      SELECT c_custkey, name,
+        CASE WHEN regexp_matches(name, '(?i)^(mr|mrs|ms|miss|dr|prof)\\.?\\s')
+               OR (len(regexp_split_to_array(trim(name), '\\s+')) BETWEEN 2 AND 3
+                   AND NOT regexp_matches(name, '${Fuzzy.SuffixReSql}'))
+             THEN 'individual' ELSE 'company' END AS applicant_type
+      FROM n"""))
+
+  /** F9: officer full name → (first, last) with titles stripped and
+    * middle names dropped (reference contact_enrichment.py:270-287).
+    * Shapes: plain two-part, titled three-part, single token (→ empty). */
+  val f9OfficerSplit = Q(
+    "f9_officer_split",
+    (s, dir) => {
+      val name = when(col("c_custkey") % 3 === 0,
+          concat(lit("MR "), col("c_name"), lit(" Smith")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("Dr. "), col("c_name"), lit(" van Jones")))
+        .otherwise(col("c_name"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), name.as("full_name"))
+        .withColumn("s", TextFunctions.splitOfficerName(col("full_name")))
+        .select(col("c_custkey"), col("full_name"),
+          col("s.first_name"), col("s.last_name"))
+    },
+    Some("""WITH n AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 3 = 0 THEN 'MR ' || c_name || ' Smith'
+               WHEN c_custkey % 3 = 1 THEN 'Dr. ' || c_name || ' van Jones'
+               ELSE c_name END AS full_name
+        FROM customer),
+      c AS (
+        SELECT c_custkey, full_name,
+          regexp_split_to_array(trim(regexp_replace(regexp_replace(
+            upper(full_name), '\b(MR|MRS|MS|MISS|DR|PROF)\b\.?\s*', '', 'g'),
+            '\s+', ' ', 'g')), ' ') AS parts
+        FROM n)
+      SELECT c_custkey, full_name,
+        CASE WHEN len(parts) >= 2
+             THEN upper(substring(lower(parts[1]), 1, 1)) || substring(lower(parts[1]), 2)
+             ELSE '' END AS first_name,
+        CASE WHEN len(parts) >= 2
+             THEN upper(substring(lower(parts[-1]), 1, 1)) || substring(lower(parts[-1]), 2)
+             ELSE '' END AS last_name
+      FROM c"""))
+
+  /** F11: borough normalization — &→and, whitespace collapse, title case,
+    * special renames (reference utils.py:323-365). Planted fixtures cover
+    * every rename branch plus the generic "And"→"and" rule. */
+  val f11Borough = Q(
+    "f11_borough",
+    (s, dir) => {
+      import s.implicits._
+      Seq("city of london", "CITY OF WESTMINSTER", "kingston  upon THAMES",
+        "richmond upon thames", "Kensington & Chelsea", "barking & dagenham",
+        "TOWER  HAMLETS", "hammersmith and fulham")
+        .toDF("borough")
+        .withColumn("norm", TextFunctions.normalizeBorough(col("borough")))
+    },
+    Some("""WITH b AS (
+        SELECT * FROM (VALUES ('city of london'), ('CITY OF WESTMINSTER'),
+          ('kingston  upon THAMES'), ('richmond upon thames'),
+          ('Kensington & Chelsea'), ('barking & dagenham'),
+          ('TOWER  HAMLETS'), ('hammersmith and fulham')) v(borough)),
+      n AS (
+        SELECT borough, array_to_string(list_transform(
+          string_split(trim(regexp_replace(regexp_replace(lower(borough),
+            '\s*&\s*', ' and ', 'g'), '\s+', ' ', 'g')), ' '),
+          w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' ') AS cleaned
+        FROM b)
+      SELECT borough,
+        CASE cleaned
+          WHEN 'City Of London' THEN 'City of London'
+          WHEN 'City Of Westminster' THEN 'Westminster'
+          WHEN 'Kingston Upon Thames' THEN 'Kingston upon Thames'
+          WHEN 'Richmond Upon Thames' THEN 'Richmond upon Thames'
+          WHEN 'Kensington And Chelsea' THEN 'Kensington and Chelsea'
+          ELSE regexp_replace(cleaned, ' And ', ' and ', 'g') END AS norm
+      FROM n"""))
+
+  /** F13: guess a web domain from a company name — first three
+    * informative tokens joined + ".com" (reference utils.py:202-221). */
+  val f13Domain = Q(
+    "f13_domain",
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" Holdings Ltd")).as("name"))
+        .withColumn("domain", TextFunctions.guessDomain(col("name"))),
+    Some(s"""WITH n AS (
+        SELECT c_custkey, c_name || ' Holdings Ltd' AS name FROM customer),
+      t AS (
+        SELECT c_custkey, name,
+          list_filter(string_split(${Fuzzy.normSql(Fuzzy.stripSql("name"))}, ' '),
+            t -> length(t) > 0 AND t NOT IN ('the', 'and', 'of', 'a')) AS toks
+        FROM n)
+      SELECT c_custkey, name, array_to_string(toks[1:3], '') || '.com' AS domain
+      FROM t"""))
+
+  /** A6/A7 network stats: degree distribution over the shared-key edge
+    * table (reference database.py:964-983). Edges come from the same
+    * join-free build as j4 (Graph.sharedKeyEdges). */
+  val gDegrees = Q(
+    "g_degrees",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      Graph.degrees(
+        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2))
+    },
+    Some("""WITH ld AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT item, count(*) AS degree FROM (
+        SELECT item_a AS item FROM edges
+        UNION ALL SELECT item_b FROM edges)
+      GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
+    gDegrees)
+}

@@ -46,6 +46,35 @@ class PipelineE2ESpec extends AnyFunSuite {
     st
   }
 
+  test("T6: streaming twin drains micro-batches into the same tables") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val st = store()
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF()
+      .toDF("input_id", "planning_reference", "applicant_name")
+    val q = graft.streaming.ApplicantStream.writer(st, stream,
+      "input_id", "planning_reference", "applicant_name",
+      borough = "camden", companies = companies).start()
+    try {
+      mem.addData((1L, "TEST/2025/007", "Thames Gate Developments Ltd"),
+        (2L, "TEST/2025/008", "Mr John Smith"))
+      q.processAllAvailable()
+      assert(st.read("applicants").count() == 2)
+      // batch 2: a webhook REDELIVERY of row 1 plus one new applicant
+      mem.addData((3L, "test/2025/007", "THAMES GATE DEVELOPMENTS LTD"),
+        (4L, "TEST/2025/009", "Riverbend Homes Limited"))
+      q.processAllAvailable()
+      assert(st.read("applicants").count() == 3,
+        "redelivered applicant must not duplicate across micro-batches")
+      assert(st.read("planning_applications").count() == 3)
+      val m = st.read("applicant_company_matches")
+        .select("company_id").collect().map(_.getLong(0)).toSet
+      assert(m == Set(100L, 101L))
+      assert(st.keyViolations("applicant_company_matches").count() == 0)
+    } finally q.stop()
+  }
+
   test("pipeline persists validated batch with reference-pinned behaviors") {
     val st = store()
     val out = ApplicantPipeline.runWithStore(st, raw,
