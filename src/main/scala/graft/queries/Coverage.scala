@@ -132,6 +132,67 @@ object Coverage {
       SELECT c_custkey, name, array_to_string(toks[1:3], '') || '.com' AS domain
       FROM t"""))
 
+  /** F8: clean an officer name — flip "LAST, First", strip honorifics,
+    * keep first+last token, title-case (reference app.py:805-842). The
+    * comma-flip and honorific branches are both exercised. */
+  val f8CleanOfficer = Q(
+    "f8_clean_officer",
+    (s, dir) => {
+      val name = when(col("c_custkey") % 3 === 0,
+          concat(lit("SMITH, "), col("c_name")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("Sir "), col("c_name"), lit(" JONES")))
+        .otherwise(concat(col("c_name"), lit(" de Vries")))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), name.as("raw"))
+        .withColumn("cleaned", TextFunctions.cleanOfficerName(col("raw")))
+    },
+    Some("""WITH n AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 3 = 0 THEN 'SMITH, ' || c_name
+               WHEN c_custkey % 3 = 1 THEN 'Sir ' || c_name || ' JONES'
+               ELSE c_name || ' de Vries' END AS raw
+        FROM customer),
+      flipped AS (
+        SELECT c_custkey, raw,
+          CASE WHEN contains(raw, ',')
+               THEN trim(split_part(raw, ',', 2)) || ' ' || trim(split_part(raw, ',', 1))
+               ELSE raw END AS f
+        FROM n),
+      toks AS (
+        SELECT c_custkey, raw,
+          string_split(trim(regexp_replace(
+            regexp_replace(f, '(?i)\b(mr|mrs|ms|miss|dr|prof|sir|dame)\.?\s+', '', 'g'),
+            '\s+', ' ', 'g')), ' ') AS t
+        FROM flipped)
+      SELECT c_custkey, raw, array_to_string(list_transform(
+          string_split(lower(CASE WHEN len(t) >= 2
+            THEN t[1] || ' ' || t[-1]
+            ELSE array_to_string(t, ' ') END), ' '),
+          w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' ') AS cleaned
+      FROM toks"""))
+
+  /** F21+F22: HTML-entity fix and filename sanitize chained (reference
+    * api_clients.py:916, utils.py:310-321). */
+  val f21Entities = Q(
+    "f21_entities_filename",
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat(lit("A&amp;B&nbsp;"), col("c_name"), lit(" /x:y?.csv")).as("raw"))
+        .withColumn("fixed", TextFunctions.fixHtmlEntities(col("raw")))
+        .withColumn("fname", TextFunctions.sanitizeFilename(col("fixed"))),
+    Some("""WITH n AS (
+        SELECT c_custkey, 'A&amp;B&nbsp;' || c_name || ' /x:y?.csv' AS raw
+        FROM customer),
+      f AS (
+        SELECT c_custkey, raw,
+          replace(replace(raw, '&amp;', '&'), '&nbsp;', ' ') AS fixed
+        FROM n)
+      SELECT c_custkey, raw, fixed,
+        substring(regexp_replace(fixed, '[^A-Za-z0-9._-]', '_', 'g'), 1, 100) AS fname
+      FROM f"""))
+
   /** A6/A7 network stats: degree distribution over the shared-key edge
     * table (reference database.py:964-983). Edges come from the same
     * join-free build as j4 (Graph.sharedKeyEdges). */
@@ -155,5 +216,5 @@ object Coverage {
       GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    gDegrees)
+    f8CleanOfficer, f21Entities, gDegrees)
 }

@@ -10,8 +10,7 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.{MessageType, PrimitiveType, Types => PTypes}
-import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -91,22 +90,17 @@ private[v2] object EsFileSource {
       StructField(f.getName, dt)
     })
 
-  /** Spark schema → parquet requested projection (all optional). */
-  def toParquet(s: StructType): MessageType = {
-    val b = PTypes.buildMessage()
-    s.fields.foreach { f =>
-      val prim = f.dataType match {
-        case LongType => b.optional(PrimitiveTypeName.INT64)
-        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE)
-        case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType => b.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case other =>
-          throw new IllegalArgumentException(s"unsupported type $other")
-      }
-      prim.named(f.name)
-    }
-    b.named("spark_schema")
+  /** Requested projection for one file: select the fetch columns from the
+    * FILE's own schema so repetition (required vs optional) is preserved —
+    * declaring everything optional fails checkContains on required
+    * columns. */
+  def projectionFor(file: String, fetch: StructType): MessageType = {
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+    new MessageType("spark_schema",
+      fetch.fields.toSeq.map(f =>
+        fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
   }
 
   /** Can this filter run "server-side" (ES bool-query vocabulary)? */
@@ -171,9 +165,10 @@ private[v2] class EsFileTable(path: String, schema: StructType)
 
 private[v2] class EsScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val (ok, residual) = filters.partition(EsFileSource.translatable)
@@ -185,19 +180,37 @@ private[v2] class EsScanBuilder(path: String, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EsScan(path, full, required, pushed)
+  /** ES `size` analog: each partition reader stops after `l` matching
+    * rows. Partial — Spark keeps its global limit on top. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new EsScan(path, full, required, pushed, limit)
 }
 
 private[v2] class EsScan(path: String, full: StructType, required: StructType,
-    pushed: Array[sources.Filter]) extends Scan with Batch {
+    pushed: Array[sources.Filter], limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"EsFileScan pushed=[${pushed.mkString(", ")}] read=${required.catalogString}"
+    s"EsFileScan pushed=[${pushed.mkString(", ")}] " +
+      s"read=${required.catalogString}" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
+  /** One partition per parquet ROW GROUP (a 100 TB table is a few files
+    * of many row groups — file granularity would starve the cluster).
+    * Ranges use the row-group midpoint rule, same as Spark's own reader:
+    * a group belongs to the split containing its midpoint. */
   override def planInputPartitions(): Array[InputPartition] =
-    EsFileSource.listFiles(path)
-      .map(f => EsInputPartition(f.getPath.toString)).toArray
+    EsFileSource.listFiles(path).flatMap { f =>
+      val footer = ParquetFileReader.open(
+        HadoopInputFile.fromPath(f.getPath, EsFileSource.conf))
+      try footer.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val mid = b.getStartingPos + b.getCompressedSize / 2
+        EsInputPartition(f.getPath.toString, b.getStartingPos,
+          math.max(mid + 1 - b.getStartingPos, 1L))
+      } finally footer.close()
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // pushed filters may reference columns outside the projection — the
@@ -205,35 +218,43 @@ private[v2] class EsScan(path: String, full: StructType, required: StructType,
     val filterCols = pushed.flatMap(_.references).distinct
       .filterNot(required.fieldNames.contains)
     val fetch = StructType(required.fields ++ filterCols.map(c => full(c)))
-    EsReaderFactory(fetch, required, pushed)
+    EsReaderFactory(fetch, required, pushed, limit)
   }
 }
 
-private[v2] case class EsInputPartition(file: String) extends InputPartition
+private[v2] case class EsInputPartition(file: String, start: Long,
+    length: Long) extends InputPartition
 
 private[v2] case class EsReaderFactory(fetch: StructType, out: StructType,
-    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new EsPartitionReader(p.asInstanceOf[EsInputPartition].file, fetch, out, pushed)
+    pushed: Array[sources.Filter], limit: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ep = p.asInstanceOf[EsInputPartition]
+    new EsPartitionReader(ep, fetch, out, pushed, limit)
+  }
 }
 
-/** Reads one parquet file through the example Group API with a pruned
-  * requested-projection, applies the pushed bool-query filters row by
-  * row, and emits InternalRows of the projected schema. */
-private[v2] class EsPartitionReader(file: String, fetch: StructType,
-    out: StructType, pushed: Array[sources.Filter])
+/** Reads one row-group range of a parquet file through the example Group
+  * API with a pruned requested-projection, applies the pushed bool-query
+  * filters row by row (stopping after `limit` matches if pushed), and
+  * emits InternalRows of the projected schema. */
+private[v2] class EsPartitionReader(part: EsInputPartition, fetch: StructType,
+    out: StructType, pushed: Array[sources.Filter], limit: Int)
     extends PartitionReader[InternalRow] {
 
   private val reader = {
     val c = EsFileSource.conf
     c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      EsFileSource.toParquet(fetch).toString)
+      EsFileSource.projectionFor(part.file, fetch).toString)
     org.apache.parquet.hadoop.ParquetReader
-      .builder(new GroupReadSupport(), new Path(file)).withConf(c).build()
+      .builder(new GroupReadSupport(), new Path(part.file)).withConf(c)
+      .withFileRange(part.start, part.start + part.length)
+      .build()
   }
   private var row: InternalRow = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     var g: Group = reader.read()
     while (g != null) {
       val vals = mutable.LinkedHashMap.empty[String, Any]
@@ -257,6 +278,7 @@ private[v2] class EsPartitionReader(file: String, fetch: StructType,
             case other => other
           }
         }.asInstanceOf[Array[Any]])
+        emitted += 1
         return true
       }
       g = reader.read()

@@ -44,4 +44,27 @@ class EsSourceV2Spec extends AnyFunSuite {
     assert(v2.schema.fieldNames.toSeq ==
       Seq("doc_id", "text", "lang", "source", "n_chars"))
   }
+
+  test("limit pushdown reaches the scan and bounds reader output") {
+    val df = v2.filter(col("lang") === "en").limit(7)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("limit=7"), p)
+    assert(df.count() == 7)
+  }
+
+  test("partitions are planned per row group, not per file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    spark.range(200000).select(col("id"),
+        concat(lit("padpadpadpadpadpadpad"), col("id")).as("pad"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "65536") // tiny groups => many splits
+      .parquet(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected multiple row-group splits, got ${back.rdd.getNumPartitions}")
+    // splitting must not duplicate or drop rows
+    assert(back.count() == 200000)
+    assert(back.agg(sum("id")).head().getLong(0) == 199999L * 200000 / 2)
+  }
 }
