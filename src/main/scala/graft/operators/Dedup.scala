@@ -126,6 +126,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * the stage that turns pairwise matches into dedup CLUSTERS (a dup
+    * "chain" a~b, b~c must collapse to ONE canonical doc even though a~c
+    * was never scored). Small-step min-label propagation: each iteration
+    * every node adopts the smallest label in its neighborhood; converges
+    * in O(component diameter) rounds — near-dup clusters are shallow, so
+    * a handful of distributed join+agg rounds, no driver-side graph.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = the smallest node id in the cluster (deterministic).
+    * Docs with no dup pair are implicitly their own singleton cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("c")), "dst")
+        .groupBy(col("src").as("id")).agg(min("c").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"),
+          coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      next.count() // materialize before comparing against the old labels
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Canonical-survivor view of a clustering: one row per component with
+    * the kept doc (= the min-id component label), member count, and the
+    * sorted member list. The "keep one per cluster" step of a dedup
+    * pipeline. */
+  def canonicalClusters(components: DataFrame): DataFrame =
+    components.groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
+
   /** 32-bit SimHash over a token array: bit i is set when the weighted
     * sum of token-hash bit i is positive. Token hashes are computed once
     * per document; at production scale this expression tree should become

@@ -62,19 +62,18 @@ object Pipeline {
   /** MinHash + LSH near-dup pairs (k=16 components, 4 bands × 4 rows,
     * verified at Jaccard ≥ 0.5 over hashed char 5-gram shingle sets —
     * band geometry rationale in Dedup.minhashPairs). */
-  val ddMinhash = Q(
-    "dd_minhash_lsh",
-    (s, dir) => Dedup.minhashPairs(
-      Tables.load(s, dir, "documents"), "doc_id", "text",
-      n = 5, k = 16, bands = 4, threshold = 0.5), {
-      val mhCols = (0 until 16).map { j =>
-        s"list_min(list_transform(hs, h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P})) AS mh$j"
-      }.mkString(",\n          ")
-      val bandSelects = (0 until 4).map { b =>
-        val hs = (0 until 4).map(r => s"mh${4 * b + r} AS h$r").mkString(", ")
-        s"SELECT doc_id, $b AS band, $hs FROM sig"
-      }.mkString("\n        UNION ALL ")
-      Some(s"""WITH sh AS (
+  /** CTE chain computing the MinHash+LSH pair list in DuckDB — generated
+    * from the same constants as Dedup.minhashPairs; shared by the pairs
+    * query and the components query built on top of it. */
+  private def minhashCtes: String = {
+    val mhCols = (0 until 16).map { j =>
+      s"list_min(list_transform(hs, h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P})) AS mh$j"
+    }.mkString(",\n          ")
+    val bandSelects = (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"mh${4 * b + r} AS h$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $hs FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""sh AS (
         SELECT doc_id, $shinglesSql AS sset FROM documents),
       hashed AS (
         SELECT doc_id, list_distinct(list_transform(sset, t -> ${h31("t")})) AS hs
@@ -90,13 +89,49 @@ object Pipeline {
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
           AND a.h2 = b.h2 AND a.h3 = b.h3
-          AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b, ${jaccardSql("x.hs", "y.hs")} AS jaccard
-      FROM cand c
-      JOIN sig x ON x.doc_id = c.id_a
-      JOIN sig y ON y.doc_id = c.id_b
-      WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5""")
-    })
+          AND a.doc_id < b.doc_id),
+      mh_pairs AS (
+        SELECT c.id_a, c.id_b, ${jaccardSql("x.hs", "y.hs")} AS jaccard
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.id_a
+        JOIN sig y ON y.doc_id = c.id_b
+        WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5)"""
+  }
+
+  val ddMinhash = Q(
+    "dd_minhash_lsh",
+    (s, dir) => Dedup.minhashPairs(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      n = 5, k = 16, bands = 4, threshold = 0.5),
+    Some(s"""WITH $minhashCtes
+      SELECT id_a, id_b, jaccard FROM mh_pairs"""))
+
+  /** Near-dup pairs → dedup clusters: connected components (min-label)
+    * over the MinHash pair list, then the canonical-survivor view — the
+    * step that collapses a~b, b~c chains to one kept doc. The oracle
+    * computes the same components via a recursive transitive closure. */
+  val ddComponents = Q(
+    "dd_components",
+    (s, dir) => {
+      val pairs = Dedup.minhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.canonicalClusters(Dedup.connectedComponents(pairs))
+    },
+    Some(s"""WITH RECURSIVE $minhashCtes,
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+      SELECT component, count(*) AS n_docs,
+        string_agg(id, ',' ORDER BY id) AS members
+      FROM comp GROUP BY 1"""))
 
   /** SimHash near-dup pairs: 32-bit signatures over char 5-gram shingles
     * (word tokens collapse here — every doc shares one small vocabulary,
@@ -414,6 +449,6 @@ object Pipeline {
       WHERE i % 4 = 0"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    simTopk, simLsh, simIvf, txtLangid, txtQuality, txtTokens,
+    ddComponents, simTopk, simLsh, simIvf, txtLangid, txtQuality, txtTokens,
     txtFingerprint, txtFpClusters, mmDecode, mmFrames)
 }

@@ -88,6 +88,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped == 1770 + 1, "default cap must not drop small buckets")
   }
 
+  test("Dedup.connectedComponents collapses transitive dup chains") {
+    // chain 1-2-3 (1~3 never scored), pair 10-11, plus 20-21-22 triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val canon = Dedup.canonicalClusters(Dedup.connectedComponents(pairs))
+      .as[(Long, Long, String)].collect().toSet
+    assert(canon == Set((1L, 3L, "1,2,3"), (10L, 2L, "10,11"),
+      (20L, 3L, "20,21,22")))
+  }
+
   test("Dedup.simhash32 identical for identical input, close for near-dup") {
     val df = Seq(
       (1L, "aaaa bbbb cccc dddd eeee"),

@@ -113,6 +113,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("merge against a bucketed base shuffles only the updates side") {
+    // the Merge scaladoc's scale claim, pinned: upsert = updates ∪
+    // (base ⟕anti updates); with the base bucketed on the business key,
+    // the anti-join reuses the bucket layout and only the (small) updates
+    // side exchanges.
+    val df = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    df.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("bt_merge_base")
+    val updates = df.limit(100)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = graft.operators.Merge.upsert(
+        spark.table("bt_merge_base"), updates, Seq("o_orderkey"))
+      val plan = merged.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected only the updates-side shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sim_topk: query side is broadcast against the candidate stream") {
     val p = plan(Pipeline.simTopk)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
