@@ -328,6 +328,37 @@ final class TableStore(spark: SparkSession, root: String) {
     overwrite(name, Merge.insertIfAbsent(read(name), incoming, d.businessKey))
   }
 
+  /** Partition-aware overwrite (M8 at warehouse scale): writes `df` with
+    * hive-style `partitionCols` layout, replacing ONLY the partitions
+    * present in `df` (dynamic overwrite) — the reference's "delete month,
+    * re-harvest month" (weekly_scheduler.py month chunks) without
+    * touching the other 99.9% of a 100 TB table. First write of a table
+    * establishes the layout; later calls must use the same columns. */
+  def overwritePartitions(name: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    val d = defOf(name)
+    require(partitionCols.forall(df.columns.contains),
+      s"partition columns must exist in the frame: $partitionCols")
+    val got = df.select((d.schema.fieldNames.filterNot(partitionCols.contains)
+      ++ partitionCols).map(col).toIndexedSeq: _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      got.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(path(name))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read a partitioned table (no schema pin — partition columns move to
+    * the end and their types come from the directory layout). */
+  def readPartitioned(name: String): DataFrame = {
+    defOf(name) // validate the name against the catalog
+    spark.read.parquet(path(name))
+  }
+
   /** Business-key uniqueness audit — the check the reference gets from
     * its unique indexes. Returns offending keys (empty = consistent). */
   def keyViolations(name: String): DataFrame = {

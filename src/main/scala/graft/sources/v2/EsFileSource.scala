@@ -163,12 +163,19 @@ private[v2] class EsFileTable(path: String, schema: StructType)
     new EsScanBuilder(path, schema)
 }
 
+/** One pushed aggregate: kind ∈ count_star | count | min | max. */
+private[v2] case class AggSpec(kind: String, column: String)
+
 private[v2] class EsScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
   private var limit: Int = -1
+  private var groupCols: Seq[String] = Nil
+  private var aggs: Seq[AggSpec] = Nil
+  private var aggPushed = false
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val (ok, residual) = filters.partition(EsFileSource.translatable)
@@ -181,11 +188,57 @@ private[v2] class EsScanBuilder(path: String, full: StructType)
     required = requiredSchema
 
   /** ES `size` analog: each partition reader stops after `l` matching
-    * rows. Partial — Spark keeps its global limit on top. */
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+    * rows. Partial — Spark keeps its global limit on top. Not honored
+    * when an aggregation is pushed (partial agg rows must be complete). */
+  override def pushLimit(l: Int): Boolean =
+    if (aggPushed) false else { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new EsScan(path, full, required, pushed, limit)
+  /** ES terms-aggregation analog: GROUP BY plain columns with
+    * count(*)/count(col)/min/max runs inside the reader, which emits one
+    * PARTIAL row per group per row group; Spark's final aggregate merges
+    * them (supportCompletePushDown stays false). The reader's state is
+    * bounded by group-key cardinality — exactly the contract of an ES
+    * terms agg. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val g = agg.groupByExpressions.toSeq.map(colOf)
+    val a = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec("count_star", ""))
+      case c: Count if !c.isDistinct => colOf(c.column).map(AggSpec("count", _))
+      case m: Min => colOf(m.column).map(AggSpec("min", _))
+      case m: Max => colOf(m.column).map(AggSpec("max", _))
+      case _ => None
+    }
+    if (g.exists(_.isEmpty) || a.exists(_.isEmpty) || a.isEmpty) false
+    else {
+      groupCols = g.flatten
+      aggs = a.flatten
+      aggPushed = true
+      limit = -1 // a previously pushed limit cannot apply to partial rows
+      true
+    }
+  }
+
+  private def aggOutSchema: StructType = StructType(
+    groupCols.map(c => full(c)) ++ aggs.zipWithIndex.map { case (a, i) =>
+      a.kind match {
+        case "count_star" | "count" => StructField(s"agg_$i", LongType, nullable = false)
+        case _ => StructField(s"agg_$i", full(a.column).dataType)
+      }
+    })
+
+  override def build(): Scan =
+    if (aggPushed)
+      new EsAggScan(path, full, aggOutSchema, pushed, groupCols, aggs)
+    else new EsScan(path, full, required, pushed, limit)
 }
 
 private[v2] class EsScan(path: String, full: StructType, required: StructType,
@@ -197,11 +250,25 @@ private[v2] class EsScan(path: String, full: StructType, required: StructType,
       s"read=${required.catalogString}" +
       (if (limit >= 0) s" limit=$limit" else "")
 
+  override def planInputPartitions(): Array[InputPartition] =
+    EsScan.rowGroupPartitions(path)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // pushed filters may reference columns outside the projection — the
+    // reader fetches (projection ∪ filter refs), emits the projection
+    val filterCols = pushed.flatMap(_.references).distinct
+      .filterNot(required.fieldNames.contains)
+    val fetch = StructType(required.fields ++ filterCols.map(c => full(c)))
+    EsReaderFactory(fetch, required, pushed, limit)
+  }
+}
+
+private[v2] object EsScan {
   /** One partition per parquet ROW GROUP (a 100 TB table is a few files
     * of many row groups — file granularity would starve the cluster).
     * Ranges use the row-group midpoint rule, same as Spark's own reader:
     * a group belongs to the split containing its midpoint. */
-  override def planInputPartitions(): Array[InputPartition] =
+  def rowGroupPartitions(path: String): Array[InputPartition] =
     EsFileSource.listFiles(path).flatMap { f =>
       val footer = ParquetFileReader.open(
         HadoopInputFile.fromPath(f.getPath, EsFileSource.conf))
@@ -211,14 +278,27 @@ private[v2] class EsScan(path: String, full: StructType, required: StructType,
           math.max(mid + 1 - b.getStartingPos, 1L))
       } finally footer.close()
     }.toArray
+}
+
+/** Scan variant with a pushed (partial) aggregation. */
+private[v2] class EsAggScan(path: String, full: StructType,
+    out: StructType, pushed: Array[sources.Filter],
+    groupCols: Seq[String], aggs: Seq[AggSpec]) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EsFileScan pushed=[${pushed.mkString(", ")}] " +
+      s"group=[${groupCols.mkString(", ")}] " +
+      s"aggs=[${aggs.map(a => s"${a.kind}(${a.column})").mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    EsScan.rowGroupPartitions(path)
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // pushed filters may reference columns outside the projection — the
-    // reader fetches (projection ∪ filter refs), emits the projection
-    val filterCols = pushed.flatMap(_.references).distinct
-      .filterNot(required.fieldNames.contains)
-    val fetch = StructType(required.fields ++ filterCols.map(c => full(c)))
-    EsReaderFactory(fetch, required, pushed, limit)
+    val needed = (groupCols ++ aggs.map(_.column).filter(_.nonEmpty) ++
+      pushed.toSeq.flatMap(_.references.toSeq)).distinct
+    val fetch = StructType(needed.map(c => full(c)))
+    EsAggReaderFactory(fetch, out, pushed, groupCols, aggs)
   }
 }
 
@@ -233,14 +313,11 @@ private[v2] case class EsReaderFactory(fetch: StructType, out: StructType,
   }
 }
 
-/** Reads one row-group range of a parquet file through the example Group
-  * API with a pruned requested-projection, applies the pushed bool-query
-  * filters row by row (stopping after `limit` matches if pushed), and
-  * emits InternalRows of the projected schema. */
-private[v2] class EsPartitionReader(part: EsInputPartition, fetch: StructType,
-    out: StructType, pushed: Array[sources.Filter], limit: Int)
-    extends PartitionReader[InternalRow] {
-
+/** Cursor over the filter-matching rows of one row-group range: reads the
+  * parquet Group API with a pruned requested-projection and applies the
+  * pushed bool-query filters row by row. */
+private[v2] class MatchingRows(part: EsInputPartition, fetch: StructType,
+    pushed: Array[sources.Filter]) extends AutoCloseable {
   private val reader = {
     val c = EsFileSource.conf
     c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -250,11 +327,9 @@ private[v2] class EsPartitionReader(part: EsInputPartition, fetch: StructType,
       .withFileRange(part.start, part.start + part.length)
       .build()
   }
-  private var row: InternalRow = _
-  private var emitted = 0L
 
-  override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false
+  /** The next matching row as (column → value), or null when drained. */
+  def nextMatch(): mutable.LinkedHashMap[String, Any] = {
     var g: Group = reader.read()
     while (g != null) {
       val vals = mutable.LinkedHashMap.empty[String, Any]
@@ -271,21 +346,110 @@ private[v2] class EsPartitionReader(part: EsInputPartition, fetch: StructType,
           }
         vals(f.name) = v
       }
-      if (pushed.forall(EsFileSource.eval(_, vals.apply))) {
-        row = new GenericInternalRow(out.fields.map { f =>
-          vals(f.name) match {
-            case s: String => UTF8String.fromString(s)
-            case other => other
-          }
-        }.asInstanceOf[Array[Any]])
-        emitted += 1
-        return true
-      }
+      if (pushed.forall(EsFileSource.eval(_, vals.apply))) return vals
       g = reader.read()
     }
-    false
+    null
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[v2] object MatchingRows {
+  /** Internal value → Catalyst value. */
+  def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+}
+
+private[v2] case class EsAggReaderFactory(fetch: StructType, out: StructType,
+    pushed: Array[sources.Filter], groupCols: Seq[String],
+    aggs: Seq[AggSpec]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new EsAggPartitionReader(p.asInstanceOf[EsInputPartition], fetch, out,
+      pushed, groupCols, aggs)
+}
+
+/** Aggregating reader: folds the row group's matching rows into per-group
+  * partial aggregates (state bounded by group cardinality — the ES
+  * terms-agg contract), then emits one row per group. */
+private[v2] class EsAggPartitionReader(part: EsInputPartition,
+    fetch: StructType, out: StructType, pushed: Array[sources.Filter],
+    groupCols: Seq[String], aggs: Seq[AggSpec])
+    extends PartitionReader[InternalRow] {
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case _ => false
+  }
+
+  private val it: Iterator[InternalRow] = {
+    val cursor = new MatchingRows(part, fetch, pushed)
+    val state = mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    try {
+      var vals = cursor.nextMatch()
+      while (vals != null) {
+        val key = groupCols.map(vals.apply)
+        val acc = state.getOrElseUpdate(key,
+          aggs.map { a => a.kind match {
+            case "count_star" | "count" => 0L
+            case _ => null
+          }}.toArray[Any])
+        aggs.zipWithIndex.foreach { case (a, i) =>
+          a.kind match {
+            case "count_star" => acc(i) = acc(i).asInstanceOf[Long] + 1L
+            case "count" =>
+              if (vals(a.column) != null) acc(i) = acc(i).asInstanceOf[Long] + 1L
+            case "min" =>
+              val v = vals(a.column)
+              if (v != null && (acc(i) == null || lt(v, acc(i)))) acc(i) = v
+            case "max" =>
+              val v = vals(a.column)
+              if (v != null && (acc(i) == null || lt(acc(i), v))) acc(i) = v
+          }
+        }
+        vals = cursor.nextMatch()
+      }
+    } finally cursor.close()
+    state.iterator.map { case (key, acc) =>
+      new GenericInternalRow(
+        (key.map(MatchingRows.toCatalyst) ++ acc.map(MatchingRows.toCatalyst))
+          .toArray[Any])
+    }
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { row = it.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Row-emitting reader (no aggregate pushed): stops after `limit` matches
+  * when a limit is pushed. */
+private[v2] class EsPartitionReader(part: EsInputPartition, fetch: StructType,
+    out: StructType, pushed: Array[sources.Filter], limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = new MatchingRows(part, fetch, pushed)
+  private var row: InternalRow = _
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    val vals = cursor.nextMatch()
+    if (vals == null) return false
+    row = new GenericInternalRow(
+      out.fields.map(f => MatchingRows.toCatalyst(vals(f.name)))
+        .asInstanceOf[Array[Any]])
+    emitted += 1
+    true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = cursor.close()
 }

@@ -148,6 +148,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(bad.length == 1 && bad(0).getString(0) == "X1")
   }
 
+  test("M8 partitioned overwrite replaces only the touched partitions") {
+    val store = freshStore()
+    val td = Catalog.planningApplications
+    store.overwritePartitions(td.name, mk(td,
+      Map("id" -> 1L, "borough" -> "camden", "reference" -> "A/1", "status" -> "old"),
+      Map("id" -> 2L, "borough" -> "hackney", "reference" -> "B/1", "status" -> "old")),
+      Seq("borough"))
+    // re-harvest ONLY hackney: camden's partition must be untouched
+    store.overwritePartitions(td.name, mk(td,
+      Map("id" -> 3L, "borough" -> "hackney", "reference" -> "B/1", "status" -> "new"),
+      Map("id" -> 4L, "borough" -> "hackney", "reference" -> "B/2", "status" -> "new")),
+      Seq("borough"))
+    val got = store.readPartitioned(td.name)
+      .select("borough", "reference", "status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("camden", "A/1", "old"),
+      ("hackney", "B/1", "new"), ("hackney", "B/2", "new")))
+
+    // partition pruning: a borough predicate becomes a PartitionFilter,
+    // not a data filter — only that directory is scanned
+    val p = store.readPartitioned(td.name)
+      .filter(org.apache.spark.sql.functions.col("borough") === "camden")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && "borough#\\d+ = camden".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("overwrite rejects a frame missing catalog columns") {
     val store = freshStore()
     import spark.implicits._

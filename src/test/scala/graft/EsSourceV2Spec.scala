@@ -52,6 +52,32 @@ class EsSourceV2Spec extends AnyFunSuite {
     assert(df.count() == 7)
   }
 
+  test("terms-agg pushdown: grouped count/min/max run inside the reader") {
+    val agg = v2.filter(col("lang") === "en")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"),
+        max("n_chars").as("hi"))
+    val p = agg.queryExecution.explainString(FormattedMode)
+    assert(p.contains("group=[lang, source]"), p)
+    assert(p.contains("aggs=[count_star(), min(n_chars), max(n_chars)]"), p)
+    val native = spark.read.parquet(docs).filter(col("lang") === "en")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"),
+        max("n_chars").as("hi"))
+    val got = agg.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = native.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("distinct aggregates are NOT pushed — source declines them") {
+    val agg = v2.groupBy("lang").agg(countDistinct("source").as("n"))
+    val p = agg.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("aggs=["), p)
+    assert(agg.collect().nonEmpty)
+  }
+
   test("partitions are planned per row group, not per file") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString
