@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
       SetMerge.all ++ Scalars.all ++ Pipeline.all ++ Streaming.all ++
-      Fuzzy.all ++ Extras.all ++ Windows.all ++ E2E.all ++ Coverage.all
+      Fuzzy.all ++ Extras.all ++ Windows.all ++ E2E.all ++ Coverage.all ++
+      TemporalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for (builder-brief custom
+  * operators: as-of join, range join), each composed from built-ins in
+  * its scale-correct shape rather than a naive non-equi join (which
+  * Catalyst can only plan as a nested-loop product).
+  */
+object Temporal {
+
+  /** AS-OF JOIN: for each left row, attach the payload of the latest
+    * right row with the same key and `rightTs` <= `leftTs` (nulls when
+    * none) — "the exchange rate in force", "the last checkpoint before
+    * this example was generated".
+    *
+    * Shape: union the two sides tagged, one window per key ordered by
+    * (ts, right-before-left), carry payloads forward with
+    * last(ignoreNulls) over the growing frame, keep left rows. ONE
+    * shuffle on the key — no non-equi join, no per-key driver loop, state
+    * streams through the window operator.
+    *
+    * Right side must be unique per (keys, rightTs) — pre-aggregate if
+    * not — or the carried payload at a tied timestamp is nondeterministic.
+    *
+    * @param payload right-side columns to carry (must not collide with
+    *                left column names)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty, "payload names collide with left")
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__isR", lit(0))
+      .withColumns(payload.map(p => p -> lit(null)
+        .cast(right.schema(p).dataType)).toMap)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__isR")) ++
+        payload.map(col): _*)
+      .withColumns(leftCols.filterNot(keys.contains).map(c =>
+        c -> lit(null).cast(left.schema(c).dataType)).toMap)
+    // right rows sort BEFORE left rows at equal ts: asof is `<=`
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))) {
+      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+      .filter(col("__isR") === 0)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** RANGE (interval) JOIN: points joined to the intervals containing
+    * them, `start <= ts <= end`. A naive non-equi join is a cartesian
+    * nested loop; here both sides are bucketed into fixed-width time bins
+    * (intervals explode to every bin they overlap), the join is an
+    * equi-join on the bin, and the containment predicate filters inside
+    * each bucket — the standard scale shape for interval overlap.
+    *
+    * `binSeconds` should be on the order of the typical interval length:
+    * too small explodes interval rows, too large degrades bucket
+    * selectivity. Column names must not collide across the two sides. */
+  def rangeJoin(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    val binUs = binSeconds * 1000000L
+    val p = points.withColumn("__bin",
+      floor(unix_micros(col(pointTs)) / binUs))
+    val iv = intervals.withColumn("__bin", explode(sequence(
+      floor(unix_micros(col(startCol)) / binUs),
+      floor(unix_micros(col(endCol)) / binUs))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bin")
+  }
+}

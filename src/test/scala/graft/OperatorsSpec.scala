@@ -114,6 +114,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 4)
   }
 
+  // ---- Temporal -----------------------------------------------------------
+
+  test("Temporal.asofJoin attaches the latest right row at or before ts") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")),  // before any rate -> null
+      (2L, 7L, t("2024-01-01 12:00:00")),  // exactly at rate 2 -> 2.0
+      (3L, 7L, t("2024-01-01 13:30:00")),  // between 2 and 3 -> 2.0
+      (4L, 8L, t("2024-01-01 13:00:00")))  // other key -> 9.0
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      (7L, t("2024-01-01 11:00:00"), 1.0),
+      (7L, t("2024-01-01 12:00:00"), 2.0),
+      (7L, t("2024-01-01 14:00:00"), 3.0),
+      (8L, t("2024-01-01 09:00:00"), 9.0))
+      .toDF("k", "rts", "rate")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("rate"))
+      .select("id", "rate").as[(Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some(2.0)), (3L, Some(2.0)),
+      (4L, Some(9.0))))
+  }
+
+  test("Temporal.rangeJoin finds containing intervals across bin edges") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val points = Seq((1L, t("2024-01-01 10:30:00")),
+      (2L, t("2024-01-01 11:59:59")), (3L, t("2024-01-01 15:00:00")))
+      .toDF("pid", "pts")
+    val iv = Seq((100L, t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")),
+      (200L, t("2024-01-01 11:00:00"), t("2024-01-01 11:59:59")))
+      .toDF("iid", "s", "e")
+    val got = Temporal.rangeJoin(points, "pts", iv, "s", "e", binSeconds = 1800)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 200L)))
+  }
+
   // ---- Similarity ---------------------------------------------------------
 
   test("Similarity.cosine known values") {

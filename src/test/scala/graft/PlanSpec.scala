@@ -113,6 +113,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("t9/j11: temporal joins never plan a nested-loop product") {
+    val pa = plan(TemporalQueries.t9Asof)
+    assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
+    // the as-of rewrite is windowed, not joined: no join operator at all
+    assert(!pa.contains("Join"), pa)
+    val pr = plan(TemporalQueries.j11Range)
+    assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("CartesianProduct"), pr)
+  }
+
   test("merge against a bucketed base shuffles only the updates side") {
     // the Merge scaladoc's scale claim, pinned: upsert = updates ∪
     // (base ⟕anti updates); with the base bucketed on the business key,
