@@ -193,6 +193,47 @@ object Coverage {
         substring(regexp_replace(fixed, '[^A-Za-z0-9._-]', '_', 'g'), 1, 100) AS fname
       FROM f"""))
 
+  /** A17: exact percentiles per group — the monitoring dashboard's
+    * latency-quantile shape (reference automation_monitoring.py rollups).
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` use the same
+    * linear interpolation on identical double operands, so the oracle is
+    * bit-exact (verified to the last ulp). At 100 TB swap in
+    * percentile_approx (t-digest) — approximate results are engine-
+    * specific, which is exactly why the EXACT variant is the oracle. */
+  val a17Percentiles = Q(
+    "a17_percentiles",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("p50"),
+          expr("percentile(value, 0.9D)").as("p90"),
+          expr("percentile(value, 0.99D)").as("p99")),
+    Some("""SELECT event_type,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.9) AS p90,
+        quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY 1"""))
+
+  /** J12: the skew-salted join — result-identical to the plain join
+    * (which is the oracle), with the left side's hot keys spread over
+    * salt buckets. Exercises Skew.saltedJoin in the verified set. */
+  val j12Salted = Q(
+    "j12_salted_join",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val dim = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(l, dim, "l_partkey", salts = 8)
+        .groupBy("p_brand").agg(
+          count(lit(1)).as("n"),
+          graft.queries.Q.dsum(col("l_quantity")).as("sum_qty"))
+    },
+    Some("""SELECT p.p_brand, count(*) AS n,
+        CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1"""))
+
   /** A6/A7 network stats: degree distribution over the shared-key edge
     * table (reference database.py:964-983). Edges come from the same
     * join-free build as j4 (Graph.sharedKeyEdges). */
@@ -216,5 +257,5 @@ object Coverage {
       GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees)
+    f8CleanOfficer, f21Entities, gDegrees, a17Percentiles, j12Salted)
 }

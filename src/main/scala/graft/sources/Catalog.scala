@@ -359,6 +359,26 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.read.parquet(path(name))
   }
 
+  /** Small-file compaction: rewrite the table with files sized near
+    * `targetFileBytes`. Streaming foreachBatch merges and frequent small
+    * upserts accrete tiny files; at warehouse scale scan cost is driven
+    * by file count (task scheduling + footer reads), so periodic
+    * compaction is part of table maintenance. Returns (filesBefore,
+    * filesAfter). Partitioned tables need per-partition compaction —
+    * run this only on unpartitioned catalog tables. */
+  def compact(name: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val before = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = read(name)
+    overwrite(name, df.repartition(nFiles))
+    val after = fs.listStatus(p)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (before.length, after)
+  }
+
   /** Business-key uniqueness audit — the check the reference gets from
     * its unique indexes. Returns offending keys (empty = consistent). */
   def keyViolations(name: String): DataFrame = {

@@ -176,6 +176,20 @@ class CatalogSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("compact collapses accreted small files without changing content") {
+    val store = freshStore()
+    val td = Catalog.companies
+    val rows = (1L to 64L).map(i =>
+      Map[String, Any]("id" -> i, "company_number" -> f"$i%08d"))
+    // simulate many tiny upsert-accreted files
+    store.overwrite(td.name, Catalog.rows(spark, td, rows).repartition(32))
+    val (before, after) = store.compact(td.name)
+    assert(before >= 16 && after == 1, s"$before -> $after")
+    val got = store.read(td.name).select("company_number")
+      .collect().map(_.getString(0)).toSet
+    assert(got == (1L to 64L).map(i => f"$i%08d").toSet)
+  }
+
   test("overwrite rejects a frame missing catalog columns") {
     val store = freshStore()
     import spark.implicits._

@@ -142,6 +142,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/stats").count() == 3)
   }
 
+  test("streaming dedup: watermarked dropDuplicates suppresses redelivery") {
+    // U1's streaming twin: exactly-once per event_id within the watermark
+    // horizon, with state GC'd for ids older than the watermark.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch1: _*) // full redelivery of the same batch
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[Event].collect()
+      assert(got.map(_.event_id).sorted.toSeq ==
+        batch1.map(_.event_id).sorted.toSeq,
+        "each event_id must survive exactly once")
+    } finally q.stop()
+  }
+
   test("T4: restart from checkpoint resumes without duplicate ingestion") {
     // crash-recovery semantics (reference weekly_scheduler.py:150-163):
     // the checkpoint records which source files were committed, so a
