@@ -30,8 +30,9 @@ object SparkEntry {
   def benchQueries: Seq[String] = {
     val preferred = Seq("q1_agg", "j1_left_join_agg", "j4_shared_edges",
       "j6_fuzzy_join", "w1_topk_per_group", "t7_daily_window",
-      "t8_sessionize", "dd_exact", "dd_minhash_lsh", "sim_topk_bruteforce",
-      "txt_quality")
+      "t8_sessionize", "dd_exact", "dd_minhash_lsh", "dd_components",
+      "sim_topk_bruteforce", "txt_quality", "t9_asof_join",
+      "j11_range_join", "g_degrees", "pipeline_e2e")
     preferred.filter(queries.contains)
   }
 }

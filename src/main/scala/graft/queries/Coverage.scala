@@ -256,6 +256,24 @@ object Coverage {
         UNION ALL SELECT item_b FROM edges)
       GROUP BY 1"""))
 
+  /** A18: sketch aggregates — HyperLogLog++ distinct counts and t-digest
+    * quantiles per group. These are THE at-scale forms of A6/A17 (exact
+    * distinct shuffles every key; exact percentile sorts every value;
+    * the sketches are fixed-size mergeable state). No oracle SQL on
+    * purpose: sketch results are algorithm-specific, so DuckDB's
+    * approx_count_distinct would legitimately differ — the driver's
+    * rows-only check applies, and the EXACT twins (a6, a17) remain the
+    * value-verified forms. A spec bounds the sketch error against them. */
+  val a18Sketches = Q(
+    "a18_sketches",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50")),
+    None)
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, a17Percentiles, j12Salted)
+    f8CleanOfficer, f21Entities, gDegrees, a17Percentiles, j12Salted,
+    a18Sketches)
 }

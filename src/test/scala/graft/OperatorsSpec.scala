@@ -114,6 +114,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 4)
   }
 
+  // ---- Sketches -----------------------------------------------------------
+
+  test("a18 sketches track the exact aggregates within tolerance") {
+    val sf = "/root/testdata/sf0.001"
+    val approx = graft.queries.Coverage.a18Sketches.run(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("nd"),
+        expr("percentile(value, 0.5D)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (nd, p50)) =>
+      val (and, ap50) = approx(k)
+      assert(math.abs(and - nd).toDouble / nd < 0.05, s"$k distinct: $and vs $nd")
+      assert(math.abs(ap50 - p50) / math.max(p50, 1.0) < 0.05, s"$k p50: $ap50 vs $p50")
+    }
+  }
+
   // ---- Temporal -----------------------------------------------------------
 
   test("Temporal.asofJoin attaches the latest right row at or before ts") {
