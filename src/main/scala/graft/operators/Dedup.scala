@@ -141,23 +141,27 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
+    var labels = cached
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("c")), "dst")
         .groupBy(col("src").as("id")).agg(min("c").as("nbr_min"))
+      // carry the old label through the select so convergence is read in
+      // the SAME action that materializes the new labels — one job per
+      // round instead of three
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("component"),
-          coalesce(col("nbr_min"), col("component"))).as("component"))
+          coalesce(col("nbr_min"), col("component"))).as("component"),
+          col("component").as("__old"))
         .cache()
-      next.count() // materialize before comparing against the old labels
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("component") =!= col("__old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "component")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
