@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, FuzzyJoin, Merge}
+
+/** Property-based checks for the algebraic claims the operators rely on —
+  * the invariants a fixed example can't pin. Raw ScalaCheck generators
+  * drawn with a fixed seed (no scalatestplus bridge in the build), so
+  * failures are reproducible. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val name = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+
+  test("roRatio is bounded, 1 on equality, and difflib-faithfully ASYMMETRIC") {
+    samples(Gen.zip(name, name), 200).foreach { case (a, b) =>
+      val r = FuzzyJoin.roRatio(a, b)
+      assert(r >= 0.0 && r <= 1.0, s"($a,$b)")
+      if (a == b) assert(r == 1.0)
+    }
+    // Ratcliff-Obershelp is order-dependent (the longest-block recursion
+    // scans the first argument) — difflib gives 0.125 / 0.25 for this
+    // pair depending on order, and parity means we must too:
+    assert(FuzzyJoin.roRatio("enurbcor", "bkdclksu") == 0.125)
+    assert(FuzzyJoin.roRatio("bkdclksu", "enurbcor") == 0.25)
+    // near-equal strings score high, disjoint alphabets score 0
+    assert(FuzzyJoin.roRatio("acme holdings", "acme holding") > 0.9)
+    assert(FuzzyJoin.roRatio("aaaa", "zzzz") == 0.0)
+  }
+
+  test("upsert is idempotent and preserves key uniqueness") {
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(1, 6), name)),
+      Gen.listOfN(6, Gen.zip(Gen.choose(1, 6), name)))
+    samples(gen, 8).foreach { case (baseRows, updRows) =>
+      val base = baseRows.distinctBy(_._1).toDF("id", "v")
+      val upd = updRows.distinctBy(_._1).toDF("id", "v")
+      val once = Merge.upsert(base, upd, Seq("id"))
+      val twice = Merge.upsert(once, upd, Seq("id"))
+      val a = once.as[(Int, String)].collect().toSet
+      val b = twice.as[(Int, String)].collect().toSet
+      assert(a == b, "upsert must be idempotent")
+      assert(a.toSeq.map(_._1).distinct.size == a.size, "keys stay unique")
+      val updMap = updRows.distinctBy(_._1).toMap
+      a.foreach { case (k, v) => assert(updMap.get(k).forall(_ == v)) }
+    }
+  }
+
+  test("hash56 stays in [0, 2^56) and is stable across evaluations") {
+    val strs = samples(name, 50)
+    val hs = strs.toDF("s").select(Dedup.hash56($"s")).as[Long].collect()
+    hs.foreach(h => assert(h >= 0L && h < Dedup.M56))
+    val hs2 = strs.toDF("s").select(Dedup.hash56($"s")).as[Long].collect()
+    assert(hs.toSeq == hs2.toSeq)
+  }
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    samples(edgeGen, 6).foreach { edges =>
+      val pairs = edges.filter(e => e._1 != e._2)
+      if (pairs.nonEmpty) {
+        val comp = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        comp.keys.groupBy(find).foreach { case (_, members) =>
+          val want = members.min
+          members.foreach(m => assert(comp(m) == want,
+            s"node $m: got ${comp(m)}, want $want in $pairs"))
+        }
+      }
+    }
+  }
+}

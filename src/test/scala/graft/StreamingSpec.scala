@@ -142,6 +142,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/stats").count() == 3)
   }
 
+  test("stream-stream interval join: clicks attributed to purchases within 1h") {
+    // two independent watermarked streams joined on key + time range —
+    // state on both sides is bounded by the watermark + interval bound,
+    // which is what makes this shape viable on an unbounded stream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val c = clicks.toDS().withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val b = buys.toDS().withWatermark("ts", "2 hours")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+        col("ts").as("buy_ts"))
+    val joined = c.join(b,
+      col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+        Event(2, ts("2024-01-01 10:30:00"), 2, "click", 0))
+      buys.addData(Event(10, ts("2024-01-01 10:45:00"), 1, "purchase", 9.99),
+        Event(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.0)) // outside 1h
+      q.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .select("click_id", "buy_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)),
+        "only the purchase within the hour attributes")
+    } finally q.stop()
+  }
+
   test("streaming dedup: watermarked dropDuplicates suppresses redelivery") {
     // U1's streaming twin: exactly-once per event_id within the watermark
     // horizon, with state GC'd for ids older than the watermark.
