@@ -179,18 +179,13 @@ object Dedup {
 
   /** 32-bit SimHash over a token array: bit i is set when the weighted
     * sum of token-hash bit i is positive. Token hashes are computed once
-    * per document; at production scale this expression tree should become
-    * a single custom Catalyst Expression (one pass, codegen) — the
-    * semantics stay identical. */
-  def simhash32(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens), t => hash56(t))
-    (0 until 32).map { i =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * per document, then all 32 bit counters accumulate in ONE pass via
+    * the codegen SimhashBits expression (the r1 formulation traversed the
+    * array 32 times — once per bit; the oracle keeps that per-bit form
+    * and values are equal by construction). */
+  def simhash32(tokens: Column): Column =
+    graft.plans.SimhashBits.simhashBits(
+      transform(array_distinct(tokens), t => hash56(t)))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

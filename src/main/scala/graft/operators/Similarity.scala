@@ -23,14 +23,13 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity (dot / (‖a‖·‖b‖)), NULL-safe on zero norms. */
-  def cosine(aRaw: Column, bRaw: Column): Column = {
-    val a = asDouble(aRaw)
-    val b = asDouble(bRaw)
-    val na = sqrt(dot(a, a))
-    val nb = sqrt(dot(b, b))
-    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
-  }
+  /** Cosine similarity (dot / (‖a‖·‖b‖)), 0.0 on zero norms. One-pass
+    * codegen expression — bit-identical to the composed
+    * sqrt(dot)/zip_with form (same fold order, same double ops), which
+    * the DuckDB oracle keeps; the composed form traversed each array
+    * five times and materialized two cast copies per row. */
+  def cosine(aRaw: Column, bRaw: Column): Column =
+    graft.plans.CosineSim.cosineSim(aRaw, bRaw)
 
   /** Brute-force cosine top-k: every query row scored against every
     * candidate row, ranked per query. Query side must be small (it is

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftShim
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity of two Float embeddings in ONE pass.
+  *
+  * Bit-identical to the composed form it replaces —
+  * `dot/(sqrt(dot(a,a))·sqrt(dot(b,b)))` where each dot is a sequential
+  * left fold over `zip_with` products of per-element double casts — and
+  * therefore to the DuckDB `list_reduce` oracle: the three sums
+  * accumulate in the same element order with the same double ops (JVM
+  * doubles are strict IEEE; no FMA contraction), sqrt/divide follow.
+  * The composed form traversed each array five times and materialized
+  * two cast copies per row; this is one loop with three accumulators.
+  * Zero norms (or empty/mismatched arrays) → 0.0, as before. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  private lazy val lf = isFloat(left)
+  private lazy val rf = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], lf,
+      b.asInstanceOf[ArrayData], rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.CosineSim.compute($a, $lf, $b, $rf)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData,
+      bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na2 = 0.0
+    var nb2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na2 += x * x
+      nb2 += y * y
+      i += 1
+    }
+    val na = math.sqrt(na2)
+    val nb = math.sqrt(nb2)
+    if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftShim.toColumn(CosineSim(
+      GraftShim.toExpression(a), GraftShim.toExpression(b)))
+}
