@@ -136,10 +136,41 @@ object Dedup {
     *
     * Returns (id, component) for every node appearing in `pairs`, where
     * component = the smallest node id in the cluster (deterministic).
-    * Docs with no dup pair are implicitly their own singleton cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    * Docs with no dup pair are implicitly their own singleton cluster.
+    *
+    * Adaptive execution: when the DISTINCT pair list fits comfortably on
+    * the driver (`localThreshold` pairs, default 2M ≈ 32 MB of longs), a
+    * local union-find answers in one job — each distributed round costs
+    * several scheduler round-trips, which dwarfs the work on a small
+    * graph. Past the threshold the label-propagation loop runs; both
+    * paths produce identical labels (property-tested against each
+    * other). Near-dup graphs are SPARSE by construction (LSH emits few
+    * verified pairs even on huge corpora), so the local path is the
+    * common case and the loop is the unbounded-corpus safety net. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      localThreshold: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct().cache()
+    if (p.count() <= localThreshold) {
+      import spark.implicits._
+      val es = p.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val pr = parent.getOrElse(x, x)
+        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      val out = nodes.map(n => (n, find(n)))
+      p.unpersist()
+      return out.toDF("id", "component")
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()

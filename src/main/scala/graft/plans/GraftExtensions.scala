@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lev_similarity"),
       new ExpressionInfo(classOf[LevenshteinSimilarity].getName, "lev_similarity"),
       (args: Seq[Expression]) => LevenshteinSimilarity(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => SimhashBits(args.head)))
     ext.injectOptimizerRule(_ => SimilarityPrefilter)
   }
 }

@@ -16,6 +16,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r._2 - (1.0 - 3.0 / 7.0)) < 1e-12)
   }
 
+  test("cosine_sim and simhash_bits are SQL-callable via extensions") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       simhash_bits(array(CAST(0 AS BIGINT))) AS s""".stripMargin)
+      .as[(Double, Long)].collect().head
+    assert(math.abs(r._1 - 1.0) < 1e-12)
+    assert(r._2 == 0L) // all bits of hash 0 vote -1 => no bit set
+  }
+
   test("LevenshteinSimilarity expression: bounds and empty handling") {
     val got = Seq(("", ""), ("abc", "abc"), ("abc", "xyz"))
       .toDF("a", "b")

@@ -66,8 +66,15 @@ class PropertySpec extends AnyFunSuite {
     samples(edgeGen, 6).foreach { edges =>
       val pairs = edges.filter(e => e._1 != e._2)
       if (pairs.nonEmpty) {
-        val comp = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        // localThreshold = 0 forces the distributed label-propagation
+        // path; the default exercises the driver-local union-find — both
+        // must agree with the reference union-find below
+        val df = pairs.toDF("id_a", "id_b")
+        val comp = Dedup.connectedComponents(df)
           .as[(Long, Long)].collect().toMap
+        val compDist = Dedup.connectedComponents(df, localThreshold = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(comp == compDist, s"local vs distributed diverge on $pairs")
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
           val p = parent.getOrElse(x, x)
