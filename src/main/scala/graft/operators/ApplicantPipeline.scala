@@ -183,6 +183,8 @@ object ApplicantPipeline {
           col("weight").cast("int").as("shared_officer_count")),
       Catalog.sharedOfficerEdges))
 
+    apps.unpersist()
+    matches.unpersist()
     out
   }
 }

@@ -156,9 +156,19 @@ object Dedup {
       import spark.implicits._
       val es = p.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find with path compression — a recursive version would
+      // blow the stack on a degenerate million-node chain
       def find(x: Long): Long = {
-        val pr = parent.getOrElse(x, x)
-        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = x
+        while (cur != root) {
+          val nxt = parent.getOrElse(cur, cur)
+          parent(cur) = root
+          cur = nxt
+        }
+        root
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -287,13 +287,35 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def read(name: String): DataFrame = {
     createIfNotExists(name)
+    read0(name)
+  }
+
+  private def read0(name: String): DataFrame =
     spark.read.schema(defOf(name).schema).parquet(path(name))
+
+  /** Single-writer enforcement: every mutator takes the table's lock file
+    * for the duration of the write. The reference serializes through
+    * Postgres row locks + max_instances=1 (SURVEY §7.4.2); here an atomic
+    * create-exclusive on `<table>__lock` fails fast when a second writer
+    * races, instead of silently interleaving a read-merge-write. */
+  private def withLock[T](name: String)(f: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$root/${defOf(name).name}__lock")
+    val acquired = try fs.createNewFile(lock) catch {
+      case _: java.io.IOException => false
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"table $name is locked by another writer (single-writer " +
+        s"discipline); remove $lock if it is stale")
+    try f finally fs.delete(lock, false)
   }
 
   /** Schema-checked overwrite (column names+types must match the catalog;
     * nullability is advisory in parquet). Writes to a temp dir then swaps,
     * so a failed write never truncates the table. */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  def overwrite(name: String, df: DataFrame): Unit =
+    withLock(name)(overwriteUnlocked(name, df))
+
+  private def overwriteUnlocked(name: String, df: DataFrame): Unit = {
     val d = defOf(name)
     val got = df.select(d.schema.fieldNames.map(col).toIndexedSeq: _*)
     require(got.schema.fields.map(x => (x.name, x.dataType)).sameElements(
@@ -309,8 +331,8 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit = {
     createIfNotExists(name)
     val d = defOf(name)
-    df.select(d.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("append").parquet(path(name))
+    withLock(name)(df.select(d.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(path(name)))
   }
 
   /** MERGE on the table's registered business key (M1-M6): updates win on
@@ -318,14 +340,16 @@ final class TableStore(spark: SparkSession, root: String) {
   def upsert(name: String, updates: DataFrame): Unit = {
     val d = defOf(name)
     require(d.businessKey.nonEmpty, s"$name has no business key; use append/overwrite")
-    overwrite(name, Merge.upsert(read(name), updates, d.businessKey))
+    createIfNotExists(name)
+    withLock(name)(overwriteUnlocked(name, Merge.upsert(read0(name), updates, d.businessKey)))
   }
 
   /** M5/M10 check-then-insert on the business key. */
   def insertIfAbsent(name: String, incoming: DataFrame): Unit = {
     val d = defOf(name)
     require(d.businessKey.nonEmpty, s"$name has no business key; use append/overwrite")
-    overwrite(name, Merge.insertIfAbsent(read(name), incoming, d.businessKey))
+    createIfNotExists(name)
+    withLock(name)(overwriteUnlocked(name, Merge.insertIfAbsent(read0(name), incoming, d.businessKey)))
   }
 
   /** Partition-aware overwrite (M8 at warehouse scale): writes `df` with
@@ -344,8 +368,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      got.write.mode("overwrite").partitionBy(partitionCols: _*)
-        .parquet(path(name))
+      withLock(name)(got.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(path(name)))
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -373,7 +397,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = read(name)
-    overwrite(name, df.repartition(nFiles))
+    withLock(name)(overwriteUnlocked(name, df.repartition(nFiles)))
     val after = fs.listStatus(p)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (before.length, after)

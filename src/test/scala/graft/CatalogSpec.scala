@@ -190,6 +190,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == (1L to 64L).map(i => f"$i%08d").toSet)
   }
 
+  test("a held writer lock makes mutators fail fast, and locks don't leak") {
+    val store = freshStore()
+    val td = Catalog.companies
+    store.overwrite(td.name, mk(td, Map("id" -> 1L, "company_number" -> "X1")))
+    // simulate a concurrent writer holding the lock
+    val lockPath = new java.io.File(new java.net.URI(
+      "file://" + store.path(td.name) + "__lock").getPath)
+    assert(lockPath.createNewFile())
+    intercept[IllegalStateException] {
+      store.upsert(td.name, mk(td, Map("id" -> 2L, "company_number" -> "X2")))
+    }
+    assert(lockPath.delete())
+    store.upsert(td.name, mk(td, Map("id" -> 2L, "company_number" -> "X2")))
+    assert(store.read(td.name).count() == 2)
+    assert(!lockPath.exists(), "lock must be released after the write")
+  }
+
   test("overwrite rejects a frame missing catalog columns") {
     val store = freshStore()
     import spark.implicits._
