@@ -19,6 +19,13 @@ object Bench {
     // UnsafeRows — every expression actually evaluates.
     def exec(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+    // JSON-safe error text: exception messages embed plan trees with tabs/
+    // control chars, which would break the consumer's json.load
+    def sanitize(e: Throwable): String = e.toString.flatMap {
+      case '"' | '\\' => " "
+      case c if c < ' ' => " "
+      case c => c.toString
+    }.take(200)
     // Warm EACH query once before timing it: at sf0.1 a single cold run is
     // dominated by janino whole-stage-codegen compilation (measured ~3 s
     // compile vs ~1 s execute on the heavy queries) — a fixed per-plan cost
@@ -30,7 +37,7 @@ object Bench {
         try { exec(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
-          errors ::= (name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
+          errors ::= (name -> sanitize(e))
           false
         }
       val t0 = System.nanoTime()
@@ -38,7 +45,7 @@ object Bench {
         (try { exec(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
-          errors ::= (name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
+          errors ::= (name -> sanitize(e))
           false
         })
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

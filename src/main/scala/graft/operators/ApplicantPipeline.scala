@@ -34,20 +34,29 @@ object ApplicantPipeline {
       .when(length(trim(pref)) < 3, "Planning reference too short")
       .when(length(trim(name)) < 2, "Applicant name too short")
 
-  /** Pipeline stage outputs — lazy DataFrames sharing one scan. */
+  /** Pipeline stage outputs — lazy DataFrames sharing one scan. The
+    * checked/ranked/matches stages are cached (stats and persistence read
+    * them repeatedly); call [[Output.unpersist]] when done with a batch
+    * or a long-lived session accumulates per-batch cache entries. */
   final case class Output(
       errors: DataFrame,     // (input_id, error)
       applicants: DataFrame, // deduped: (input_id, planning_reference, raw_name, normalized_name, applicant_type)
       duplicates: DataFrame, // the rows dedupe dropped
       matches: DataFrame,    // (input_id, applicant_name, company_id, company_name, method, confidence, match_rank)
-      stats: DataFrame)      // long-format (metric, value BIGINT)
+      stats: DataFrame,      // long-format (metric, value BIGINT)
+      private[operators] val cached: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Run the batch through validate → normalize → dedupe → match.
     *
-    * @param raw (ordinalCol, prefCol, nameCol) — ordinalCol must be unique
-    *            (arrival order); the FIRST occurrence of a duplicate key
-    *            survives, as the reference's first-wins dict scan does
-    *            (applicant_processor.py:317-336).
+    * @param raw (ordinalCol, prefCol, nameCol) — ordinalCol must be
+    *            GLOBALLY unique (webhook event id, not a per-batch
+    *            ordinal): it orders first-wins dedup within the batch
+    *            (applicant_processor.py:317-336) AND becomes the
+    *            persisted surrogate id in [[runWithStore]], where a
+    *            reused ordinal from a later micro-batch would collide
+    *            with an earlier entity's row.
     * @param companies (companyId, companyName) — the match universe.
     */
   def run(raw: DataFrame, ordinalCol: String, prefCol: String, nameCol: String,
@@ -56,10 +65,12 @@ object ApplicantPipeline {
       commonTokens: Seq[String] = Nil): Output = {
     import org.apache.spark.sql.expressions.Window
 
+    // cached: the stats block reads these lineages up to 8 times, and
+    // runWithStore reads them again for its writes
     val checked = raw.select(
       col(ordinalCol).as("input_id"),
       col(prefCol).as("pref_raw"), col(nameCol).as("name_raw"),
-      validationError(col(prefCol), col(nameCol)).as("error"))
+      validationError(col(prefCol), col(nameCol)).as("error")).cache()
 
     val errors = checked.filter(col("error").isNotNull)
       .select("input_id", "error")
@@ -77,7 +88,7 @@ object ApplicantPipeline {
     // name) survives — deterministic via the arrival ordinal
     val byKey = Window.partitionBy("planning_reference", "normalized_name")
       .orderBy("input_id")
-    val ranked = normalized.withColumn("__rn", row_number().over(byKey))
+    val ranked = normalized.withColumn("__rn", row_number().over(byKey)).cache()
     val applicants = ranked.filter(col("__rn") === 1).drop("__rn")
     val duplicates = ranked.filter(col("__rn") > 1).drop("__rn")
 
@@ -87,7 +98,7 @@ object ApplicantPipeline {
       matchable.select(col("input_id"), col("raw_name")), companies,
       "input_id", "raw_name", companyId, companyName,
       minConfidence, topK, commonTokens)
-      .withColumnRenamed("applicant_id", "input_id")
+      .withColumnRenamed("applicant_id", "input_id").cache()
 
     val stat = (m: String, df: DataFrame) =>
       df.agg(count(lit(1)).cast("long").as("value"))
@@ -103,7 +114,8 @@ object ApplicantPipeline {
       .unionByName(stat("matched_applicants",
         matches.select("input_id").distinct()))
 
-    Output(errors, applicants, duplicates, matches, stats)
+    Output(errors, applicants, duplicates, matches, stats,
+      cached = Seq(checked, ranked, matches))
   }
 
   /** Charge-based tier rule (weekly_scheduler.py:917-919): records WITH
@@ -134,12 +146,17 @@ object ApplicantPipeline {
     val out = run(raw, ordinalCol, prefCol, nameCol,
       companies, "company_id", "company_name",
       minConfidence, topK, commonTokens)
-    val apps = out.applicants.cache()
-    val matches = out.matches.cache()
+    val apps = out.applicants
+    val matches = out.matches
 
+    // one row per DISTINCT reference: two applicants can share a planning
+    // application within a batch (dedup keys on reference+name, not
+    // reference alone) — min input_id is the deterministic surviving id
     store.insertIfAbsent("planning_applications", Catalog.conform(
-      apps.select(col("input_id").as("id"), lit(borough).as("borough"),
-        col("planning_reference").as("reference")),
+      apps.groupBy("planning_reference")
+        .agg(min("input_id").as("id"))
+        .select(col("id"), lit(borough).as("borough"),
+          col("planning_reference").as("reference")),
       Catalog.planningApplications))
 
     // resolve each applicant to the SURVIVING planning-application id
@@ -183,8 +200,6 @@ object ApplicantPipeline {
           col("weight").cast("int").as("shared_officer_count")),
       Catalog.sharedOfficerEdges))
 
-    apps.unpersist()
-    matches.unpersist()
     out
   }
 }

@@ -206,6 +206,11 @@ object Dedup {
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    // release the inputs; the final round's cache stays as the returned
+    // result's backing (one (id, component) row per node — the caller can
+    // unpersist the returned frame's parent when done)
+    edges.unpersist()
+    p.unpersist()
     labels
   }
 

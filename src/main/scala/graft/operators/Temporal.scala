@@ -32,25 +32,30 @@ object Temporal {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty, "payload names collide with left")
+    // the payload travels as ONE struct per right row: last(ignoreNulls)
+    // then skips left rows (null struct) but never a right row some of
+    // whose FIELDS are null — per-column carry would resurrect an older
+    // row's value for a field the latest row holds as NULL (and could
+    // stitch fields from different rows), diverging from ASOF semantics
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__isR", lit(0))
-      .withColumns(payload.map(p => p -> lit(null)
-        .cast(right.schema(p).dataType)).toMap)
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payload.map(p =>
+          org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))))
     val r = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__isR")) ++
-        payload.map(col): _*)
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__isR"),
+        struct(payload.map(col): _*).as("__p")): _*)
       .withColumns(leftCols.filterNot(keys.contains).map(c =>
         c -> lit(null).cast(left.schema(c).dataType)).toMap)
     // right rows sort BEFORE left rows at equal ts: asof is `<=`
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__isR").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__isR") === 0)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
   /** RANGE (interval) JOIN: points joined to the intervals containing

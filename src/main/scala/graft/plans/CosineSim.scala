@@ -45,12 +45,16 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData,
       bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // mismatched dimensions or a null element → 0.0, matching the
+    // composed form (zip_with pads with null → null fold → otherwise 0.0)
+    if (n != b.numElements()) return 0.0
     var dot = 0.0
     var na2 = 0.0
     var nb2 = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return 0.0
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

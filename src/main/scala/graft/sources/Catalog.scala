@@ -331,8 +331,13 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit = {
     createIfNotExists(name)
     val d = defOf(name)
-    withLock(name)(df.select(d.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write.mode("append").parquet(path(name)))
+    val got = df.select(d.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // same type gate as overwrite: a mistyped frame must be rejected
+    // BEFORE the write, not poison the table for the next pinned read
+    require(got.schema.fields.map(x => (x.name, x.dataType)).sameElements(
+      d.schema.fields.map(x => (x.name, x.dataType))),
+      s"schema mismatch appending $name: ${got.schema.simpleString} vs ${d.schema.simpleString}")
+    withLock(name)(got.write.mode("append").parquet(path(name)))
   }
 
   /** MERGE on the table's registered business key (M1-M6): updates win on

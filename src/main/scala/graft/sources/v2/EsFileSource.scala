@@ -90,14 +90,14 @@ private[v2] object EsFileSource {
       StructField(f.getName, dt)
     })
 
-  /** Requested projection for one file: select the fetch columns from the
-    * FILE's own schema so repetition (required vs optional) is preserved —
+  /** Requested projection: select the fetch columns from the FILE's own
+    * schema (parsed from the string carried in the partition — no footer
+    * re-read) so repetition (required vs optional) is preserved —
     * declaring everything optional fails checkContains on required
     * columns. */
-  def projectionFor(file: String, fetch: StructType): MessageType = {
-    val fr = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), conf))
-    val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+  def projectionFor(fileSchemaStr: String, fetch: StructType): MessageType = {
+    val fileSchema =
+      org.apache.parquet.schema.MessageTypeParser.parseMessageType(fileSchemaStr)
     new MessageType("spark_schema",
       fetch.fields.toSeq.map(f =>
         fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
@@ -267,15 +267,20 @@ private[v2] object EsScan {
   /** One partition per parquet ROW GROUP (a 100 TB table is a few files
     * of many row groups — file granularity would starve the cluster).
     * Ranges use the row-group midpoint rule, same as Spark's own reader:
-    * a group belongs to the split containing its midpoint. */
+    * a group belongs to the split containing its midpoint. The file's
+    * parquet schema rides along in each partition so readers never
+    * re-open the footer (one footer read per FILE, at planning). */
   def rowGroupPartitions(path: String): Array[InputPartition] =
     EsFileSource.listFiles(path).flatMap { f =>
       val footer = ParquetFileReader.open(
         HadoopInputFile.fromPath(f.getPath, EsFileSource.conf))
-      try footer.getFooter.getBlocks.asScala.toSeq.map { b =>
-        val mid = b.getStartingPos + b.getCompressedSize / 2
-        EsInputPartition(f.getPath.toString, b.getStartingPos,
-          math.max(mid + 1 - b.getStartingPos, 1L))
+      try {
+        val schemaStr = footer.getFileMetaData.getSchema.toString
+        footer.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val mid = b.getStartingPos + b.getCompressedSize / 2
+          EsInputPartition(f.getPath.toString, b.getStartingPos,
+            math.max(mid + 1 - b.getStartingPos, 1L), schemaStr)
+        }
       } finally footer.close()
     }.toArray
 }
@@ -303,7 +308,7 @@ private[v2] class EsAggScan(path: String, full: StructType,
 }
 
 private[v2] case class EsInputPartition(file: String, start: Long,
-    length: Long) extends InputPartition
+    length: Long, fileSchema: String) extends InputPartition
 
 private[v2] case class EsReaderFactory(fetch: StructType, out: StructType,
     pushed: Array[sources.Filter], limit: Int) extends PartitionReaderFactory {
@@ -321,7 +326,7 @@ private[v2] class MatchingRows(part: EsInputPartition, fetch: StructType,
   private val reader = {
     val c = EsFileSource.conf
     c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      EsFileSource.projectionFor(part.file, fetch).toString)
+      EsFileSource.projectionFor(part.fileSchema, fetch).toString)
     org.apache.parquet.hadoop.ParquetReader
       .builder(new GroupReadSupport(), new Path(part.file)).withConf(c)
       .withFileRange(part.start, part.start + part.length)

@@ -28,9 +28,11 @@ object ApplicantStream {
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // unpersist per batch: the pipeline caches its hot stages, and a
+          // long-lived stream would otherwise accrete one cache per batch
           ApplicantPipeline.runWithStore(store, batch,
             ordinalCol, prefCol, nameCol, borough, companies,
-            minConfidence, topK, commonTokens)
+            minConfidence, topK, commonTokens).unpersist()
           ()
         }
       }

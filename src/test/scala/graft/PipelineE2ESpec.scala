@@ -75,6 +75,22 @@ class PipelineE2ESpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two applicants sharing a reference create ONE planning application") {
+    val st = store()
+    val shared = Seq[(Long, String, String)](
+      (1L, "TEST/2025/020", "Thames Gate Developments Ltd"),
+      (2L, "TEST/2025/020", "Riverbend Homes Limited"))
+      .toDF("input_id", "planning_reference", "applicant_name")
+    ApplicantPipeline.runWithStore(st, shared,
+      "input_id", "planning_reference", "applicant_name",
+      borough = "camden", companies = companies)
+    assert(st.read("planning_applications").count() == 1)
+    assert(st.keyViolations("planning_applications").count() == 0)
+    val apps = st.read("applicants")
+    assert(apps.count() == 2, "both applicants persist under the one application")
+    assert(apps.select("planning_application_id").distinct().count() == 1)
+  }
+
   test("pipeline persists validated batch with reference-pinned behaviors") {
     val st = store()
     val out = ApplicantPipeline.runWithStore(st, raw,
