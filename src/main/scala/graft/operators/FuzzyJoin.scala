@@ -84,13 +84,21 @@ object FuzzyJoin {
     *                   Pairs whose ONLY shared token is that frequent are
     *                   missed by design; at such frequency the token
     *                   carries no matching signal.
+    * @param difflibParity score with the reference's exact
+    *                   SequenceMatcher.ratio (roRatio UDF — interpreted,
+    *                   not codegen) instead of the default normalized-
+    *                   Levenshtein substitute. Same tiers/thresholds;
+    *                   candidate blocking is identical, so the cost delta
+    *                   is per-candidate scoring only. Use when migrating
+    *                   outputs must agree with the reference row-for-row.
     */
   def matchNames(applicants: DataFrame, companies: DataFrame,
       applicantId: String, applicantName: String,
       companyId: String, companyName: String,
       minConfidence: Double = 0.7, topK: Int = 3,
       commonTokens: Seq[String] = Nil,
-      maxTokenDf: Long = Long.MaxValue): DataFrame = {
+      maxTokenDf: Long = Long.MaxValue,
+      difflibParity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // normalize/tokenize once per input row — every derived column the
@@ -128,10 +136,15 @@ object FuzzyJoin {
     val cand = aTokB.join(cTokB, "token")
       .select("applicant_id", "company_id").distinct()
 
+    val fuzzyScore: (Column, Column) => Column =
+      if (difflibParity) {
+        val ro = udf((x: String, y: String) => roRatio(x, y))
+        (x, y) => ro(x, y)
+      } else levSimilarity
     val scored = cand.join(a, "applicant_id").join(c, "company_id")
       .withColumn("token_sim",
         TextFunctions.tokenJaccard(col("a_tokens"), col("c_tokens")))
-      .withColumn("fuzzy_sim", levSimilarity(col("a_base"), col("c_base")))
+      .withColumn("fuzzy_sim", fuzzyScore(col("a_base"), col("c_base")))
       .withColumn("method",
         when(col("a_norm") === col("c_norm"), "exact")
           .when(col("a_base") === col("c_base"), "suffix_normalized")

@@ -49,6 +49,18 @@ class CacheAndFuzzySpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, "exact"), (11L, 2L, "suffix_normalized")))
   }
 
+  test("difflibParity mode scores with the exact SequenceMatcher ratio") {
+    val companies = Seq((1L, "Acme Building 1234")).toDF("id", "name")
+    val applicants = Seq((10L, "Acmo Building 1234")).toDF("id", "name")
+    val got = FuzzyJoin.matchNames(applicants, companies, "id", "name",
+      "id", "name", difflibParity = true)
+      .select("method", "confidence").as[(String, Double)].collect().head
+    assert(got._1 == "fuzzy")
+    // confidence must equal roRatio of the suffix-stripped normalized names
+    val expected = FuzzyJoin.roRatio("acmo building 1234", "acme building 1234")
+    assert(math.abs(got._2 - expected) < 1e-12)
+  }
+
   test("CacheStore: put/get roundtrip, TTL expiry, size eviction") {
     var clock = 1000L
     val dir = java.nio.file.Files.createTempDirectory("graft_cache").toString
