@@ -78,6 +78,25 @@ object Multimodal {
     }
   }
 
+  /** One resized media item: payload normalized to `targetBytes`. */
+  final case class Resized(doc_id: Long, media_type: String, in_bytes: Long,
+      out_bytes: Long, truncated: Boolean, payload: Array[Byte])
+
+  /** Resize stage (STUB): normalize every payload to exactly
+    * `targetBytes` — truncate long payloads, zero-pad short ones. A real
+    * build decodes, rescales pixels/samples, and re-encodes; the plumbing
+    * (binary in → fixed-size binary out, per-partition batches, typed
+    * metadata alongside) is the production shape. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      targetBytes: Int = 64): Dataset[Resized] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val out = java.util.Arrays.copyOf(r.payload, targetBytes)
+      Resized(r.doc_id, r.media_type, r.payload.length.toLong,
+        targetBytes.toLong, r.payload.length > targetBytes, out)
+    })
+  }
+
   /** Fixed-width feature vector per frame (STUB standing in for a real
     * embedding model: mean byte value + normalized length + head bytes).
     * The shape — binary in, Array[Float] out, batched per partition — is

@@ -431,6 +431,21 @@ object Pipeline {
   /** Frame sampling through the typed flatMap pipeline: every 4th
     * 50-byte frame per payload, surfaced as text for the oracle (payload
     * is ASCII, so byte slices equal substring slices). */
+  /** Resize stage: every payload normalized to 64 bytes (truncate/pad) —
+    * the metadata triple is SQL-expressible, so the plumbing verifies
+    * end-to-end even though the "codec" is a stub. */
+  val mmResize = Q(
+    "mm_resize",
+    (s, dir) => Multimodal.resizeStub(s,
+        Multimodal.toMediaTable(Tables.load(s, dir, "documents")))
+      .toDF().select("doc_id", "media_type", "in_bytes", "out_bytes", "truncated"),
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'img' ELSE 'aud' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS in_bytes,
+        CAST(64 AS BIGINT) AS out_bytes,
+        octet_length(encode(text)) > 64 AS truncated
+      FROM documents"""))
+
   val mmFrames = Q(
     "mm_frame_sample",
     (s, dir) => {
@@ -450,5 +465,5 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddComponents, simTopk, simLsh, simIvf, txtLangid, txtQuality, txtTokens,
-    txtFingerprint, txtFpClusters, mmDecode, mmFrames)
+    txtFingerprint, txtFpClusters, mmDecode, mmFrames, mmResize)
 }
