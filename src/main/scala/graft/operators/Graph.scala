@@ -27,7 +27,8 @@ object Graph {
     df.select(col(groupCol).as("g"), col(itemCol).as("item"))
       .groupBy("g")
       .agg(sort_array(collect_set(col("item"))).as("items"))
-      .filter(size(col("items")) <= maxGroupSize)
+      // singleton groups emit no pairs — drop them before the explode
+      .filter(size(col("items")).between(2, maxGroupSize))
       .select(explode(expr(
         """flatten(transform(items, (x, i) ->
            transform(slice(items, i + 2, size(items)),

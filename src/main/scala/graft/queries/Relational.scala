@@ -110,6 +110,7 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2) // singletons emit no pairs
         .select(explode(expr(
           """flatten(transform(parts, (x, i) ->
              transform(slice(parts, i + 2, size(parts)),
