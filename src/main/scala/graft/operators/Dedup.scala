@@ -126,6 +126,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT Jaccard near-dup pairs WITHOUT the all-pairs product — the
+    * prefix-filter set-similarity join (AllPairs/PPJoin family): order
+    * every document's shingles by ascending global frequency (rarest
+    * first, hash tiebreak — both engines use the same deterministic
+    * ordering), keep each document's first |s| − ceil(t·|s|) + 1
+    * shingles, and candidates are pairs sharing at least one PREFIX
+    * shingle. The prefix theorem guarantees zero false negatives at
+    * Jaccard ≥ t, so verification against the full sets returns exactly
+    * the all-pairs answer — this is the scheme that lifts the bounded
+    * id-cap on the quadratic baseline.
+    *
+    * Scale shape: one global frequency aggregation (map-side combined),
+    * one window per document over its own shingles, an equi-join on
+    * prefix shingles (rare by construction — frequency ordering puts the
+    * corpus-common shingles OUTSIDE prefixes), then per-pair verify. */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"),
+      graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
+      .withColumn("sz", size(col("hs"))).cache()
+    val freq = docs.select(explode(col("hs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val prefix = docs.select(col("id"), col("sz"), explode(col("hs")).as("sh"))
+      .join(freq, "sh")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("id", "sh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sa = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over an undirected near-dup pair list —
     * the stage that turns pairwise matches into dedup CLUSTERS (a dup
     * "chain" a~b, b~c must collapse to ONE canonical doc even though a~c

@@ -88,6 +88,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped == 1770 + 1, "default cap must not drop small buckets")
   }
 
+  test("prefix-filter Jaccard join equals the all-pairs ground truth") {
+    // the prefix theorem's zero-false-negative guarantee, checked against
+    // a brute-force quadratic scan of the whole sf0.001 corpus
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
+      n = 5, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = docs
+      .select($"doc_id", graft.plans.ShingleHash.shingleHash($"text", 5))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, hs) => id -> hs.toSet }.sortBy(_._1)
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      inter = (sets(i)._2 & sets(j)._2).size
+      union = sets(i)._2.size + sets(j)._2.size - inter
+      if union > 0 && inter.toDouble / union >= 0.5
+    } yield (sets(i)._1, sets(j)._1)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "corpus must contain planted near-dups")
+  }
+
   test("Dedup.connectedComponents collapses transitive dup chains") {
     // chain 1-2-3 (1~3 never scored), pair 10-11, plus 20-21-22 triangle
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),

@@ -87,6 +87,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dd_jaccard_prefix: exact set-similarity join is prefix-blocked, no product") {
+    val p = plan(Pipeline.ddJaccardPrefix)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("j6: fuzzy join blocks on tokens — no cartesian scoring") {
     val p = plan(Fuzzy.j6FuzzyJoin)
     assert(!p.contains("CartesianProduct"), p)
