@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftShim
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -17,10 +19,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * doubles are strict IEEE; no FMA contraction), sqrt/divide follow.
   * The composed form traversed each array five times and materialized
   * two cast copies per row; this is one loop with three accumulators.
-  * Zero norms (or empty/mismatched arrays) → 0.0, as before. */
+  * Zero norms (or empty/mismatched/NULL arrays) → 0.0, as before: the
+  * composed form's otherwise() branch yields 0.0 when either array is
+  * NULL, so this expression is null-INTOLERANT-OUTPUT — never NULL —
+  * and overrides eval/doGenCode directly (BinaryExpression's default
+  * nullSafeEval wrapper would short-circuit a NULL input to NULL). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(
@@ -30,13 +37,27 @@ case class CosineSim(left: Expression, right: Expression)
   private lazy val lf = isFloat(left)
   private lazy val rf = isFloat(right)
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], lf,
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) 0.0
+    else CosineSim.compute(a.asInstanceOf[ArrayData], lf,
       b.asInstanceOf[ArrayData], rf)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.plans.CosineSim.compute($a, $lf, $b, $rf)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val code =
+      code"""
+        ${a.code}
+        ${b.code}
+        double ${ev.value} = 0.0;
+        if (!${a.isNull} && !${b.isNull}) {
+          ${ev.value} = graft.plans.CosineSim.compute(${a.value}, $lf, ${b.value}, $rf);
+        }"""
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)

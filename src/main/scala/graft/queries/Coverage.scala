@@ -241,8 +241,13 @@ object Coverage {
     "g_degrees",
     (s, dir) => {
       val l = Tables.load(s, dir, "lineitem")
+      // maxGroupSize lifted explicitly: the DuckDB oracle has no group-
+      // size cap, so the verified query must be semantically identical
+      // to it (the default 1000 cap is an ingest-time safety valve for
+      // hot keys, not part of the degree-distribution semantics).
       Graph.degrees(
-        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2))
+        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue))
     },
     Some("""WITH ld AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

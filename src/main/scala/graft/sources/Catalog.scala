@@ -362,7 +362,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * present in `df` (dynamic overwrite) — the reference's "delete month,
     * re-harvest month" (weekly_scheduler.py month chunks) without
     * touching the other 99.9% of a 100 TB table. First write of a table
-    * establishes the layout; later calls must use the same columns. */
+    * establishes the layout; later calls must use the same columns.
+    *
+    * ATOMICITY is per-partition, weaker than overwrite(): dynamic
+    * overwrite replaces each partition directory in place (the file
+    * committer stages to _temporary inside the table, then moves per
+    * partition), so a mid-write failure can leave SOME partitions
+    * replaced and others old — re-running the same write heals it,
+    * which is why callers (IncrementalIngest, month re-harvest) keep
+    * their inputs re-derivable. overwrite() keeps its tmp-dir swap for
+    * the all-or-nothing case. The dynamic mode is a per-WRITE
+    * DataFrameWriter option here — session conf is never touched, so
+    * concurrent queries in the same session see no conf flicker. */
   def overwritePartitions(name: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     val d = defOf(name)
@@ -370,15 +381,10 @@ final class TableStore(spark: SparkSession, root: String) {
       s"partition columns must exist in the frame: $partitionCols")
     val got = df.select((d.schema.fieldNames.filterNot(partitionCols.contains)
       ++ partitionCols).map(col).toIndexedSeq: _*)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      withLock(name)(got.write.mode("overwrite").partitionBy(partitionCols: _*)
-        .parquet(path(name)))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    withLock(name)(got.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path(name)))
   }
 
   /** Read a partitioned table (no schema pin — partition columns move to

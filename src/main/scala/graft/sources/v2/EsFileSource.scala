@@ -147,7 +147,13 @@ private[v2] object EsFileSource {
     case (null, _) | (_, null) => None
     case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
     case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
-    case (x: String, y) => Some(x.compareTo(y.toString))
+    // UTF8String byte order = code-point order, matching Spark's own
+    // string comparisons; Java String.compareTo is UTF-16 code-unit
+    // order, which disagrees beyond the BMP (supplementary chars sort
+    // below some BMP chars there) — and pushed filters are NOT
+    // re-checked by Spark, so the orders must agree exactly.
+    case (x: String, y) => Some(UTF8String.fromString(x)
+      .compareTo(UTF8String.fromString(y.toString)))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
@@ -180,7 +186,10 @@ private[v2] class EsScanBuilder(path: String, full: StructType)
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val (ok, residual) = filters.partition(EsFileSource.translatable)
     pushed = ok
-    residual // Spark keeps evaluating these (and re-checks `ok` too — safe)
+    // Only the residual is re-evaluated by Spark; `ok` filters are
+    // trusted as FULLY applied by this reader, so eval() must match
+    // Spark's comparison semantics exactly (see cmp: UTF8String order).
+    residual
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 

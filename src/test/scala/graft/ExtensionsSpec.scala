@@ -26,6 +26,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r._2 == 0L) // all bits of hash 0 vote -1 => no bit set
   }
 
+  test("cosine_sim is 0.0, not NULL, on NULL input arrays") {
+    // parity with the composed form's otherwise() branch, in BOTH the
+    // interpreted path (literals fold → eval) and codegen over rows
+    val lit = spark.sql(
+      """SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>),
+        |                  array(CAST(1.0 AS FLOAT))) AS c""".stripMargin)
+      .collect().head
+    assert(!lit.isNullAt(0) && lit.getDouble(0) == 0.0)
+    val rows = Seq(
+        (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
+        (None, Some(Array(1.0f, 0.0f))),
+        (Some(Array(1.0f, 0.0f)), None))
+      .toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS c")
+      .collect().toSeq
+    assert(rows.forall(!_.isNullAt(0)))
+    assert(rows.map(_.getDouble(0)) == Seq(1.0, 0.0, 0.0))
+  }
+
   test("LevenshteinSimilarity expression: bounds and empty handling") {
     val got = Seq(("", ""), ("abc", "abc"), ("abc", "xyz"))
       .toDF("a", "b")
