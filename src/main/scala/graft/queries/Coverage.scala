@@ -278,7 +278,30 @@ object Coverage {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50")),
     None)
 
+  /** J13: the co-located fact-to-fact join — both sides bucketed on the
+    * join key (graft.sources.Bucketing), so the SortMergeJoin runs with
+    * NO Exchange below it (pinned in PlanSpec). This is the at-scale
+    * form of every repeated orderkey join in the workload: pay the
+    * shuffle once at write, never again. Results are identical to the
+    * plain join, which is what the oracle checks. */
+  val j13Bucketed = Q(
+    "j13_bucketed_join",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Bucketing.bucketedOrderJoin(s,
+          Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"), tag)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Q.dsum(col("l_quantity")).as("sum_qty"),
+          Q.dsum(col("l_extendedprice")).as("sum_price"))
+    },
+    Some("""SELECT o.o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, a17Percentiles, j12Salted,
-    a18Sketches)
+    a18Sketches, j13Bucketed)
 }

@@ -119,6 +119,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j13: bucketed fact-to-fact join shuffles only at the aggregate") {
+    // Bucketing.bucketedOrderJoin writes both sides bucketed on the join
+    // key; the SortMergeJoin must read them co-located, so the ONLY
+    // Exchange in the whole query is the final groupBy's.
+    val df = Coverage.j13Bucketed.run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the aggregate may shuffle:\n$p")
+  }
+
   test("t9/j11: temporal joins never plan a nested-loop product") {
     val pa = plan(TemporalQueries.t9Asof)
     assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
