@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-corpus curation job — the documents-table
+  * analog of ApplicantPipeline: every stage exists as a verified
+  * standalone operator (txt_langid, txt_quality, txt_fp_clusters,
+  * dd_minhash_lsh, dd_components); this wires them into the one funnel a
+  * 100 TB pre-training pipeline actually runs, in the canonical order
+  * (cheap row-local filters first, the near-dup shuffle machinery last,
+  * on the smallest surviving set).
+  *
+  * Stages:
+  *   raw      — input corpus
+  *   lang     — keep documents whose detected language matches
+  *   quality  — keep documents scoring ≥ minQuality (0-100 heuristics)
+  *   exact    — collapse order-invariant fingerprint collisions
+  *              (shuffled/re-punctuated copies) to the lowest doc_id
+  *   near_dup — collapse MinHash+LSH near-duplicate CLUSTERS (connected
+  *              components over verified pairs) to the lowest doc_id
+  *
+  * Each stage is computed once and cached; the funnel view reads the
+  * cached stages five times for its counts. At warehouse scale the same
+  * shape holds — the early stages are narrow scans that prune the
+  * expensive shingle/signature work to the surviving minority. */
+object Curation {
+
+  final case class Stages(
+      raw: DataFrame, lang: DataFrame, quality: DataFrame,
+      exact: DataFrame, nearDup: DataFrame) {
+    def unpersist(): Unit =
+      Seq(raw, quality, exact, nearDup).foreach(_.unpersist())
+    def all: Seq[(String, DataFrame)] = Seq(
+      "raw" -> raw, "lang" -> lang, "quality" -> quality,
+      "exact" -> exact, "near_dup" -> nearDup)
+  }
+
+  /** Run the funnel; every returned frame has (doc_id, text, words). */
+  def stages(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 80.0, shingle: Int = 5, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): Stages = {
+    val raw = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.wordCount(col("text")).as("words"))
+      .cache()
+    val kept = raw.filter(TextAnalysis.langId(col("text")) === lang)
+    val qual = kept
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .cache()
+    // order-invariant fingerprint collision ⇒ same bag of words: the
+    // lowest doc_id survives (min-over-window, one hash shuffle)
+    val keepFp = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+    val exact = qual
+      .withColumn("keep_id", min("doc_id").over(keepFp))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+      .cache()
+    // near-dup clusters over the exact survivors only — the LSH banding
+    // and component machinery run on the already-pruned corpus
+    val pairs = Dedup.minhashPairs(exact, "doc_id", "text",
+        n = shingle, k = k, bands = bands, threshold = threshold)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val near = exact.join(losers, Seq("doc_id"), "left_anti").cache()
+    Stages(raw, kept, qual, exact, near)
+  }
+
+  /** Long-format funnel stats: one row per stage with surviving doc and
+    * word counts — the job's audit record (what each stage cost the
+    * corpus), mirroring ApplicantPipeline's stats long format. */
+  def funnel(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 80.0): DataFrame = {
+    val st = stages(docs, lang, minQuality)
+    st.all.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("words")), lit(0L)).as("n_words"))
+        .select(lit(i.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_words"))
+    }.reduce(_.unionAll(_))
+  }
+}

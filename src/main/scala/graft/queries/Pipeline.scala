@@ -65,7 +65,11 @@ object Pipeline {
   /** CTE chain computing the MinHash+LSH pair list in DuckDB — generated
     * from the same constants as Dedup.minhashPairs; shared by the pairs
     * query and the components query built on top of it. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesOver("documents")
+
+  /** Same CTE chain over an arbitrary (doc_id, text) base relation —
+    * corpus_curate runs it over the exact-dedup survivors. */
+  private def minhashCtesOver(base: String): String = {
     val mhCols = (0 until 16).map { j =>
       s"list_min(list_transform(hs, h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P})) AS mh$j"
     }.mkString(",\n          ")
@@ -74,7 +78,7 @@ object Pipeline {
       s"SELECT doc_id, $b AS band, $hs FROM sig"
     }.mkString("\n        UNION ALL ")
     s"""sh AS (
-        SELECT doc_id, $shinglesSql AS sset FROM documents),
+        SELECT doc_id, $shinglesSql AS sset FROM $base),
       hashed AS (
         SELECT doc_id, list_distinct(list_transform(sset, t -> ${h31("t")})) AS hs
         FROM sh),
@@ -510,8 +514,88 @@ object Pipeline {
       FROM n, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i)
       WHERE i % 4 = 0"""))
 
+  /** The composed corpus-curation funnel (operators.Curation): lang →
+    * quality → exact-fingerprint dedup → near-dup cluster collapse, with
+    * long-format per-stage survivor stats. Every stage reuses the SQL of
+    * its standalone oracle (txt_langid / txt_quality / txt_fp_clusters /
+    * dd_components), chained over each stage's survivors — so this one
+    * query pins the COMPOSITION: filters run before the shingle/LSH
+    * machinery, dedup keeps the lowest doc_id, clusters collapse to one
+    * survivor. */
+  val corpusCurate = Q(
+    "corpus_curate",
+    (s, dir) => graft.operators.Curation.funnel(
+      Tables.load(s, dir, "documents"), lang = "en", minQuality = 80.0),
+    Some(s"""WITH RECURSIVE raw AS (
+        SELECT doc_id, text,
+          len(string_split_regex(trim(text), '\\s+')) AS words
+        FROM documents),
+      ltok AS (
+        SELECT doc_id,
+          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM raw),
+      lhits AS (
+        SELECT doc_id,
+          len(list_intersect(t, ${stopSql(TextAnalysis.EnStop)})) AS en,
+          len(list_intersect(t, ${stopSql(TextAnalysis.FrStop)})) AS fr,
+          len(list_intersect(t, ${stopSql(TextAnalysis.DeStop)})) AS de
+        FROM ltok),
+      lang AS (
+        SELECT r.doc_id, r.text, r.words
+        FROM raw r JOIN lhits h USING (doc_id)
+        WHERE (CASE WHEN h.en = 0 AND h.fr = 0 AND h.de = 0 THEN 'und'
+                    WHEN h.en >= h.fr AND h.en >= h.de THEN 'en'
+                    WHEN h.fr >= h.de THEN 'fr' ELSE 'de' END) = 'en'),
+      qm AS (
+        SELECT doc_id, length(text) AS chars,
+          len(string_split_regex(trim(text), '\\s+')) AS wd,
+          len(list_intersect(
+            list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+            ${stopSql(TextAnalysis.EnStop)})) AS stop_hits,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+        FROM lang),
+      qual AS (
+        SELECT l.doc_id, l.text, l.words
+        FROM lang l JOIN qm USING (doc_id)
+        WHERE (CASE WHEN qm.chars BETWEEN 100 AND 5000 THEN 40.0
+                    WHEN qm.chars BETWEEN 20 AND 10000 THEN 20.0 ELSE 0.0 END)
+          + (CASE WHEN CAST(qm.chars AS DOUBLE) / CAST(qm.wd AS DOUBLE)
+                       BETWEEN 3.0 AND 10.0 THEN 30.0 ELSE 10.0 END)
+          + (CASE WHEN CAST(qm.stop_hits AS DOUBLE) / 10.0 >= 0.2 THEN 20.0
+                  ELSE CAST(qm.stop_hits AS DOUBLE) / 10.0 * 100.0 END)
+          + (CASE WHEN CAST(qm.punct AS DOUBLE) / CAST(qm.chars AS DOUBLE) <= 0.1
+                  THEN 10.0 ELSE 0.0 END) >= 80.0),
+      exact AS (
+        SELECT doc_id, text, words FROM (
+          SELECT q.*, min(doc_id) OVER (PARTITION BY
+            md5(list_aggregate(list_sort(list_distinct(
+              string_split_regex(lower(trim(text)), '\\s+'))),
+              'string_agg', ' '))) AS keep_id
+          FROM qual q)
+        WHERE doc_id = keep_id),
+      ${minhashCtesOver("exact")},
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      near AS (
+        SELECT e.doc_id, e.text, e.words FROM exact e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM comp c WHERE c.id = e.doc_id AND c.id != c.component))
+      SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+        count(*) AS n_docs, CAST(coalesce(sum(words), 0) AS BIGINT) AS n_words FROM raw
+      UNION ALL SELECT 1, 'lang', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM lang
+      UNION ALL SELECT 2, 'quality', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM qual
+      UNION ALL SELECT 3, 'exact', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM exact
+      UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
+
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddComponents, ddJaccardPrefix, simTopk, simLsh, simIvf, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize)
+    mmFrames, mmResize, corpusCurate)
 }

@@ -291,4 +291,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0) == MediaMeta(0L, "img", 3L, 1L, ('a' + 'b' + 'c').toLong))
     assert(got(1) == MediaMeta(1L, "aud", 120L, 3L, 120L * 'x'))
   }
+
+  test("Curation funnel: ordered stages, monotone survivors, real attrition") {
+    val f = Curation.funnel(Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .orderBy("stage_ord").collect()
+    assert(f.map(_.getString(1)).toSeq ==
+      Seq("raw", "lang", "quality", "exact", "near_dup"))
+    val docs = f.map(_.getLong(2)).toSeq
+    val words = f.map(_.getLong(3)).toSeq
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"stage survivors must never grow: $docs")
+    assert(words.zip(words.tail).forall { case (a, b) => b <= a })
+    assert(docs.last > 0, "curation must not empty the corpus")
+    assert(docs.last < docs.head, "curation must drop something")
+  }
 }
