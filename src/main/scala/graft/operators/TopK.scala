@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k as a PARTIAL aggregate (SURVEY §2.12's optional
+  * `topK` Aggregator) — the scale-safe alternative to window
+  * `row_number <= k` on skewed keys.
+  *
+  * The window form shuffles EVERY row of a group to one reducer and
+  * sorts there: a hot key (one company with millions of filings) owns a
+  * task. This Aggregator keeps at most k candidates per group per map
+  * partition, so map-side combine caps shuffle volume at groups×k
+  * regardless of skew, and no task ever holds a whole group. Order:
+  * score DESC, id ASC tiebreak — a total order, so results are
+  * deterministic and oracle-checkable.
+  *
+  * The buffer insert is O(1) for rows below the current k-th score (the
+  * overwhelming majority once the buffer warms) and O(k log k) for the
+  * rare improvement. */
+object TopK {
+
+  final case class Scored(score: Double, id: Long)
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  final class TopKAgg(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
+      if (buf.size < k) (buf :+ x).sortWith(better)
+      else if (better(x, buf.last)) ((buf :+ x).sortWith(better)).take(k)
+      else buf
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      (a ++ b).sortWith(better).take(k)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    // array<struct<score,id>> — a real SQL type, so the buffer shuffles
+    // compactly and the output explodes without deserialization tricks
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Untyped column form: `topK(3)(col("score"), col("id"))` inside a
+    * groupBy().agg — returns array<struct<score,id>> of the group's
+    * top k. */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAgg(k), Encoders.product[Scored])
+    (score, id) => fn(score, id)
+  }
+}

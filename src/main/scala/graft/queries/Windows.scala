@@ -68,5 +68,31 @@ object Windows {
           / CAST(count(*) AS DOUBLE) * 100.0 AS big_rate
       FROM events GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(w2PrimaryPerKey, w3FirstNSlice, a2SuccessRatio)
+  /** W6: top-3 orders per priority through the BOUNDED-BUFFER TopK
+    * Aggregator (operators.TopK) instead of a window row_number — the
+    * skew-proof form: map-side combine caps shuffle volume at groups×k,
+    * no reducer ever sorts a whole group. The oracle is the window form,
+    * which proves the two are result-identical. */
+  val w6TopkAgg = Q(
+    "w6_topk_agg",
+    (s, dir) => {
+      val top3 = graft.operators.TopK.topK(3)
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))
+    },
+    Some("""SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3"""))
+
+  val all: Seq[Q] = Seq(w2PrimaryPerKey, w3FirstNSlice, a2SuccessRatio,
+    w6TopkAgg)
 }

@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("w6: TopK aggregator combines map-side — partial before the exchange") {
+    // the whole point of the Aggregator over the window: shuffle carries
+    // at most k rows per group per map partition, which requires a
+    // partial ObjectHashAggregate below the exchange
+    val p = Windows.w6TopkAgg.run(spark, sf).queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final object hash aggregate:\n$p")
+    assert(p.contains("partial_topkagg"), p)
+  }
+
   test("j13: bucketed fact-to-fact join shuffles only at the aggregate") {
     // Bucketing.bucketedOrderJoin writes both sides bucketed on the join
     // key; the SortMergeJoin must read them co-located, so the ONLY
