@@ -76,4 +76,28 @@ object TextAnalysis {
         i => ascii(text.substr(i, lit(1)))),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  // ---- curation additions (PII, repetition, tokenization) -----------------
+
+  /** ALL lowercase word tokens in order, duplicates kept — the stream a
+    * tokenizer/repetition filter sees (tokens() above is the DISTINCT
+    * set for langid/fingerprints). */
+  def rawTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Count of email-shaped / phone-shaped spans. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** PII scrub: replace every email/phone span with a fixed tag —
+    * the pre-training redaction pass (never drop the document, keep the
+    * surrounding text trainable). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-3 training-data curation operators over the documents table:
+  * PII redaction, repetition (Gopher-style) filtering, vocabulary
+  * building, token-id encoding, deterministic stratified sampling, and
+  * training-window chunking. Pure relational/expression compositions —
+  * no UDFs — each with a bit-exact DuckDB oracle. */
+object Corpus {
+
+  /** PII redaction: scrub email/phone spans, keep the document. The
+    * corpus has no natural PII, so spans are planted deterministically
+    * on doc_id < 100 (same convention as dd_exact's planted dups) —
+    * the redaction machinery runs over every row either way. */
+  val txtPii = Q(
+    "txt_pii_redact",
+    (s, dir) => {
+      val planted = when(col("doc_id") < 100,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com or +44"),
+            (lit(7000000000L) + col("doc_id")).cast("string")))
+        .otherwise(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), planted.as("text2"))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("text2")).as("n_emails"),
+          TextAnalysis.phoneCount(col("text2")).as("n_phones"),
+          TextAnalysis.redactPii(col("text2")).as("redacted"))
+    },
+    Some(s"""WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id < 100
+               THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +44'
+                    || CAST(7000000000 + doc_id AS VARCHAR)
+               ELSE text END AS text2
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text2, '${TextAnalysis.EmailRe}')) AS n_emails,
+        len(regexp_extract_all(text2, '${TextAnalysis.PhoneRe}')) AS n_phones,
+        regexp_replace(regexp_replace(text2,
+          '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+          '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+      FROM p"""))
+
+  /** Repetition filter (the Gopher-report shape): per document, the
+    * most frequent word bigram's share of all bigrams. Boilerplate and
+    * template spam score high; flagged at ≥ 0.2. Relational build —
+    * explode bigrams, count, max — so it scales as a groupBy, never a
+    * per-row quadratic. */
+  val txtRepetition = Q(
+    "txt_repetition",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rawTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bigrams = base.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(t) - 1),
+                       i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+          .as("bg"))
+      bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max(col("cnt")).as("max_bg"), sum(col("cnt")).as("total_bg"))
+        .select(col("doc_id"), col("total_bg"), col("max_bg"),
+          (col("max_bg").cast("double") / col("total_bg").cast("double"))
+            .as("top_bigram_frac"))
+        .withColumn("flagged", col("top_bigram_frac") >= 0.2)
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      bi AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM base WHERE len(t) >= 2),
+      c AS (SELECT doc_id, bg, count(*) AS cnt FROM bi GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_bg,
+        max(cnt) AS max_bg,
+        CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac,
+        (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) >= 0.2 AS flagged
+      FROM c GROUP BY 1"""))
+
+  /** Tokenizer vocabulary: corpus-wide top-1000 words by frequency,
+    * assigned dense ids in (count DESC, token ASC) order. The global
+    * window ranks only the LIMITed top slice (TakeOrderedAndProject
+    * below it), never the full vocabulary — the a12/o3 rule. */
+  val txtVocab = Q(
+    "txt_vocab",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.rawTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(1000)
+      top.withColumn("token_id",
+          row_number().over(Window.orderBy(col("n").desc, col("token")))
+            .cast("long"))
+        .select("token_id", "token", "n")
+    },
+    Some("""SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id,
+        token, n
+      FROM (
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 1000)"""))
+
+  /** Token-id encoding: each document's word stream mapped through the
+    * vocabulary (broadcast join — the vocab is tiny by construction);
+    * out-of-vocabulary words encode as 0. Pinned to doc_id < 200 to
+    * bound the exploded output at every scale factor. */
+  val txtEncode = Q(
+    "txt_encode",
+    (s, dir) => {
+      val vocab = txtVocab.run(s, dir).select("token_id", "token")
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.rawTokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(0L)).as("token_id"))
+    },
+    Some("""WITH vocab AS (
+        SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id, token
+        FROM (
+          SELECT token, count(*) AS n FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents)
+          GROUP BY 1 ORDER BY n DESC, token LIMIT 1000)),
+      toks AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS token FROM (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents WHERE doc_id < 200),
+          LATERAL (SELECT unnest(generate_series(1, len(t))) AS i))
+      SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+      FROM toks t LEFT JOIN vocab v USING (token)"""))
+
+  /** Deterministic stratified sample: ~10% of documents, selected by
+    * content-independent stable hash of the id — reproducible across
+    * runs, engines, and partitionings (no rand()), and joinable back to
+    * the full table. The per-language counts verify the strata stay
+    * proportional. */
+  val txtSample = Q(
+    "txt_sample",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .filter(Dedup.hash56(col("doc_id").cast("string")) % 10 === 0)
+      .select("doc_id", "lang"),
+    Some(s"""SELECT doc_id, lang FROM documents
+      WHERE ((md5_number_lower(CAST(doc_id AS VARCHAR)) % ${Dedup.M56})::BIGINT) % 10 = 0"""))
+
+  /** Training-window chunking: token windows of 64 with stride 48
+    * (16-token overlap) — the doc→sample exploder feeding a trainer.
+    * Emits (doc, chunk ordinal, tokens in chunk); chunk content joins
+    * back via txt_encode positions [idx*48, idx*48+n). */
+  val txtChunks = Q(
+    "txt_chunks",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.rawTokens(col("text"))).as("n"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, CAST(floor((n - 1) / 48) AS INT))"))
+          .as("chunk_idx"),
+        col("n"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(64), col("n") - col("chunk_idx") * 48).cast("long")
+          .as("n_tokens"))
+    ,
+    Some("""WITH n AS (
+        SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS n
+        FROM documents)
+      SELECT doc_id, i AS chunk_idx, least(64, n - i * 48) AS n_tokens
+      FROM n, LATERAL (SELECT unnest(generate_series(0, (n - 1) // 48)) AS i)"""))
+
+  val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
+    txtSample, txtChunks)
+}
