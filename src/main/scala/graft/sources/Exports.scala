@@ -5,10 +5,10 @@ import graft.operators.Flatten
 
 /** S3 — the two-sheet styled export (reference utils.py:60-163: an Excel
   * workbook with a Companies sheet and a flattened Enrichment sheet).
-  * No POI in this environment, so the workbook becomes a directory of
-  * per-sheet CSVs; the semantic content — column ordering, the recursive
-  * flatten of nested enrichment payloads (utils.py:110-135) — is
-  * identical, and a POI writer can be swapped in behind this signature. */
+  * Two writers share the sheet-building logic: a per-sheet CSV directory
+  * (bulk-friendly, distributed write) and a REAL .xlsx workbook
+  * (graft.sources.Xlsx — OOXML via the JDK zip writer, bold headers +
+  * sized columns, no POI needed). */
 object Exports {
 
   /** Write `sheets` as name → flattened CSV under `dir`/<name>. Nested
@@ -34,7 +34,17 @@ object Exports {
     * the same information with a stable schema. `enrichment_data` must be
     * a struct column (parse JSON strings with from_json upstream). */
   def companiesWorkbook(dir: String, companies: DataFrame,
-      enrichment: Option[DataFrame] = None): Unit = {
+      enrichment: Option[DataFrame] = None): Unit =
+    exportSheets(dir, workbookSheets(companies, enrichment): _*)
+
+  /** Same two sheets as ONE styled .xlsx file (utils.py writes
+    * openpyxl; this writes the OOXML directly). */
+  def companiesWorkbookXlsx(path: String, companies: DataFrame,
+      enrichment: Option[DataFrame] = None): Unit =
+    Xlsx.writeWorkbook(path, workbookSheets(companies, enrichment))
+
+  private def workbookSheets(companies: DataFrame,
+      enrichment: Option[DataFrame]): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.functions._
     val sheet1 = companies.select(CompaniesSheetColumns.map(col): _*)
     val sheets = enrichment.map { e =>
@@ -46,6 +56,6 @@ object Exports {
             col("enrichment_data")))
       "Enrichment Data" -> flat
     }.toSeq
-    exportSheets(dir, (("Companies" -> sheet1) +: sheets): _*)
+    ("Companies" -> sheet1) +: sheets
   }
 }

@@ -141,6 +141,58 @@ class SourcesEtlSpec extends AnyFunSuite {
     assert(r.getAs[String]("enrichment_data_data_tier") == "Lender (No Contact)")
   }
 
+  test("S3 xlsx workbook: two styled sheets, real OOXML, no POI") {
+    import org.apache.spark.sql.functions._
+    val companies = Seq(
+      ("Blue & Co <Ltd>", "07654321", "active", "ltd", "uk", "2021-05-05",
+        "2 Low St", "41100", "2024-02-02"))
+      .toDF("company_name", "company_number", "company_status", "company_type",
+        "jurisdiction", "date_of_creation", "address", "sic_codes", "created_at")
+    val enrichment = spark.read.json(Seq(
+      """{"company_number":"07654321","provider":"hunter","enrichment_data":{"score":9,"ok":true}}"""
+    ).toDS())
+    val path = Files.createTempDirectory("graft_xlsx").toString + "/out.xlsx"
+    graft.sources.Exports.companiesWorkbookXlsx(path, companies, Some(enrichment))
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def read(n: String): String = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.contains("xl/workbook.xml") && names.contains("xl/styles.xml"))
+      assert(names.contains("xl/worksheets/sheet1.xml")
+        && names.contains("xl/worksheets/sheet2.xml"))
+      assert(read("[Content_Types].xml").contains("sheet2.xml"))
+      val wb = read("xl/workbook.xml")
+      assert(wb.contains("""name="Companies"""")
+        && wb.contains("""name="Enrichment Data""""))
+      val s1 = read("xl/worksheets/sheet1.xml")
+      // header cells styled bold (s="1"), special chars escaped, widths set
+      assert(s1.contains("""<c r="A1" s="1" t="inlineStr"><is><t>company_name</t></is></c>"""))
+      assert(s1.contains("Blue &amp; Co &lt;Ltd&gt;"))
+      assert(s1.contains("customWidth"))
+      assert(read("xl/styles.xml").contains("<b/>"))
+      // enrichment sheet: flattened columns + typed cells
+      val s2 = read("xl/worksheets/sheet2.xml")
+      assert(s2.contains("enrichment_data_score"))
+      assert(s2.contains("""t="b"""") && s2.contains("<v>9</v>"))
+    } finally zf.close()
+  }
+
+  test("Xlsx.ref produces A1-style references past column Z") {
+    assert(graft.sources.Xlsx.ref(0, 1) == "A1")
+    assert(graft.sources.Xlsx.ref(25, 3) == "Z3")
+    assert(graft.sources.Xlsx.ref(26, 2) == "AA2")
+    assert(graft.sources.Xlsx.ref(27 + 26, 9) == "BB9")
+    assert(graft.sources.Xlsx.ref(701, 1) == "ZZ1")
+    assert(graft.sources.Xlsx.ref(702, 1) == "AAA1")
+  }
+
   test("S15 migration job full-copies tables in FK order with counts") {
     val src = Files.createTempDirectory("graft_mig_src").toString
     Seq((1L, "01234567"), (2L, "SC123456"))
