@@ -152,7 +152,39 @@ object Aggregates {
         count(*) AS n
       FROM events GROUP BY 1"""))
 
+  /** A7: scalar MAX as its own one-row query (reference database.py
+    * max(created_at) freshness probe) — previously subsumed in a5. */
+  val a7MaxScalar = Q(
+    "a7_max_scalar",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .agg(max(col("o_totalprice")).as("max_price"),
+          max(col("o_orderdate")).as("latest_order")),
+    Some("""SELECT max(o_totalprice) AS max_price,
+        max(o_orderdate) AS latest_order FROM orders"""))
+
+  /** A13: multi-facet terms aggregation in one result (the ES facets
+    * panel: independent value-count breakdowns per field, long format
+    * facet/value/n). Distinct from a3 (single field) and a4 (CUBE — the
+    * cross product); facets are the marginals only. */
+  val a13Facets = Q(
+    "a13_facets",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def facet(f: String) =
+        o.groupBy(col(f).cast("string").as("facet_value"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(f).as("facet"), col("facet_value"), col("n"))
+      facet("o_orderstatus").unionAll(facet("o_orderpriority"))
+    },
+    Some("""SELECT 'o_orderstatus' AS facet,
+        CAST(o_orderstatus AS VARCHAR) AS facet_value, count(*) AS n
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), count(*)
+      FROM orders GROUP BY 2"""))
+
   val all: Seq[Q] = Seq(a3CountByType, a5MultiAgg, a6DistinctPerGroup,
     a8Having, a11CategorizeTop, a12Trend, a15QualityScore, d4WeeklyRollup,
-    d7Duration)
+    d7Duration, a7MaxScalar, a13Facets)
 }

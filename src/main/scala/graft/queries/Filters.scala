@@ -125,6 +125,39 @@ object Filters {
         SELECT row_number() OVER (ORDER BY c_custkey) AS rn, c_custkey, c_name
         FROM customer) WHERE rn > 40 AND rn <= 60"""))
 
+  /** P5: plain case-sensitive substring post-filter (reference
+    * app.py in-memory `if term in text` pass after the SQL ILIKE —
+    * DIFFERENT semantics from P1's ILIKE: no case folding). First-class
+    * entry; previously covered only via p1's contains. */
+  val p5Substring = Q(
+    "p5_substring",
+    (s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_name", "p_type"),
+    Some("""SELECT p_partkey, p_name, p_type FROM part
+      WHERE contains(p_name, 'widget')"""))
+
+  /** P6: search-then-restrict-to-selected (reference app.py search box +
+    * checkbox selection: the text search runs over everything, the
+    * action applies only to rows whose id is in the selected set — a
+    * semi-join against the selection predicate, composed with the
+    * search filter in ONE plan). */
+  val p6SearchSelected = Q(
+    "p6_search_selected",
+    (s, dir) => {
+      val selected = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_partkey").as("p_partkey"))
+      Tables.load(s, dir, "part")
+        .filter(lower(col("p_name")).contains("red"))
+        .join(selected, Seq("p_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_brand")
+    },
+    Some("""SELECT p_partkey, p_name, p_brand FROM part
+      WHERE contains(lower(p_name), 'red')
+        AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)"""))
+
   val all: Seq[Q] = Seq(p2Eq, p3NullOr, p7Project, p8Derived, p9Classifier,
-    p10Regex, o1OrderLimit, o3Pagination)
+    p10Regex, o1OrderLimit, o3Pagination, p5Substring, p6SearchSelected)
 }
