@@ -92,4 +92,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKAgg equals sort-take on random data with score ties") {
+    import org.apache.spark.sql.functions._
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0.0, 4.0).map(d =>
+        math.rint(d * 2) / 2), Gen.choose(0L, 1000000L)))
+    samples(rowGen, 8).foreach { rows =>
+      // duplicate ids would make the (score DESC, id ASC) order non-total
+      val data = rows.distinctBy(_._3)
+      val df = data.toDF("g", "score", "id")
+      val top2 = graft.operators.TopK.topK(2)
+      val got = df.groupBy("g").agg(top2(col("score"), col("id")).as("t"))
+        .select(col("g"), explode(col("t")).as("x"))
+        .select(col("g"), col("x.score"), col("x.id"))
+        .as[(Int, Double, Long)].collect().toSet
+      val want = data.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }
+          .take(2).map { case (s, id) => (g, s, id) }
+      }.toSet
+      assert(got == want, s"rows=$data")
+    }
+  }
+
+  test("redactPii leaves no email/phone span behind, whatever the text") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    val chunk = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    val gen = Gen.zip(chunk, chunk, Gen.choose(1000000L, 999999999999L))
+    val texts = samples(gen, 60).map { case (a, b, num) =>
+      s"$a contact $a.$b@$b-corp.example.org now or +$num end $b"
+    }
+    val out = texts.toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.emailCount(col("text")).as("ne"),
+        TextAnalysis.phoneCount(col("text")).as("np"))
+      .as[(String, Int, Int)].collect()
+    out.foreach { case (r, ne, np) =>
+      assert(ne >= 1 && np >= 1)
+      assert(r.contains("<EMAIL>") && r.contains("<PHONE>"), r)
+      assert(!r.matches(s".*${TextAnalysis.EmailRe}.*"), r)
+      assert(!r.matches(s".*\\+[0-9]{7,}.*"), r)
+    }
+  }
 }
