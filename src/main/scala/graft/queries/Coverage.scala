@@ -301,7 +301,28 @@ object Coverage {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1"""))
 
+  /** J14: dynamic partition pruning — date-partitioned events joined to
+    * a runtime-filtered dim of days (graft.sources.Partitioned). The
+    * events scan carries a dynamicpruningexpression partition filter
+    * (pinned in PlanSpec): at 100 TB it lists only the day directories
+    * the dim selects, instead of scanning the lake. The at-scale form of
+    * the reference's look-back harvest (weekly_scheduler.py:272-277). */
+  val j14DppJoin = Q(
+    "j14_dpp_join",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Partitioned.dppJoin(s, dir, tag)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          Q.dsum(col("value")).as("sum_value"))
+    },
+    Some("""WITH f AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+        d AS (SELECT DISTINCT day FROM f WHERE extract(day FROM day) <= 3)
+      SELECT f.day, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM f JOIN d USING (day) GROUP BY f.day"""))
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, a17Percentiles, j12Salted,
-    a18Sketches, j13Bucketed)
+    a18Sketches, j13Bucketed, j14DppJoin)
 }

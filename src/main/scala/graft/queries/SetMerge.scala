@@ -143,6 +143,51 @@ object SetMerge {
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'purchase')"""))
 
+  /** M6: contact upsert on the 3-column composite key (entity, type,
+    * value-slot) — the reference dedups the incoming batch on the
+    * composite key FIRST, then upserts (database.py:1014-1094). The
+    * within-batch survivor is the lowest event_id: a deterministic total
+    * order, where the reference inherits dict-iteration order. */
+  val m6ContactUpsert = Q(
+    "m6_contact_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keys = Seq("entity_id", "contact_type", "contact_value")
+      def dedupBatch(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy("event_id")
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      val e = Tables.load(s, dir, "events").select(
+        col("user_id").as("entity_id"),
+        col("event_type").as("contact_type"),
+        floor(col("value")).as("contact_value"),
+        col("event_id"), col("value"))
+      val base = dedupBatch(e.filter(col("event_id") % 2 === 0))
+      val incoming = dedupBatch(e.filter(col("event_id") % 3 === 0))
+      Merge.upsert(base, incoming, keys)
+    },
+    Some("""WITH e AS (
+        SELECT user_id AS entity_id, event_type AS contact_type,
+          CAST(floor(value) AS BIGINT) AS contact_value, event_id, value
+        FROM events),
+      base AS (
+        SELECT entity_id, contact_type, contact_value, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY entity_id, contact_type,
+            contact_value ORDER BY event_id) AS rn
+          FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+      incoming AS (
+        SELECT entity_id, contact_type, contact_value, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY entity_id, contact_type,
+            contact_value ORDER BY event_id) AS rn
+          FROM e WHERE event_id % 3 = 0) WHERE rn = 1)
+      SELECT * FROM incoming
+      UNION ALL
+      SELECT b.* FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM incoming i WHERE i.entity_id = b.entity_id
+          AND i.contact_type = b.contact_type
+          AND i.contact_value = b.contact_value)"""))
+
   /** M9: predicate delete as complement-overwrite (reference
     * database.py:724-729). */
   val m9Delete = Q(
@@ -154,5 +199,6 @@ object SetMerge {
       WHERE NOT (c_acctbal < 0) OR (c_acctbal < 0) IS NULL"""))
 
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
-    m1Upsert, m7KeyedUpdate, m10InsertIfAbsent, u6IntersectExcept, m9Delete)
+    m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
+    u6IntersectExcept, m9Delete)
 }

@@ -174,4 +174,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Pipeline.simTopk)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("j14: partitioned scan gets a dynamic partition pruning filter") {
+    // the events scan must carry a runtime dynamicpruningexpression on
+    // its partition column — at scale it lists only the day directories
+    // the dim query selects, never the whole lake
+    val p = plan(Coverage.j14DppJoin)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$p")
+  }
 }
