@@ -222,6 +222,33 @@ class StreamingSpec extends AnyFunSuite {
       "restart must ingest only the files that arrived while down")
   }
 
+  test("T1: Trigger.AvailableNow drains what exists, stops, re-fires clean") {
+    // the cron-fired run shape (reference weekly_scheduler.py:74-95):
+    // each firing processes everything available THEN terminates itself;
+    // the checkpoint makes the next firing ingest only what arrived in
+    // between — max_instances=1 falls out of one-query-per-checkpoint
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    def fire(): Unit = {
+      val q = spark.readStream
+        .schema("event_id LONG, v LONG").parquet(src)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    }
+    Seq((1L, 10L), (2L, 20L)).toDF("event_id", "v")
+      .write.mode("append").parquet(src)
+    fire()
+    fire() // cron re-fire with nothing new: must be a no-op
+    Seq((3L, 30L)).toDF("event_id", "v").write.mode("append").parquet(src)
+    fire()
+    val got = spark.read.parquet(sink).as[(Long, Long)].collect().toList
+    assert(got.sorted == List((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"each firing ingests exactly the new arrivals once: $got")
+  }
+
   test("batch sessionize splits on gaps") {
     val events = (batch1 ++ batch2).toDF()
     val got = EventPipeline.sessionize(events, gapMinutes = 240)
