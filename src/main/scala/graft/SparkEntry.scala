@@ -33,7 +33,7 @@ object SparkEntry {
       "t8_sessionize", "dd_exact", "dd_minhash_lsh", "dd_components",
       "sim_topk_bruteforce", "txt_quality", "t9_asof_join",
       "j11_range_join", "g_degrees", "pipeline_e2e",
-      "j13_bucketed_join", "corpus_curate")
+      "j13_bucketed_join", "j14_dpp_join", "corpus_curate")
     preferred.filter(queries.contains)
   }
 }

@@ -179,6 +179,43 @@ object Corpus {
       SELECT doc_id, i AS chunk_idx, least(64, n - i * 48) AS n_tokens
       FROM n, LATERAL (SELECT unnest(generate_series(0, (n - 1) // 48)) AS i)"""))
 
+  // DuckDB twins of Dedup.hash56 → h31 (same fragments Pipeline.scala
+  // uses), so the decontamination oracle replays ShingleHash bit-exactly
+  private def h56(x: String) =
+    s"((md5_number_lower($x) % ${Dedup.M56})::BIGINT)"
+  private def h31(x: String) = s"(${h56(x)} % ${Dedup.P})"
+  private def shingles12 =
+    s"""list_distinct(list_transform(
+        generate_series(1, greatest(length(text)-11, 1)),
+        i -> ${h31("substring(text, i, 12)")}))"""
+
+  /** Benchmark decontamination (operators.Decontaminate): docs sharing
+    * hashed char 12-grams with the pseudo-eval set (doc_id % 97 = 0).
+    * The benchmark shingle set is broadcast — at 100 TB the corpus is
+    * read once and never shuffled on anything but the final per-doc
+    * count. */
+  val txtDecontam = Q(
+    "txt_decontam",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 12, minOverlap = 20)
+    },
+    Some(s"""WITH bench AS (
+        SELECT DISTINCT unnest($shingles12) AS h
+        FROM documents WHERE doc_id % 97 = 0),
+      corpus AS (
+        SELECT doc_id, $shingles12 AS hs
+        FROM documents WHERE doc_id % 97 <> 0),
+      ex AS (
+        SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h FROM corpus)
+      SELECT doc_id, n_shingles, count(*) AS n_overlap,
+        count(*) >= 20 AS contaminated
+      FROM ex JOIN bench USING (h)
+      GROUP BY doc_id, n_shingles"""))
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
-    txtSample, txtChunks)
+    txtSample, txtChunks, txtDecontam)
 }

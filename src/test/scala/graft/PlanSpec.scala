@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("txt_decontam: benchmark membership is a broadcast join on the corpus") {
+    // the benchmark shingle set is the small side by construction; the
+    // corpus must stream past it un-shuffled (no SortMergeJoin before
+    // the per-doc aggregate)
+    val p = plan(Corpus.txtDecontam)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle to join:\n$p")
+  }
+
   test("j14: partitioned scan gets a dynamic partition pruning filter") {
     // the events scan must carry a runtime dynamicpruningexpression on
     // its partition column — at scale it lists only the day directories
