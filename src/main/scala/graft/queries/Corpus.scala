@@ -216,6 +216,54 @@ object Corpus {
       FROM ex JOIN bench USING (h)
       GROUP BY doc_id, n_shingles"""))
 
+  /** GPT-style sequence packing: within each hash bucket, documents are
+    * concatenated in doc_id order into one token stream and cut every
+    * 256 tokens — docs straddle bin boundaries (the pretraining packer,
+    * not first-fit). Pure window + explode: the cumulative token offset
+    * is a running sum, each doc emits one row per bin it touches with
+    * the tokens it contributes there. Buckets are the parallelism unit:
+    * at 100 TB raise the bucket count and each per-bucket window stays
+    * narrow — there is never a global sort or single-partition window. */
+  val txtPack = Q(
+    "txt_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 256
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (Dedup.hash56(col("doc_id").cast("string")) % 8).as("bucket"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n"))
+        .withColumn("off", coalesce(sum("n").over(w), lit(0L)))
+        .select(col("doc_id"), col("bucket"), col("n"), col("off"),
+          explode(expr(s"sequence(off div $cap, (off + n - 1) div $cap)"))
+            .as("bin_id"))
+        .select(col("doc_id"), col("bucket"), col("bin_id"),
+          (least(col("off") + col("n"), (col("bin_id") + 1) * cap)
+            - greatest(col("off"), col("bin_id") * cap)).as("n_tokens"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id,
+          ((md5_number_lower(CAST(doc_id AS VARCHAR)) % ${Dedup.M56})::BIGINT)
+            % 8 AS bucket,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+        FROM documents),
+      o AS (
+        SELECT doc_id, bucket, n,
+          CAST(coalesce(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM d),
+      e AS (
+        SELECT doc_id, bucket, n, off,
+          unnest(generate_series(off // 256, (off + n - 1) // 256)) AS bin_id
+        FROM o)
+      SELECT doc_id, bucket, bin_id,
+        least(off + n, (bin_id + 1) * 256) - greatest(off, bin_id * 256)
+          AS n_tokens
+      FROM e"""))
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
-    txtSample, txtChunks, txtDecontam)
+    txtSample, txtChunks, txtDecontam, txtPack)
 }

@@ -305,4 +305,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(docs.last > 0, "curation must not empty the corpus")
     assert(docs.last < docs.head, "curation must drop something")
   }
+
+  test("txt_pack: every bin but the bucket-last holds exactly 256 tokens") {
+    val sf = "/root/testdata/sf0.001"
+    val packed = graft.queries.Corpus.txtPack.run(spark, sf).cache()
+    try {
+      val bins = packed.groupBy("bucket", "bin_id")
+        .agg(sum("n_tokens").as("tok"))
+      val lastBin = bins.groupBy("bucket").agg(max("bin_id").as("last"))
+      val full = bins.join(lastBin, "bucket")
+        .filter(col("bin_id") < col("last"))
+        .select("tok").as[Long].collect()
+      assert(full.nonEmpty && full.forall(_ == 256L),
+        "interior bins must be packed to exactly the capacity")
+      // conservation: a doc's contributions across bins = its token count
+      val perDoc = packed.groupBy("doc_id").agg(sum("n_tokens").as("tok"))
+      val want = graft.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"),
+          size(operators.TextAnalysis.rawTokens(col("text"))).cast("long").as("n"))
+      assert(perDoc.join(want, "doc_id").filter(col("tok") =!= col("n")).count() == 0)
+    } finally packed.unpersist()
+  }
 }
