@@ -126,6 +126,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup check: which `incoming` docs are near-dups of
+    * the `existing` corpus — the continuous-ingest form of
+    * [[minhashPairs]] (reference shape: the weekly harvest's
+    * already-seen filtering, weekly_scheduler.py:586-609, upgraded from
+    * exact-key to near-dup). Both sides are signed identically;
+    * candidates share a band bucket ACROSS sides only — existing ×
+    * existing pairs are yesterday's answer and never recomputed. At
+    * scale the existing side's buckets live as a stored table keyed by
+    * (band, bucket), each batch joins against it and appends its own
+    * rows, so per-batch cost scales with the batch, not the corpus.
+    * Returns (new_id, dup_of, jaccard) at true Jaccard ≥ `threshold`. */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def sigOf(df: DataFrame) = df.select(col(idCol).as("id"),
+        graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
+      .withColumn("sig", graft.plans.MinhashSig.minhashSig(col("hs"), k))
+    def bucketsOf(sig: DataFrame) = sig.select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          struct((0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1).as(s"h$r")): _*)
+        }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val sigEx = sigOf(existing).cache()
+    val sigIn = sigOf(incoming).cache()
+    // boilerplate cap on the big (existing) side, like minhashPairs: a
+    // hot stored bucket would multiply against every future batch
+    val bEx0 = bucketsOf(sigEx)
+    val hot = bEx0.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucketSize).select("band", "bh")
+    val bEx = bEx0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val cand = bucketsOf(sigIn).as("a").join(bEx.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("new_id"), col("b.id").as("dup_of"))
+      .distinct()
+    cand
+      .join(sigIn.select(col("id").as("new_id"), col("hs").as("hs_a")), "new_id")
+      .join(sigEx.select(col("id").as("dup_of"), col("hs").as("hs_b")), "dup_of")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "dup_of", "jaccard")
+  }
+
   /** EXACT Jaccard near-dup pairs WITHOUT the all-pairs product — the
     * prefix-filter set-similarity join (AllPairs/PPJoin family): order
     * every document's shingles by ascending global frequency (rarest

@@ -137,6 +137,33 @@ object Pipeline {
         string_agg(id, ',' ORDER BY id) AS members
       FROM comp GROUP BY 1"""))
 
+  /** Incremental near-dup: the incoming batch (doc_id % 10 = 0) checked
+    * against the already-ingested corpus (the rest) — candidates share a
+    * band bucket ACROSS sides only, so per-batch cost scales with the
+    * batch while existing×existing pairs are never recomputed
+    * (Dedup.incrementalNearDups). */
+  val ddIncremental = Q(
+    "dd_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5, k = 16, bands = 4, threshold = 0.5)
+    },
+    Some(s"""WITH $minhashCtes,
+      cross_cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+          AND a.h2 = b.h2 AND a.h3 = b.h3
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      SELECT c.new_id, c.dup_of, ${jaccardSql("x.hs", "y.hs")} AS jaccard
+      FROM cross_cand c
+      JOIN sig x ON x.doc_id = c.new_id
+      JOIN sig y ON y.doc_id = c.dup_of
+      WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5"""))
+
   /** EXACT Jaccard pairs over the WHOLE corpus via the prefix-filter
     * set-similarity join (Dedup.jaccardPrefixPairs) — the blocking scheme
     * that retires the quadratic baseline's id-cap: zero false negatives
@@ -595,7 +622,7 @@ object Pipeline {
       UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddComponents, ddJaccardPrefix, simTopk, simLsh, simIvf, txtLangid,
+    ddComponents, ddIncremental, ddJaccardPrefix, simTopk, simLsh, simIvf, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
 }

@@ -306,6 +306,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(docs.last < docs.head, "curation must drop something")
   }
 
+  test("incrementalNearDups equals the cross-split slice of the full pair list") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val inc = Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(inc == full, "batch-vs-corpus must find exactly the cross-split near-dups")
+  }
+
   test("txt_pack: every bin but the bucket-last holds exactly 256 tokens") {
     val sf = "/root/testdata/sf0.001"
     val packed = graft.queries.Corpus.txtPack.run(spark, sf).cache()
