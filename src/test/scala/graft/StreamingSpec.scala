@@ -249,6 +249,46 @@ class StreamingSpec extends AnyFunSuite {
       s"each firing ingests exactly the new arrivals once: $got")
   }
 
+  test("CorpusStream: continuous curation drops cross-batch exact and near dups") {
+    import graft.streaming.CorpusStream
+    // varied shingle set so the near-dup's Jaccard stays high after a
+    // one-word edit; leading stopwords pin langId = en
+    val base = "the and of to " +
+      (1 to 80).map(i => s"alpha$i beta$i").mkString(" ")
+    val shuffled = ("the and of to " split " ").reverse.mkString(" ") + " " +
+      (1 to 80).reverse.map(i => s"beta$i alpha$i").mkString(" ")
+    val near = base.replace("alpha40", "gamma40")
+    val other = "the and of to " +
+      (1 to 80).map(i => s"delta$i epsilon$i").mkString(" ")
+    val french = "le chat et la souris avec une des les amis du le la"
+
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_corpus_stream").toString + "/corpus"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_corpus_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[CorpusStream.IngestStats]
+    val q = CorpusStream.writer(mem.toDF().toDF("doc_id", "text"), corpus,
+        onStats = stats += _)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: base kept; shuffled = same word bag (exact, in-batch);
+      // french dropped by the language filter
+      mem.addData((1L, base), (2L, shuffled), (3L, french))
+      q.processAllAvailable()
+      // batch 2: near ≈ base (near-dup vs STORED corpus); other kept
+      mem.addData((10L, near), (11L, other))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 11L), s"survivors: $kept")
+    assert(stats.map(s => (s.dropped_filter, s.dropped_exact, s.dropped_near,
+      s.kept)).toList == List((1L, 1L, 0L, 1L), (0L, 0L, 1L, 1L)), stats)
+  }
+
   test("batch sessionize splits on gaps") {
     val events = (batch1 ++ batch2).toDF()
     val got = EventPipeline.sessionize(events, gapMinutes = 240)
