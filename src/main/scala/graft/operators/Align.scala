@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Positional alignment without a single-partition window.
+  *
+  * `row_number() OVER (ORDER BY …)` forces the whole relation through
+  * one task; for dimension-sized inputs that is fine, but the general
+  * zip operator must scale. This is the classic two-job shape: range
+  * repartition + sort gives a globally ordered layout, `zipWithIndex`
+  * counts each partition in a first pass and assigns contiguous global
+  * indices with per-partition offsets in the second — no partition ever
+  * holds more than its slice. (The same contract as the reference's
+  * align-by-index result matching, api_clients.py:78-86.) */
+object Align {
+
+  /** `df` with a 1-based global `idx` column in `sortCols` order. The
+    * sort keys must be unique for the index to be deterministic. */
+  def zipWithGlobalIndex(df: DataFrame, idxName: String,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(
+        math.max(2, spark.sparkContext.defaultParallelism / 2), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxName, LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

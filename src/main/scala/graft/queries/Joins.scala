@@ -117,15 +117,16 @@ object Joins {
 
   /** J9: positional zip-join — align two sequences by rank (reference
     * api_clients.py:78-86 batch results matched to inputs by index).
-    * Deterministic ranks via unique sort keys. */
+    * Deterministic ranks via unique sort keys; the global index comes
+    * from Align.zipWithGlobalIndex (range-partition + per-partition
+    * offsets), never a single-partition row_number window. */
   val j9ZipIndex = Q(
     "j9_zip_index",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val n = Tables.load(s, dir, "nation")
-        .withColumn("idx", row_number().over(Window.orderBy("n_nationkey")))
-      val r = Tables.load(s, dir, "region")
-        .withColumn("idx", row_number().over(Window.orderBy("r_regionkey")))
+      val n = graft.operators.Align.zipWithGlobalIndex(
+        Tables.load(s, dir, "nation"), "idx", col("n_nationkey"))
+      val r = graft.operators.Align.zipWithGlobalIndex(
+        Tables.load(s, dir, "region"), "idx", col("r_regionkey"))
       n.join(r, Seq("idx")).select("idx", "n_name", "r_name")
     },
     Some("""SELECT n.idx, n.n_name, r.r_name

@@ -306,6 +306,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(docs.last < docs.head, "curation must drop something")
   }
 
+  test("Align.zipWithGlobalIndex: contiguous 1..N in sort order across partitions") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey")
+    val got = Align.zipWithGlobalIndex(orders, "idx", col("o_orderkey"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq, "contiguous index")
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq,
+      "index order must equal key order")
+  }
+
   test("incrementalNearDups equals the cross-split slice of the full pair list") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val full = Dedup.minhashPairs(docs, "doc_id", "text",
