@@ -50,4 +50,31 @@ object Graph {
     edges.select(col("item_a").as("item"))
       .union(edges.select(col("item_b").as("item")))
       .groupBy("item").agg(count(lit(1)).as("degree"))
+
+  /** Total triangle count via the degree-ordered orientation: every edge
+    * is directed from its lower to its higher endpoint under the total
+    * order (degree, id), which caps any vertex's out-degree at O(√m) —
+    * so the wedge join's fan-out is bounded on EVERY graph, including
+    * power-law ones where orienting by id alone lets a hub emit its
+    * whole neighborhood squared. Each triangle is counted exactly once:
+    * its (degree, id)-lowest vertex owns the single wedge whose closing
+    * edge the final equi-join finds. Two equi-joins, no product. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val e0 = edges.select(col("item_a").as("x"), col("item_b").as("y"))
+      .join(deg.select(col("item").as("x"), col("degree").as("dx")), "x")
+      .join(deg.select(col("item").as("y"), col("degree").as("dy")), "y")
+    val oriented = e0.select(
+        when(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("a"), col("y").as("b")))
+          .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("u"), col("e2.b").as("w"))
+    wedges.join(oriented.as("e3"),
+        col("u") === col("e3.a") && col("w") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

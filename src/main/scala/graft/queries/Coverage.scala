@@ -301,6 +301,42 @@ object Coverage {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1"""))
 
+  /** Graph triangles over the shared-key edges (Graph.triangleCount):
+    * degree-ordered orientation bounds every vertex's wedge fan-out at
+    * O(√m), so the count is two equi-joins even on power-law graphs.
+    * The oracle replays the same orientation and joins. */
+  val gTriangles = Q(
+    "g_triangles",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      Graph.triangleCount(
+        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue))
+    },
+    Some("""WITH ld AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (
+        SELECT item, count(*) AS d FROM (
+          SELECT x AS item FROM edges UNION ALL SELECT y FROM edges)
+        GROUP BY 1),
+      oriented AS (
+        SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+                    THEN e.x ELSE e.y END AS a,
+               CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+                    THEN e.y ELSE e.x END AS b
+        FROM edges e
+        JOIN deg dx ON dx.item = e.x
+        JOIN deg dy ON dy.item = e.y)
+      SELECT count(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e1.b = e2.a
+      JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+
   /** J14: dynamic partition pruning — date-partitioned events joined to
     * a runtime-filtered dim of days (graft.sources.Partitioned). The
     * events scan carries a dynamicpruningexpression partition filter
@@ -323,6 +359,6 @@ object Coverage {
       FROM f JOIN d USING (day) GROUP BY f.day"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, a17Percentiles, j12Salted,
-    a18Sketches, j13Bucketed, j14DppJoin)
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
+    j12Salted, a18Sketches, j13Bucketed, j14DppJoin)
 }

@@ -306,6 +306,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(docs.last < docs.head, "curation must drop something")
   }
 
+  test("Graph.triangleCount: K4 plus a dangling path has exactly 4 triangles") {
+    val edges = Seq( // K4 over 1-4 (4 triangles), path 4-5-6 (none)
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("item_a", "item_b")
+    val n = Graph.triangleCount(edges).as[Long].collect().head
+    assert(n == 4L)
+  }
+
   test("Align.zipWithGlobalIndex: contiguous 1..N in sort order across partitions") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey")
