@@ -184,6 +184,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle to join:\n$p")
   }
 
+  test("selective fact-to-fact join gets a runtime bloom filter on the big side") {
+    // Catalyst injects might_contain(bloom) into the lineitem scan when
+    // the other side carries a selective filter — runtime semi-join
+    // reduction. The size thresholds are lowered only because the test
+    // tables are tiny; at warehouse scale the defaults (10GB application
+    // side) fire on their own.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("j14: partitioned scan gets a dynamic partition pruning filter") {
     // the events scan must carry a runtime dynamicpruningexpression on
     // its partition column — at scale it lists only the day directories
