@@ -32,6 +32,41 @@ object Streaming {
         min(ts) AS session_start, max(ts) AS session_end
       FROM x GROUP BY 1, 2"""))
 
+  /** T8 via the NATIVE operator: session_window merges events closer
+    * than the gap — the relation t8 builds with lag/cumsum windows,
+    * produced here by Spark's built-in session grouping (the batch twin
+    * of the streaming session_window aggregation, which keeps per-key
+    * state bounded by open sessions). Spark opens a new session when an
+    * event lands AT the previous session's end (diff >= gap) — the
+    * oracle mirrors that exact break rule. */
+  val t10SessionWindow = Q(
+    "t10_session_window",
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")),
+    Some("""WITH g AS (
+        SELECT user_id, ts,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, ts,
+          CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM g),
+      x AS (
+        SELECT user_id, ts,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        FROM m)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM x GROUP BY user_id, sess"""))
+
   /** T3: exactly-once-per-key ingest — the stream-static anti-join run on
     * static frames (odd events are "already ingested"). */
   val t3NewOnly = Q(
@@ -45,5 +80,5 @@ object Streaming {
       WHERE NOT EXISTS (SELECT 1 FROM events x
         WHERE x.event_id % 2 = 1 AND x.event_id = e.event_id)"""))
 
-  val all: Seq[Q] = Seq(t8Sessionize, t3NewOnly)
+  val all: Seq[Q] = Seq(t8Sessionize, t10SessionWindow, t3NewOnly)
 }
