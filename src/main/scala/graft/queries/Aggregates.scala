@@ -184,7 +184,50 @@ object Aggregates {
       SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), count(*)
       FROM orders GROUP BY 2"""))
 
+  /** A19: pivot — one column per event type, counts per user (the
+    * wide-format facet view; the reference renders these as Streamlit
+    * metric rows, app.py dashboards). The pivot value list is PINNED:
+    * a dynamic list would be a driver-side distinct scan and a
+    * nondeterministic column order. Map-side partial aggregation still
+    * applies — a pivot is just a conditional aggregate per value. */
+  val a19Pivot = Q(
+    "a19_pivot",
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"),
+        col("view").as("n_view"), col("purchase").as("n_purchase"),
+        col("error").as("n_error")),
+    Some("""SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (WHERE event_type = 'error') AS n_error
+      FROM events GROUP BY 1"""))
+
+  /** A20: unpivot/melt — the wide metric row back to long format (the
+    * shape every per-stage stats sink in this repo emits). Spark's
+    * native unpivot; the oracle is the equivalent UNION ALL. */
+  val a20Unpivot = Q(
+    "a20_unpivot",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(Q.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("sum_price"), col("n_orders")), "metric", "value"),
+    Some("""WITH a AS (
+        SELECT o_orderstatus,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(count(*) AS DOUBLE) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM a
+      UNION ALL
+      SELECT o_orderstatus, 'n_orders', n_orders FROM a"""))
+
   val all: Seq[Q] = Seq(a3CountByType, a5MultiAgg, a6DistinctPerGroup,
     a8Having, a11CategorizeTop, a12Trend, a15QualityScore, d4WeeklyRollup,
-    d7Duration, a7MaxScalar, a13Facets)
+    d7Duration, a7MaxScalar, a13Facets, a19Pivot, a20Unpivot)
 }
