@@ -158,6 +158,23 @@ object Filters {
       WHERE contains(lower(p_name), 'red')
         AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)"""))
 
+  /** O7: keyset (seek) pagination — the at-scale replacement for o3's
+    * offset form. OFFSET N must still produce and discard N rows; the
+    * keyset page is a pushed-down range predicate plus top-k, so page
+    * 10^6 costs the same as page 1. The cursor is the last key of the
+    * previous page (pinned here as a literal the way a client would
+    * send it back). */
+  val o7KeysetPage = Q(
+    "o7_keyset_page",
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name")
+        .filter(col("c_custkey") > 40)
+        .orderBy("c_custkey").limit(20),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey > 40 ORDER BY c_custkey LIMIT 20"""))
+
   val all: Seq[Q] = Seq(p2Eq, p3NullOr, p7Project, p8Derived, p9Classifier,
-    p10Regex, o1OrderLimit, o3Pagination, p5Substring, p6SearchSelected)
+    p10Regex, o1OrderLimit, o3Pagination, p5Substring, p6SearchSelected,
+    o7KeysetPage)
 }

@@ -93,6 +93,32 @@ object Windows {
         FROM orders)
       WHERE rank <= 3"""))
 
+  /** W7: ntile quartiles per group — equal-frequency bucketing of each
+    * priority's orders by price (the reference's tier banding, done with
+    * the native window instead of manual thresholds). Partitioned by
+    * group, so no single task ever ranks the table; ties are broken by
+    * the unique key so the bucketing is deterministic. */
+  val w7Ntile = Q(
+    "w7_ntile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          Q.dsum(col("o_totalprice")).as("sum_price"))
+    },
+    Some("""SELECT o_orderpriority, quartile, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT o_orderpriority, o_totalprice,
+          ntile(4) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        FROM orders)
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(w2PrimaryPerKey, w3FirstNSlice, a2SuccessRatio,
-    w6TopkAgg)
+    w6TopkAgg, w7Ntile)
 }
