@@ -32,8 +32,9 @@ object SparkEntry {
       "j6_fuzzy_join", "w1_topk_per_group", "t7_daily_window",
       "t8_sessionize", "dd_exact", "dd_minhash_lsh", "dd_components",
       "sim_topk_bruteforce", "txt_quality", "t9_asof_join",
-      "j11_range_join", "g_degrees", "pipeline_e2e",
-      "j13_bucketed_join", "j14_dpp_join", "corpus_curate")
+      "j11_range_join", "g_degrees", "g_triangles", "pipeline_e2e",
+      "j13_bucketed_join", "j14_dpp_join", "corpus_curate",
+      "dd_incremental", "txt_decontam", "txt_pack")
     preferred.filter(queries.contains)
   }
 }

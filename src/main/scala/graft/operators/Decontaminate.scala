@@ -25,18 +25,22 @@ object Decontaminate {
     * `corpus.join(result.filter('contaminated), ids, "left_anti")`). */
   def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 12, minOverlap: Int = 20): DataFrame = {
-    val sh = graft.plans.ShingleHash.shingleHash(col(textCol), n)
-    val benchSet = benchmark.select(explode(sh).as("h")).distinct()
-    // hs is distinct within a doc and benchSet is distinct overall, so
-    // the join emits each (doc, shared shingle) exactly once: a plain
-    // count is the distinct-overlap count — no countDistinct shuffle
-    corpus
-      .select(col(idCol), sh.as("hs"))
-      .select(col(idCol), size(col("hs")).cast("long").as("n_shingles"),
-        explode(col("hs")).as("h"))
-      .join(broadcast(benchSet), Seq("h"))
-      .groupBy(idCol, "n_shingles")
-      .agg(count(lit(1)).as("n_overlap"))
+    // ShingleExplode emits distinct hashed shingles row-wise in ONE md5
+    // pass (the array+explode form pays the pass three times once
+    // Catalyst inlines it into the inferred size()>0 filter); benchSet
+    // is distinct overall, so after the left join each (doc, shingle)
+    // row carries at most one match — plain sums give distinct counts
+    def shingles(df: DataFrame) = df.select(col(idCol),
+      graft.plans.ShingleHash.shingleExplode(col(textCol), n).as("h"))
+    val benchSet = shingles(benchmark).select("h").distinct()
+    shingles(corpus)
+      .join(broadcast(benchSet.withColumn("m", lit(1))), Seq("h"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("m"), lit(0))).cast("long").as("n_overlap"))
+      .filter(col("n_overlap") >= 1)
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
+      .select(col(idCol), col("n_shingles"), col("n_overlap"),
+        col("contaminated"))
   }
 }

@@ -54,4 +54,38 @@ object ShingleHash {
 
   def shingleHash(c: Column, n: Int): Column =
     GraftShim.toColumn(ShingleHash(GraftShim.toExpression(c), n))
+
+  def shingleExplode(c: Column, n: Int): Column =
+    GraftShim.toColumn(ShingleExplode(GraftShim.toExpression(c), n))
+}
+
+/** Generator form of [[ShingleHash]]: emits one row per distinct hashed
+  * shingle, straight from the text — no intermediate array column, and
+  * (unlike `explode(shingleHash(...))`) no `InferFiltersFromGenerate`
+  * filter that would re-evaluate the md5 pass two extra times per row
+  * when Catalyst inlines the array expression into the inferred
+  * `size(...) > 0` predicate. The hash values are identical to
+  * ShingleHash's, so oracles written against the array form hold. */
+case class ShingleExplode(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val arr = ShingleHash.compute(t.asInstanceOf[UTF8String], n)
+      (0 until arr.numElements()).map(i =>
+        org.apache.spark.sql.catalyst.InternalRow(arr.getLong(i)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleExplode =
+    copy(child = newChild)
 }
