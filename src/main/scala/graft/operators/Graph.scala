@@ -77,4 +77,40 @@ object Graph {
         col("u") === col("e3.a") && col("w") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** PageRank over an undirected edge list, in 64-bit fixed point.
+    *
+    * Ranks are integers in units of 10⁻¹² (node starts at `Unit12` =
+    * one full rank); each iteration is
+    * `rank' = 0.15 + 0.85 · Σ contrib` computed as
+    * `150e9 + (85 · Σ (rank DIV degree)) DIV 100` — integer division
+    * and integer sums only. Floating-point PageRank is not reproducible
+    * across engines or even across partitionings (double addition is
+    * order-sensitive); fixed point makes every iteration bit-exact on
+    * any engine and any shuffle order, which is what lets the DuckDB
+    * oracle replay it. The truncation error is ≤ degree·10⁻¹² per node
+    * per iteration — noise relative to rank magnitude 1.0.
+    *
+    * Scale shape: each iteration is one equi-join (ranks to directed
+    * edges on src — both sides hash-partitioned on the same key) and
+    * one groupBy(dst) sum. No driver-side state, no collect; the rank
+    * vector stays distributed. Iteration count is a constant, so the
+    * lineage stays shallow enough to skip checkpointing. */
+  val Unit12 = 1000000000000L
+
+  def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
+    val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = directed.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(Unit12).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("pr DIV deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(Unit12 * 15 / 100) + expr("(85 * s) DIV 100")).as("pr"))
+    }
+    ranks
+  }
 }

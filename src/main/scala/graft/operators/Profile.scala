@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiler (the engine's `SUMMARIZE`): per-column row
+  * count, null count, exact distinct count, and type-appropriate
+  * min/max, emitted in long format (one row per column).
+  *
+  * The reference surfaces per-table record counts and null-driven
+  * quality scores in its stats views (database.py:458-471,
+  * utils.py:223-272); this generalizes both into a single scan.
+  *
+  * All statistics are computed in ONE aggregate over the table — the
+  * per-column structs are built inside one `agg(...)`, so the input is
+  * read once, then the single result row explodes into long format
+  * (driver-sized: one row per column). Exact `countDistinct` over k
+  * columns plans as an Expand (k× the scan rows through the first
+  * aggregate): acceptable for a profiler run; at 100 TB swap in
+  * `approx_count_distinct` (the a18_sketches pattern) — the shape of
+  * the operator is unchanged.
+  *
+  * Min/max never cross type families (a double formatted as a string
+  * diverges between engines): numerics surface as DOUBLE in
+  * `min_num`/`max_num`, strings as-is in `min_str`/`max_str`, and
+  * date/timestamp columns as ISO `yyyy-MM-dd` day strings — each
+  * family leaves the other columns NULL. */
+object Profile {
+
+  def summarize(df: DataFrame, numeric: Seq[String], strings: Seq[String],
+      dates: Seq[String]): DataFrame = {
+    val nullStr = lit(null).cast("string")
+    val nullNum = lit(null).cast("double")
+    def base(c: String) = Seq(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"))
+    val entries: Seq[Column] =
+      numeric.map(c => struct(base(c) ++ Seq(
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"),
+        nullStr.as("min_str"), nullStr.as("max_str")): _*)) ++
+      strings.map(c => struct(base(c) ++ Seq(
+        nullNum.as("min_num"), nullNum.as("max_num"),
+        min(col(c)).as("min_str"), max(col(c)).as("max_str")): _*)) ++
+      dates.map(c => struct(base(c) ++ Seq(
+        nullNum.as("min_num"), nullNum.as("max_num"),
+        min(col(c)).cast("date").cast("string").as("min_str"),
+        max(col(c)).cast("date").cast("string").as("max_str")): _*))
+    val named = entries.zipWithIndex.map { case (e, i) => e.as(s"c$i") }
+    df.agg(named.head, named.tail: _*)
+      .select(explode(array(entries.indices.map(i => col(s"c$i")): _*)).as("p"))
+      .select(col("p.*"))
+  }
+}

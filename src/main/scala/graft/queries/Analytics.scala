@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Graph, Profile, Rollup}
+
+/** Late round-3 analytics coverage: incremental rollup maintenance,
+  * lead/lag deltas, ROLLUP grouping sets, histograms, a one-pass table
+  * profiler, and fixed-point PageRank — each with a bit-exact DuckDB
+  * oracle. */
+object Analytics {
+
+  /** T11: incremental aggregate maintenance. The daily rollup is kept as
+    * partial states (counts + decimal sums — the re-aggregable kinds);
+    * a new batch folds in via Rollup.mergePartials without rescanning
+    * history. Here the "state" and "delta" splits interleave on the
+    * same (day, event_type) keys (event_id % 4), so the merge genuinely
+    * combines partials — and the oracle is the full recompute, proving
+    * the merge is lossless. Averages are derived AFTER the merge (they
+    * don't merge; their sum/count parts do). */
+  val t11RollupMerge = Q(
+    "t11_rollup_merge",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("date").as("day"),
+          col("event_type"), col("value"))
+      def partial(which: Boolean) = ev
+        .filter(if (which) col("event_id") % 4 === 0
+                else col("event_id") % 4 =!= 0)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(Q.dec("value")).as("sum_dec"),
+          sum(when(col("value") > 50, 1L).otherwise(0L)).as("n_big"))
+      Rollup.mergePartials(partial(false), partial(true),
+          keys = Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"),
+          (col("sum_dec").cast("double") / col("n").cast("double"))
+            .as("avg_value"),
+          col("n_big"))
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS avg_value,
+        CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      FROM events GROUP BY 1, 2"""))
+
+  /** W8: lead/lag day-over-day deltas per event type — the trend shape
+    * A12 computes with buckets, expressed with the offset window family
+    * (lag/lead/first_value). Windows partition by event_type, so no
+    * single-partition funnel. */
+  val w8LeadLag = Q(
+    "w8_lead_lag",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.load(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"), col("event_type"), col("n"),
+          (col("n") - lag("n", 1).over(w)).as("delta"),
+          lead("n", 1).over(w).as("next_n"),
+          first("n").over(w).as("base_n"))
+    },
+    Some("""WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT day, event_type, n,
+        n - lag(n, 1) OVER w AS delta,
+        lead(n, 1) OVER w AS next_n,
+        first_value(n) OVER w AS base_n
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)"""))
+
+  /** A21: ROLLUP grouping sets with GROUPING id — the subtotal/grand-
+    * total family next to a4's CUBE. One shuffle computes all three
+    * grouping levels (Spark expands grouping sets before the
+    * aggregate). */
+  val a21GroupingSets = Q(
+    "a21_grouping_sets",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Q.dsum("o_totalprice").as("sum_price")),
+    Some("""SELECT o_orderpriority, o_orderstatus,
+        GROUPING(o_orderpriority, o_orderstatus) AS gid, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""))
+
+  /** A22: fixed-width histogram of order value — constant bin width so
+    * the bin id is a stateless per-row expression (one scan, one
+    * groupBy on ~20 keys; no data-dependent two-pass min/max). */
+  val a22Histogram = Q(
+    "a22_histogram",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 25000).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("bin") * 25000.0).as("bin_lo"), col("n")),
+    Some("""SELECT bin, bin * CAST(25000 AS DOUBLE) AS bin_lo, count(*) AS n
+      FROM (SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin
+            FROM orders)
+      GROUP BY 1"""))
+
+  /** A23: one-pass table profiler over orders (operators.Profile) —
+    * row/null/exact-distinct counts and family-typed min/max per
+    * column, long format. */
+  val a23Profile = Q(
+    "a23_profile",
+    (s, dir) => Profile.summarize(Tables.load(s, dir, "orders"),
+      numeric = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      strings = Seq("o_orderstatus", "o_orderpriority"),
+      dates = Seq("o_orderdate")),
+    Some {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders"""
+      def str(c: String) =
+        s"""SELECT '$c', count(*),
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT $c),
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)
+        FROM orders"""
+      def dat(c: String) =
+        s"""SELECT '$c', count(*),
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT $c),
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          CAST(CAST(min($c) AS DATE) AS VARCHAR),
+          CAST(CAST(max($c) AS DATE) AS VARCHAR)
+        FROM orders"""
+      (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+        Seq("o_orderstatus", "o_orderpriority").map(str) ++
+        Seq("o_orderdate").map(dat)).mkString("\nUNION ALL\n")
+    })
+
+  /** Fixed-point PageRank (3 iterations, damping 0.85) over the same
+    * co-occurrence graph as g_degrees/g_triangles. Integer units of
+    * 10⁻¹² make every iteration bit-exact on any engine and shuffle
+    * order (see Graph.pagerankFixed) — the oracle replays the identical
+    * integer recurrence as three chained CTEs. */
+  val gPagerank = Q(
+    "g_pagerank",
+    (s, dir) => Graph.pagerankFixed(
+      Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minShared = 2,
+        maxGroupSize = Int.MaxValue),
+      iters = 3),
+    Some {
+      def step(prev: String) =
+        s"""SELECT d.dst AS node,
+          150000000000 + CAST((85 * CAST(sum(r.pr // g.deg) AS BIGINT)) // 100
+            AS BIGINT) AS pr
+        FROM d JOIN deg g USING (src) JOIN $prev r ON r.node = d.src
+        GROUP BY 1"""
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        d AS (SELECT item_a AS src, item_b AS dst FROM e
+              UNION ALL SELECT item_b, item_a FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM d GROUP BY 1),
+        r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+        r1 AS (${step("r0")}),
+        r2 AS (${step("r1")})
+      ${step("r2")}"""
+    })
+
+  val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets,
+    a22Histogram, a23Profile, gPagerank)
+}

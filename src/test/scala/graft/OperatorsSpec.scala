@@ -359,4 +359,47 @@ class OperatorsSpec extends AnyFunSuite {
       assert(perDoc.join(want, "doc_id").filter(col("tok") =!= col("n")).count() == 0)
     } finally packed.unpersist()
   }
+
+  test("Rollup.mergePartials over any split equals the direct aggregate") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    def partial(p: org.apache.spark.sql.DataFrame) =
+      p.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(graft.queries.Q.dec("value")).as("sum_dec"))
+    val merged = Rollup.mergePartials(
+        partial(ev.filter(col("event_id") % 3 === 0)),
+        partial(ev.filter(col("event_id") % 3 =!= 0)),
+        keys = Seq("event_type"))
+      .select(col("event_type"), col("n"), col("sum_dec").cast("double"))
+    val direct = partial(ev)
+      .select(col("event_type"), col("n"), col("sum_dec").cast("double"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("Profile.summarize: null/distinct counts and family-typed min/max") {
+    val df = Seq((1L, Some("a"), 2.0), (2L, None, 4.0), (3L, Some("a"), 4.0))
+      .toDF("id", "s", "x")
+    val got = Profile.summarize(df, numeric = Seq("id", "x"),
+        strings = Seq("s"), dates = Nil)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("id") == ((3L, 0L, 3L)))
+    assert(got("x") == ((3L, 0L, 2L)))
+    assert(got("s") == ((3L, 1L, 1L)))
+  }
+
+  test("Graph.pagerankFixed: ranks conserve mass and hubs outrank leaves") {
+    // star: 1 is the hub of 2,3,4; plus an isolated edge 5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("item_a", "item_b")
+    val pr = Graph.pagerankFixed(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.size == 6)
+    // total mass stays ~ n × unit (integer truncation only shrinks it)
+    val total = pr.values.sum
+    assert(total <= 6 * Graph.Unit12 && total > (6 * Graph.Unit12 * 95) / 100)
+    assert(pr(1L) > pr(2L), "hub must outrank a leaf")
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), "symmetric leaves tie")
+    assert(pr(5L) == pr(6L), "isolated pair ties")
+  }
 }
