@@ -264,6 +264,101 @@ object Corpus {
           AS n_tokens
       FROM e"""))
 
+  /** TF-IDF top terms per document. idf is the LINEAR inverse document
+    * frequency N/df, not ln(N/df): a single IEEE division is bit-exact
+    * across engines, while ln() may differ in the last ulp between
+    * libm implementations and silently flip near-tied ranks. Within a
+    * document the tie order is (score DESC, term ASC), which is total.
+    * Shape: two groupBys (term frequency, document frequency) and one
+    * broadcast of the 1-row corpus count; the per-doc window ranks only
+    * that doc's terms. */
+  val txtTfidf = Q(
+    "txt_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.rawTokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT doc_id, term, tf, df,
+          CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq USING (term), n)
+      SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM sc)
+      WHERE rank <= 3"""))
+
+  /** Per-language mixing weights for txt_mix — the oracle SQL is
+    * generated from these same constants. */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "es" -> 0.8, "de" -> 0.25, "fr" -> 0.1, "zh" -> 1.0)
+
+  /** Domain/language mixing: each stratum is downsampled to its target
+    * weight with the deterministic hash gate (keep iff
+    * hash56(doc_id) % 1000 < weight·1000) — reproducible across runs,
+    * engines, and partitionings, unlike rand()-based sampling, and a
+    * pure per-row predicate: one scan, no shuffle before the tiny
+    * per-language rollup. This is the pretraining "data mixture" knob
+    * (upsample rare languages, downsample the dominant one). */
+  val txtMix = Q(
+    "txt_mix",
+    (s, dir) => {
+      val gate = MixWeights.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit((v * 1000).toLong)).otherwise(acc)
+      }
+      val target = MixWeights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), target.as("target_rate"),
+          (Dedup.hash56(col("doc_id").cast("string")) % 1000 < gate).as("keep"))
+        .groupBy("lang", "target_rate")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_total"), col("n_kept"), col("target_rate"),
+          (col("n_kept").cast("double") / col("n_total").cast("double"))
+            .as("realized_rate"))
+    },
+    Some {
+      val gateCase = MixWeights.map { case (k, v) =>
+        s"WHEN '$k' THEN ${(v * 1000).toLong}" }.mkString(" ")
+      val targetCase = MixWeights.map { case (k, v) =>
+        s"WHEN '$k' THEN CAST($v AS DOUBLE)" }.mkString(" ")
+      s"""WITH k AS (
+        SELECT lang,
+          CASE lang $targetCase ELSE 0.0 END AS target_rate,
+          CASE WHEN ((md5_number_lower(CAST(doc_id AS VARCHAR))
+                % ${Dedup.M56})::BIGINT) % 1000
+              < (CASE lang $gateCase ELSE 0 END)
+            THEN 1 ELSE 0 END AS keep
+        FROM documents)
+      SELECT lang, count(*) AS n_total,
+        CAST(sum(keep) AS BIGINT) AS n_kept, target_rate,
+        CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS realized_rate
+      FROM k GROUP BY lang, target_rate"""
+    })
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
-    txtSample, txtChunks, txtDecontam, txtPack)
+    txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix)
 }
