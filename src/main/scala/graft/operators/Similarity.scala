@@ -121,6 +121,73 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** Fixed-point Lloyd k-means over an embedding column.
+    *
+    * Components are quantized once to integers (floor(x·10⁶)): every
+    * distance is an integer sum of squared integer differences and
+    * every centroid update is an integer-sum DIV count — both exact
+    * and order-independent, so iterations are bit-reproducible across
+    * engines and shuffle orders (floating-point Lloyd is neither: the
+    * per-cluster mean depends on partition order). Quantization error
+    * (≤10⁻⁶ per component) only perturbs assignments of points near a
+    * Voronoi boundary — acceptable for a coarse quantizer, and the
+    * determinism is what lets a SQL oracle replay the refinement.
+    *
+    * Seeds are the vectors with id ≡ 0 (mod seedStride) — the same
+    * deterministic coarse init ivfTopK uses; this is its missing Lloyd
+    * refinement. Cells keep their seed's id as label; a cell that loses
+    * all members drops out.
+    *
+    * Scale shape per iteration (MLlib-style): the k·dims centroid table
+    * is collected to the driver (bounded by construction — k is
+    * data-size/seedStride by the caller's choice) and shipped back as a
+    * single array literal, so ASSIGNMENT is a per-row argmin expression
+    * with NO join and NO shuffle; the only wide operation is the
+    * centroid UPDATE, a groupBy(cell, dim) whose output is exactly
+    * k·dims rows. Iterations are driver-side actions, so lineage stays
+    * one-iteration shallow (no 10-deep plan to re-optimize).
+    *
+    * Returns per-cluster stats after `iters` refinements: cluster id,
+    * member count, and the exact fixed-point within-cluster squared
+    * distance (units of 10⁻¹²). */
+  def kmeansFixed(df: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).as("vid"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    // Nearest centroid as a pure per-row expression over the broadcast
+    // literal: min (squared distance, centroid id) via struct ordering.
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val best = array_min(transform(typedLit(cents), c =>
+        struct(
+          aggregate(zip_with(col("qv"), c.getField("_2"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("d"),
+          c.getField("_1").as("cid"))))
+      q.withColumn("best", best)
+        .select(col("vid"), col("qv"),
+          col("best").getField("cid").as("cell"),
+          col("best").getField("d").as("dist"))
+    }
+    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vid") % seedStride === 0)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cell"), posexplode(col("qv")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"), expr("s DIV n").as("comp"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+        .select(col("cell"), expr("transform(pc, p -> p.comp)").as("cv"))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    }
+    assign(cents)
+      .groupBy(col("cell").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("ssd"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact all-pairs here; at scale, run through lshTopK-style bucketing
     * first. */

@@ -377,6 +377,48 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         FROM scored) WHERE rank <= 5"""))
 
+  /** Fixed-point Lloyd k-means over the embedding table: 2 refinement
+    * iterations from the ivf seed set, per-cluster member counts and
+    * exact within-cluster squared distance. The oracle replays both
+    * iterations as unrolled CTEs — integer quantization makes every
+    * step bit-reproducible (DuckDB `//` and Spark `DIV` both truncate
+    * toward zero; verified). */
+  val simKmeans = Q(
+    "sim_kmeans",
+    (s, dir) => Similarity.kmeansFixed(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      seedStride = 16, iters = 2),
+    {
+      val distSql = "CAST(list_sum(list_transform(list_zip(v.qv, c.cv), " +
+        "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+      def assignCte(aName: String, cName: String) =
+        s"""$aName AS (
+          SELECT vid, qv, cell, dist FROM (
+            SELECT v.vid, v.qv, c.cent_id AS cell, $distSql AS dist,
+              row_number() OVER (PARTITION BY v.vid ORDER BY $distSql, c.cent_id) AS rk
+            FROM v CROSS JOIN $cName c) WHERE rk = 1)"""
+      def updateCte(cNew: String, aName: String) =
+        s"""$cNew AS (
+          SELECT cell AS cent_id, list(comp ORDER BY pos) AS cv FROM (
+            SELECT cell, pos, CAST(sum(cv_i) AS BIGINT) // count(*) AS comp
+            FROM (SELECT a.cell, t.i AS pos, a.qv[t.i+1] AS cv_i
+                  FROM $aName a, range(64) t(i))
+            GROUP BY cell, pos) GROUP BY cell)"""
+      Some(s"""WITH v AS (
+          SELECT vec_id AS vid,
+            list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        c0 AS (SELECT vid AS cent_id, qv AS cv FROM v WHERE vid % 16 = 0),
+        ${assignCte("a1", "c0")},
+        ${updateCte("c1", "a1")},
+        ${assignCte("a2", "c1")},
+        ${updateCte("c2", "a2")},
+        ${assignCte("af", "c2")}
+        SELECT cell AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(sum(dist) AS BIGINT) AS ssd
+        FROM af GROUP BY cell""")
+    })
+
   // ---- text analysis ------------------------------------------------------
 
   private def stopSql(words: Seq[String]) =
@@ -622,7 +664,8 @@ object Pipeline {
       UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddComponents, ddIncremental, ddJaccardPrefix, simTopk, simLsh, simIvf, txtLangid,
+    ddComponents, ddIncremental, ddJaccardPrefix, simTopk, simLsh, simIvf,
+    simKmeans, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
 }

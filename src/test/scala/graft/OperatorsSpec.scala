@@ -227,6 +227,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set(10L)) // opposite vector lands in the complement bucket
   }
 
+  test("Similarity.kmeansFixed converges to the two planted clusters") {
+    // Two tight blobs around +1 and -1; seeds (ids 0 and 4) start one
+    // per blob, so after refinement each cluster holds its blob exactly.
+    def v(base: Float, eps: Float) = Array.tabulate(64)(i => base + eps * (i % 3))
+    val vs = Seq(
+      (0L, v(1f, 0.001f)), (1L, v(1f, 0.002f)), (2L, v(1f, 0.003f)),
+      (4L, v(-1f, 0.001f)), (5L, v(-1f, 0.002f)), (6L, v(-1f, 0.003f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFixed(vs, "vec_id", "embedding",
+      seedStride = 4, iters = 2)
+      .orderBy("cluster_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 3L), (4L, 3L)))
+    // ssd is exact fixed-point: recompute one cluster by hand.
+    val q = (x: Float) => math.floor(x.toDouble * 1000000).toLong
+    val blob = Seq(v(1f, 0.001f), v(1f, 0.002f), v(1f, 0.003f)).map(_.map(q))
+    // Scala Long '/' truncates toward zero, same as Spark DIV.
+    val cent = Array.tabulate(64)(i => blob.map(_(i)).sum / 3)
+    val ssd = blob.map(b => b.zip(cent).map { case (a, c) =>
+      (a - c) * (a - c) }.sum).sum
+    assert(got.head._3 == ssd)
+  }
+
   // ---- TextAnalysis -------------------------------------------------------
 
   test("TextAnalysis.langId picks the profile with most stopword hits") {
