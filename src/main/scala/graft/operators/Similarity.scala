@@ -188,6 +188,46 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum("dist").as("ssd"))
   }
 
+  /** Product-quantization encode: split each embedding into `subspaces`
+    * contiguous sub-vectors and replace each with the id of its nearest
+    * codebook entry (codebook = the seed vectors' sub-vectors, ids ≡ 0
+    * mod seedStride — the same deterministic init the IVF/k-means family
+    * uses; compose with kmeansFixed for refined codebooks).
+    *
+    * PQ is the compression step that makes billion-vector ANN feasible:
+    * a 64-dim float vector becomes `subspaces` small ints plus a
+    * reconstruction error. Same fixed-point quantization as kmeansFixed,
+    * so codes and errors are bit-reproducible across engines.
+    *
+    * Scale shape: per-subspace codebooks are collected once (k·dims
+    * driver-side, bounded by seedStride) and shipped as array literals;
+    * encoding is a pure per-row expression — NO join, NO shuffle, and
+    * it pipelines inside whole-stage codegen with the scan. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, subspaces: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).as("vid"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val seeds: Seq[(Long, Seq[Long])] = q.filter(col("vid") % seedStride === 0)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val d = seeds.head._2.length / subspaces
+    // One struct(minDist, code) per subspace, argmin via struct ordering
+    // over that subspace's codebook slice.
+    val best = (0 until subspaces).map { j =>
+      val cbJ = seeds.map { case (id, v) => (id, v.slice(j * d, j * d + d)) }
+      array_min(transform(typedLit(cbJ), c =>
+        struct(
+          aggregate(zip_with(slice(col("qv"), j * d + 1, d), c.getField("_2"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("d"),
+          c.getField("_1").as("cid"))))
+    }
+    q.select(col("vid").as("vec_id"),
+      array(best.map(_.getField("cid")): _*).as("codes"),
+      best.map(_.getField("d")).reduce(_ + _).as("err"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact all-pairs here; at scale, run through lshTopK-style bucketing
     * first. */

@@ -419,6 +419,34 @@ object Pipeline {
         FROM af GROUP BY cell""")
     })
 
+  /** PQ-encode the embedding table: 8 subspaces × 8 dims, codebook from
+    * the stride-16 seeds. Codes + exact fixed-point reconstruction
+    * error per vector. */
+  val simPq = Q(
+    "sim_pq_encode",
+    (s, dir) => Similarity.pqEncode(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      seedStride = 16, subspaces = 8),
+    Some(s"""WITH v AS (
+        SELECT vec_id AS vid,
+          list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings),
+      cb AS (SELECT vid AS cid, qv AS cv FROM v WHERE vid % 16 = 0),
+      sub AS (
+        SELECT v.vid, j.j, cb.cid,
+          CAST(list_sum(list_transform(
+            list_zip(v.qv[j.j*8+1 : j.j*8+8], cb.cv[j.j*8+1 : j.j*8+8]),
+            p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+        FROM v CROSS JOIN range(8) j(j) CROSS JOIN cb),
+      best AS (
+        SELECT vid, j, cid, dist FROM (
+          SELECT vid, j, cid, dist,
+            row_number() OVER (PARTITION BY vid, j ORDER BY dist, cid) AS rk
+          FROM sub) WHERE rk = 1)
+      SELECT vid AS vec_id, list(cid ORDER BY j) AS codes,
+        CAST(sum(dist) AS BIGINT) AS err
+      FROM best GROUP BY vid"""))
+
   // ---- text analysis ------------------------------------------------------
 
   private def stopSql(words: Seq[String]) =
@@ -665,7 +693,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddComponents, ddIncremental, ddJaccardPrefix, simTopk, simLsh, simIvf,
-    simKmeans, txtLangid,
+    simKmeans, simPq, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
 }

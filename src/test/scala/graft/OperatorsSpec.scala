@@ -249,6 +249,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head._3 == ssd)
   }
 
+  test("Similarity.pqEncode picks per-subspace nearest codes") {
+    // 4 dims, 2 subspaces of 2. Seeds 0 and 2 form the codebook.
+    // Vector 1's first half matches seed 0's, second half seed 2's.
+    val vs = Seq(
+      (0L, Array(1f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 1f)),
+      (1L, Array(1f, 1f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(vs, "vec_id", "embedding",
+      seedStride = 2, subspaces = 2)
+      .orderBy("vec_id").as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(Seq(0L, 0L), Seq(0L, 2L), Seq(2L, 2L)))
+    assert(got.map(_._3) == Seq(0L, 0L, 0L)) // all halves match exactly
+  }
+
   // ---- TextAnalysis -------------------------------------------------------
 
   test("TextAnalysis.langId picks the profile with most stopword hits") {
