@@ -205,13 +205,8 @@ object Similarity {
     * it pipelines inside whole-stage codegen with the scan. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, subspaces: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val q = df.select(col(idCol).as("vid"),
-      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("qv"))
-    val seeds: Seq[(Long, Seq[Long])] = q.filter(col("vid") % seedStride === 0)
-      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    val seeds = collectSeeds(q, seedStride)
     val d = seeds.head._2.length / subspaces
     // One struct(minDist, code) per subspace, argmin via struct ordering
     // over that subspace's codebook slice.
@@ -226,6 +221,63 @@ object Similarity {
     q.select(col("vid").as("vec_id"),
       array(best.map(_.getField("cid")): _*).as("codes"),
       best.map(_.getField("d")).reduce(_ + _).as("err"))
+  }
+
+  /** 10⁶-fixed-point integer view of an embedding column. */
+  private def quantized(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+
+  /** Quantized seed vectors (id ≡ 0 mod seedStride), collected to the
+    * driver — the bounded k·dims codebook the PQ/k-means family ships
+    * back as a literal. Expects columns (vid, qv). */
+  private def collectSeeds(q: DataFrame, seedStride: Int): Seq[(Long, Seq[Long])] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.filter(col("vid") % seedStride === 0)
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+  }
+
+  /** PQ top-k search with asymmetric distance computation (ADC) — the
+    * billion-vector ANN serving pattern: candidates are represented ONLY
+    * by their PQ codes; each query computes one small lookup table
+    * (subspace × codebook entry → exact sub-distance to the query), and
+    * a candidate's distance is the sum of `subspaces` table lookups.
+    *
+    * Scale shape: the LUT side is queries × subspaces × k rows —
+    * broadcast; candidates' exploded codes hash-join it on
+    * (subspace, code) and re-aggregate by (query, candidate). No
+    * candidate vector is ever read after encoding, no shuffle wider
+    * than candidates × subspaces, and the full-vector product never
+    * materializes. Distances are exact fixed-point integers (ADC is
+    * exact w.r.t. the quantized codes, approximate w.r.t. the original
+    * vectors — the standard PQ trade). */
+  def pqAdcTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, seedStride: Int, subspaces: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candQ = candidates.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    val seeds = collectSeeds(candQ, seedStride)
+    val d = seeds.head._2.length / subspaces
+    val codes = pqEncode(candidates, idCol, vecCol, seedStride, subspaces)
+      .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
+    val flat: Seq[(Long, Int, Seq[Long])] =
+      for ((id, v) <- seeds; j <- 0 until subspaces)
+        yield (id, j, v.slice(j * d, (j + 1) * d))
+    val lut = queries
+      .select(col(idCol).as("query_id"), quantized(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(typedLit(flat)).as("cb"))
+      .select(col("query_id"),
+        col("cb._1").as("cid"), col("cb._2").as("cj"),
+        aggregate(zip_with(
+          slice(col("qv"), col("cb._2") * lit(d) + lit(1), lit(d)),
+          col("cb._3"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.join(broadcast(lut), col("j") === col("cj") && col("code") === col("cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("dist").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "adc")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.

@@ -447,6 +447,50 @@ object Pipeline {
         CAST(sum(dist) AS BIGINT) AS err
       FROM best GROUP BY vid"""))
 
+  /** PQ-ADC top-5: candidates (vec_id ≥ 10) scored from their codes
+    * alone via a per-query subspace lookup table; codebook = stride-16
+    * seeds of the candidate set. */
+  val simPqAdc = Q(
+    "sim_pq_adc",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pqAdcTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", seedStride = 16, subspaces = 8, k = 5)
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id AS vid,
+          list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings),
+      cb AS (SELECT vid AS cid, qv AS cv FROM v WHERE vid >= 10 AND vid % 16 = 0),
+      sub AS (
+        SELECT v.vid, j.j, cb.cid,
+          CAST(list_sum(list_transform(
+            list_zip(v.qv[j.j*8+1 : j.j*8+8], cb.cv[j.j*8+1 : j.j*8+8]),
+            p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+        FROM v CROSS JOIN range(8) j(j) CROSS JOIN cb
+        WHERE v.vid >= 10),
+      best AS (
+        SELECT vid, j, cid FROM (
+          SELECT vid, j, cid,
+            row_number() OVER (PARTITION BY vid, j ORDER BY dist, cid) AS rk
+          FROM sub) WHERE rk = 1),
+      lut AS (
+        SELECT v.vid AS query_id, j.j, cb.cid,
+          CAST(list_sum(list_transform(
+            list_zip(v.qv[j.j*8+1 : j.j*8+8], cb.cv[j.j*8+1 : j.j*8+8]),
+            p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+        FROM v CROSS JOIN range(8) j(j) CROSS JOIN cb
+        WHERE v.vid < 10),
+      scored AS (
+        SELECT query_id, b.vid AS cand_id, CAST(sum(lut.dist) AS BIGINT) AS adc
+        FROM best b JOIN lut ON lut.j = b.j AND lut.cid = b.cid
+        GROUP BY query_id, b.vid)
+      SELECT query_id, cand_id, rank, adc FROM (
+        SELECT query_id, cand_id, adc,
+          row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rank
+        FROM scored) WHERE rank <= 5"""))
+
   // ---- text analysis ------------------------------------------------------
 
   private def stopSql(words: Seq[String]) =
@@ -693,7 +737,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddComponents, ddIncremental, ddJaccardPrefix, simTopk, simLsh, simIvf,
-    simKmeans, simPq, txtLangid,
+    simKmeans, simPq, simPqAdc, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
 }

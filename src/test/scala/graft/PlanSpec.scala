@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("sim_pq_adc: LUT join is broadcast hash, codes never cross-product") {
+    // candidates are scored from exploded codes × broadcast per-query
+    // lookup table — an equi-join on (subspace, code); a cartesian or
+    // sort-merge here would defeat the whole ADC design
+    val p = plan(Pipeline.simPqAdc)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("txt_decontam: benchmark membership is a broadcast join on the corpus") {
     // the benchmark shingle set is the small side by construction; the
     // corpus must stream past it un-shuffled (no SortMergeJoin before
