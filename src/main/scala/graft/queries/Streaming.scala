@@ -80,5 +80,28 @@ object Streaming {
       WHERE NOT EXISTS (SELECT 1 FROM events x
         WHERE x.event_id % 2 = 1 AND x.event_id = e.event_id)"""))
 
-  val all: Seq[Q] = Seq(t8Sessionize, t10SessionWindow, t3NewOnly)
+  /** T12: hopping (sliding) window aggregation — 1 h windows advancing
+    * every 30 min, so each event lands in exactly 2 overlapping windows.
+    * The overlap is what tumbling t7 can't express; in the streaming
+    * form the same `window(ts, len, slide)` group drives watermarked
+    * state. The oracle materializes both member windows per event with
+    * exact integer microsecond arithmetic (epoch_us, no doubles). */
+  val t12HoppingWindow = Q(
+    "t12_hopping_window",
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value")),
+    Some("""WITH hop AS (
+        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                 - k.k * 1800000000) AS win_start,
+          event_type, value
+        FROM events, range(2) k(k))
+      SELECT win_start, event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM hop GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(t8Sessionize, t10SessionWindow, t3NewOnly,
+    t12HoppingWindow)
 }

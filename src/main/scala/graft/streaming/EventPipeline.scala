@@ -46,6 +46,16 @@ object EventPipeline {
       .select(col("window.start").as("day"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** T12: hopping (sliding) event-time rollup — 1 h windows every
+    * 30 min, each event in 2 overlapping windows; watermark bounds the
+    * number of open windows to (watermark + length) / slide per type. */
+  def hoppingRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** T3: drop events whose business key already exists in the sink
     * (stream-static anti-join; weekly_scheduler.py:586-609). */
   def newOnly(incoming: DataFrame, existing: DataFrame): DataFrame =

@@ -41,6 +41,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping rollup matches batch; events hit 2 windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.hoppingRollup(mem.toDF())
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hop_out")
+        .orderBy("win_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      val batch = EventPipeline.hoppingRollup((batch1 ++ batch2).toDF())
+        .orderBy("win_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(streamed == batch)
+      // 5 events × 2 overlapping windows each
+      assert(streamed.map(_._3).sum == 10)
+    } finally q.stop()
+  }
+
   test("stateful trackUsers accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
