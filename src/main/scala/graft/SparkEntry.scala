@@ -34,7 +34,8 @@ object SparkEntry {
       "sim_topk_bruteforce", "txt_quality", "t9_asof_join",
       "j11_range_join", "g_degrees", "g_triangles", "pipeline_e2e",
       "j13_bucketed_join", "j14_dpp_join", "corpus_curate",
-      "dd_incremental", "txt_decontam", "txt_pack")
+      "dd_incremental", "txt_decontam", "txt_pack", "sim_kmeans",
+      "sim_pq_adc", "t12_hopping_window")
     preferred.filter(queries.contains)
   }
 }

@@ -157,19 +157,13 @@ object Similarity {
     val q = df.select(col(idCol).as("vid"),
       expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qv"))
-    // Nearest centroid as a pure per-row expression over the broadcast
-    // literal: min (squared distance, centroid id) via struct ordering.
-    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-      val best = array_min(transform(typedLit(cents), c =>
-        struct(
-          aggregate(zip_with(col("qv"), c.getField("_2"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("d"),
-          c.getField("_1").as("cid"))))
-      q.withColumn("best", best)
+    // Nearest centroid as a pure per-row codegen expression over the
+    // shipped codebook (graft.plans.NearestCentroid): no join, no shuffle.
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame =
+      q.withColumn("best", graft.plans.NearestCentroid.nearest(col("qv"), cents))
         .select(col("vid"), col("qv"),
           col("best").getField("cid").as("cell"),
           col("best").getField("d").as("dist"))
-    }
     var cents: Seq[(Long, Seq[Long])] = q.filter(col("vid") % seedStride === 0)
       .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
@@ -208,15 +202,11 @@ object Similarity {
     val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
     val seeds = collectSeeds(q, seedStride)
     val d = seeds.head._2.length / subspaces
-    // One struct(minDist, code) per subspace, argmin via struct ordering
-    // over that subspace's codebook slice.
+    // One struct(minDist, code) per subspace — a codegen argmin over
+    // that subspace's codebook slice.
     val best = (0 until subspaces).map { j =>
       val cbJ = seeds.map { case (id, v) => (id, v.slice(j * d, j * d + d)) }
-      array_min(transform(typedLit(cbJ), c =>
-        struct(
-          aggregate(zip_with(slice(col("qv"), j * d + 1, d), c.getField("_2"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("d"),
-          c.getField("_1").as("cid"))))
+      graft.plans.NearestCentroid.nearest(slice(col("qv"), j * d + 1, d), cbJ)
     }
     q.select(col("vid").as("vec_id"),
       array(best.map(_.getField("cid")): _*).as("codes"),

@@ -175,6 +175,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("sim_kmeans: assignment is a pure projection — no join, one shuffle") {
+    // centroids travel as a collected literal, so the final assignment
+    // plan must contain no join of any kind and shuffle only once, for
+    // the per-cluster stats aggregate
+    val p = plan(Pipeline.simKmeans)
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
   test("sim_pq_adc: LUT join is broadcast hash, codes never cross-product") {
     // candidates are scored from exploded codes × broadcast per-query
     // lookup table — an equi-join on (subspace, code); a cartesian or
