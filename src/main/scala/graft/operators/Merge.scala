@@ -48,6 +48,54 @@ object Merge {
   def deleteWhere(base: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
     base.filter(!predicate || predicate.isNull)
 
+  /** SCD type-2 merge — the audit-trail variant of upsert: instead of
+    * overwriting a matched row, close its validity interval
+    * (`valid_to` = the update's effective timestamp) and open a new
+    * current row. History rows (`valid_to` set) pass through untouched;
+    * an update whose attributes are null-safely identical to the open
+    * row is a no-op; unseen keys insert as new current rows.
+    *
+    * `current` carries keys ++ attrs ++ (valid_from, valid_to);
+    * `updates` carries keys ++ attrs ++ `effectiveCol`, pre-deduped to
+    * one row per key (dedup a raw batch first, as in m6).
+    *
+    * Scale: one equi-join of open rows against the batch on the key —
+    * updates batches are small next to the dimension, so Spark
+    * broadcasts them; history rows are never read beyond the
+    * valid_to-null partition filter (store partitioned on it). */
+  def scd2(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], effectiveCol: String): DataFrame = {
+    val history = current.filter(col("valid_to").isNotNull)
+    val open = current.filter(col("valid_to").isNull)
+    val u = updates.select(
+      (keys.map(col) ++ attrs.map(a => col(a).as(s"__u_$a"))
+        :+ col(effectiveCol).as("__eff")): _*)
+    val joined = open.join(u, keys, "left_outer")
+    val differs = attrs.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _)
+    val hit = col("__eff").isNotNull && differs
+    val cols = current.columns.toSeq
+    val closedNow = joined.filter(hit)
+      .select(cols.map(c => if (c == "valid_to") col("__eff").as(c) else col(c)): _*)
+    val openedNow = joined.filter(hit)
+      .select(cols.map {
+        case "valid_from" => col("__eff").as("valid_from")
+        case "valid_to" => lit(null).cast(open.schema("valid_to").dataType).as("valid_to")
+        case a if attrs.contains(a) => col(s"__u_$a").as(a)
+        case c => col(c)
+      }: _*)
+    val untouched = joined.filter(!hit)
+      .select(cols.map(col): _*)
+    val fresh = u.join(open.select(keys.map(col): _*), keys, "left_anti")
+      .select(cols.map {
+        case "valid_from" => col("__eff").as("valid_from")
+        case "valid_to" => lit(null).cast(open.schema("valid_to").dataType).as("valid_to")
+        case a if attrs.contains(a) => col(s"__u_$a").as(a)
+        case c => col(c)
+      }: _*)
+    history.unionByName(closedNow).unionByName(openedNow)
+      .unionByName(untouched).unionByName(fresh)
+  }
+
   /** Exactly-once-per-key ingest filter (T3/U3,
     * weekly_scheduler.py:586-609): drop incoming rows whose business key
     * already exists in the sink. */

@@ -173,6 +173,44 @@ object Analytics {
       ${step("r2")}"""
     })
 
+  /** A24: ordered funnel — users who signed up, then clicked after the
+    * signup, then purchased after that click. Each stage keeps the
+    * earliest qualifying timestamp, so later stages are order-strict
+    * (ts strictly after the previous stage's ts). One equi-join per
+    * stage on user_id; stage frames only shrink, so at scale each join
+    * is a broadcast of the surviving cohort. */
+  val a24Funnel = Q(
+    "a24_funnel",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def cnt(df: org.apache.spark.sql.DataFrame, k: Int, nm: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(k).as("stage"), lit(nm).as("stage_name"), col("n_users"))
+      cnt(s1, 1, "signup")
+        .union(cnt(s2, 2, "click_after_signup"))
+        .union(cnt(s3, 3, "purchase_after_click"))
+    },
+    Some("""WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      SELECT 1 AS stage, 'signup' AS stage_name, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets,
-    a22Histogram, a23Profile, gPagerank)
+    a22Histogram, a23Profile, gPagerank, a24Funnel)
 }

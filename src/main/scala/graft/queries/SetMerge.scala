@@ -198,7 +198,49 @@ object SetMerge {
     Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
       WHERE NOT (c_acctbal < 0) OR (c_acctbal < 0) IS NULL"""))
 
+  /** M11: SCD type-2 merge — every 7th order gets a status change 30
+    * days after its order date; changed keys produce a closed history
+    * row plus a new current row, P-status updates are no-ops. */
+  val m11Scd2 = Q(
+    "m11_scd2",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val current = o.select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", "P").otherwise("X").as("status"),
+          expr("o_orderdate + INTERVAL 30 DAY").as("eff"))
+      Merge.scd2(current, updates, Seq("o_orderkey"), Seq("status"), "eff")
+        .withColumn("is_current", col("valid_to").isNull)
+    },
+    Some("""WITH cur AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+          o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM orders),
+      u AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'P' THEN 'P' ELSE 'X' END AS ustatus,
+          o_orderdate + INTERVAL 30 DAY AS eff
+        FROM orders WHERE o_orderkey % 7 = 0),
+      j AS (
+        SELECT c.o_orderkey, c.status, c.valid_from, c.valid_to, u.ustatus, u.eff
+        FROM cur c LEFT JOIN u USING (o_orderkey)),
+      changed AS (
+        SELECT * FROM j
+        WHERE eff IS NOT NULL AND ustatus IS DISTINCT FROM status)
+      SELECT o_orderkey, status, valid_from, eff AS valid_to,
+        false AS is_current FROM changed
+      UNION ALL
+      SELECT o_orderkey, ustatus AS status, eff AS valid_from,
+        CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM changed
+      UNION ALL
+      SELECT o_orderkey, status, valid_from, CAST(NULL AS TIMESTAMP),
+        true FROM j WHERE eff IS NULL OR ustatus IS NOT DISTINCT FROM status"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
-    u6IntersectExcept, m9Delete)
+    u6IntersectExcept, m9Delete, m11Scd2)
 }

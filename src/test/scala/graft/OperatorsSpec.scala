@@ -18,6 +18,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", 10), (2, "b2", 25), (3, "c", 30)))
   }
 
+  test("Merge.scd2: closes changed, passes history/no-op, inserts fresh") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val current = Seq(
+      (1, "old", ts("2024-01-01"), Some(ts("2024-02-01"))), // history row
+      (1, "a", ts("2024-02-01"), None),                     // open, will change
+      (2, "b", ts("2024-01-01"), None),                     // open, no-op update
+      (3, "c", ts("2024-01-01"), None)                      // open, no update
+    ).toDF("id", "v", "valid_from", "valid_to")
+    val updates = Seq(
+      (1, "a2", ts("2024-03-01")),
+      (2, "b", ts("2024-03-01")), // identical attr → no-op
+      (9, "z", ts("2024-03-01"))  // fresh key
+    ).toDF("id", "v", "eff")
+    val got = Merge.scd2(current, updates, Seq("id"), Seq("v"), "eff")
+      .orderBy("id", "valid_from")
+      .as[(Int, String, Timestamp, Option[Timestamp])].collect().toSeq
+    assert(got == Seq(
+      (1, "old", ts("2024-01-01"), Some(ts("2024-02-01"))),
+      (1, "a", ts("2024-02-01"), Some(ts("2024-03-01"))),
+      (1, "a2", ts("2024-03-01"), None),
+      (2, "b", ts("2024-01-01"), None),
+      (3, "c", ts("2024-01-01"), None),
+      (9, "z", ts("2024-03-01"), None)))
+  }
+
   test("Merge.insertIfAbsent keeps existing row on key collision") {
     val base = Seq((1, "a"), (2, "b")).toDF("id", "name")
     val inc = Seq((2, "B!"), (3, "c")).toDF("id", "name")
