@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
-    "dd_embed_cosine"      // ground-truth baseline, pinned to id<1000
+    "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
+    "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
   )
 
   test("no registered query plans a CartesianProduct") {

@@ -63,6 +63,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // re-deliver batch1 (at-least-once upstream) plus new events
+      mem.addData(batch1: _*)
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"duplicates survived: $ids")
+    } finally q.stop()
+  }
+
   test("stateful trackUsers accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
