@@ -211,6 +211,43 @@ object Analytics {
       UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
       UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3"""))
 
+  /** A25: weekly cohort retention — users grouped by the Monday week of
+    * their first event; n_users counts who was active k weeks later.
+    * Both week columns are Monday-truncated (Spark and DuckDB agree on
+    * date_trunc('week')), so the day difference is always divisible by
+    * 7 and the integer DIV is exact. Shape: one agg for first-seen, one
+    * distinct on (user, week), a co-partitioned user_id join, final
+    * distinct-count — no window, no product. */
+  val a25Retention = Q(
+    "a25_retention",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val cohort = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      active.join(cohort, "user_id")
+        .withColumn("week_offset",
+          expr("CAST(datediff(act_week, cohort_week) DIV 7 AS BIGINT)"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        FROM events),
+      j AS (
+        SELECT f.cohort_week,
+          CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+            AS week_offset,
+          a.user_id
+        FROM a JOIN f USING (user_id))
+      SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+        count(DISTINCT user_id) AS n_users
+      FROM j GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets,
-    a22Histogram, a23Profile, gPagerank, a24Funnel)
+    a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention)
 }
