@@ -156,6 +156,32 @@ object Corpus {
     Some(s"""SELECT doc_id, lang FROM documents
       WHERE ((md5_number_lower(CAST(doc_id AS VARCHAR)) % ${Dedup.M56})::BIGINT) % 10 = 0"""))
 
+  /** Deterministic stratified train/val/test split: assignment is a pure
+    * function of doc_id (hash56 % 100 → 90/5/5), so the split is
+    * reproducible on any engine, stable under re-partitioning, and adding
+    * documents never moves an existing one between splits. Stratification
+    * is verified, not enforced: the per-(lang, split) counts this emits
+    * are the check that hashing splits every stratum ~proportionally. */
+  val txtSplit = Q(
+    "txt_split",
+    (s, dir) => {
+      val bucket = Dedup.hash56(col("doc_id").cast("string")) % 100
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH b AS (
+        SELECT lang,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT lang,
+          ((md5_number_lower(CAST(doc_id AS VARCHAR)) % ${Dedup.M56})::BIGINT) % 100
+            AS bucket FROM documents))
+      SELECT lang, split, count(*) AS n_docs FROM b GROUP BY 1, 2"""))
+
   /** Training-window chunking: token windows of 64 with stride 48
     * (16-token overlap) — the doc→sample exploder feeding a trainer.
     * Emits (doc, chunk ordinal, tokens in chunk); chunk content joins
@@ -360,5 +386,5 @@ object Corpus {
     })
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
-    txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix)
+    txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit)
 }
