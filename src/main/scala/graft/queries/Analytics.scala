@@ -211,6 +211,33 @@ object Analytics {
       UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
       UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3"""))
 
+  /** W9: time-RANGE window frame — per user, the count and exact
+    * decimal sum of events in the trailing hour (including the current
+    * event). The frame is over integer epoch-microseconds on both
+    * engines, so boundary inclusion is exact; range frames are also
+    * tie-insensitive (same-timestamp events always share a frame), so
+    * no unique-tiebreak is needed. The other frame families (ROWS,
+    * growing/unbounded) are covered by t8/w3/w8. */
+  val w9MovingAgg = Q(
+    "w9_moving_agg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          sum(Q.dec("value")).over(w).cast("double").as("sum_trailing_hour"))
+    },
+    Some("""SELECT event_id, user_id,
+        count(*) OVER w AS n_trailing_hour,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          AS sum_trailing_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
+
   /** A25: weekly cohort retention — users grouped by the Monday week of
     * their first event; n_users counts who was active k weeks later.
     * Both week columns are Monday-truncated (Spark and DuckDB agree on
@@ -249,5 +276,6 @@ object Analytics {
       FROM j GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets,
-    a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention)
+    a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
+    w9MovingAgg)
 }
