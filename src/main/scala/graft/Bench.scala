@@ -29,26 +29,29 @@ object Bench {
     // Warm EACH query once before timing it: at sf0.1 a single cold run is
     // dominated by janino whole-stage-codegen compilation (measured ~3 s
     // compile vs ~1 s execute on the heavy queries) — a fixed per-plan cost
-    // that amortizes to zero over a 100 TB scan. The timed second run
-    // measures the engine: scan, shuffle, join, aggregate.
+    // that amortizes to zero over a 100 TB scan. Then time THREE runs and
+    // report the median: single timed runs swing ±20% with box noise
+    // (GC, page cache), which previously made round-over-round totals
+    // incomparable. The median measures the engine: scan, shuffle, join,
+    // aggregate.
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
-      val warmed =
+      def attempt(): Boolean =
         try { exec(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
           errors ::= (name -> sanitize(e))
           false
         }
-      val t0 = System.nanoTime()
-      val ok = warmed &&
-        (try { exec(name); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] FAILED $name: $e")
-          errors ::= (name -> sanitize(e))
-          false
-        })
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val warmed = attempt()
+      val times = (1 to timedRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        if (warmed && attempt()) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      val median =
+        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
