@@ -44,6 +44,14 @@ object Bench {
           errors ::= (name -> sanitize(e))
           false
         }
+      // Start every query from a cold cache: several queries .cache()
+      // shared stages (curation funnel, similarity codebooks), so without
+      // this a query's timing depends on which earlier query populated or
+      // evicted the shared cache — byte-identical code swung 7x between
+      // rounds. The warm-up run then repopulates exactly the caches this
+      // query's own plan declares, and the timed medians measure the
+      // query with its own steady-state cache, independent of run order.
+      spark.catalog.clearCache()
       val warmed = attempt()
       val times = (1 to timedRuns).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -58,10 +58,20 @@ object Graph {
     * power-law ones where orienting by id alone lets a hub emit its
     * whole neighborhood squared. Each triangle is counted exactly once:
     * its (degree, id)-lowest vertex owns the single wedge whose closing
-    * edge the final equi-join finds. Two equi-joins, no product. */
+    * edge the final equi-join finds. Two equi-joins, no product.
+    *
+    * `edges` (which feeds both the degree count and the orientation) and
+    * `oriented` (referenced three times: both wedge sides and the closing
+    * join) are persisted for the duration of the count — without it the
+    * whole upstream edge-build DAG re-executes once per reference, which
+    * at 100× data is 4+ full scans of the dominant stage. Spark's lazy
+    * cache means the physical plans still share one materialization;
+    * eager count() forces `oriented` (and transitively `edges`) before
+    * the joins fan out. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
-    val e0 = edges.select(col("item_a").as("x"), col("item_b").as("y"))
+    val e = edges.persist()
+    val deg = degrees(e)
+    val e0 = e.select(col("item_a").as("x"), col("item_b").as("y"))
       .join(deg.select(col("item").as("x"), col("degree").as("dx")), "x")
       .join(deg.select(col("item").as("y"), col("degree").as("dy")), "y")
     val oriented = e0.select(
@@ -70,12 +80,18 @@ object Graph {
           struct(col("x").as("a"), col("y").as("b")))
           .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist()
+    oriented.count() // materialize both caches before the 3-way fan-out
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("u"), col("e2.b").as("w"))
-    wedges.join(oriented.as("e3"),
+    val out = wedges.join(oriented.as("e3"),
         col("u") === col("e3.a") && col("w") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint() // pin the 1-row result, then free the caches
+    oriented.unpersist()
+    e.unpersist()
+    out
   }
 
   /** PageRank over an undirected edge list, in 64-bit fixed point.

@@ -421,12 +421,16 @@ object Pipeline {
 
   /** PQ-encode the embedding table: 8 subspaces × 8 dims, codebook from
     * the stride-16 seeds. Codes + exact fixed-point reconstruction
-    * error per vector. */
+    * error per vector. The codes array is emitted as a comma-joined
+    * string: the driver's comparer hashes column values and can't hash
+    * arrays, so registry outputs must be scalar (OutputShapeSpec pins
+    * this for the whole registry). */
   val simPq = Q(
     "sim_pq_encode",
     (s, dir) => Similarity.pqEncode(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      seedStride = 16, subspaces = 8),
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        seedStride = 16, subspaces = 8)
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"), col("err")),
     Some(s"""WITH v AS (
         SELECT vec_id AS vid,
           list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
@@ -443,7 +447,7 @@ object Pipeline {
           SELECT vid, j, cid, dist,
             row_number() OVER (PARTITION BY vid, j ORDER BY dist, cid) AS rk
           FROM sub) WHERE rk = 1)
-      SELECT vid AS vec_id, list(cid ORDER BY j) AS codes,
+      SELECT vid AS vec_id, array_to_string(list(cid ORDER BY j), ',') AS codes,
         CAST(sum(dist) AS BIGINT) AS err
       FROM best GROUP BY vid"""))
 

@@ -1,9 +1,11 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract smoke: entry() returns rows; every registered query
-  * runs at sf0.001 and every oracle key points at a real query. */
+  * runs at sf0.001, emits only scalar columns, and every oracle key
+  * points at a real query. */
 class EntrySmokeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -32,7 +34,19 @@ class EntrySmokeSpec extends AnyFunSuite {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs at sf0.001") {
-      fn(spark, sf).count() // materialize; correctness is the oracle's job
+      val df = fn(spark, sf)
+      // Output-shape gate: the driver's pandas comparer hashes column
+      // values and cannot hash array/map/struct cells (sim_pq_encode
+      // shipped untestable twice this way). Registry outputs must be
+      // scalar — stringify nested values (concat_ws) before returning.
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(nested.isEmpty, s"non-scalar output columns: ${nested.mkString(", ")}")
+      df.count() // materialize; correctness is the oracle's job
     }
   }
 }

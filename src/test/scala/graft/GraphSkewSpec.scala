@@ -40,6 +40,22 @@ class GraphSkewSpec extends AnyFunSuite {
     assert(d == Map("c1" -> 2L, "c2" -> 2L, "c3" -> 2L))
   }
 
+  test("Graph.triangleCount is right and builds the edge list once") {
+    // K4 on c1..c4 (4 triangles) plus a pendant edge.
+    val eSeq = Seq(("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
+      ("c2", "c3"), ("c2", "c4"), ("c3", "c4"), ("c4", "c5"))
+    val builds = spark.sparkContext.longAccumulator("edgeBuilds")
+    val edges = eSeq.toDF("item_a", "item_b")
+      .map { r => builds.add(1); (r.getString(0), r.getString(1)) }
+      .toDF("item_a", "item_b")
+    val n = Graph.triangleCount(edges).as[Long].collect().head
+    assert(n == 4)
+    // The upstream DAG feeds degrees + orientation + three join sides;
+    // the persist() means it still materializes exactly once per row.
+    assert(builds.value == eSeq.size,
+      s"edge build ran ${builds.value / eSeq.size.toDouble}x")
+  }
+
   test("Skew.saltedJoin equals the plain join") {
     val left = (1 to 500).map(i => (i % 3, i)).toDF("k", "v") // key 0/1/2, skewed-ish
     val right = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "name")
