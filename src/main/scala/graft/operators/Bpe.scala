@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: deterministic train (greedy merge of the
+  * most frequent adjacent symbol pair, repeated) + encode — the real
+  * pretraining tokenization shape that txt_encode's word-vocab join
+  * approximates (reference tokenizes with a fixed external vocab,
+  * app.py's CSV ingest normalizers; a corpus engine must TRAIN the vocab
+  * from the corpus itself).
+  *
+  * Representation: a word's symbol sequence is a string with every symbol
+  * PREFIXED by '^' ("abc" → "^a^b^c"). Prefix markers make a literal
+  * `replace(r, "^x^y", "^xy")` exactly the greedy left-to-right
+  * non-overlapping merge pass of classic BPE — consecutive occurrences
+  * don't share boundary characters (the trailing-delimiter ambiguity a
+  * space-joined form suffers), and multi-char symbols can't false-match
+  * inside neighbors. Both Spark and DuckDB scan left-to-right and resume
+  * AFTER each replacement, which is precisely "a symbol merged this
+  * iteration can't merge again this iteration".
+  *
+  * Determinism: the winning pair is argmax by (count DESC, x ASC, y ASC)
+  * — total order, so the oracle replays training exactly with one
+  * pair-count + argmax + replace CTE triple per iteration (the same
+  * unrolling kmeansFixed uses).
+  *
+  * Scale shape: state is the DISTINCT-word table (vocab-sized, tiny
+  * relative to the corpus — Heaps' law) weighted by corpus frequency, so
+  * each iteration is a map over vocab rows + one map-side-combined
+  * groupBy; the corpus itself is scanned once to build frequencies and
+  * once to encode. The per-iteration argmax is a 1-row collect — the
+  * same bounded driver round-trip as the k-means codebook. */
+object Bpe {
+
+  /** (word, f) corpus frequency table over whitespace tokens. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.rawTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** Train `iters` merges; returns the vocab table with the fully-merged
+    * representation: (word, f, r, n_sym). */
+  def train(words: DataFrame, iters: Int): DataFrame = {
+    var enc = words
+      .withColumn("r", regexp_replace(col("word"), "(.)", "\\^$1"))
+      .cache()
+    for (_ <- 1 to iters) {
+      val pairs = enc
+        .withColumn("ss", split(col("r"), "\\^"))
+        .filter(size(col("ss")) >= 3) // [""] ++ symbols — need ≥2 symbols
+        .select(col("f"), explode(expr(
+          """transform(sequence(2, size(ss) - 1),
+             i -> struct(element_at(ss, i) AS x, element_at(ss, i + 1) AS y))"""))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum("f").as("c"))
+      val best = pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()(0)
+      val (x, y) = (best.getString(0), best.getString(1))
+      val prev = enc
+      enc = prev.withColumn("r",
+        expr(s"replace(r, '^$x^$y', '^$x$y')")).cache()
+      enc.count()
+      prev.unpersist()
+    }
+    enc.withColumn("n_sym",
+      (size(split(col("r"), "\\^")) - 1).cast("long"))
+  }
+
+  /** Encode: per-doc word and BPE-symbol counts through the trained
+    * vocab — a broadcast-able join (the vocab table is tiny). */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.rawTokens(col(textCol))).as("word"))
+      .join(broadcast(vocab.select("word", "n_sym")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"))
+}

@@ -238,13 +238,16 @@ object Dedup {
     * verified pairs even on huge corpora), so the local path is the
     * common case and the loop is the unbounded-corpus safety net. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      localThreshold: Long = 2000000L): DataFrame = {
+      localThreshold: Int = 2000000): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .distinct().cache()
-    if (p.count() <= localThreshold) {
-      import spark.implicits._
-      val es = p.as[(Long, Long)].collect()
+    // One action decides the path AND fetches the local input: collect at
+    // most threshold+1 distinct pairs — the sentinel extra row means "too
+    // big, go distributed" without a separate count() job first.
+    val es = p.as[(Long, Long)].limit(localThreshold + 1).collect()
+    if (es.length <= localThreshold) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       // iterative find with path compression — a recursive version would
       // blow the stack on a degenerate million-node chain

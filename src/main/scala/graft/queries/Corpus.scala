@@ -385,6 +385,54 @@ object Corpus {
       FROM k GROUP BY lang, target_rate"""
     })
 
+  /** BPE tokenizer: train 6 greedy merges on the whole corpus (argmax
+    * pair by count DESC, pair ASC — total order, so the oracle replays
+    * training as one pair-count/argmax/replace CTE triple per iteration,
+    * the kmeansFixed unrolling), then encode docs 0..99: word count and
+    * post-merge BPE symbol count per doc. Train state is the
+    * distinct-word table, corpus-frequency weighted — vocab-sized, not
+    * corpus-sized (operators.Bpe). */
+  val txtBpe = Q(
+    "txt_bpe",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(docs, "text"), iters = 6)
+      graft.operators.Bpe.encodeCounts(
+        docs.filter(col("doc_id") < 100), "doc_id", "text", vocab)
+    },
+    Some {
+      val iterCtes = (1 to 6).map { t =>
+        s"""p$t AS (
+            SELECT x, y, CAST(sum(f) AS BIGINT) AS c FROM (
+              SELECT e.f, e.ss[i] AS x, e.ss[i + 1] AS y
+              FROM (SELECT f, string_split(r, '^')[2:] AS ss FROM e${t - 1}) e,
+                LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i))
+            GROUP BY x, y),
+          m$t AS (SELECT x, y FROM p$t ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+          e$t AS (
+            SELECT word, f, replace(r, '^' || x || '^' || y, '^' || x || y) AS r
+            FROM e${t - 1}, m$t)"""
+      }.mkString(",\n        ")
+      s"""WITH wf AS (
+          SELECT word, count(*) AS f FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents)
+          GROUP BY word),
+        e0 AS (
+          SELECT word, f, regexp_replace(word, '(.)', '^\\1', 'g') AS r FROM wf),
+        $iterCtes,
+        vocab AS (
+          SELECT word, len(string_split(r, '^')) - 1 AS n_sym FROM e6),
+        doc_words AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents WHERE doc_id < 100)
+        SELECT d.doc_id, count(*) AS n_words, CAST(sum(v.n_sym) AS BIGINT) AS n_bpe
+        FROM doc_words d JOIN vocab v USING (word)
+        GROUP BY d.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
-    txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit)
+    txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
+    txtBpe)
 }

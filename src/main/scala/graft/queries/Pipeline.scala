@@ -164,6 +164,52 @@ object Pipeline {
       JOIN sig y ON y.doc_id = c.dup_of
       WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5"""))
 
+  /** Paragraph-level near-dup — the standard corpus granularity: a doc
+    * that quotes one paragraph of another is invisible to doc-level LSH
+    * (whole-doc Jaccard is diluted below any useful threshold), so
+    * curation pipelines dedup at paragraph grain. The corpus has no
+    * newline paragraph marks, so "paragraph" = non-overlapping 25-token
+    * window (same rawTokens stream txt_chunks slices); each window gets a
+    * composite id doc_id·1000+idx and flows through the SAME
+    * Dedup.minhashPairs machinery as dd_minhash_lsh. Cross-document pairs
+    * only — in-document repetition is txt_repetition's job.
+    *
+    * Scale shape: the explode multiplies rows by docLen/25 but the
+    * per-row text shrinks by the same factor — total shingle volume is
+    * unchanged, and everything downstream stays the same banded
+    * equi-join with the hot-bucket cap. */
+  val ddParagraph = Q(
+    "dd_paragraph",
+    (s, dir) => {
+      val paras = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rawTokens(col("text")).as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, CAST((size(w) - 1) DIV 25 AS INT)),
+             i -> concat_ws(' ', slice(w, i * 25 + 1, 25)))""")))
+        .select((col("doc_id") * 1000 + col("pos")).as("pid"),
+          col("col").as("para"))
+      Dedup.minhashPairs(paras, "pid", "para",
+          n = 5, k = 16, bands = 4, threshold = 0.5)
+        .filter(expr("id_a DIV 1000") =!= expr("id_b DIV 1000"))
+        .select(expr("id_a DIV 1000").as("doc_a"),
+          (col("id_a") % 1000).as("para_a"),
+          expr("id_b DIV 1000").as("doc_b"),
+          (col("id_b") % 1000).as("para_b"),
+          col("jaccard"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents),
+      paras AS (
+        SELECT doc_id * 1000 + i AS doc_id,
+          array_to_string(w[i*25+1 : i*25+25], ' ') AS text
+        FROM toks, LATERAL (
+          SELECT unnest(generate_series(0, (len(w) - 1) // 25)) AS i)),
+      ${minhashCtesOver("paras")}
+      SELECT id_a // 1000 AS doc_a, id_a % 1000 AS para_a,
+        id_b // 1000 AS doc_b, id_b % 1000 AS para_b, jaccard
+      FROM mh_pairs WHERE id_a // 1000 <> id_b // 1000"""))
+
   /** EXACT Jaccard pairs over the WHOLE corpus via the prefix-filter
     * set-similarity join (Dedup.jaccardPrefixPairs) — the blocking scheme
     * that retires the quadratic baseline's id-cap: zero false negatives
@@ -740,7 +786,7 @@ object Pipeline {
       UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddComponents, ddIncremental, ddJaccardPrefix, simTopk, simLsh, simIvf,
+    ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix, simTopk, simLsh, simIvf,
     simKmeans, simPq, simPqAdc, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)

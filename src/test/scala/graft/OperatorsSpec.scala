@@ -8,6 +8,30 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // ---- Bpe ----------------------------------------------------------------
+
+  test("Bpe.train picks frequency-then-lex argmax and merges greedily") {
+    val docs = Seq("ab ab abc", "abc abc ab").toDF("text")
+    val vocab = Bpe.train(Bpe.wordFreq(docs, "text"), iters = 2)
+      .select("word", "r", "n_sym")
+      .as[(String, String, Long)].collect()
+      .map { case (w, r, n) => w -> ((r, n)) }.toMap
+    // iter 1: (a,b) count 6 beats (b,c) count 3; iter 2 merges (ab,c)
+    assert(vocab("ab") == ("^ab", 1L))
+    assert(vocab("abc") == ("^abc", 1L))
+    val enc = Bpe.encodeCounts(Seq((1L, "ab abc")).toDF("doc_id", "text"),
+      "doc_id", "text", Bpe.train(Bpe.wordFreq(docs, "text"), iters = 2))
+      .as[(Long, Long, Long)].collect().head
+    assert(enc == ((1L, 2L, 2L)))
+  }
+
+  test("Bpe merge is left-to-right non-overlapping (classic BPE)") {
+    val docs = Seq("aaa").toDF("text")
+    val vocab = Bpe.train(Bpe.wordFreq(docs, "text"), iters = 1)
+      .select("r").as[String].collect().head
+    assert(vocab == "^aa^a") // NOT ^aaa: the merged symbol can't re-merge
+  }
+
   // ---- Merge --------------------------------------------------------------
 
   test("Merge.upsert: updates win, unmatched base rows survive") {

@@ -72,7 +72,7 @@ class PropertySpec extends AnyFunSuite {
         val df = pairs.toDF("id_a", "id_b")
         val comp = Dedup.connectedComponents(df)
           .as[(Long, Long)].collect().toMap
-        val compDist = Dedup.connectedComponents(df, localThreshold = 0L)
+        val compDist = Dedup.connectedComponents(df, localThreshold = 0)
           .as[(Long, Long)].collect().toMap
         assert(comp == compDist, s"local vs distributed diverge on $pairs")
         val parent = scala.collection.mutable.Map[Long, Long]()
