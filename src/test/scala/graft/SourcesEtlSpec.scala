@@ -42,6 +42,45 @@ class SourcesEtlSpec extends AnyFunSuite {
     assert(tight >= 14, s"z-locality lost: $spans")
   }
 
+  test("writeZOrdered prunes files on the NON-leading dimension; linear sort doesn't") {
+    import graft.sources.Layout
+    // real events: dims (day-of-year, user bucket); predicate on the
+    // SECOND dim only. A file can be skipped when its [min,max] bucket
+    // range excludes the predicate — the exact footer-stats decision
+    // engines make (Delta/Iceberg data skipping, parquet row-group
+    // pruning). files-read < files-written is the pruning proof the
+    // plain one-column sort below fails.
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(dayofyear(col("ts")).cast("long").as("day"),
+        pmod(col("user_id"), lit(64)).cast("long").as("bucket"),
+        col("value"))
+    def candidates(dir: String): (Long, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select("lo", "hi").as[(Long, Long)].collect().toSeq
+      (perFile.size.toLong, perFile.count { case (lo, hi) => lo <= 7 && 7 <= hi }.toLong)
+    }
+    val zDir = Files.createTempDirectory("graft_zprune").toString
+    Layout.writeZOrdered(ev, zDir, Seq(col("day"), col("bucket")),
+      bits = 9, numFiles = 16)
+    val (zFiles, zRead) = candidates(zDir)
+    assert(zFiles == 16)
+    assert(zRead <= zFiles / 2,
+      s"z-order failed to prune the second dim: $zRead of $zFiles files match")
+    // contrast: range-sorted by day alone — bucket stats span the whole
+    // domain in every file, so the same predicate prunes ~nothing
+    val sDir = Files.createTempDirectory("graft_sprune").toString
+    ev.repartitionByRange(16, col("day")).sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(sDir)
+    val (sFiles, sRead) = candidates(sDir)
+    assert(sRead >= sFiles - 2,
+      s"unexpected: linear layout pruned the second dim ($sRead of $sFiles)")
+    // and the z-layout round-trips: filtered count matches the source
+    val want = ev.filter(col("bucket") === 7).count()
+    assert(spark.read.parquet(zDir).filter(col("bucket") === 7).count() == want)
+  }
+
   test("S1-S2 domain slice: lender CSV -> normalize -> upsert -> tier -> export") {
     // FIXTURES.md §1 example row + one chargeless row
     val csv =
