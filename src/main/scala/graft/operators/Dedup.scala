@@ -275,36 +275,48 @@ object Dedup {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    var labels = cached
+    // localCheckpoint (not cache) per round: the round plan references
+    // `labels` three times, so the LOGICAL lineage would grow 3^round —
+    // cache() truncates execution but not the plan tree, and round ~10
+    // plans get big enough that merely formatting them for a log OOMs
+    // the driver. Checkpointing pins each round to its materialized RDD
+    // (constant-size plan); superseded rounds' blocks are released by the
+    // ContextCleaner once unreferenced.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .withColumn("__old", col("component"))
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("c")), "dst")
         .groupBy(col("src").as("id")).agg(min("c").as("nbr_min"))
-      // carry the old label through the select so convergence is read in
-      // the SAME action that materializes the new labels — one job per
-      // round instead of three
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"),
-          coalesce(col("nbr_min"), col("component"))).as("component"),
+      // pointer doubling: also shortcut to the label OF the current
+      // label (every label is itself a node id, so it has a row). This
+      // turns O(component diameter) rounds into O(log diameter) — each
+      // round is a cluster-wide barrier, and a 100 TB dup graph with a
+      // long chain would otherwise pay diameter × (join+agg) stages.
+      val lbl2 = labels.select(col("id").as("l2id"), col("component").as("l2c"))
+      val next = labels.select("id", "component").join(nbrMin, Seq("id"), "left")
+        .join(lbl2, col("component") === col("l2id"), "left")
+        .select(col("id"), least(
+            least(col("component"), coalesce(col("nbr_min"), col("component"))),
+            coalesce(col("l2c"), col("component"))).as("component"),
           col("component").as("__old"))
-        .cache()
+        .localCheckpoint()
+      // convergence is read off the just-checkpointed round — a cheap
+      // local scan, not a plan re-execution
       changed = next.filter(col("component") =!= col("__old")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select("id", "component")
+      labels = next
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    // release the inputs; the final round's cache stays as the returned
-    // result's backing (one (id, component) row per node — the caller can
-    // unpersist the returned frame's parent when done)
+    // release the inputs; the final round's checkpoint stays as the
+    // returned result's backing (one (id, component) row per node)
     edges.unpersist()
     p.unpersist()
-    labels
+    labels.select("id", "component")
   }
 
   /** Canonical-survivor view of a clustering: one row per component with

@@ -66,9 +66,9 @@ class PropertySpec extends AnyFunSuite {
     samples(edgeGen, 6).foreach { edges =>
       val pairs = edges.filter(e => e._1 != e._2)
       if (pairs.nonEmpty) {
-        // localThreshold = 0 forces the distributed label-propagation
-        // path; the default exercises the driver-local union-find — both
-        // must agree with the reference union-find below
+        // localThreshold = 0 forces the distributed pointer-doubling
+        // label-propagation path; the default exercises the driver-local
+        // union-find — both must agree with the reference union-find below
         val df = pairs.toDF("id_a", "id_b")
         val comp = Dedup.connectedComponents(df)
           .as[(Long, Long)].collect().toMap
