@@ -278,6 +278,39 @@ object Coverage {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50")),
     None)
 
+  /** A26: KMV distinct-count sketch — a18's ORACLE-EXACT sibling. HLL
+    * register state is engine-private (a18 stays rows-only by design);
+    * KMV's state is "the k smallest hash56 values", which both engines
+    * compute bit-identically, so a genuine bounded-memory mergeable
+    * sketch gets full value verification. k=64 → ~12.5% standard error,
+    * pinned against exact counts in OperatorsSpec. Shuffle volume is
+    * groups×64 longs — no full distinct shuffle (a6 is the exact twin
+    * that pays it). */
+  val a26KmvSketch = Q(
+    "a26_kmv_sketch",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          graft.operators.Dedup.hash56(col("user_id").cast("string")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.operators.Sketches.kmv(64)(col("h")).as("kmv"))
+        .select(col("event_type"),
+          graft.operators.Sketches.estimate("kmv", 64).as("kmv_users"))
+        .orderBy("event_type"),
+    Some(s"""WITH h AS (
+        SELECT DISTINCT event_type,
+          ((md5_number_lower(CAST(user_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) AS hv
+        FROM events),
+      r AS (
+        SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h)
+      SELECT event_type,
+        CASE WHEN count(*) < 64 THEN count(*)
+             ELSE ${63L * graft.operators.Dedup.M56} // max(hv) END AS kmv_users
+      FROM r WHERE rn <= 64
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** J13: the co-located fact-to-fact join — both sides bucketed on the
     * join key (graft.sources.Bucketing), so the SortMergeJoin runs with
     * NO Exchange below it (pinned in PlanSpec). This is the at-scale
@@ -360,5 +393,5 @@ object Coverage {
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
-    j12Salted, a18Sketches, j13Bucketed, j14DppJoin)
+    j12Salted, a18Sketches, a26KmvSketch, j13Bucketed, j14DppJoin)
 }

@@ -8,6 +8,26 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // ---- Sketches -----------------------------------------------------------
+
+  test("KMV estimate is exact under k and within ~3 std errors over k") {
+    import graft.operators.{Dedup, Sketches}
+    // 40 distinct keys (< k=64): sketch never fills, estimate is exact
+    val small = (1 to 200).map(i => ("g", s"u${i % 40}")).toDF("g", "u")
+      .select(col("g"), Dedup.hash56(col("u")).as("h"))
+      .groupBy("g").agg(Sketches.kmv(64)(col("h")).as("kmv"))
+      .select(Sketches.estimate("kmv", 64)).as[Long].head()
+    assert(small == 40L)
+    // 5000 distinct keys (>> k): ~12.5% standard error at k=64; the
+    // fixed hash makes this a deterministic value, so the bound is tight
+    val big = (1 to 5000).map(i => ("g", s"user$i")).toDF("g", "u")
+      .repartition(8) // force real partial-buffer merges
+      .select(col("g"), Dedup.hash56(col("u")).as("h"))
+      .groupBy("g").agg(Sketches.kmv(64)(col("h")).as("kmv"))
+      .select(Sketches.estimate("kmv", 64)).as[Long].head()
+    assert(math.abs(big - 5000L) < 5000 * 0.375, s"KMV estimate $big vs 5000")
+  }
+
   // ---- Bpe ----------------------------------------------------------------
 
   test("Bpe.train picks frequency-then-lex argmax and merges greedily") {
