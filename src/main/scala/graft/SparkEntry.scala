@@ -35,7 +35,8 @@ object SparkEntry {
       "j11_range_join", "g_degrees", "g_triangles", "pipeline_e2e",
       "j13_bucketed_join", "j14_dpp_join", "corpus_curate",
       "dd_incremental", "txt_decontam", "txt_pack", "sim_kmeans",
-      "sim_pq_adc", "t12_hopping_window")
+      "sim_pq_adc", "t12_hopping_window", "dd_paragraph", "txt_bpe",
+      "a26_kmv_sketch")
     preferred.filter(queries.contains)
   }
 }
