@@ -76,4 +76,33 @@ object Bpe {
       .join(broadcast(vocab.select("word", "n_sym")), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"))
+
+  /** Encode to ACTUAL token ids — what a trainer consumes. Symbol id =
+    * lexicographic rank in the final symbol set (deterministic on any
+    * engine); output is (doc_id, ids) with the document's full id stream
+    * comma-joined in token order.
+    *
+    * Scale shape: the symbol set is alphabet + one symbol per merge —
+    * collected once and shipped as a map literal; per-word id strings are
+    * a map over the vocab table; documents broadcast-join the vocab and
+    * re-assemble in order with one groupBy over (doc, position). */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val symArr = expr("filter(split(r, '\\\\^'), x -> x != '')")
+    val syms = vocab.select(explode(symArr).as("s"))
+      .distinct().as[String].collect().sorted
+    val idMap = typedLit(syms.zipWithIndex.toMap)
+    val wordIds = vocab.select(col("word"),
+      array_join(transform(symArr, s => element_at(idMap, s).cast("string")), ",")
+        .as("word_ids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(wordIds), "word")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word_ids")))),
+          x => x.getField("word_ids")), ",").as("ids"))
+  }
 }

@@ -401,27 +401,7 @@ object Corpus {
       graft.operators.Bpe.encodeCounts(
         docs.filter(col("doc_id") < 100), "doc_id", "text", vocab)
     },
-    Some {
-      val iterCtes = (1 to 6).map { t =>
-        s"""p$t AS (
-            SELECT x, y, CAST(sum(f) AS BIGINT) AS c FROM (
-              SELECT e.f, e.ss[i] AS x, e.ss[i + 1] AS y
-              FROM (SELECT f, string_split(r, '^')[2:] AS ss FROM e${t - 1}) e,
-                LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i))
-            GROUP BY x, y),
-          m$t AS (SELECT x, y FROM p$t ORDER BY c DESC, x ASC, y ASC LIMIT 1),
-          e$t AS (
-            SELECT word, f, replace(r, '^' || x || '^' || y, '^' || x || y) AS r
-            FROM e${t - 1}, m$t)"""
-      }.mkString(",\n        ")
-      s"""WITH wf AS (
-          SELECT word, count(*) AS f FROM (
-            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-            FROM documents)
-          GROUP BY word),
-        e0 AS (
-          SELECT word, f, regexp_replace(word, '(.)', '^\\1', 'g') AS r FROM wf),
-        $iterCtes,
+    Some(s"""WITH $bpeTrainCtes,
         vocab AS (
           SELECT word, len(string_split(r, '^')) - 1 AS n_sym FROM e6),
         doc_words AS (
@@ -429,10 +409,68 @@ object Corpus {
           FROM documents WHERE doc_id < 100)
         SELECT d.doc_id, count(*) AS n_words, CAST(sum(v.n_sym) AS BIGINT) AS n_bpe
         FROM doc_words d JOIN vocab v USING (word)
-        GROUP BY d.doc_id"""
-    })
+        GROUP BY d.doc_id"""))
+
+  /** DuckDB replay of Bpe.train's 6 merges: a pair-count / argmax /
+    * replace CTE triple per iteration over the frequency-weighted word
+    * table — shared by txt_bpe (counts) and txt_bpe_ids (id streams). */
+  private def bpeTrainCtes: String = {
+    val iterCtes = (1 to 6).map { t =>
+      s"""p$t AS (
+          SELECT x, y, CAST(sum(f) AS BIGINT) AS c FROM (
+            SELECT e.f, e.ss[i] AS x, e.ss[i + 1] AS y
+            FROM (SELECT f, string_split(r, '^')[2:] AS ss FROM e${t - 1}) e,
+              LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i))
+          GROUP BY x, y),
+        m$t AS (SELECT x, y FROM p$t ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+        e$t AS (
+          SELECT word, f, replace(r, '^' || x || '^' || y, '^' || x || y) AS r
+          FROM e${t - 1}, m$t)"""
+    }.mkString(",\n        ")
+    s"""wf AS (
+        SELECT word, count(*) AS f FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents)
+        GROUP BY word),
+      e0 AS (
+        SELECT word, f, regexp_replace(word, '(.)', '^\\1', 'g') AS r FROM wf),
+      $iterCtes"""
+  }
+
+  /** The trainer-facing form of txt_bpe: docs 0..19 encoded to their
+    * full BPE token-ID streams (symbol id = lexicographic rank in the
+    * final symbol set — engine-independent), comma-joined in token
+    * order. */
+  val txtBpeIds = Q(
+    "txt_bpe_ids",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(docs, "text"), iters = 6)
+      graft.operators.Bpe.encodeIds(
+        docs.filter(col("doc_id") < 20), "doc_id", "text", vocab)
+    },
+    Some(s"""WITH $bpeTrainCtes,
+        syms AS (SELECT DISTINCT unnest(string_split(r, '^')[2:]) AS s FROM e6),
+        symid AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS id FROM syms),
+        wsym AS (
+          SELECT word, i, ss[i] AS s
+          FROM (SELECT word, string_split(r, '^')[2:] AS ss FROM e6),
+            LATERAL (SELECT unnest(generate_series(1, len(ss))) AS i)),
+        word_ids AS (
+          SELECT word, string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS word_ids
+          FROM wsym JOIN symid USING (s) GROUP BY word),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE doc_id < 20),
+        dw AS (
+          SELECT doc_id, i, w[i] AS word
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i))
+      SELECT doc_id, string_agg(word_ids, ',' ORDER BY i) AS ids
+      FROM dw JOIN word_ids USING (word)
+      GROUP BY doc_id"""))
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
-    txtBpe)
+    txtBpe, txtBpeIds)
 }

@@ -170,9 +170,11 @@ object Pipeline {
     * curation pipelines dedup at paragraph grain. The corpus has no
     * newline paragraph marks, so "paragraph" = non-overlapping 25-token
     * window (same rawTokens stream txt_chunks slices); each window gets a
-    * composite id doc_id·1000+idx and flows through the SAME
-    * Dedup.minhashPairs machinery as dd_minhash_lsh. Cross-document pairs
-    * only — in-document repetition is txt_repetition's job.
+    * composite id doc_id·2^20+idx (20 bits of paragraph ordinal — a
+    * 26M-token document still fits, and 2^43 documents remain
+    * addressable) and flows through the SAME Dedup.minhashPairs
+    * machinery as dd_minhash_lsh. Cross-document pairs only —
+    * in-document repetition is txt_repetition's job.
     *
     * Scale shape: the explode multiplies rows by docLen/25 but the
     * per-row text shrinks by the same factor — total shingle volume is
@@ -186,29 +188,29 @@ object Pipeline {
         .select(col("doc_id"), posexplode(expr(
           """transform(sequence(0, CAST((size(w) - 1) DIV 25 AS INT)),
              i -> concat_ws(' ', slice(w, i * 25 + 1, 25)))""")))
-        .select((col("doc_id") * 1000 + col("pos")).as("pid"),
+        .select((col("doc_id") * 1048576 + col("pos")).as("pid"),
           col("col").as("para"))
       Dedup.minhashPairs(paras, "pid", "para",
           n = 5, k = 16, bands = 4, threshold = 0.5)
-        .filter(expr("id_a DIV 1000") =!= expr("id_b DIV 1000"))
-        .select(expr("id_a DIV 1000").as("doc_a"),
-          (col("id_a") % 1000).as("para_a"),
-          expr("id_b DIV 1000").as("doc_b"),
-          (col("id_b") % 1000).as("para_b"),
+        .filter(expr("id_a DIV 1048576") =!= expr("id_b DIV 1048576"))
+        .select(expr("id_a DIV 1048576").as("doc_a"),
+          (col("id_a") % 1048576).as("para_a"),
+          expr("id_b DIV 1048576").as("doc_b"),
+          (col("id_b") % 1048576).as("para_b"),
           col("jaccard"))
     },
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
         FROM documents),
       paras AS (
-        SELECT doc_id * 1000 + i AS doc_id,
+        SELECT doc_id * 1048576 + i AS doc_id,
           array_to_string(w[i*25+1 : i*25+25], ' ') AS text
         FROM toks, LATERAL (
           SELECT unnest(generate_series(0, (len(w) - 1) // 25)) AS i)),
       ${minhashCtesOver("paras")}
-      SELECT id_a // 1000 AS doc_a, id_a % 1000 AS para_a,
-        id_b // 1000 AS doc_b, id_b % 1000 AS para_b, jaccard
-      FROM mh_pairs WHERE id_a // 1000 <> id_b // 1000"""))
+      SELECT id_a // 1048576 AS doc_a, id_a % 1048576 AS para_a,
+        id_b // 1048576 AS doc_b, id_b % 1048576 AS para_b, jaccard
+      FROM mh_pairs WHERE id_a // 1048576 <> id_b // 1048576"""))
 
   /** EXACT Jaccard pairs over the WHOLE corpus via the prefix-filter
     * set-similarity join (Dedup.jaccardPrefixPairs) — the blocking scheme
