@@ -57,17 +57,23 @@ object Graph {
     * so the wedge join's fan-out is bounded on EVERY graph, including
     * power-law ones where orienting by id alone lets a hub emit its
     * whole neighborhood squared. Each triangle is counted exactly once:
-    * its (degree, id)-lowest vertex owns the single wedge whose closing
-    * edge the final equi-join finds. Two equi-joins, no product.
+    * its (degree, id)-lowest vertex owns the single edge whose two
+    * out-neighborhoods witness it.
     *
-    * `edges` (which feeds both the degree count and the orientation) and
-    * `oriented` (referenced three times: both wedge sides and the closing
-    * join) are persisted for the duration of the count — without it the
-    * whole upstream edge-build DAG re-executes once per reference, which
-    * at 100× data is 4+ full scans of the dominant stage. Spark's lazy
-    * cache means the physical plans still share one materialization;
-    * eager count() forces `oriented` (and transitively `edges`) before
-    * the joins fan out. */
+    * Counting itself is edge-iterator over sorted adjacency: per
+    * oriented edge (a,b), triangles = |N⁺(a) ∩ N⁺(b)| — two equi-joins
+    * of the edge list to the (vertex, out-neighbors[]) table and one
+    * codegen array_intersect per edge. The earlier wedge-join form
+    * pushed the whole wedge set (Σ out-deg², up to m·√m rows) through a
+    * shuffle before closing; here the only shuffled payloads are the m
+    * edges and n adjacency arrays (each ≤ O(√m) by the orientation).
+    *
+    * `edges` (feeding degrees + orientation) and `oriented` (feeding the
+    * adjacency build and both probe sides) are persisted for the
+    * duration — without that the upstream edge-build DAG re-executes
+    * once per reference, 4+ full scans of the dominant stage at 100×.
+    * The eager count() materializes both before the fan-out; the 1-row
+    * result is localCheckpointed so the caches can be freed on exit. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.persist()
     val deg = degrees(e)
@@ -81,13 +87,15 @@ object Graph {
           .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
-    oriented.count() // materialize both caches before the 3-way fan-out
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("u"), col("e2.b").as("w"))
-    val out = wedges.join(oriented.as("e3"),
-        col("u") === col("e3.a") && col("w") === col("e3.b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    oriented.count() // materialize both caches before the fan-out
+    val adj = oriented.groupBy("a")
+      .agg(sort_array(collect_list(col("b"))).as("nb"))
+    val out = oriented
+      .join(adj.select(col("a").as("ja"), col("nb").as("na")), col("a") === col("ja"))
+      // inner: an edge whose head has no out-neighbors closes nothing
+      .join(adj.select(col("a").as("jb"), col("nb").as("nbb")), col("b") === col("jb"))
+      .select(size(array_intersect(col("na"), col("nbb"))).as("t"))
+      .agg(coalesce(sum(col("t").cast("long")), lit(0L)).as("n_triangles"))
       .localCheckpoint() // pin the 1-row result, then free the caches
     oriented.unpersist()
     e.unpersist()
