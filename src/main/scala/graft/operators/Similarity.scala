@@ -121,6 +121,41 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** SemDeDup-style semantic dedup pairs — the SCALE path for
+    * embedding-space near-dup (dd_embed_cosine is the all-pairs
+    * ground-truth baseline, honestly pinned to a bounded id slice):
+    * assign every vector to its max-cosine coarse centroid (the
+    * k-bounded broadcast codebook the IVF/k-means family uses), then
+    * verify cosine ≥ `threshold` WITHIN cells only — the published
+    * SemDeDup recipe (Abbas et al. 2023): semantic duplicates land in
+    * the same cluster, so the quadratic verify runs per-cell, never
+    * corpus-wide.
+    *
+    * Scale shape: assignment is rows × k broadcast (no shuffle of the
+    * corpus); the pair join is an equi-join on the cell id. Cell sizes
+    * are corpus/k in expectation — pick seedStride so cells fit a task,
+    * exactly like IVF's nprobe sizing. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = df.filter(col(idCol) % seedStride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    val w = Window.partitionBy("vid").orderBy(col("cos_c").desc, col("cent_id"))
+    val cells = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("v"), col("cent_v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vid"), col("v"), col("cent_id").as("cell"))
+      .cache() // referenced by both sides of the pair join
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.cell").as("cell"), col("a.vid").as("id_a"),
+        col("b.vid").as("id_b"), col("cos"))
+  }
+
   /** Fixed-point Lloyd k-means over an embedding column.
     *
     * Components are quantized once to integers (floor(x·10⁶)): every

@@ -332,6 +332,36 @@ object Pipeline {
       WHERE ${dotSql("a.e", "b.e")} /
           (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) >= 0.4"""))
 
+  /** Semantic (embedding-space) dedup at scale: SemDeDup cell blocking —
+    * max-cosine coarse-centroid assignment (stride-16 seeds), then the
+    * cosine verify within cells only. Same 0.4 threshold as the bounded
+    * dd_embed_cosine baseline for direct comparison. */
+  val ddSemantic = Q(
+    "dd_semantic",
+    (s, dir) => Similarity.semanticDupPairs(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      seedStride = 16, threshold = 0.4),
+    Some {
+      def cos(a: String, b: String) =
+        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"""WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 16 = 0),
+        ass AS (
+          SELECT vec_id, e, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cent_id) AS rk
+          FROM (SELECT v.vec_id, v.e, c.cent_id, ${cos("v.e", "c.ce")} AS cos_c
+                FROM v CROSS JOIN c)),
+        cells AS (SELECT vec_id, e, cent_id AS cell FROM ass WHERE rk = 1)
+        SELECT cell, id_a, id_b, cos FROM (
+          SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cos("a.e", "b.e")} AS cos
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.4"""
+    })
+
   // ---- similarity search --------------------------------------------------
 
   /** Brute-force cosine top-5: query vectors (vec_id < 10, broadcast)
@@ -788,7 +818,8 @@ object Pipeline {
       UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix, simTopk, simLsh, simIvf,
+    ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
+    simTopk, simLsh, simIvf,
     simKmeans, simPq, simPqAdc, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
