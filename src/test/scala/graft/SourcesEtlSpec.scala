@@ -128,7 +128,7 @@ class SourcesEtlSpec extends AnyFunSuite {
       .repartition(1)
     val out = ExternalLookup.lookupJoin(df, "key",
       k => if (k == "key3") None else Some(k.toUpperCase),
-      minIntervalMs = 5, maxRetries = 2)
+      callsPerSec = 200.0, burst = 2.0, maxRetries = 2)
     val got = out.select("key", "lookup_value").as[(String, String)]
       .collect().toMap
     assert(got("key1") == "KEY1")
@@ -142,9 +142,38 @@ class SourcesEtlSpec extends AnyFunSuite {
     FlakyService.calls.clear()
     val df = Seq(("a", 1)).toDF("key", "x").repartition(1)
     val out = ExternalLookup.lookupJoin(df, "key", FlakyService.call,
-      minIntervalMs = 1, maxRetries = 2)
+      maxRetries = 2)
     assert(out.select("lookup_value").as[String].collect().head == "A")
     assert(FlakyService.calls.get("a") == 2) // one failure + one success
+  }
+
+  test("TokenBucket enforces the sustained rate after the burst drains") {
+    // deterministic clock: no sleeps, no wall-clock flake
+    var now = 0L
+    val b = new ExternalLookup.TokenBucket(3.0, 10.0, () => now) // 10/sec, burst 3
+    assert((1 to 3).map(_ => b.acquireDelayMs()).forall(_ == 0L)) // burst absorbed
+    assert(b.acquireDelayMs() == 100L) // next token is 100ms away at 10/sec
+    assert(b.acquireDelayMs() == 200L) // queueing debt accumulates
+    now += 1000 // a second later the bucket refilled (capped at capacity)
+    assert(b.acquireDelayMs() == 0L)
+  }
+
+  test("ExternalLookup honors the service's Retry-After, then gives up") {
+    ThrottledService.calls.set(0)
+    val df = Seq(("k", 1)).toDF("key", "x").repartition(1)
+    val out = ExternalLookup.lookupJoin(df, "key", ThrottledService.call,
+      maxRetries = 2)
+    assert(out.select("lookup_value").as[String].collect().head == "OK")
+    assert(ThrottledService.calls.get() == 2) // one 429 + one success
+    // budget exhausted -> the RetryAfter surfaces
+    ThrottledService.calls.set(0)
+    val always = ExternalLookup.lookupJoin(df, "key",
+      _ => throw ExternalLookup.RetryAfter(1L), maxRetries = 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      always.collect()
+    }
+    assert(e.getMessage.contains("retry after") ||
+      Option(e.getCause).exists(_.toString.contains("retry after")))
   }
 
   test("EtlJob.validate counts valid/invalid in one pass") {
@@ -307,5 +336,15 @@ object FlakyService {
     val n = calls.merge(k, 1, (a, b) => a + b)
     if (n == 1) throw new RuntimeException("transient")
     Some(k.toUpperCase)
+  }
+}
+
+/** 429s the first call with a service-chosen delay, then succeeds. */
+object ThrottledService {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def call(k: String): Option[String] = {
+    if (calls.incrementAndGet() == 1)
+      throw graft.operators.ExternalLookup.RetryAfter(5L)
+    Some("OK")
   }
 }
