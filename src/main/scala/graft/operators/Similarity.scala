@@ -131,22 +131,31 @@ object Similarity {
     * the same cluster, so the quadratic verify runs per-cell, never
     * corpus-wide.
     *
-    * Scale shape: assignment is rows × k broadcast (no shuffle of the
-    * corpus); the pair join is an equi-join on the cell id. Cell sizes
-    * are corpus/k in expectation — pick seedStride so cells fit a task,
-    * exactly like IVF's nprobe sizing. */
+    * Scale shape: the k-bounded codebook is collected once and the
+    * argmax is a PER-ROW `greatest(struct(cos, -cid)…)` expression over
+    * centroid literals — assignment does zero shuffle and zero row
+    * amplification (a crossJoin+window form would shuffle rows × k by
+    * vector id). The only wide operation is the pair equi-join on the
+    * cell id. Cell sizes are corpus/k in expectation — pick seedStride
+    * so cells fit a task, exactly like IVF's nprobe sizing. */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = df.filter(col(idCol) % seedStride === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    val w = Window.partitionBy("vid").orderBy(col("cos_c").desc, col("cent_id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double])] = df
+      .filter(col(idCol) % seedStride === 0)
+      .select(col(idCol).cast("long"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    require(cents.size >= 2, "need at least two centroids")
+    // struct comparison is lexicographic: max cosine first, then max
+    // NEGATED centroid id — ties pick the smallest cid, matching the
+    // oracle's ORDER BY cos_c DESC, cent_id ASC
+    val best = greatest(cents.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("c"), lit(-cid).as("nid"))
+    }: _*)
     val cells = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_c", cosine(col("v"), col("cent_v")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vid"), col("v"), col("cent_id").as("cell"))
+      .withColumn("cell", -best.getField("nid"))
       .cache() // referenced by both sides of the pair join
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))

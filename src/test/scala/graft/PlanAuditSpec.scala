@@ -18,7 +18,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
     "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
-    "dd_semantic",         // rows × broadcast k-bounded centroid codebook
     "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
   )
 
