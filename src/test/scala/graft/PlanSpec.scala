@@ -234,4 +234,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamic partition pruning filter on the fact scan:\n$p")
   }
+
+  test("dd_semantic: centroid assignment is expression-only — no window, no product") {
+    val p = plan(Pipeline.ddSemantic)
+    // the argmax runs as greatest(struct(cos, -cid)) per row: a window or
+    // cross-join form would shuffle rows × k by vector id
+    assert(!p.contains("Window"), "assignment must not window-shuffle the corpus")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("txt_bpe: the trained vocab joins broadcast, never shuffles the corpus") {
+    val p = plan(Corpus.txtBpe)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "vocab-sized side must broadcast — an SMJ here shuffles the token stream")
+  }
+
+  test("dd_paragraph: the cross-document predicate prunes candidates inside the bucket join") {
+    val p = plan(Pipeline.ddParagraph)
+    // Catalyst must push doc(id_a) != doc(id_b) into the LSH bucket
+    // self-join condition — as a post-filter it would verify same-doc
+    // pairs first and discard them after the expensive Jaccard
+    val joinCond = p.linesIterator.filter(_.contains("Join condition:")).mkString
+    assert(joinCond.contains("div 1048576"),
+      s"cross-doc filter must live in the join condition:\n$joinCond")
+  }
 }
