@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * Determinism: the winning pair is argmax by (count DESC, x ASC, y ASC)
   * — total order, so the oracle replays training exactly with one
   * pair-count + argmax + replace CTE triple per iteration (the same
-  * unrolling kmeansFixed uses).
+  * unrolling kmeansFixed uses). A literal '^' inside a corpus token would
+  * make the representation ambiguous — both engines misparse it the SAME
+  * way (oracle parity holds), but strip or remap the marker at ingest if
+  * the corpus can contain it.
   *
   * Scale shape: state is the DISTINCT-word table (vocab-sized, tiny
   * relative to the corpus — Heaps' law) weighted by corpus frequency, so
@@ -58,8 +61,10 @@ object Bpe {
         .limit(1).collect()(0)
       val (x, y) = (best.getString(0), best.getString(1))
       val prev = enc
+      // literal-args replace (not an expr string): corpus symbols can
+      // contain quotes ("it's") that would break SQL-text interpolation
       enc = prev.withColumn("r",
-        expr(s"replace(r, '^$x^$y', '^$x$y')")).cache()
+        replace(col("r"), lit(s"^$x^$y"), lit(s"^$x$y"))).cache()
       enc.count()
       prev.unpersist()
     }
