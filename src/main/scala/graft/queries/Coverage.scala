@@ -311,6 +311,30 @@ object Coverage {
       FROM r WHERE rn <= 64
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** A27: quantiles over a deterministic hash sample — the sketch-family
+    * quantile twin of a26 (t-digest state, like HLL's, is engine-private
+    * and can't be oracle-replayed; a hash-threshold sample CAN). Rows
+    * whose md5-derived event_id hash lands in a 10% gate form the
+    * sample (mergeable by construction — membership is a pure row
+    * predicate, exactly txt_sample's mechanism); exact p50/p90 are then
+    * computed over sample rows only, so the sort that exact a17 pays on
+    * the full table shrinks by the gate factor. */
+  val a27SampleQuantile = Q(
+    "a27_sample_quantile",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(graft.operators.Dedup.hash56(col("event_id").cast("string")) % 100 < 10)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type, count(*) AS n_sampled,
+        quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+      FROM events
+      WHERE ((md5_number_lower(CAST(event_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) % 100 < 10
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** J13: the co-located fact-to-fact join — both sides bucketed on the
     * join key (graft.sources.Bucketing), so the SortMergeJoin runs with
     * NO Exchange below it (pinned in PlanSpec). This is the at-scale
@@ -393,5 +417,6 @@ object Coverage {
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
-    j12Salted, a18Sketches, a26KmvSketch, j13Bucketed, j14DppJoin)
+    j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, j13Bucketed,
+    j14DppJoin)
 }
