@@ -36,6 +36,7 @@ object Bench {
     // aggregate.
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     var errors = List.empty[(String, String)]
+    val startedAtMs = System.currentTimeMillis()
     val results = names.map { name =>
       def attempt(): Boolean =
         try { exec(name); true }
@@ -59,14 +60,23 @@ object Bench {
       }
       val median =
         if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      name -> median
+      (name, median, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Self-diagnosing artifact: alongside each median, emit EVERY timed
+    // run. A disturbed-box capture (GC storm, concurrent sweep on the
+    // same host) shows up as one wild element in the run array — round 5
+    // produced a 10x outlier median that needed a manual re-run to
+    // adjudicate because the artifact carried only the median.
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val es = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val endedAtMs = System.currentTimeMillis()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs}""")
     spark.stop()
   }
 }

@@ -28,12 +28,28 @@ import org.apache.spark.sql.functions._
   * way (oracle parity holds), but strip or remap the marker at ingest if
   * the corpus can contain it.
   *
+  * Character-set contract: BMP text only. Java regex `(.)` matches UTF-16
+  * code units, so a supplementary-plane character (emoji, rare CJK) is
+  * split into its two surrogates while DuckDB's RE2 matches whole code
+  * points — oracle parity breaks outside the BMP. Normalize or strip
+  * supplementary characters at ingest if the corpus can contain them
+  * (the '^' marker caveat above applies the same way). Within the BMP,
+  * symbol-id assignment ([[encodeIds]]) sorts by UTF-8 bytes, which
+  * equals code-point order — the collation DuckDB's ORDER BY uses.
+  *
   * Scale shape: state is the DISTINCT-word table (vocab-sized, tiny
   * relative to the corpus — Heaps' law) weighted by corpus frequency, so
   * each iteration is a map over vocab rows + one map-side-combined
   * groupBy; the corpus itself is scanned once to build frequencies and
   * once to encode. The per-iteration argmax is a 1-row collect — the
-  * same bounded driver round-trip as the k-means codebook. */
+  * same bounded driver round-trip as the k-means codebook.
+  *
+  * Iteration-count contract: each merge costs one Spark job over the
+  * vocab table plus a 1-row collect, so `iters` IS the job count — sized
+  * for analytic vocabularies (iters ≲ 100). Training a full 32k-merge
+  * production vocab wants merge batching (apply all pairwise-disjoint
+  * top pairs per round) or a specialized single-pass trainer; at that
+  * point tokenizer training is a build artifact, not a query. */
 object Bpe {
 
   /** (word, f) corpus frequency table over whitespace tokens. */
@@ -41,13 +57,16 @@ object Bpe {
     docs.select(explode(TextAnalysis.rawTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("f"))
 
-  /** Train `iters` merges; returns the vocab table with the fully-merged
-    * representation: (word, f, r, n_sym). */
+  /** Train `iters` merges (or until no adjacent pair remains — a corpus
+    * of single-symbol words exhausts before `iters`); returns the vocab
+    * table with the fully-merged representation: (word, f, r, n_sym). */
   def train(words: DataFrame, iters: Int): DataFrame = {
     var enc = words
       .withColumn("r", regexp_replace(col("word"), "(.)", "\\^$1"))
       .cache()
-    for (_ <- 1 to iters) {
+    var it = 0
+    var exhausted = false
+    while (it < iters && !exhausted) {
       val pairs = enc
         .withColumn("ss", split(col("r"), "\\^"))
         .filter(size(col("ss")) >= 3) // [""] ++ symbols — need ≥2 symbols
@@ -57,16 +76,20 @@ object Bpe {
           .as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum("f").as("c"))
-      val best = pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()(0)
-      val (x, y) = (best.getString(0), best.getString(1))
-      val prev = enc
-      // literal-args replace (not an expr string): corpus symbols can
-      // contain quotes ("it's") that would break SQL-text interpolation
-      enc = prev.withColumn("r",
-        replace(col("r"), lit(s"^$x^$y"), lit(s"^$x$y"))).cache()
-      enc.count()
-      prev.unpersist()
+      pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect().headOption match {
+        case None => exhausted = true // every word is one symbol already
+        case Some(best) =>
+          val (x, y) = (best.getString(0), best.getString(1))
+          val prev = enc
+          // literal-args replace (not an expr string): corpus symbols can
+          // contain quotes ("it's") that would break SQL-text interpolation
+          enc = prev.withColumn("r",
+            replace(col("r"), lit(s"^$x^$y"), lit(s"^$x$y"))).cache()
+          enc.count()
+          prev.unpersist()
+      }
+      it += 1
     }
     enc.withColumn("n_sym",
       (size(split(col("r"), "\\^")) - 1).cast("long"))
@@ -83,9 +106,11 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"))
 
   /** Encode to ACTUAL token ids — what a trainer consumes. Symbol id =
-    * lexicographic rank in the final symbol set (deterministic on any
-    * engine); output is (doc_id, ids) with the document's full id stream
-    * comma-joined in token order.
+    * UTF-8-byte lexicographic rank in the final symbol set (= code-point
+    * order, the collation DuckDB's ORDER BY uses — Scala's default
+    * String ordering compares UTF-16 code units, which diverges on
+    * supplementary-plane symbols); output is (doc_id, ids) with the
+    * document's full id stream comma-joined in token order.
     *
     * Scale shape: the symbol set is alphabet + one symbol per merge —
     * collected once and shipped as a map literal; per-word id strings are
@@ -95,9 +120,19 @@ object Bpe {
       vocab: DataFrame): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+        i += 1
+      }
+      x.length < y.length
+    }
     val symArr = expr("filter(split(r, '\\\\^'), x -> x != '')")
     val syms = vocab.select(explode(symArr).as("s"))
-      .distinct().as[String].collect().sorted
+      .distinct().as[String].collect().sortWith(utf8Less)
     val idMap = typedLit(syms.zipWithIndex.toMap)
     val wordIds = vocab.select(col("word"),
       array_join(transform(symArr, s => element_at(idMap, s).cast("string")), ",")

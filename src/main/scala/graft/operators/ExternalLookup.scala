@@ -64,14 +64,20 @@ object ExternalLookup {
     * (api_clients.py:132-146): a [[RetryAfter]] from `fn` sleeps the
     * service-specified delay WITHOUT consuming a retry attempt budget
     * beyond `maxRetries` total; any other exception backs off linearly.
+    * The honored delay is capped at `maxRetryAfterMs` — the reference
+    * bounds it the same way (api_clients.py: min(int(retry_after), 10)),
+    * because a buggy or hostile service returning a huge Retry-After
+    * would otherwise stall an executor task (and its whole stage)
+    * indefinitely.
     *
     * @param fn external call — must be serializable and thread-safe
     * @param callsPerSec sustained per-partition budget (burst = `burst`)
     * @param maxRetries re-attempts on failure
+    * @param maxRetryAfterMs upper bound on a single honored Retry-After
     */
   def lookupJoin(df: DataFrame, keyCol: String, fn: String => Option[String],
       callsPerSec: Double = 1000.0, burst: Double = 10.0,
-      maxRetries: Int = 2): DataFrame = {
+      maxRetries: Int = 2, maxRetryAfterMs: Long = 10000L): DataFrame = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val outSchema = StructType(schema.fields :+
@@ -91,7 +97,9 @@ object ExternalLookup {
             case RetryAfter(ms) =>
               attempt += 1
               if (attempt > maxRetries) throw RetryAfter(ms)
-              Thread.sleep(ms) // the service's number, not ours
+              // the service's number, not ours — but bounded (a rogue
+              // Retry-After must not pin a task forever)
+              Thread.sleep(math.min(math.max(ms, 0L), maxRetryAfterMs))
             case e: Exception =>
               attempt += 1
               if (attempt > maxRetries) throw e

@@ -76,6 +76,12 @@ object Graph {
     * result is localCheckpointed so the caches can be freed on exit. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.persist()
+    // Materialize the edge cache BEFORE any multi-leg consumer runs:
+    // degrees() reads e through a two-legged union, and inside one job
+    // two tasks can compute the same not-yet-cached partition
+    // concurrently — each re-running the (dominant) upstream edge build.
+    // One cheap count here guarantees every later leg reads the cache.
+    e.count()
     val deg = degrees(e)
     val e0 = e.select(col("item_a").as("x"), col("item_b").as("y"))
       .join(deg.select(col("item").as("x"), col("degree").as("dx")), "x")
@@ -87,7 +93,7 @@ object Graph {
           .otherwise(struct(col("y").as("a"), col("x").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
-    oriented.count() // materialize both caches before the fan-out
+    oriented.count() // materialize before the three-legged probe fan-out
     val adj = oriented.groupBy("a")
       .agg(sort_array(collect_list(col("b"))).as("nb"))
     val out = oriented

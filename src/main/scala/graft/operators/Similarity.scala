@@ -131,23 +131,36 @@ object Similarity {
     * the same cluster, so the quadratic verify runs per-cell, never
     * corpus-wide.
     *
-    * Scale shape: the k-bounded codebook is collected once and the
-    * argmax is a PER-ROW `greatest(struct(cos, -cid)…)` expression over
-    * centroid literals — assignment does zero shuffle and zero row
-    * amplification (a crossJoin+window form would shuffle rows × k by
-    * vector id). The only wide operation is the pair equi-join on the
-    * cell id. Cell sizes are corpus/k in expectation — pick seedStride
-    * so cells fit a task, exactly like IVF's nprobe sizing. */
+    * Codebook selection is KMV-style: the `k` rows with the SMALLEST
+    * md5-derived hash56(id) become the centroids — a deterministic
+    * uniform sample of FIXED size, independent of corpus size (the
+    * earlier id-stride form grew the codebook linearly with N, which
+    * made the driver collect and the per-row argmax expression unbounded
+    * at 100 TB). Oracle-replayable as `ORDER BY hash56(id), id LIMIT k`.
+    *
+    * Scale shape: the k-bounded codebook is a TakeOrdered of k rows
+    * (collected once, k ≤ 4096 enforced) and the argmax is a PER-ROW
+    * `greatest(struct(cos, -cid)…)` expression over centroid literals —
+    * assignment does zero shuffle and zero row amplification (a
+    * crossJoin+window form would shuffle rows × k by vector id). The
+    * only wide operation is the pair equi-join on the cell id. Cell
+    * sizes are corpus/k in expectation; the per-cell verify is the
+    * SemDeDup trade — pick k so cells fit a task, exactly like IVF's
+    * cell sizing (SemDeDup proper uses 50k clusters for web scale). */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      seedStride: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(k >= 2 && k <= 4096,
+      s"codebook size must be driver-bounded: 2 <= k <= 4096, got $k")
     val cents: Seq[(Long, Seq[Double])] = df
-      .filter(col(idCol) % seedStride === 0)
-      .select(col(idCol).cast("long"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .select(col(idCol).cast("long").as("vid"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"),
+        Dedup.hash56(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vid"))
+      .limit(k)
+      .select(col("vid"), col("v"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    require(cents.size >= 2, "need at least two centroids")
     // struct comparison is lexicographic: max cosine first, then max
     // NEGATED centroid id — ties pick the smallest cid, matching the
     // oracle's ORDER BY cos_c DESC, cent_id ASC

@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions.udaf
   * k-th value — the overwhelming majority once the buffer warms. */
 object Sketches {
 
+  /** Largest k for which (k-1)·2^56 fits a signed long (see [[estimate]]). */
+  val MaxK = 128
+
   final class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
-    require(k > 1)
+    require(k >= 2 && k <= MaxK,
+      s"KMV k must be in [2, $MaxK] — (k-1)*2^56 overflows Long beyond that; got $k")
     override def zero: Seq[Long] = Vector.empty
     override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
       if (buf.size == k && h >= buf.last) buf // covers duplicates of buf.last
@@ -55,7 +59,9 @@ object Sketches {
     * size when the group never filled the sketch, else (k-1)·2^56 div
     * h_k. All-integer — bit-identical on any engine. */
   def estimate(kmvName: String, k: Int): Column = {
-    val scale = (k - 1).toLong * Dedup.M56 // fits a long for k ≤ 128
+    require(k >= 2 && k <= MaxK,
+      s"KMV k must be in [2, $MaxK] — (k-1)*2^56 overflows Long beyond that; got $k")
+    val scale = (k - 1).toLong * Dedup.M56 // fits a long: k ≤ MaxK enforced
     org.apache.spark.sql.functions.expr(
       s"""CASE WHEN size($kmvName) < $k THEN CAST(size($kmvName) AS BIGINT)
           ELSE $scale div element_at($kmvName, $k) END""")

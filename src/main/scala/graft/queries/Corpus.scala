@@ -413,7 +413,11 @@ object Corpus {
 
   /** DuckDB replay of Bpe.train's 6 merges: a pair-count / argmax /
     * replace CTE triple per iteration over the frequency-weighted word
-    * table — shared by txt_bpe (counts) and txt_bpe_ids (id streams). */
+    * table — shared by txt_bpe (counts) and txt_bpe_ids (id streams).
+    * Precondition: the corpus must admit ≥6 merges (any corpus with a
+    * multi-character word does). Bpe.train stops early when the pair
+    * table empties; this fixed unrolling has no such break — CROSS JOIN
+    * against an empty argmax CTE would silently empty the vocab. */
   private def bpeTrainCtes: String = {
     val iterCtes = (1 to 6).map { t =>
       s"""p$t AS (

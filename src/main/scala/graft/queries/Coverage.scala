@@ -268,7 +268,11 @@ object Coverage {
     * purpose: sketch results are algorithm-specific, so DuckDB's
     * approx_count_distinct would legitimately differ — the driver's
     * rows-only check applies, and the EXACT twins (a6, a17) remain the
-    * value-verified forms. A spec bounds the sketch error against them. */
+    * value-verified forms. A spec bounds the sketch error against them.
+    * The ORACLE-EXACT sketch sibling is a26_kmv_sketch below — a real
+    * bounded-memory mergeable distinct sketch with full value
+    * verification; a18 stays rows-only because HLL/t-digest register
+    * state is engine-private, not because sketches can't be verified. */
   val a18Sketches = Q(
     "a18_sketches",
     (s, dir) =>

@@ -333,20 +333,23 @@ object Pipeline {
           (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")})) >= 0.4"""))
 
   /** Semantic (embedding-space) dedup at scale: SemDeDup cell blocking —
-    * max-cosine coarse-centroid assignment (stride-16 seeds), then the
+    * max-cosine coarse-centroid assignment over a FIXED-size codebook
+    * (the 32 rows with smallest hash56(vec_id) — KMV-style, so the
+    * driver-side collect is k rows regardless of corpus size), then the
     * cosine verify within cells only. Same 0.4 threshold as the bounded
     * dd_embed_cosine baseline for direct comparison. */
   val ddSemantic = Q(
     "dd_semantic",
     (s, dir) => Similarity.semanticDupPairs(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      seedStride = 16, threshold = 0.4),
+      k = 32, threshold = 0.4),
     Some {
       def cos(a: String, b: String) =
         s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
       s"""WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 16 = 0),
+        c AS (SELECT vec_id AS cent_id, e AS ce FROM v
+              ORDER BY ${h56("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 32),
         ass AS (
           SELECT vec_id, e, cent_id,
             row_number() OVER (PARTITION BY vec_id

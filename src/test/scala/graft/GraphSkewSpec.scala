@@ -51,7 +51,10 @@ class GraphSkewSpec extends AnyFunSuite {
     val n = Graph.triangleCount(edges).as[Long].collect().head
     assert(n == 4)
     // The upstream DAG feeds degrees + orientation + three join sides;
-    // the persist() means it still materializes exactly once per row.
+    // triangleCount eagerly materializes the persisted edges in a
+    // single-leg job first, so every later leg reads the cache and the
+    // build runs exactly once per row (a multi-leg first job could race
+    // two tasks onto the same uncached partition).
     assert(builds.value == eSeq.size,
       s"edge build ran ${builds.value / eSeq.size.toDouble}x")
   }

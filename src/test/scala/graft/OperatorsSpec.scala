@@ -52,6 +52,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(vocab == "^aa^a") // NOT ^aaa: the merged symbol can't re-merge
   }
 
+  test("Bpe.train stops when no adjacent pair remains instead of crashing") {
+    // single-char words exhaust after zero merges; "ab" exhausts after one
+    val singles = Bpe.train(
+      Bpe.wordFreq(Seq("a b c").toDF("text"), "text"), iters = 5)
+      .select("r", "n_sym").as[(String, Long)].collect().toSet
+    assert(singles == Set(("^a", 1L), ("^b", 1L), ("^c", 1L)))
+    val pairWord = Bpe.train(
+      Bpe.wordFreq(Seq("ab ab").toDF("text"), "text"), iters = 5)
+      .select("r", "n_sym").as[(String, Long)].collect().toSet
+    assert(pairWord == Set(("^ab", 1L)))
+  }
+
   // ---- Merge --------------------------------------------------------------
 
   test("Merge.upsert: updates win, unmatched base rows survive") {
@@ -317,6 +329,36 @@ class OperatorsSpec extends AnyFunSuite {
     val ssd = blob.map(b => b.zip(cent).map { case (a, c) =>
       (a - c) * (a - c) }.sum).sum
     assert(got.head._3 == ssd)
+  }
+
+  test("Similarity.semanticDupPairs: codebook is the k smallest-hash rows, size-bounded") {
+    // Two planted blobs of identical-direction vectors.
+    def v(base: Float) = Array.tabulate(64)(i => base * (1f + 0.001f * (i % 5)))
+    val vs = (0L to 5L).map(i => (i, if (i < 3) v(1f) else v(-1f)))
+      .toDF("vec_id", "embedding")
+    // k = N: every row is a centroid; same-direction vectors tie at
+    // cos ~ 1 and pick the smallest centroid id -> one cell per blob
+    val pairs = Similarity.semanticDupPairs(vs, "vec_id", "embedding",
+      k = 6, threshold = 0.9)
+      .select("cell", "id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 0L, 1L), (0L, 0L, 2L), (0L, 1L, 2L),
+      (3L, 3L, 4L), (3L, 3L, 5L), (3L, 4L, 5L)))
+    // k < N: the codebook is exactly the k rows with the smallest
+    // (hash56(id), id) — every assigned cell id must be one of them
+    val seeds = vs.select(col("vec_id"),
+        Dedup.hash56(col("vec_id").cast("string")).as("h"))
+      .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
+      .take(2).map(_._1).toSet
+    val cells2 = Similarity.semanticDupPairs(vs, "vec_id", "embedding",
+      k = 2, threshold = -1.0)
+      .select("cell").as[Long].collect().toSet
+    assert(cells2.nonEmpty && cells2.subsetOf(seeds),
+      s"cells $cells2 not drawn from the k-smallest-hash seeds $seeds")
+    // an unbounded codebook request fails fast instead of collecting it
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDupPairs(vs, "vec_id", "embedding",
+        k = 5000, threshold = 0.9)
+    }
   }
 
   test("Similarity.pqEncode picks per-subspace nearest codes") {

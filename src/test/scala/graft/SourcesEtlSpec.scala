@@ -176,6 +176,35 @@ class SourcesEtlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.toString.contains("retry after")))
   }
 
+  test("lookupJoin fleet contract: 4 partitions × 2 rps with injected 429s — rate ≤ budget, zero lost rows") {
+    // The reference's 600-req/5-min budget (api_clients.py:118-119) as an
+    // executable spec at test timescale: the FLEET budget is
+    // partitions × callsPerSec, and a throttling service must cost
+    // retries, never rows.
+    PacedService.reset()
+    val rows = 24
+    val df = (1 to rows).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+      .repartition(4)
+    val t0 = System.nanoTime()
+    val got = ExternalLookup.lookupJoin(df, "key", PacedService.call,
+      callsPerSec = 2.0, burst = 1.0, maxRetries = 3)
+      .select("key", "lookup_value").as[(String, String)].collect()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // zero lost rows: every input row returns enriched, 429s included
+    assert(got.length == rows && got.forall(_._2 != null))
+    assert(PacedService.throttled.get() == 4) // k5/k10/k15/k20 hit a 429
+    // 24 rows on a 4×2 rps budget with burst 1 need ≥(6-1)/2 = 2.5 s of
+    // pacing per partition; an unpaced run finishes in milliseconds
+    assert(elapsedSec >= 2.0,
+      f"finished in $elapsedSec%.2f s — the bucket is not pacing")
+    // aggregate attempt rate stays within budget + burst headroom
+    val attempts = PacedService.attempts.get()
+    assert(attempts == rows + 4) // each 429 costs exactly one extra attempt
+    val rate = attempts / elapsedSec
+    assert(rate <= 4 * 2.0 + 4 * 1.0,
+      f"aggregate $rate%.1f attempts/s exceeds partitions×rps + burst")
+  }
+
   test("EtlJob.validate counts valid/invalid in one pass") {
     val df = Seq(("REF001", "Acme Ltd"), ("x", "Bo"), ("REF002", "Zenith Plc"))
       .toDF("planning_reference", "applicant_name")
@@ -346,5 +375,23 @@ object ThrottledService {
     if (calls.incrementAndGet() == 1)
       throw graft.operators.ExternalLookup.RetryAfter(5L)
     Some("OK")
+  }
+}
+
+/** Fake enrichment service for the fleet-pacing spec: counts attempts and
+  * 429s every %5==0 key exactly once on its first call (static state —
+  * executors share the JVM in local mode). */
+object PacedService {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val throttled = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def reset(): Unit = { attempts.set(0); throttled.set(0); seen.clear() }
+  def call(k: String): Option[String] = {
+    attempts.incrementAndGet()
+    if (k.stripPrefix("k").toInt % 5 == 0 && seen.add(k)) {
+      throttled.incrementAndGet()
+      throw graft.operators.ExternalLookup.RetryAfter(100L)
+    }
+    Some(k.toUpperCase)
   }
 }
