@@ -166,15 +166,30 @@ object ApplicantPipeline {
     val resolved = apps.join(pa, "planning_reference")
     val existing = store.read("applicants")
       .select("planning_application_id", "normalized_name")
+    // localCheckpoint — NOT cache — before the append: the anti-join
+    // reads the applicants path, and writing that same path recaches
+    // every plan referencing it (Spark refreshes caches by path), so a
+    // cached `fresh` would re-evaluate AFTER the append, see its own
+    // output, and collapse to empty. The checkpoint cuts the lineage to
+    // materialized blocks that no write can invalidate.
+    val fresh = Merge.newOnly(resolved, existing,
+      Seq("planning_application_id", "normalized_name")).localCheckpoint()
     store.append("applicants", Catalog.conform(
-      Merge.newOnly(resolved, existing,
-        Seq("planning_application_id", "normalized_name"))
-        .select(col("input_id").as("id"), col("planning_application_id"),
-          col("raw_name"), col("normalized_name"), col("applicant_type")),
+      fresh.select(col("input_id").as("id"), col("planning_application_id"),
+        col("raw_name"), col("normalized_name"), col("applicant_type")),
       Catalog.applicants))
 
+    // Matches are persisted only for applicants that LANDED this run: a
+    // cross-batch redelivery is a skipped duplicate exactly like a
+    // within-batch one (webhook_handler.py:144-148 skips duplicates
+    // before matching) — without this gate a replayed webhook would
+    // plant match/enrichment rows under an applicant id that was never
+    // stored (a dangling foreign key in the reference schema).
+    val landed = matches.join(fresh.select("input_id"),
+      Seq("input_id"), "left_semi")
+
     store.upsert("applicant_company_matches", Catalog.conform(
-      matches.select(
+      landed.select(
         xxhash64(col("input_id"), col("company_id")).as("id"),
         col("input_id").as("applicant_id"), col("company_id"),
         col("method").as("match_method"),
@@ -182,7 +197,7 @@ object ApplicantPipeline {
       Catalog.applicantCompanyMatches))
 
     store.upsert("enrichment_data", Catalog.conform(
-      matches.join(companies, "company_id")
+      landed.join(companies, "company_id")
         .select(col("company_id"), dataTier(col("has_charges")).as("tier"))
         .distinct()
         .select(col("company_id").as("id"), col("company_id"),

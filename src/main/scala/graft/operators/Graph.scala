@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Co-membership graph materialization (SURVEY.md §2.3 J4/J5; reference
@@ -37,6 +37,33 @@ object Graph {
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minShared)
+
+  /** [[sharedKeyEdges]] over a PRE-BUCKETED input — the workload's
+    * recurring-shuffle killer. The edge table is rebuilt wholesale on
+    * every pipeline run (M8; reference database.py:941-961 re-joins from
+    * scratch per request), and the rebuild's appointment-sized wide
+    * operation is the groupBy on `groupCol`. Writing the appointments
+    * bucketed by that key pays the shuffle ONCE at write time
+    * (graft.sources.Bucketing); every later rebuild's group collect then
+    * reads bucket-partitioned input with NO Exchange — pinned in
+    * PlanSpec. The pair-count groupBy keys on (item_a, item_b) and still
+    * exchanges, but its input is the pair list, not the appointments.
+    *
+    * `tag` namespaces the materialization (per catalog table name +
+    * location); re-invocations in the same JVM reuse it. Bucket count is
+    * the rebuild's parallelism — size it like shuffle partitions at the
+    * target scale (thousands for a 100 TB appointments table). */
+  def sharedKeyEdgesBucketed(spark: SparkSession, appointments: => DataFrame,
+      groupCol: String, itemCol: String, tag: String, buckets: Int = 8,
+      minShared: Int = 1, maxGroupSize: Int = 1000): DataFrame = {
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/appts_$tag"
+    graft.sources.Bucketing.ensureBucketed(
+      appointments.select(col(groupCol), col(itemCol)),
+      s"g_appts_b_$tag", base, groupCol, buckets)
+    sharedKeyEdges(spark.table(s"g_appts_b_$tag"), groupCol, itemCol,
+      minShared, maxGroupSize)
+  }
 
   /** 1-hop neighborhood of `id` over an edge list (reference
     * database.py:985-1011). */

@@ -75,6 +75,73 @@ class PipelineE2ESpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T6 file stream + checkpoint: end-state equals the batch run; restart and redelivery are no-ops") {
+    // The reference's webhook path (webhook_handler.py:92-124) feeds the
+    // SAME pipeline the batch endpoint uses; here the full 7-row fixture
+    // arrives as files, split across micro-batches, with a checkpoint —
+    // and the persisted end-state must be indistinguishable from one
+    // batch runWithStore.
+    val stBatch = store()
+    ApplicantPipeline.runWithStore(stBatch, raw,
+      "input_id", "planning_reference", "applicant_name",
+      borough = "camden", companies = companies)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
+    val srcDir = s"$dir/in"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val stStream = store()
+    def start() = graft.streaming.ApplicantStream.writer(stStream,
+        spark.readStream.schema(raw.schema).json(srcDir),
+        "input_id", "planning_reference", "applicant_name",
+        borough = "camden", companies = companies)
+      .option("checkpointLocation", ckpt).start()
+
+    // two files: the duplicate pair (rows 4/5) lands SPLIT across them,
+    // so dedup must work cross-micro-batch through the store, not just
+    // inside one batch
+    raw.filter(col("input_id") <= 4).coalesce(1).write.mode("append").json(srcDir)
+    raw.filter(col("input_id") > 4).coalesce(1).write.mode("append").json(srcDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    def snap(st: TableStore) = Map(
+      "pa" -> st.read("planning_applications")
+        .select("id", "borough", "reference")
+        .collect().map(_.toSeq).toSet,
+      "app" -> st.read("applicants")
+        .select("id", "planning_application_id", "raw_name",
+          "normalized_name", "applicant_type")
+        .collect().map(_.toSeq).toSet,
+      "match" -> st.read("applicant_company_matches")
+        .select("applicant_id", "company_id", "match_method",
+          "confidence_score")
+        .collect().map(_.toSeq).toSet,
+      "enrich" -> st.read("enrichment_data")
+        .select("company_id", "provider", "enrichment_data")
+        .collect().map(_.toSeq).toSet,
+      "edges" -> st.read("shared_officer_edges")
+        .select("company_a_id", "company_b_id", "shared_officer_count")
+        .collect().map(_.toSeq).toSet)
+    val batchState = snap(stBatch)
+    assert(snap(stStream) == batchState,
+      "streaming end-state must equal the batch run's")
+
+    // restart from the checkpoint with nothing new: a pure no-op
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(stStream) == batchState)
+
+    // webhook REDELIVERY: the identical rows arrive again as a new file;
+    // every persist step is a business-key merge, so replay changes
+    // nothing — no duplicate applicants, no dangling match rows
+    raw.coalesce(1).write.mode("append").json(srcDir)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snap(stStream) == batchState)
+    assert(stStream.keyViolations("planning_applications").count() == 0)
+    assert(stStream.keyViolations("applicant_company_matches").count() == 0)
+  }
+
   test("two applicants sharing a reference create ONE planning application") {
     val st = store()
     val shared = Seq[(Long, String, String)](

@@ -140,6 +140,27 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"only the aggregate may shuffle:\n$p")
   }
 
+  test("bucketed sharedKeyEdges: the group collect reads buckets exchange-free") {
+    // The edge rebuild runs on every pipeline pass (M8 wholesale
+    // overwrite); bucketing appointments by the group key pays its
+    // shuffle once at write time, so the rebuild's only Exchange left
+    // is the pair-count aggregate (pair-sized input, different key).
+    val l = graft.Tables.load(spark, sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") < 2000)
+    val bucketed = graft.operators.Graph.sharedKeyEdgesBucketed(
+      spark, l, "l_orderkey", "l_partkey", tag = "planspec",
+      minShared = 2, maxGroupSize = Int.MaxValue)
+    val p = bucketed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the pair-count aggregate may shuffle:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan must read the bucket layout:\n$p")
+    // the bucketed rebuild is the same relation as the plain one
+    val plain = graft.operators.Graph.sharedKeyEdges(
+      l, "l_orderkey", "l_partkey", minShared = 2,
+      maxGroupSize = Int.MaxValue)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  }
+
   test("t9/j11: temporal joins never plan a nested-loop product") {
     val pa = plan(TemporalQueries.t9Asof)
     assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
