@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct-count sketch — the deterministic
   * sibling of a18's HyperLogLog (reference dashboard "unique X" counters,
@@ -65,5 +65,55 @@ object Sketches {
     org.apache.spark.sql.functions.expr(
       s"""CASE WHEN size($kmvName) < $k THEN CAST(size($kmvName) AS BIGINT)
           ELSE $scale div element_at($kmvName, $k) END""")
+  }
+
+  // ---- count-min sketch ----------------------------------------------------
+  //
+  // KMV answers "how many DISTINCT keys"; count-min answers "how OFTEN is
+  // this key" (reference dashboard per-term counters at a cardinality
+  // where the exact groupBy stops fitting). d hash rows × w buckets of
+  // plain counts: fixed d·w memory, mergeable by cell-wise addition,
+  // point estimate = min over the d cells holding the key — always ≥ the
+  // truth, within 2N/w at confidence 1 − 2^−d (Cormode & Muthukrishnan
+  // 2005). Production CMS hash families are engine-private; deriving the
+  // buckets from the md5-based hash56 makes the WHOLE sketch replayable
+  // by an external engine — same cells, same estimates, oracle-EXACT.
+
+  /** Bucket of `key` in hash row `j` (of `w` buckets): hash56 of the
+    * row-tagged key string — deterministic on any engine. */
+  def cmsBucket(key: Column, j: Int, w: Int): Column =
+    Dedup.hash56(concat(lit(j.toString), lit(":"), key.cast("string"))) % w
+
+  /** All d row-tagged buckets of `key` as one exploded-ready array. */
+  private def cmsStructs(key: Column, d: Int, w: Int): Column =
+    array((0 until d).map(j =>
+      struct(lit(j).as("j"), cmsBucket(key, j, w).as("b"))): _*)
+
+  /** Build the sketch: the d·w cell table (j, b, n).
+    *
+    * Scale shape: the explode amplifies rows ×d BEFORE a partial
+    * aggregate, so each map task emits at most d·w cells and the shuffle
+    * carries d·w rows per partition regardless of input size — the same
+    * map-side-combine contract as the KMV Aggregator. No distinct, no
+    * full key shuffle (the exact groupBy twin pays that). */
+  def cmsCells(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"unreasonable CMS geometry d=$d w=$w")
+    df.select(explode(cmsStructs(col(keyCol), d, w)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Frequency point-estimates for `probes`: append `cms_n` = min over
+    * the d cells addressed by each probe key. The cell table is d·w rows
+    * — broadcast; probes stream past it unshuffled except the final
+    * per-probe min (keyed on the probe row itself). */
+  def cmsEstimate(probes: DataFrame, keyCol: String, cells: DataFrame,
+      d: Int, w: Int): DataFrame = {
+    val keyed = probes.withColumn("__h", explode(cmsStructs(col(keyCol), d, w)))
+      .withColumn("j", col("__h.j")).withColumn("b", col("__h.b"))
+      .drop("__h")
+    keyed.join(broadcast(cells), Seq("j", "b"))
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min("n").as("cms_n"))
   }
 }

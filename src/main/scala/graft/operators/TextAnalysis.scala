@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -100,4 +100,44 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
+
+  /** Per-doc (doc_id, x, y) adjacent-token bigrams over [[rawTokens]] —
+    * emitted IN-ROW from the token array (no window, no shuffle); docs
+    * with fewer than two tokens emit nothing. */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), rawTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+
+  /** Bigram-LM likelihood score — the perplexity-style quality filter of
+    * the CCNet/Gopher pipelines, in oracle-replayable integer fixed
+    * point. Train: corpus bigram counts c(x,y) and prefix counts c(x·).
+    * Score: each doc bigram contributes p6 = c(x,y)·10⁶ DIV c(x·) (the
+    * conditional probability in millionths); the doc score is the
+    * integer mean of its p6 stream. Boilerplate and common prose score
+    * high, gibberish and rare-word soup score low — the same signal as
+    * log-perplexity without the cross-engine libm drift a real log would
+    * reintroduce (rank order of documents is preserved under the
+    * monotone map).
+    *
+    * Scale shape: bigrams are emitted in-row ([[docBigrams]], no window);
+    * the LM table is a groupBy of the bigram stream (map-side combined)
+    * and the scoring pass is one equi-join on (x, y) — the join both
+    * sides shuffle on is the LM's natural key, and the prefix-count side
+    * is vocab-sized. No driver state, no iteration. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docBigrams(docs, idCol, textCol)
+    val counts = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val prefix = bi.groupBy("x").agg(count(lit(1)).as("c_x"))
+    val lm = counts.join(prefix, "x")
+    bi.join(lm, Seq("x", "y"))
+      .withColumn("p6", expr("(c_xy * 1000000) DIV c_x"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p6) DIV count(1)").as("lm_score"))
+  }
 }

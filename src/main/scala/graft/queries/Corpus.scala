@@ -474,7 +474,36 @@ object Corpus {
       FROM dw JOIN word_ids USING (word)
       GROUP BY doc_id"""))
 
+  /** Bigram-LM quality scoring — the perplexity-style filter of the
+    * CCNet/Gopher curation recipes, in integer fixed point (conditional
+    * probabilities in millionths, integer mean per doc) so the oracle
+    * replays it bit-exactly; a true log-perplexity would reintroduce
+    * cross-engine libm drift while preserving the same document ranking.
+    * The LM trains on the WHOLE corpus; docs 0..99 are scored. */
+  val txtBigramScore = Q(
+    "txt_bigram_score",
+    (s, dir) => graft.operators.TextAnalysis.bigramScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      bi AS (
+        SELECT doc_id, t[i] AS x, t[i + 1] AS y
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+      cnt AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+      pre AS (SELECT x, count(*) AS c_x FROM bi GROUP BY 1),
+      scored AS (
+        SELECT b.doc_id, (c.c_xy * 1000000) // p.c_x AS p6
+        FROM bi b JOIN cnt c USING (x, y) JOIN pre p USING (x))
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(p6) // count(*) AS BIGINT) AS lm_score
+      FROM scored WHERE doc_id < 100
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
-    txtBpe, txtBpeIds)
+    txtBpe, txtBpeIds, txtBigramScore)
 }

@@ -339,6 +339,43 @@ object Coverage {
       WHERE ((md5_number_lower(CAST(event_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) % 100 < 10
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** A28: count-min frequency sketch — the "how often" sibling of a26's
+    * "how many distinct" (reference per-term dashboard counters at
+    * cardinalities where the exact groupBy stops fitting). The 4×256
+    * cell table is built with map-side combine (shuffle = d·w rows per
+    * partition, input-size-independent), then the 10 heaviest users'
+    * frequencies are point-estimated as min over their 4 cells. All
+    * bucket hashes derive from hash56, so DuckDB replays the EXACT
+    * sketch — cells, estimates, everything; `exact_n` rides along to
+    * expose the (deterministic) overcount. */
+  val a28CmsHeavy = Q(
+    "a28_cms_heavy",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cells = graft.operators.Sketches.cmsCells(ev, "user_id", d = 4, w = 256)
+      val probes = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      graft.operators.Sketches.cmsEstimate(probes, "user_id", cells, d = 4, w = 256)
+        .orderBy("user_id")
+    },
+    Some {
+      def b(key: String, j: String) =
+        s"(((md5_number_lower(CONCAT($j, ':', CAST($key AS VARCHAR))) % ${graft.operators.Dedup.M56})::BIGINT) % 256)"
+      s"""WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        cells AS (
+          SELECT j, ${b("user_id", "j")} AS b, count(*) AS n
+          FROM events CROSS JOIN js GROUP BY 1, 2),
+        probes AS (
+          SELECT user_id, count(*) AS exact_n FROM events
+          GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10),
+        ph AS (
+          SELECT user_id, exact_n, j, ${b("user_id", "j")} AS b
+          FROM probes CROSS JOIN js)
+        SELECT ph.user_id, ph.exact_n, min(c.n) AS cms_n
+        FROM ph JOIN cells c USING (j, b)
+        GROUP BY 1, 2 ORDER BY user_id"""
+    })
+
   /** J13: the co-located fact-to-fact join — both sides bucketed on the
     * join key (graft.sources.Bucketing), so the SortMergeJoin runs with
     * NO Exchange below it (pinned in PlanSpec). This is the at-scale
@@ -421,6 +458,6 @@ object Coverage {
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
-    j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, j13Bucketed,
-    j14DppJoin)
+    j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
+    j13Bucketed, j14DppJoin)
 }

@@ -28,6 +28,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(big - 5000L) < 5000 * 0.375, s"KMV estimate $big vs 5000")
   }
 
+  test("Sketches.cms never undercounts; exact here (fixed hashes, no collisions)") {
+    import graft.operators.Sketches
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val cells = Sketches.cmsCells(df, "k", d = 4, w = 256)
+    assert(cells.agg(sum("n")).as[Long].head() == 9 * 4) // every row in every hash row
+    val probes = df.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val got = Sketches.cmsEstimate(probes, "k", cells, d = 4, w = 256)
+      .select("k", "exact_n", "cms_n").as[(String, Long, Long)].collect()
+    assert(got.length == 3)
+    assert(got.forall { case (_, e, c) => c >= e }, "CMS must never undercount")
+    // 3 keys across 4 rows of 256 buckets with FIXED md5 hashes: this
+    // particular sketch has no colliding cells, so min == exact
+    assert(got.forall { case (_, e, c) => c == e })
+  }
+
+  test("TextAnalysis.bigramScore: integer mean of bigram conditionals; short docs drop") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: (a,b)x2, (b,a), (a,c); prefixes: a=3, b=1
+    // p6(a,b) = 2e6 DIV 3 = 666666; p6(b,a) = 1e6; p6(a,c) = 333333
+    val got = TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, (666666L + 1000000L + 333333L) / 3), // = 666666
+      (2L, 1L, 666666L))) // doc 3 has one token: no bigrams, no row
+  }
+
   // ---- Bpe ----------------------------------------------------------------
 
   test("Bpe.train picks frequency-then-lex argmax and merges greedily") {

@@ -161,6 +161,21 @@ class PlanSpec extends AnyFunSuite {
     assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
   }
 
+  test("a28: CMS cells combine map-side; probes join the cell table broadcast") {
+    val p = plan(Coverage.a28CmsHeavy)
+    assert(p.contains("partial_count"),
+      "cell build must map-side combine — the shuffle is d*w rows per partition")
+    assert(p.contains("BroadcastHashJoin"),
+      "the d*w cell table must broadcast to the probes")
+  }
+
+  test("txt_bigram_score: bigrams emit in-row — no window over the token stream") {
+    val p = plan(Corpus.txtBigramScore)
+    assert(!p.contains("Window"),
+      "a lead()-style window would shuffle the whole token stream by doc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t9/j11: temporal joins never plan a nested-loop product") {
     val pa = plan(TemporalQueries.t9Asof)
     assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
