@@ -36,7 +36,8 @@ object SparkEntry {
       "j13_bucketed_join", "j14_dpp_join", "corpus_curate",
       "dd_incremental", "txt_decontam", "txt_pack", "sim_kmeans",
       "sim_pq_adc", "t12_hopping_window", "dd_paragraph", "txt_bpe",
-      "a26_kmv_sketch", "dd_semantic", "g_pagerank", "txt_bigram_score")
+      "a26_kmv_sketch", "dd_semantic", "g_pagerank", "txt_bigram_score",
+      "txt_bpe_batched")
     preferred.filter(queries.contains)
   }
 }

@@ -57,26 +57,35 @@ object Bpe {
     docs.select(explode(TextAnalysis.rawTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("f"))
 
+  /** Adjacent-symbol pair counts of the current representation,
+    * corpus-frequency weighted: (x, y, c). */
+  private def pairCounts(enc: DataFrame): DataFrame =
+    enc.withColumn("ss", split(col("r"), "\\^"))
+      .filter(size(col("ss")) >= 3) // [""] ++ symbols — need ≥2 symbols
+      .select(col("f"), explode(expr(
+        """transform(sequence(2, size(ss) - 1),
+           i -> struct(element_at(ss, i) AS x, element_at(ss, i + 1) AS y))"""))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("f").as("c"))
+
+  /** '^'-prefixed single-character symbol split of the word column. */
+  private def charInit(words: DataFrame): DataFrame =
+    words.withColumn("r", regexp_replace(col("word"), "(.)", "\\^$1"))
+
+  private def withNsym(enc: DataFrame): DataFrame =
+    enc.withColumn("n_sym",
+      (size(split(col("r"), "\\^")) - 1).cast("long"))
+
   /** Train `iters` merges (or until no adjacent pair remains — a corpus
     * of single-symbol words exhausts before `iters`); returns the vocab
     * table with the fully-merged representation: (word, f, r, n_sym). */
   def train(words: DataFrame, iters: Int): DataFrame = {
-    var enc = words
-      .withColumn("r", regexp_replace(col("word"), "(.)", "\\^$1"))
-      .cache()
+    var enc = charInit(words).cache()
     var it = 0
     var exhausted = false
     while (it < iters && !exhausted) {
-      val pairs = enc
-        .withColumn("ss", split(col("r"), "\\^"))
-        .filter(size(col("ss")) >= 3) // [""] ++ symbols — need ≥2 symbols
-        .select(col("f"), explode(expr(
-          """transform(sequence(2, size(ss) - 1),
-             i -> struct(element_at(ss, i) AS x, element_at(ss, i + 1) AS y))"""))
-          .as("p"))
-        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-        .agg(sum("f").as("c"))
-      pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+      pairCounts(enc).orderBy(col("c").desc, col("x").asc, col("y").asc)
         .limit(1).collect().headOption match {
         case None => exhausted = true // every word is one symbol already
         case Some(best) =>
@@ -91,8 +100,59 @@ object Bpe {
       }
       it += 1
     }
-    enc.withColumn("n_sym",
-      (size(split(col("r"), "\\^")) - 1).cast("long"))
+    withNsym(enc)
+  }
+
+  /** Batched train — the job-count fix for production-sized vocabs
+    * ([[train]]'s contract is iters ≲ 100 because every merge is one
+    * Spark job): each ROUND counts pairs once, keeps up to `window` top
+    * pairs whose symbols are disjoint from every higher-ranked
+    * candidate, and applies the kept merges in rank order in ONE pass —
+    * so a round costs what a single merge costs but performs ~window/2
+    * merges of it.
+    *
+    * Fidelity trade, stated exactly: classic BPE recounts after every
+    * merge; a batch reuses the round's counts for all its merges (the
+    * standard concession parallel tokenizer trainers make). The keep
+    * rule — symbols disjoint from every higher-ranked CANDIDATE, kept
+    * or dropped — is deliberately non-recursive so an external engine
+    * replays selection with one self-anti-join instead of a sequential
+    * scan. The chained replace applies kept merges in rank order inside
+    * the single pass, so later merges see earlier ones' text effects
+    * (e.g. a freshly-formed symbol can feed a later kept pair) — that
+    * order is part of the operator's definition and of its oracle.
+    * With window = 1 every round keeps exactly the argmax: batched
+    * training degenerates to [[train]] (pinned in OperatorsSpec). */
+  def trainBatched(words: DataFrame, rounds: Int, window: Int): DataFrame = {
+    require(rounds >= 1 && window >= 1, s"bad geometry rounds=$rounds window=$window")
+    var enc = charInit(words).cache()
+    var rd = 0
+    var exhausted = false
+    while (rd < rounds && !exhausted) {
+      val cand = pairCounts(enc)
+        .orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(window).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val kept = cand.indices.flatMap { i =>
+          val (x, y) = (cand(i).getString(0), cand(i).getString(1))
+          val clash = cand.take(i).exists { h =>
+            val (hx, hy) = (h.getString(0), h.getString(1))
+            hx == x || hx == y || hy == x || hy == y
+          }
+          if (clash) None else Some((x, y))
+        }
+        val prev = enc
+        val merged = kept.foldLeft(col("r")) { case (acc, (x, y)) =>
+          replace(acc, lit(s"^$x^$y"), lit(s"^$x$y"))
+        }
+        enc = prev.withColumn("r", merged).cache()
+        enc.count()
+        prev.unpersist()
+      }
+      rd += 1
+    }
+    withNsym(enc)
   }
 
   /** Encode: per-doc word and BPE-symbol counts through the trained

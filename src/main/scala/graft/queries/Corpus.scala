@@ -474,6 +474,73 @@ object Corpus {
       FROM dw JOIN word_ids USING (word)
       GROUP BY doc_id"""))
 
+  /** DuckDB replay of Bpe.trainBatched(rounds, window): per round, one
+    * pair-count CTE, a ranked candidate window (QUALIFY rk <= window), a
+    * NON-recursive disjointness anti-join selecting the kept merges, and
+    * `window` statically-unrolled apply steps (a missing step replaces
+    * the never-occurring sentinel '^ ' — '^' is always followed by a
+    * non-space symbol character — so it is the identity). */
+  private def bpeBatchedCtes(rounds: Int, window: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      val steps = (1 to window).map { st =>
+        s"""b${t}_$st AS (
+          SELECT word, f, replace(r,
+            coalesce((SELECT '^' || x || '^' || y FROM k$t WHERE step = $st), '^ '),
+            coalesce((SELECT '^' || x || y FROM k$t WHERE step = $st), '')) AS r
+          FROM b${t}_${st - 1})"""
+      }.mkString(",\n        ")
+      s"""p$t AS (
+          SELECT x, y, CAST(sum(f) AS BIGINT) AS c FROM (
+            SELECT e.f, e.ss[i] AS x, e.ss[i + 1] AS y
+            FROM (SELECT f, string_split(r, '^')[2:] AS ss FROM e${t - 1}) e,
+              LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i))
+          GROUP BY x, y),
+        cand$t AS (
+          SELECT x, y, row_number() OVER (ORDER BY c DESC, x ASC, y ASC) AS rk
+          FROM p$t QUALIFY rk <= $window),
+        k$t AS (
+          SELECT x, y, row_number() OVER (ORDER BY rk) AS step
+          FROM cand$t a
+          WHERE NOT EXISTS (SELECT 1 FROM cand$t h
+            WHERE h.rk < a.rk
+              AND (h.x = a.x OR h.x = a.y OR h.y = a.x OR h.y = a.y))),
+        b${t}_0 AS (SELECT word, f, r FROM e${t - 1}),
+        $steps,
+        e$t AS (SELECT word, f, r FROM b${t}_$window)"""
+    }.mkString(",\n        ")
+    s"""wf AS (
+        SELECT word, count(*) AS f FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents)
+        GROUP BY word),
+      e0 AS (
+        SELECT word, f, regexp_replace(word, '(.)', '^\\1', 'g') AS r FROM wf),
+      $roundCtes"""
+  }
+
+  /** txt_bpe's batched twin: 2 rounds of up-to-8 disjoint merges instead
+    * of 6 sequential argmax jobs — the Bpe.trainBatched contract (stale
+    * within-round counts, rank-ordered application) replayed exactly by
+    * the oracle. Same encode step over docs 0..99. */
+  val txtBpeBatched = Q(
+    "txt_bpe_batched",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Bpe.trainBatched(
+        graft.operators.Bpe.wordFreq(docs, "text"), rounds = 2, window = 8)
+      graft.operators.Bpe.encodeCounts(
+        docs.filter(col("doc_id") < 100), "doc_id", "text", vocab)
+    },
+    Some(s"""WITH ${bpeBatchedCtes(rounds = 2, window = 8)},
+        vocab AS (
+          SELECT word, len(string_split(r, '^')) - 1 AS n_sym FROM e2),
+        doc_words AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents WHERE doc_id < 100)
+        SELECT d.doc_id, count(*) AS n_words, CAST(sum(v.n_sym) AS BIGINT) AS n_bpe
+        FROM doc_words d JOIN vocab v USING (word)
+        GROUP BY d.doc_id"""))
+
   /** Bigram-LM quality scoring — the perplexity-style filter of the
     * CCNet/Gopher curation recipes, in integer fixed point (conditional
     * probabilities in millionths, integer mean per doc) so the oracle
@@ -505,5 +572,5 @@ object Corpus {
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
-    txtBpe, txtBpeIds, txtBigramScore)
+    txtBpe, txtBpeIds, txtBpeBatched, txtBigramScore)
 }

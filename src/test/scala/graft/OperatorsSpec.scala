@@ -79,6 +79,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(vocab == "^aa^a") // NOT ^aaa: the merged symbol can't re-merge
   }
 
+  test("Bpe.trainBatched merges disjoint pairs in one round; window=1 degenerates to train") {
+    // (a,b) and (c,d) tie on count and share no symbol: ONE round merges
+    // both — the sequential trainer needs two iterations for the same
+    val docs = Seq("ab ab cd cd").toDF("text")
+    val batched = Bpe.trainBatched(Bpe.wordFreq(docs, "text"),
+      rounds = 1, window = 8)
+      .select("word", "r").as[(String, String)].collect().toMap
+    assert(batched == Map("ab" -> "^ab", "cd" -> "^cd"))
+    // conflicting candidates defer: with words "ab abc", candidates
+    // (a,b) then (ab,c) — wait, (ab,c) only exists after the merge; the
+    // round's candidates are (a,b) c=2 and (b,c) c=1, which SHARE b, so
+    // only (a,b) applies this round even with a wide-open window
+    val conflict = Bpe.trainBatched(
+      Bpe.wordFreq(Seq("ab abc").toDF("text"), "text"),
+      rounds = 1, window = 8)
+      .select("word", "r").as[(String, String)].collect().toMap
+    assert(conflict == Map("ab" -> "^ab", "abc" -> "^ab^c"))
+    // window = 1 keeps exactly the per-round argmax: identical to train
+    val corpus = Bpe.wordFreq(Seq("ab ab abc", "abc abc ab").toDF("text"), "text")
+    val seq2 = Bpe.train(corpus, iters = 2)
+      .select("word", "r").as[(String, String)].collect().toMap
+    val bat2 = Bpe.trainBatched(corpus, rounds = 2, window = 1)
+      .select("word", "r").as[(String, String)].collect().toMap
+    assert(bat2 == seq2)
+  }
+
   test("Bpe.train stops when no adjacent pair remains instead of crashing") {
     // single-char words exhaust after zero merges; "ab" exhausts after one
     val singles = Bpe.train(
