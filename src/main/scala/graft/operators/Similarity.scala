@@ -298,6 +298,26 @@ object Similarity {
     * materializes. Distances are exact fixed-point integers (ADC is
     * exact w.r.t. the quantized codes, approximate w.r.t. the original
     * vectors — the standard PQ trade). */
+  /** Per-query ADC lookup table (query_id, cj, cid, dist): exact
+    * fixed-point distance from each query's subspace slice to every
+    * codebook entry — queries × subspaces × |codebook| rows, broadcast
+    * material. */
+  private def adcLut(queries: DataFrame, idCol: String,
+      seeds: Seq[(Long, Seq[Long])], subspaces: Int, d: Int): DataFrame = {
+    val flat: Seq[(Long, Int, Seq[Long])] =
+      for ((id, v) <- seeds; j <- 0 until subspaces)
+        yield (id, j, v.slice(j * d, (j + 1) * d))
+    queries
+      .select(col(idCol).as("query_id"), quantized("embedding").as("qv"))
+      .select(col("query_id"), col("qv"), explode(typedLit(flat)).as("cb"))
+      .select(col("query_id"),
+        col("cb._1").as("cid"), col("cb._2").as("cj"),
+        aggregate(zip_with(
+          slice(col("qv"), col("cb._2") * lit(d) + lit(1), lit(d)),
+          col("cb._3"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist"))
+  }
+
   def pqAdcTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, seedStride: Int, subspaces: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -306,20 +326,61 @@ object Similarity {
     val d = seeds.head._2.length / subspaces
     val codes = pqEncode(candidates, idCol, vecCol, seedStride, subspaces)
       .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
-    val flat: Seq[(Long, Int, Seq[Long])] =
-      for ((id, v) <- seeds; j <- 0 until subspaces)
-        yield (id, j, v.slice(j * d, (j + 1) * d))
-    val lut = queries
-      .select(col(idCol).as("query_id"), quantized(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"), explode(typedLit(flat)).as("cb"))
-      .select(col("query_id"),
-        col("cb._1").as("cid"), col("cb._2").as("cj"),
-        aggregate(zip_with(
-          slice(col("qv"), col("cb._2") * lit(d) + lit(1), lit(d)),
-          col("cb._3"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("dist"))
+    val lut = adcLut(queries.select(col(idCol), col(vecCol).as("embedding")),
+      idCol, seeds, subspaces, d)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
     codes.join(broadcast(lut), col("j") === col("cj") && col("code") === col("cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("dist").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "adc")
+  }
+
+  /** IVF + ADC — the composed billion-vector serving shape (IVFADC,
+    * Jégou et al. 2011): the coarse quantizer prunes each query's
+    * candidate set to its `nprobe` nearest cells, and the survivors are
+    * scored from PQ CODES ALONE via the per-query lookup table. Neither
+    * approximation reads a full candidate vector at query time.
+    *
+    * Scale shape: coarse assignment is the broadcast-centroid pattern
+    * (ivfTopK); codes join their cell in one narrow pass; the probe is
+    * an equi-join on cell id and the scoring join is broadcast LUT on
+    * (query, subspace, code). Worst shuffle = candidate codes ×
+    * (nprobe/|cells|) × subspaces — candidate vectors never move. */
+  def ivfAdcTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, seedStride: Int, subspaces: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = candidates
+      .filter(col(idCol) % seedStride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    def cellsOf(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("cos_c").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cos_c", cosine(col(v), col("cent_v")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .select(col(id), col("cent_id").as("cell"))
+    }
+    val candCell = cellsOf(candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv")), "cand_id", "cv", keep = 1)
+    val qCell = cellsOf(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "query_id", "qv", keep = nprobe)
+    val candQ = candidates.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    val seeds = collectSeeds(candQ, seedStride)
+    val d = seeds.head._2.length / subspaces
+    val codes = pqEncode(candidates, idCol, vecCol, seedStride, subspaces)
+      .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(candCell, "cand_id")
+    val lut = adcLut(queries.select(col(idCol), col(vecCol).as("embedding")),
+        idCol, seeds, subspaces, d)
+      .select(col("query_id"), col("cj").as("j"), col("cid").as("code"),
+        col("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.join(qCell, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
       .groupBy("query_id", "cand_id")
       .agg(sum("dist").as("adc"))
       .withColumn("rank", row_number().over(w))

@@ -576,6 +576,80 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rank
         FROM scored) WHERE rank <= 5"""))
 
+  /** IVFADC (Jégou et al. 2011), the composed billion-vector serving
+    * shape: coarse IVF cells prune each query to its nprobe=2 nearest
+    * cells, then the surviving candidates are scored from PQ codes alone
+    * via the per-query ADC lookup table — no full candidate vector is
+    * read at query time. Composes the verified sim_ivf_topk coarse stage
+    * with the verified sim_pq_adc fine stage. */
+  val simIvfPq = Q(
+    "sim_ivf_pq",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfAdcTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", seedStride = 16, subspaces = 8,
+        nprobe = 2, k = 5)
+    },
+    Some(s"""WITH vd AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      vq AS (
+        SELECT vec_id AS vid,
+          list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, e AS ce FROM vd
+        WHERE vec_id >= 10 AND vec_id % 16 = 0),
+      cand_cell AS (
+        SELECT cand_id, cell FROM (
+          SELECT c.vec_id AS cand_id, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM (SELECT * FROM vd WHERE vec_id >= 10) c CROSS JOIN cents)
+        WHERE r <= 1),
+      q_cell AS (
+        SELECT query_id, cell FROM (
+          SELECT q.vec_id AS query_id, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM (SELECT * FROM vd WHERE vec_id < 10) q CROSS JOIN cents)
+        WHERE r <= 2),
+      cb AS (SELECT vid AS cid, qv AS cv FROM vq WHERE vid >= 10 AND vid % 16 = 0),
+      sub AS (
+        SELECT v.vid, j.j, cb.cid,
+          CAST(list_sum(list_transform(
+            list_zip(v.qv[j.j*8+1 : j.j*8+8], cb.cv[j.j*8+1 : j.j*8+8]),
+            p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+        FROM vq v CROSS JOIN range(8) j(j) CROSS JOIN cb
+        WHERE v.vid >= 10),
+      best AS (
+        SELECT vid, j, cid FROM (
+          SELECT vid, j, cid,
+            row_number() OVER (PARTITION BY vid, j ORDER BY dist, cid) AS rk
+          FROM sub) WHERE rk = 1),
+      lut AS (
+        SELECT v.vid AS query_id, j.j, cb.cid,
+          CAST(list_sum(list_transform(
+            list_zip(v.qv[j.j*8+1 : j.j*8+8], cb.cv[j.j*8+1 : j.j*8+8]),
+            p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+        FROM vq v CROSS JOIN range(8) j(j) CROSS JOIN cb
+        WHERE v.vid < 10),
+      probed AS (
+        SELECT q.query_id, b.vid AS cand_id, b.j, b.cid
+        FROM best b
+        JOIN cand_cell cc ON cc.cand_id = b.vid
+        JOIN q_cell q USING (cell)
+        WHERE q.query_id != b.vid),
+      scored AS (
+        SELECT p.query_id, p.cand_id, CAST(sum(l.dist) AS BIGINT) AS adc
+        FROM probed p JOIN lut l
+          ON l.query_id = p.query_id AND l.j = p.j AND l.cid = p.cid
+        GROUP BY 1, 2)
+      SELECT query_id, cand_id, rank, adc FROM (
+        SELECT query_id, cand_id, adc,
+          row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rank
+        FROM scored) WHERE rank <= 5"""))
+
   // ---- text analysis ------------------------------------------------------
 
   private def stopSql(words: Seq[String]) =
@@ -823,7 +897,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
     simTopk, simLsh, simIvf,
-    simKmeans, simPq, simPqAdc, txtLangid,
+    simKmeans, simPq, simPqAdc, simIvfPq, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
 }
