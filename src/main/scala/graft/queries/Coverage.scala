@@ -376,6 +376,29 @@ object Coverage {
         GROUP BY 1, 2 ORDER BY user_id"""
     })
 
+  /** J15: j4's edge rebuild over PRE-BUCKETED appointments
+    * (Graph.sharedKeyEdgesBucketed): identical result — same oracle as
+    * j4_shared_edges — but the group collect reads bucket-partitioned
+    * input with NO Exchange (PlanSpec-pinned); the write-once bucketed
+    * materialization is memoized per JVM exactly like j13's. This is
+    * the M8 wholesale-rebuild path a warehouse would actually run. */
+  val j15BucketedEdges = Q(
+    "j15_bucketed_edges",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Graph.sharedKeyEdgesBucketed(
+          s, Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          tag = tag, buckets = 8, minShared = 2,
+          maxGroupSize = Int.MaxValue)
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("weight").as("n_orders"))
+    },
+    Some("""SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        count(DISTINCT a.l_orderkey) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2"""))
+
   /** J13: the co-located fact-to-fact join — both sides bucketed on the
     * join key (graft.sources.Bucketing), so the SortMergeJoin runs with
     * NO Exchange below it (pinned in PlanSpec). This is the at-scale
@@ -459,5 +482,5 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    j13Bucketed, j14DppJoin)
+    j13Bucketed, j14DppJoin, j15BucketedEdges)
 }
