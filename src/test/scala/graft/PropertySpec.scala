@@ -135,4 +135,40 @@ class PropertySpec extends AnyFunSuite {
       assert(!r.matches(s".*\\+[0-9]{7,}.*"), r)
     }
   }
+
+  test("CMS estimate >= exact count for every key on random multisets") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // small key space forces real collisions in a deliberately TINY
+    // sketch (2 rows x 8 buckets), exercising the min-over-rows bound
+    val keyGen = Gen.listOfN(80, Gen.choose(0, 20).map(i => s"key$i"))
+    samples(keyGen, 6).foreach { keys =>
+      val df = keys.toDF("k")
+      val cells = Sketches.cmsCells(df, "k", d = 2, w = 8)
+      val probes = df.groupBy("k").agg(count(lit(1)).as("exact_n"))
+      val got = Sketches.cmsEstimate(probes, "k", cells, d = 2, w = 8)
+        .select("k", "exact_n", "cms_n").as[(String, Long, Long)].collect()
+      assert(got.length == keys.distinct.size, "every probe key estimated")
+      got.foreach { case (k, e, c) =>
+        assert(c >= e, s"CMS undercounted $k: $c < $e in $keys")
+      }
+      // total mass conservation: cells hold every row in every hash row
+      assert(cells.agg(sum("n")).as[Long].head() == keys.size.toLong * 2)
+    }
+  }
+
+  test("trainBatched(window=1) replays train exactly on random corpora") {
+    import graft.operators.Bpe
+    val word = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    samples(docGen, 5).foreach { doc =>
+      val corpus = Bpe.wordFreq(Seq(doc).toDF("text"), "text")
+      val seqv = Bpe.train(corpus, iters = 3)
+        .select("word", "r").as[(String, String)].collect().toMap
+      val bat = Bpe.trainBatched(corpus, rounds = 3, window = 1)
+        .select("word", "r").as[(String, String)].collect().toMap
+      assert(bat == seqv, s"diverged on corpus: $doc")
+    }
+  }
 }
