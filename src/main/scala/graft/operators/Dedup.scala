@@ -372,4 +372,50 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXACT substring dedup occurrences — the fixed-k restatement of the
+    * suffix-array exact-substring pass (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every k-token rolling
+    * window of every document, hashed; a window whose hash recurs in ≥2
+    * DISTINCT documents is a cross-document repeated span, and every
+    * occurrence except the lexicographically-first (doc_id, pos) is a
+    * span a dedup pass would cut. Returns ALL occurrences of such
+    * windows: (wh, doc_id, pos, n_docs, n_occ, is_first).
+    *
+    * Unlike the near-dup family (MinHash/SimHash: whole-doc similarity),
+    * this catches verbatim boilerplate EMBEDDED in otherwise-distinct
+    * documents — licenses, headers, quoted chains — which whole-doc
+    * signatures dilute below threshold.
+    *
+    * Scale shape: windows emit in-row from the token array (amplification
+    * = tokens per doc, the txt_decontam/txt_chunks pattern, no window
+    * function); the only wide ops are the groupBy on the window hash
+    * (map-side combined) and the join of occurrences back to the
+    * repeated-hash table, both keyed on wh. Suffix arrays find arbitrary-
+    * length repeats; fixed k ≈ the paper's 50-token threshold finds every
+    * repeat of length ≥ k as a run of hits, which is what the cut pass
+    * consumes anyway. */
+  def repeatedSpanOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window must cover at least 2 tokens, got $k")
+    val occ = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.rawTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${k - 1}),
+            i -> struct(i - 1 AS pos, md5(array_join(slice(t, i, $k), ' ')) AS wh))"""))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val rep = occ.groupBy("wh").agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_docs") >= 2)
+    occ.join(rep, "wh")
+      .select(col("wh"), col("doc_id"), col("pos"), col("n_docs"),
+        col("n_occ"),
+        (col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")).as("is_first"))
+  }
 }

@@ -313,6 +313,46 @@ object Pipeline {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE ${jaccardSql("a.sset", "b.sset")} >= 0.5"""))
 
+  /** Exact-substring dedup (fixed-k restatement of the Lee et al. 2022
+    * suffix-array pass): the spans a cut pass would REMOVE — every
+    * non-first occurrence of a 15-token window that recurs across ≥2
+    * distinct documents. The synthetic corpus has no natural verbatim
+    * repeats, so collisions are synthesized exactly like dd_exact's
+    * (docs 0..49 re-appended under new ids): every window of those docs
+    * repeats once, and the copy (higher doc_id) is the cut side. */
+  val ddSubstring = Q(
+    "dd_substring",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val dup = d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.repeatedSpanOccurrences(d.union(dup), "doc_id", "text", k = 15)
+        .filter(!col("is_first"))
+        .select("wh", "doc_id", "pos", "n_docs", "n_occ")
+    },
+    Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+      toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM all_docs),
+      occ AS (
+        SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i : i + 14], ' ')) AS wh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+              FROM toks WHERE len(t) >= 15)),
+      rep AS (
+        SELECT wh, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        FROM occ GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      firsts AS (
+        SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+          SELECT wh, doc_id, pos,
+            row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+          FROM occ) WHERE rn = 1)
+      SELECT o.wh, o.doc_id, o.pos, r.n_docs, r.n_occ
+      FROM occ o JOIN rep r USING (wh) JOIN firsts f USING (wh)
+      WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)"""))
+
   /** Embedding-cosine near-dup pairs at cosine ≥ 0.4 (the corpus has no
     * truly duplicated vectors; 0.4 captures the closest cluster pairs).
     * Pinned to vec_id < 1000 like dd_ngram — exact all-pairs is the
@@ -896,6 +936,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
+    ddSubstring,
     simTopk, simLsh, simIvf,
     simKmeans, simPq, simPqAdc, simIvfPq, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,

@@ -43,6 +43,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (_, e, c) => c == e })
   }
 
+  test("Dedup.repeatedSpanOccurrences flags cross-doc spans, ignores intra-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // windows(k=3): [a b c]@0 [b c d]@1 [c d e]@2
+      (2L, "x a b c y"),  // [x a b]@0 [a b c]@1 [b c y]@2 — shares "a b c"
+      (3L, "p q r p q r") // "p q r" twice, but only inside ONE doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanOccurrences(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "pos", "n_docs", "n_occ", "is_first")
+      .as[(Long, Int, Long, Long, Boolean)].collect().toSet
+    // only the cross-doc "a b c" qualifies; first = (doc 1, pos 0)
+    assert(got == Set((1L, 0, 2L, 2L, true), (2L, 1, 2L, 2L, false)))
+  }
+
   test("TextAnalysis.bigramScore: integer mean of bigram conditionals; short docs drop") {
     val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
       .toDF("doc_id", "text")
