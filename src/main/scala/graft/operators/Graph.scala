@@ -72,10 +72,12 @@ object Graph {
       .select(when(col("item_a") === id, col("item_b"))
         .otherwise(col("item_a")).as("neighbor"), col("weight"))
 
-  /** Degree distribution — the A6/A7 network stats. */
+  /** Degree distribution — the A6/A7 network stats. Endpoints emit via
+    * one in-row explode, NOT a two-legged union: each union leg re-scans
+    * (and re-COMPUTES, when uncached) the whole upstream edge build —
+    * measured as 2× the dominant stage of g_degrees. */
   def degrees(edges: DataFrame): DataFrame =
-    edges.select(col("item_a").as("item"))
-      .union(edges.select(col("item_b").as("item")))
+    edges.select(explode(array(col("item_a"), col("item_b"))).as("item"))
       .groupBy("item").agg(count(lit(1)).as("degree"))
 
   /** Total triangle count via the degree-ordered orientation: every edge
@@ -159,8 +161,15 @@ object Graph {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
     val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = directed.join(deg, "src")
-    var ranks = deg.select(col("src").as("node"), lit(Unit12).as("pr"))
+    // Persist + eagerly materialize the degree-annotated adjacency: the
+    // final ranks plan references it once PER ITERATION, and every
+    // reference would otherwise re-run the whole upstream edge build
+    // (the dominant stage) — iters+1 times at 100×. The initial ranks
+    // derive from the cache too, so the build runs exactly once.
+    val adj = directed.join(deg, "src").persist()
+    adj.count()
+    var ranks = adj.select(col("src").as("node"), col("deg")).distinct()
+      .select(col("node"), lit(Unit12).as("pr"))
     for (_ <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("pr DIV deg").as("contrib"))
@@ -168,6 +177,11 @@ object Graph {
         .select(col("dst").as("node"),
           (lit(Unit12 * 15 / 100) + expr("(85 * s) DIV 100")).as("pr"))
     }
-    ranks
+    // localCheckpoint executes the loop and pins the (node-sized) result,
+    // so the adjacency cache can be dropped before returning — the same
+    // pattern triangleCount uses for its caches.
+    val out = ranks.localCheckpoint()
+    adj.unpersist()
+    out
   }
 }
