@@ -328,6 +328,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
 
+  /** Leakage-free train/val/test assignment: the split is a pure
+    * function of the document's near-dup COMPONENT representative, not
+    * of its own id — so near-duplicate documents always land on the
+    * same side and the held-out sets can never contain a near-copy of a
+    * training document (the train/test contamination the dedup papers
+    * measure: eval loss on a near-dup of a training doc is memorization,
+    * not generalization). A per-doc hash split (txt_split) has exactly
+    * this leak whenever a dup pair's ids hash to different buckets.
+    *
+    * Assignment stays deterministic, reproducible, and stable under
+    * corpus growth in the same sense as txt_split, with one caveat
+    * stated honestly: adding a document that BRIDGES two components can
+    * relabel an existing component (min-id changes) and move that group
+    * between splits — unavoidable under any scheme that keeps groups
+    * intact. Returns (idCol, rep, split) for every document. */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, n, k, bands, threshold)
+      .select("id_a", "id_b")
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val rep = docs.select(idCol).join(comp, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("rep"))
+    val bucket = hash56(col("rep").cast("string")) % 100
+    rep.select(col(idCol), col("rep"),
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** 32-bit SimHash over a token array: bit i is set when the weighted
     * sum of token-hash bit i is positive. Token hashes are computed once
     * per document, then all 32 bit counters accumulate in ONE pass via

@@ -137,6 +137,47 @@ object Pipeline {
         string_agg(id, ',' ORDER BY id) AS members
       FROM comp GROUP BY 1"""))
 
+  /** Leakage-free split (Dedup.leakFreeSplit): train/val/test assignment
+    * keyed on the near-dup component representative, so a held-out set
+    * can never contain a near-copy of a training document — txt_split's
+    * per-doc hash has exactly that leak whenever a dup pair's ids hash
+    * apart. Emits per-split doc and group counts (the stratification
+    * check), plus how many docs the guard actually grouped. */
+  val txtSplitLeakfree = Q(
+    "txt_split_leakfree",
+    (s, dir) => Dedup.leakFreeSplit(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("rep").as("n_groups"),
+        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L))
+          .as("n_regrouped"))
+      .orderBy("split"),
+    Some(s"""WITH RECURSIVE $minhashCtes,
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      rep AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      assigned AS (
+        SELECT doc_id, rep,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, rep,
+          ${h56("CAST(rep AS VARCHAR)")} % 100 AS bucket FROM rep))
+      SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_groups,
+        CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_regrouped
+      FROM assigned GROUP BY split ORDER BY split"""))
+
   /** Incremental near-dup: the incoming batch (doc_id % 10 = 0) checked
     * against the already-ingested corpus (the rest) — candidates share a
     * band bucket ACROSS sides only, so per-batch cost scales with the
@@ -936,7 +977,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
-    ddSubstring,
+    ddSubstring, txtSplitLeakfree,
     simTopk, simLsh, simIvf,
     simKmeans, simPq, simPqAdc, simIvfPq, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,

@@ -43,6 +43,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall { case (_, e, c) => c == e })
   }
 
+  test("Dedup.leakFreeSplit never separates a near-dup pair") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 5, k = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")
+    assert(pairs.count() > 0, "vacuous corpus: no near-dup pairs to guard")
+    val split = Dedup.leakFreeSplit(docs, "doc_id", "text")
+    val sa = split.select(col("doc_id").as("id_a"), col("split").as("sa"))
+    val sb = split.select(col("doc_id").as("id_b"), col("split").as("sb"))
+    val leaks = pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks == 0, s"$leaks near-dup pairs straddle a split boundary")
+    // every doc is assigned exactly once
+    assert(split.count() == docs.count())
+    assert(split.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("Dedup.repeatedSpanOccurrences flags cross-doc spans, ignores intra-doc repeats") {
     val docs = Seq(
       (1L, "a b c d e"),  // windows(k=3): [a b c]@0 [b c d]@1 [c d e]@2
