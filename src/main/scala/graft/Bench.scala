@@ -67,10 +67,14 @@ object Bench {
     // same host) shows up as one wild element in the run array — round 5
     // produced a 10x outlier median that needed a manual re-run to
     // adjudicate because the artifact carried only the median.
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT: a comma-decimal default locale would turn %.4f into
+    // "1,2345" and corrupt the JSON line.
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(f4).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val es = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -105,11 +105,13 @@ object Graph {
     * result is localCheckpointed so the caches can be freed on exit. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.persist()
-    // Materialize the edge cache BEFORE any multi-leg consumer runs:
-    // degrees() reads e through a two-legged union, and inside one job
-    // two tasks can compute the same not-yet-cached partition
-    // concurrently — each re-running the (dominant) upstream edge build.
-    // One cheap count here guarantees every later leg reads the cache.
+    // Materialize the edge cache BEFORE any multi-leg consumer runs: the
+    // first job reads e through MULTIPLE legs (the deg aggregate plus
+    // the e0 join's probe side), and inside one job two tasks can
+    // compute the same not-yet-cached partition concurrently — each
+    // re-running the (dominant) upstream edge build. One cheap
+    // single-leg count here guarantees every later leg reads the cache
+    // (GraphSkewSpec pins the build-once invariant by accumulator).
     e.count()
     val deg = degrees(e)
     val e0 = e.select(col("item_a").as("x"), col("item_b").as("y"))

@@ -91,26 +91,30 @@ object Similarity {
     * Scale shape: the centroid table is tiny and broadcast twice
     * (assignment + probe); the only wide operation is the equi-join on
     * cell id — candidates shrink by ~|cells|/nprobe versus brute force. */
+  /** Nearest-centroid cell assignment — the shared IVF coarse quantizer:
+    * each row of `df` keeps its `keep` max-cosine cells from the
+    * broadcast centroid table (ties to the smaller cell id, the order
+    * every oracle replays). Returns (id, v, cell). */
+  private def nearestCells(cents: DataFrame, df: DataFrame, id: String,
+      v: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(id).orderBy(col("cos_c").desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col(v), col("cent_v")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= keep)
+      .select(col(id), col(v), col("cent_id").as("cell"))
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, seedStride: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = candidates
       .filter(col(idCol) % seedStride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id)
-        .orderBy(col("cos_c").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cos_c", cosine(col(v), col("cent_v")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .select(col(id), col(v), col("cent_id").as("cell"))
-    }
-
-    val cellCand = assign(candidates.select(col(idCol).as("cand_id"),
+    val cellCand = nearestCells(cents, candidates.select(col(idCol).as("cand_id"),
       col(vecCol).as("cv")), "cand_id", "cv", keep = 1)
-    val cellQ = assign(queries.select(col(idCol).as("query_id"),
+    val cellQ = nearestCells(cents, queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")), "query_id", "qv", keep = nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     cellCand.join(cellQ, Seq("cell"))
@@ -161,6 +165,8 @@ object Similarity {
       .limit(k)
       .select(col("vid"), col("v"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    require(cents.size >= 2,
+      s"need at least two centroids, corpus has only ${cents.size} rows")
     // struct comparison is lexicographic: max cosine first, then max
     // NEGATED centroid id — ties pick the smallest cid, matching the
     // oracle's ORDER BY cos_c DESC, cent_id ASC
@@ -257,7 +263,15 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, subspaces: Int): DataFrame = {
     val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
-    val seeds = collectSeeds(q, seedStride)
+    pqEncodeWith(q, collectSeeds(q, seedStride), subspaces)
+  }
+
+  /** [[pqEncode]] against an ALREADY-collected codebook over a
+    * pre-quantized (vid, qv) frame — callers that also need the seeds
+    * for an ADC LUT (pqAdcTopK, ivfAdcTopK) collect them exactly once
+    * instead of paying a second driver collect + candidate scan. */
+  private def pqEncodeWith(q: DataFrame, seeds: Seq[(Long, Seq[Long])],
+      subspaces: Int): DataFrame = {
     val d = seeds.head._2.length / subspaces
     // One struct(minDist, code) per subspace — a codegen argmin over
     // that subspace's codebook slice.
@@ -324,7 +338,7 @@ object Similarity {
     val candQ = candidates.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
     val seeds = collectSeeds(candQ, seedStride)
     val d = seeds.head._2.length / subspaces
-    val codes = pqEncode(candidates, idCol, vecCol, seedStride, subspaces)
+    val codes = pqEncodeWith(candQ, seeds, subspaces)
       .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
     val lut = adcLut(queries.select(col(idCol), col(vecCol).as("embedding")),
       idCol, seeds, subspaces, d)
@@ -355,22 +369,15 @@ object Similarity {
     val cents = candidates
       .filter(col(idCol) % seedStride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    def cellsOf(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("cos_c").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cos_c", cosine(col(v), col("cent_v")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .select(col(id), col("cent_id").as("cell"))
-    }
-    val candCell = cellsOf(candidates.select(col(idCol).as("cand_id"),
-      col(vecCol).as("cv")), "cand_id", "cv", keep = 1)
-    val qCell = cellsOf(queries.select(col(idCol).as("query_id"),
+    val candCell = nearestCells(cents, candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv")), "cand_id", "cv", keep = 1).select("cand_id", "cell")
+    val qCell = nearestCells(cents, queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")), "query_id", "qv", keep = nprobe)
+      .select("query_id", "cell")
     val candQ = candidates.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
     val seeds = collectSeeds(candQ, seedStride)
     val d = seeds.head._2.length / subspaces
-    val codes = pqEncode(candidates, idCol, vecCol, seedStride, subspaces)
+    val codes = pqEncodeWith(candQ, seeds, subspaces)
       .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(candCell, "cand_id")
     val lut = adcLut(queries.select(col(idCol), col(vecCol).as("embedding")),

@@ -106,14 +106,19 @@ object Sketches {
   /** Frequency point-estimates for `probes`: append `cms_n` = min over
     * the d cells addressed by each probe key. The cell table is d·w rows
     * — broadcast; probes stream past it unshuffled except the final
-    * per-probe min (keyed on the probe row itself). */
+    * per-probe min (keyed on the probe row itself).
+    *
+    * LEFT join: cmsCells only emits observed cells, so a probe key the
+    * sketch never saw addresses absent cells — those count as 0 (the
+    * CMS-correct answer), not as "drop the probe" (inner join) or "min
+    * over whichever cells happen to collide" (partial overcount). */
   def cmsEstimate(probes: DataFrame, keyCol: String, cells: DataFrame,
       d: Int, w: Int): DataFrame = {
     val keyed = probes.withColumn("__h", explode(cmsStructs(col(keyCol), d, w)))
       .withColumn("j", col("__h.j")).withColumn("b", col("__h.b"))
       .drop("__h")
-    keyed.join(broadcast(cells), Seq("j", "b"))
+    keyed.join(broadcast(cells), Seq("j", "b"), "left_outer")
       .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min("n").as("cms_n"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
   }
 }

@@ -39,14 +39,16 @@ object Pipeline {
   // ---- dedup --------------------------------------------------------------
 
   /** Exact dedup by content hash. The corpus has no byte-identical dups,
-    * so collisions are synthesized (docs 0..99 re-appended under new ids);
+    * so collisions are synthesized (docs 0..99 re-appended under new
+    * ids, offset 10^9 — far beyond any scale factor's id range, so a
+    * synthetic id can never collide with a real document's);
     * representative = lowest id, with copy count. */
   val ddExact = Q(
     "dd_exact",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents").select("doc_id", "text")
       val dup = d.filter(col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
       d.union(dup)
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
@@ -54,7 +56,7 @@ object Pipeline {
     Some("""WITH all_docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
+        SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 100)
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         count(*) AS n_copies
       FROM all_docs GROUP BY 1"""))
@@ -359,14 +361,15 @@ object Pipeline {
     * non-first occurrence of a 15-token window that recurs across ≥2
     * distinct documents. The synthetic corpus has no natural verbatim
     * repeats, so collisions are synthesized exactly like dd_exact's
-    * (docs 0..49 re-appended under new ids): every window of those docs
-    * repeats once, and the copy (higher doc_id) is the cut side. */
+    * (docs 0..49 re-appended under ids offset by 10^9 — collision-proof
+    * at any scale factor): every window of those docs repeats once, and
+    * the copy (higher doc_id) is the cut side. */
   val ddSubstring = Q(
     "dd_substring",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents").select("doc_id", "text")
       val dup = d.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
       Dedup.repeatedSpanOccurrences(d.union(dup), "doc_id", "text", k = 15)
         .filter(!col("is_first"))
         .select("wh", "doc_id", "pos", "n_docs", "n_occ")
@@ -374,7 +377,7 @@ object Pipeline {
     Some("""WITH all_docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 50),
       toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         FROM all_docs),

@@ -41,6 +41,12 @@ class OperatorsSpec extends AnyFunSuite {
     // 3 keys across 4 rows of 256 buckets with FIXED md5 hashes: this
     // particular sketch has no colliding cells, so min == exact
     assert(got.forall { case (_, e, c) => c == e })
+    // a key the sketch never saw estimates 0 (absent cells count as
+    // empty — an inner cell join would silently DROP the probe instead)
+    val unseen = Sketches.cmsEstimate(
+      Seq("zzz-never-seen").toDF("k"), "k", cells, d = 4, w = 256)
+      .select("k", "cms_n").as[(String, Long)].collect().toSeq
+    assert(unseen == Seq(("zzz-never-seen", 0L)))
   }
 
   test("Dedup.leakFreeSplit never separates a near-dup pair") {
