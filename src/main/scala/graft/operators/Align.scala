@@ -30,4 +30,22 @@ object Align {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Deterministic epoch shuffle — the training loader's seeded
+    * `.shuffle(seed = epoch)` at corpus scale: a reproducible global
+    * permutation per epoch, position = rank of hash56(epoch ':' id)
+    * with the id as tiebreak. Engine-independent (no rand(), so any
+    * engine — and any re-run after a failure — deals the same order),
+    * different per epoch, stable under repartitioning; the rank comes
+    * from the range-sort + zipWithIndex shape above, never a
+    * single-partition row_number window. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      posName: String = "shuffle_pos"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = Dedup.hash56(
+      concat(lit(epoch.toString), lit(":"), col(idCol).cast("string")))
+    zipWithGlobalIndex(df.withColumn("__h", h), posName,
+      org.apache.spark.sql.functions.col("__h"), col(idCol))
+      .drop("__h")
+  }
 }

@@ -182,6 +182,22 @@ object Corpus {
             AS bucket FROM documents))
       SELECT lang, split, count(*) AS n_docs FROM b GROUP BY 1, 2"""))
 
+  /** Deterministic epoch shuffle (Align.epochShuffle): the training
+    * loader's seeded shuffle at corpus scale — position = rank of
+    * hash56('1:' doc_id), a reproducible per-epoch global permutation
+    * with no rand() and no single-partition window (range-sort +
+    * zipWithIndex assigns the global rank). */
+  val txtShuffle = Q(
+    "txt_shuffle",
+    (s, dir) => graft.operators.Align.epochShuffle(
+        Tables.load(s, dir, "documents").select("doc_id"), "doc_id",
+        epoch = 1)
+      .select("shuffle_pos", "doc_id"),
+    Some(s"""SELECT row_number() OVER (
+        ORDER BY ${h56("CONCAT('1:', CAST(doc_id AS VARCHAR))")}, doc_id)
+        AS shuffle_pos, doc_id
+      FROM documents"""))
+
   /** Training-window chunking: token windows of 64 with stride 48
     * (16-token overlap) — the doc→sample exploder feeding a trainer.
     * Emits (doc, chunk ordinal, tokens in chunk); chunk content joins
@@ -572,5 +588,5 @@ object Corpus {
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
-    txtBpe, txtBpeIds, txtBpeBatched, txtBigramScore)
+    txtBpe, txtBpeIds, txtBpeBatched, txtBigramScore, txtShuffle)
 }

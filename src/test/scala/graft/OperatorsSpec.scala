@@ -49,6 +49,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unseen == Seq(("zzz-never-seen", 0L)))
   }
 
+  test("Align.epochShuffle: a true permutation, reproducible per epoch, different across epochs") {
+    val docs = (1L to 50L).toDF("doc_id")
+    def perm(epoch: Int) = Align.epochShuffle(docs, "doc_id", epoch)
+      .orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    val e1 = perm(1)
+    assert(e1.sorted == (1L to 50L), "positions must cover every doc once")
+    assert(e1 == perm(1), "same epoch deals the same order")
+    assert(e1 != perm(2), "different epochs deal different orders")
+    assert(e1 != (1L to 50L), "epoch 1 is actually shuffled")
+  }
+
   test("Dedup.leakFreeSplit never separates a near-dup pair") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
