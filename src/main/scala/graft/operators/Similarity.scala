@@ -165,8 +165,19 @@ object Similarity {
       .limit(k)
       .select(col("vid"), col("v"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    semanticDupPairsWith(df, idCol, vecCol, cents, threshold)
+  }
+
+  /** [[semanticDupPairs]] against an EXPLICIT codebook — compose with
+    * [[kmeansCentroids]] for Lloyd-refined cells (SemDeDup proper runs
+    * k-means, not a raw sample; the KMV-seed default trades one
+    * refinement pass for zero extra jobs). */
+  def semanticDupPairsWith(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], threshold: Double): DataFrame = {
     require(cents.size >= 2,
-      s"need at least two centroids, corpus has only ${cents.size} rows")
+      s"need at least two centroids, got ${cents.size}")
+    require(cents.size <= 4096,
+      s"codebook must stay a driver-bounded literal, got ${cents.size}")
     // struct comparison is lexicographic: max cosine first, then max
     // NEGATED centroid id — ties pick the smallest cid, matching the
     // oracle's ORDER BY cos_c DESC, cent_id ASC
@@ -213,24 +224,28 @@ object Similarity {
     * Returns per-cluster stats after `iters` refinements: cluster id,
     * member count, and the exact fixed-point within-cluster squared
     * distance (units of 10⁻¹²). */
-  def kmeansFixed(df: DataFrame, idCol: String, vecCol: String,
-      seedStride: Int, iters: Int): DataFrame = {
+  /** Per-row nearest-centroid assignment over a shipped codebook
+    * (codegen argmin, no join, no shuffle); expects (vid, qv). */
+  private def assignTo(q: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame =
+    q.withColumn("best", graft.plans.NearestCentroid.nearest(col("qv"), cents))
+      .select(col("vid"), col("qv"),
+        col("best").getField("cid").as("cell"),
+        col("best").getField("d").as("dist"))
+
+  /** The Lloyd refinement of [[kmeansFixed]] surfaced as a codebook:
+    * `iters` fixed-point refinements of the stride seeds, returned as
+    * the (cid, components) list the IVF/PQ/semantic family ships as
+    * literals. Bit-reproducible across engines (see kmeansFixed). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, iters: Int): Seq[(Long, Seq[Long])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val q = df.select(col(idCol).as("vid"),
-      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("qv"))
-    // Nearest centroid as a pure per-row codegen expression over the
-    // shipped codebook (graft.plans.NearestCentroid): no join, no shuffle.
-    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame =
-      q.withColumn("best", graft.plans.NearestCentroid.nearest(col("qv"), cents))
-        .select(col("vid"), col("qv"),
-          col("best").getField("cid").as("cell"),
-          col("best").getField("d").as("dist"))
+    val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
     var cents: Seq[(Long, Seq[Long])] = q.filter(col("vid") % seedStride === 0)
       .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      cents = assign(cents)
+      cents = assignTo(q, cents)
         .select(col("cell"), posexplode(col("qv")))
         .groupBy("cell", "pos")
         .agg(sum("col").as("s"), count(lit(1)).as("n"))
@@ -240,7 +255,14 @@ object Similarity {
         .select(col("cell"), expr("transform(pc, p -> p.comp)").as("cv"))
         .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     }
-    assign(cents)
+    cents
+  }
+
+  def kmeansFixed(df: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, iters: Int): DataFrame = {
+    val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    val cents = kmeansCentroids(df, idCol, vecCol, seedStride, iters)
+    assignTo(q, cents)
       .groupBy(col("cell").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), sum("dist").as("ssd"))
   }

@@ -548,40 +548,91 @@ object Pipeline {
     * iterations as unrolled CTEs — integer quantization makes every
     * step bit-reproducible (DuckDB `//` and Spark `DIV` both truncate
     * toward zero; verified). */
+  // ---- shared kmeans oracle fragments (sim_kmeans, dd_semantic_kmeans) ----
+
+  private val kmDistSql = "CAST(list_sum(list_transform(list_zip(v.qv, c.cv), " +
+    "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+
+  /** One fixed-point Lloyd ASSIGN step as a CTE (argmin integer L2,
+    * ties to the smaller centroid id). */
+  private def kmAssignCte(aName: String, cName: String) =
+    s"""$aName AS (
+        SELECT vid, qv, cell, dist FROM (
+          SELECT v.vid, v.qv, c.cent_id AS cell, $kmDistSql AS dist,
+            row_number() OVER (PARTITION BY v.vid ORDER BY $kmDistSql, c.cent_id) AS rk
+          FROM v CROSS JOIN $cName c) WHERE rk = 1)"""
+
+  /** One fixed-point Lloyd UPDATE step as a CTE (integer-mean DIV). */
+  private def kmUpdateCte(cNew: String, aName: String) =
+    s"""$cNew AS (
+        SELECT cell AS cent_id, list(comp ORDER BY pos) AS cv FROM (
+          SELECT cell, pos, CAST(sum(cv_i) AS BIGINT) // count(*) AS comp
+          FROM (SELECT a.cell, t.i AS pos, a.qv[t.i+1] AS cv_i
+                FROM $aName a, range(64) t(i))
+          GROUP BY cell, pos) GROUP BY cell)"""
+
+  private val kmQuantizedV = """v AS (
+        SELECT vec_id AS vid,
+          list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings)"""
+
   val simKmeans = Q(
     "sim_kmeans",
     (s, dir) => Similarity.kmeansFixed(
       Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       seedStride = 16, iters = 2),
-    {
-      val distSql = "CAST(list_sum(list_transform(list_zip(v.qv, c.cv), " +
-        "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
-      def assignCte(aName: String, cName: String) =
-        s"""$aName AS (
-          SELECT vid, qv, cell, dist FROM (
-            SELECT v.vid, v.qv, c.cent_id AS cell, $distSql AS dist,
-              row_number() OVER (PARTITION BY v.vid ORDER BY $distSql, c.cent_id) AS rk
-            FROM v CROSS JOIN $cName c) WHERE rk = 1)"""
-      def updateCte(cNew: String, aName: String) =
-        s"""$cNew AS (
-          SELECT cell AS cent_id, list(comp ORDER BY pos) AS cv FROM (
-            SELECT cell, pos, CAST(sum(cv_i) AS BIGINT) // count(*) AS comp
-            FROM (SELECT a.cell, t.i AS pos, a.qv[t.i+1] AS cv_i
-                  FROM $aName a, range(64) t(i))
-            GROUP BY cell, pos) GROUP BY cell)"""
-      Some(s"""WITH v AS (
-          SELECT vec_id AS vid,
-            list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
-          FROM embeddings),
+    Some(s"""WITH $kmQuantizedV,
         c0 AS (SELECT vid AS cent_id, qv AS cv FROM v WHERE vid % 16 = 0),
-        ${assignCte("a1", "c0")},
-        ${updateCte("c1", "a1")},
-        ${assignCte("a2", "c1")},
-        ${updateCte("c2", "a2")},
-        ${assignCte("af", "c2")}
+        ${kmAssignCte("a1", "c0")},
+        ${kmUpdateCte("c1", "a1")},
+        ${kmAssignCte("a2", "c1")},
+        ${kmUpdateCte("c2", "a2")},
+        ${kmAssignCte("af", "c2")}
         SELECT cell AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
           CAST(sum(dist) AS BIGINT) AS ssd
-        FROM af GROUP BY cell""")
+        FROM af GROUP BY cell"""))
+
+  /** SemDeDup with the codebook SemDeDup actually prescribes: the coarse
+    * cells are Lloyd-REFINED (one fixed-point k-means pass over the
+    * stride seeds — Similarity.kmeansCentroids) instead of raw samples,
+    * then the same max-cosine assignment + within-cell verify as
+    * dd_semantic. Composes the two verified pieces end-to-end; the
+    * oracle chains the sim_kmeans refinement CTEs into the dd_semantic
+    * cell CTEs. */
+  val ddSemanticKmeans = Q(
+    "dd_semantic_kmeans",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val refined = Similarity.kmeansCentroids(
+          emb, "vec_id", "embedding", seedStride = 16, iters = 1)
+        .map { case (cid, cv) => (cid, cv.map(_ / 1000000.0)) }
+      Similarity.semanticDupPairsWith(
+        emb, "vec_id", "embedding", refined, threshold = 0.4)
+    },
+    Some {
+      def cos(a: String, b: String) =
+        s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"""WITH $kmQuantizedV,
+        c0 AS (SELECT vid AS cent_id, qv AS cv FROM v WHERE vid % 16 = 0),
+        ${kmAssignCte("a1", "c0")},
+        ${kmUpdateCte("c1", "a1")},
+        cd AS (
+          SELECT cent_id, list_transform(cv, x -> x / 1000000.0) AS ce
+          FROM c1),
+        vd AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        ass AS (
+          SELECT vec_id, e, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cent_id) AS rk
+          FROM (SELECT vd.vec_id, vd.e, cd.cent_id, ${cos("vd.e", "cd.ce")} AS cos_c
+                FROM vd CROSS JOIN cd)),
+        cells AS (SELECT vec_id, e, cent_id AS cell FROM ass WHERE rk = 1)
+        SELECT cell, id_a, id_b, cos FROM (
+          SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cos("a.e", "b.e")} AS cos
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.4"""
     })
 
   /** PQ-encode the embedding table: 8 subspaces × 8 dims, codebook from
@@ -982,7 +1033,7 @@ object Pipeline {
     ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
     ddSubstring, txtSplitLeakfree,
     simTopk, simLsh, simIvf,
-    simKmeans, simPq, simPqAdc, simIvfPq, txtLangid,
+    simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate)
 }
