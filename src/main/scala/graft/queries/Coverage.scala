@@ -376,6 +376,30 @@ object Coverage {
         GROUP BY 1, 2 ORDER BY user_id"""
     })
 
+  /** S12/J10: the external-lookup join VALUE-verified (its rate-limit /
+    * Retry-After contract is unit-tested with a fake clock; this query
+    * pins row fidelity — zero lost rows, zero duplicates, correct
+    * key→value alignment through the mapPartitions machinery). The
+    * "service" is a broadcast-closure dictionary built from the nation
+    * table, so the oracle is the equivalent equi-join; pacing is set
+    * effectively unlimited — the paced fleet contract has its own spec. */
+  val s12LookupJoin = Q(
+    "s12_lookup_join",
+    (s, dir) => {
+      import s.implicits._
+      val nations = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .as[(Long, String)].collect().toMap // 25 rows — a bounded dict
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("string").as("nk"))
+      graft.operators.ExternalLookup.lookupJoin(
+        sup, "nk", k => nations.get(k.toLong), callsPerSec = 1e9)
+    },
+    Some("""SELECT s_suppkey, s_name,
+        CAST(s_nationkey AS VARCHAR) AS nk, n_name AS lookup_value
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey"""))
+
   /** J15: j4's edge rebuild over PRE-BUCKETED appointments
     * (Graph.sharedKeyEdgesBucketed): identical result — same oracle as
     * j4_shared_edges — but the group collect reads bucket-partitioned
@@ -482,5 +506,5 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    j13Bucketed, j14DppJoin, j15BucketedEdges)
+    j13Bucketed, j14DppJoin, j15BucketedEdges, s12LookupJoin)
 }
