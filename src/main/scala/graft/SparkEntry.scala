@@ -37,7 +37,8 @@ object SparkEntry {
       "dd_incremental", "txt_decontam", "txt_pack", "sim_kmeans",
       "sim_pq_adc", "t12_hopping_window", "dd_paragraph", "txt_bpe",
       "a26_kmv_sketch", "dd_semantic", "g_pagerank", "txt_bigram_score",
-      "txt_bpe_batched", "j15_bucketed_edges", "dd_substring")
+      "txt_bpe_batched", "j15_bucketed_edges", "dd_substring",
+      "dd_semantic_kmeans")
     preferred.filter(queries.contains)
   }
 }
