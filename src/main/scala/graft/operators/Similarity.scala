@@ -236,14 +236,48 @@ object Similarity {
   /** The Lloyd refinement of [[kmeansFixed]] surfaced as a codebook:
     * `iters` fixed-point refinements of the stride seeds, returned as
     * the (cid, components) list the IVF/PQ/semantic family ships as
-    * literals. Bit-reproducible across engines (see kmeansFixed). */
+    * literals. Bit-reproducible across engines (see kmeansFixed).
+    * NOTE the stride seeding makes |codebook| = N/seedStride — the
+    * caller owns the bound (kmeansFixed's documented contract); pipe
+    * through [[kmeansCentroidsKmv]] when a FIXED size is required. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       seedStride: Int, iters: Int): Seq[(Long, Seq[Long])] = {
     val spark = df.sparkSession
     import spark.implicits._
     val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
-    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vid") % seedStride === 0)
+    val seeds = q.filter(col("vid") % seedStride === 0)
       .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    refine(q, seeds, iters)
+  }
+
+  /** [[kmeansCentroids]] with a SIZE-BOUNDED seed set: the k rows with
+    * the smallest (hash56(id), id) — the same KMV-style deterministic
+    * sample semanticDupPairs uses — Lloyd-refined `iters` times. The
+    * codebook is exactly ≤ k regardless of corpus size, so consumers
+    * with a driver-bounded-literal contract (semanticDupPairsWith's
+    * per-row argmax) can never be fed an N-proportional centroid list. */
+  def kmeansCentroidsKmv(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 2 && k <= 4096, s"codebook size must be 2 <= k <= 4096, got $k")
+    val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    val seeds = df
+      .select(col(idCol).cast("long").as("vid"), quantized(vecCol).as("qv"),
+        Dedup.hash56(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vid"))
+      .limit(k)
+      .select(col("vid"), col("qv"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    refine(q, seeds, iters)
+  }
+
+  /** Shared Lloyd loop over a pre-quantized (vid, qv) frame. */
+  private def refine(q: DataFrame, seeds: Seq[(Long, Seq[Long])],
+      iters: Int): Seq[(Long, Seq[Long])] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    var cents = seeds
     for (_ <- 1 to iters) {
       cents = assignTo(q, cents)
         .select(col("cell"), posexplode(col("qv")))

@@ -381,8 +381,11 @@ object Coverage {
     * pins row fidelity — zero lost rows, zero duplicates, correct
     * key→value alignment through the mapPartitions machinery). The
     * "service" is a broadcast-closure dictionary built from the nation
-    * table, so the oracle is the equivalent equi-join; pacing is set
-    * effectively unlimited — the paced fleet contract has its own spec. */
+    * table, so the oracle is the equivalent equi-join. Pacing is a
+    * genuine no-op here: burst covers the whole table, because a high
+    * refill rate ALONE still sleeps — acquireDelayMs ceils every
+    * sub-millisecond deficit to 1 ms once the burst drains. The paced
+    * fleet contract has its own fake-clock spec. */
   val s12LookupJoin = Q(
     "s12_lookup_join",
     (s, dir) => {
@@ -394,7 +397,8 @@ object Coverage {
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("string").as("nk"))
       graft.operators.ExternalLookup.lookupJoin(
-        sup, "nk", k => nations.get(k.toLong), callsPerSec = 1e9)
+        sup, "nk", k => nations.get(k.toLong),
+        callsPerSec = 1e9, burst = 1e6)
     },
     Some("""SELECT s_suppkey, s_name,
         CAST(s_nationkey AS VARCHAR) AS nk, n_name AS lookup_value

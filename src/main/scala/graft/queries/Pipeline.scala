@@ -593,18 +593,22 @@ object Pipeline {
         FROM af GROUP BY cell"""))
 
   /** SemDeDup with the codebook SemDeDup actually prescribes: the coarse
-    * cells are Lloyd-REFINED (one fixed-point k-means pass over the
-    * stride seeds — Similarity.kmeansCentroids) instead of raw samples,
-    * then the same max-cosine assignment + within-cell verify as
-    * dd_semantic. Composes the two verified pieces end-to-end; the
+    * cells are Lloyd-REFINED (one fixed-point k-means pass —
+    * Similarity.kmeansCentroidsKmv) instead of raw samples, then the
+    * same max-cosine assignment + within-cell verify as dd_semantic.
+    * Seeds are the 32 smallest-hash56 rows, NOT an id stride: the
+    * codebook is fixed-size at any corpus scale, matching the
+    * driver-bounded-literal contract of the per-row argmax (a stride
+    * seeding here would crash semanticDupPairsWith's size guard past
+    * 65k embeddings). Composes the two verified pieces end-to-end; the
     * oracle chains the sim_kmeans refinement CTEs into the dd_semantic
     * cell CTEs. */
   val ddSemanticKmeans = Q(
     "dd_semantic_kmeans",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val refined = Similarity.kmeansCentroids(
-          emb, "vec_id", "embedding", seedStride = 16, iters = 1)
+      val refined = Similarity.kmeansCentroidsKmv(
+          emb, "vec_id", "embedding", k = 32, iters = 1)
         .map { case (cid, cv) => (cid, cv.map(_ / 1000000.0)) }
       Similarity.semanticDupPairsWith(
         emb, "vec_id", "embedding", refined, threshold = 0.4)
@@ -613,7 +617,8 @@ object Pipeline {
       def cos(a: String, b: String) =
         s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
       s"""WITH $kmQuantizedV,
-        c0 AS (SELECT vid AS cent_id, qv AS cv FROM v WHERE vid % 16 = 0),
+        c0 AS (SELECT vid AS cent_id, qv AS cv FROM v
+               ORDER BY ${h56("CAST(vid AS VARCHAR)")}, vid LIMIT 32),
         ${kmAssignCte("a1", "c0")},
         ${kmUpdateCte("c1", "a1")},
         cd AS (
