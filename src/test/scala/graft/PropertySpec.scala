@@ -157,6 +157,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repeatedSpanOccurrences equals driver-side brute force on random corpora") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.listOfN(6, doc)
+    val k = 3
+    samples(corpusGen, 6).foreach { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.repeatedSpanOccurrences(df, "doc_id", "text", k)
+        .select("doc_id", "pos", "n_docs", "n_occ", "is_first")
+        .as[(Long, Int, Long, Long, Boolean)].collect().toSet
+      // reference: enumerate every k-window, keep those spanning >= 2 docs
+      val occ = for {
+        (ws, i) <- docs.zipWithIndex
+        p <- 0 to ws.length - k
+      } yield (ws.slice(p, p + k).mkString(" "), i.toLong, p)
+      val want = occ.groupBy(_._1).values.filter(_.map(_._2).distinct.size >= 2)
+        .flatMap { os =>
+          val first = os.map(o => (o._2, o._3)).min
+          os.map { case (_, d, p) =>
+            (d, p, os.map(_._2).distinct.size.toLong, os.size.toLong,
+              (d, p) == first)
+          }
+        }.toSet
+      assert(got == want, s"diverged on corpus $docs")
+    }
+  }
+
   test("trainBatched(window=1) replays train exactly on random corpora") {
     import graft.operators.Bpe
     val word = Gen.choose(1, 4).flatMap(n =>
