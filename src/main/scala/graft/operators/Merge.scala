@@ -27,6 +27,20 @@ object Merge {
   def insertIfAbsent(base: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     base.unionByName(incoming.join(base.select(keys.map(col): _*), keys, "left_anti"))
 
+  /** [[upsert]] with SCHEMA EVOLUTION — the warehouse MERGE
+    * `mergeSchema` semantics (reference migrations add columns to live
+    * tables and backfill NULL, models.py defaults): `updates` may carry
+    * columns `base` lacks (and vice versa); the result schema is the
+    * union by name, with surviving base rows NULL-filled in the new
+    * columns and update rows NULL-filled in any dropped ones. Updates
+    * win on key collision, unmatched base rows survive — same algebra,
+    * same single key shuffle. */
+  def upsertEvolving(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keys.map(col): _*), keys, "left_anti"),
+      allowMissingColumns = true)
+
   /** Keyed column update (M7, app.py:2077-2111): for each key present in
     * `updates`, replace the named columns; other columns and unmatched
     * rows unchanged. `updates` carries keys + the update columns. */

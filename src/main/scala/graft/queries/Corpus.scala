@@ -258,6 +258,43 @@ object Corpus {
       FROM ex JOIN bench USING (h)
       GROUP BY doc_id, n_shingles"""))
 
+  /** The actionable form of txt_decontam: a per-doc contamination RATIO
+    * (shared shingles over own shingles, in millionths — integer fixed
+    * point, same reproducibility contract as txt_bigram_score) plus the
+    * drop verdict at a 5% threshold. An absolute overlap count flags
+    * long documents that graze the benchmark; the curation rules that
+    * matter gate on the FRACTION of the document that is benchmark
+    * material. */
+  val txtDecontamRatio = Q(
+    "txt_decontam_ratio",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 12, minOverlap = 20)
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          expr("(n_overlap * 1000000) DIV n_shingles").as("ratio6"),
+          (expr("(n_overlap * 1000000) DIV n_shingles") >= 50000)
+            .as("drop_doc"))
+    },
+    Some(s"""WITH bench AS (
+        SELECT DISTINCT unnest($shingles12) AS h
+        FROM documents WHERE doc_id % 97 = 0),
+      corpus AS (
+        SELECT doc_id, $shingles12 AS hs
+        FROM documents WHERE doc_id % 97 <> 0),
+      ex AS (
+        SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h FROM corpus),
+      agg AS (
+        SELECT doc_id, n_shingles, count(*) AS n_overlap
+        FROM ex JOIN bench USING (h)
+        GROUP BY doc_id, n_shingles)
+      SELECT doc_id, n_shingles, n_overlap,
+        (n_overlap * 1000000) // n_shingles AS ratio6,
+        ((n_overlap * 1000000) // n_shingles) >= 50000 AS drop_doc
+      FROM agg"""))
+
   /** GPT-style sequence packing: within each hash bucket, documents are
     * concatenated in doc_id order into one token stream and cut every
     * 256 tokens — docs straddle bin boundaries (the pretraining packer,
@@ -588,5 +625,6 @@ object Corpus {
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
-    txtBpe, txtBpeIds, txtBpeBatched, txtBigramScore, txtShuffle)
+    txtBpe, txtBpeIds, txtBpeBatched, txtBigramScore, txtShuffle,
+    txtDecontamRatio)
 }

@@ -81,6 +81,33 @@ object SetMerge {
       SELECT b.* FROM base b
       WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)"""))
 
+  /** M12: upsert with SCHEMA EVOLUTION (Merge.upsertEvolving) — the
+    * updates batch carries a column the base table lacks (the reference
+    * adds columns to live tables via migrations and backfills NULL);
+    * surviving base rows null-fill it, update rows win on the key. */
+  val m12UpsertEvolving = Q(
+    "m12_upsert_evolving",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val base = c.filter(col("c_custkey") < 1000)
+      val updates = c.filter(col("c_custkey") >= 500 && col("c_custkey") < 1200)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .withColumn("review_status", lit("reviewed"))
+      Merge.upsertEvolving(base, updates, Seq("c_custkey"))
+    },
+    Some("""WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey < 1000),
+      updates AS (
+        SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
+          'reviewed' AS review_status
+        FROM customer WHERE c_custkey >= 500 AND c_custkey < 1200)
+      SELECT * FROM updates
+      UNION ALL
+      SELECT b.c_custkey, b.c_name, b.c_acctbal, NULL AS review_status
+      FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)"""))
+
   /** M7: keyed column update from an import file, zero-padded key
     * (reference app.py:2077-2111 — lpad(num, 8, '0') CSV update). */
   val m7KeyedUpdate = Q(
@@ -242,5 +269,5 @@ object SetMerge {
 
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
-    u6IntersectExcept, m9Delete, m11Scd2)
+    u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving)
 }

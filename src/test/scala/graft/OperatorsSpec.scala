@@ -173,6 +173,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", 10), (2, "b2", 25), (3, "c", 30)))
   }
 
+  test("Merge.upsertEvolving null-fills new columns on surviving base rows") {
+    val base = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val upd = Seq((2, "b2", "x"), (3, "c", "y")).toDF("id", "v", "extra")
+    val got = Merge.upsertEvolving(base, upd, Seq("id"))
+      .orderBy("id").as[(Int, String, Option[String])].collect().toSeq
+    assert(got == Seq((1, "a", None), (2, "b2", Some("x")), (3, "c", Some("y"))))
+    // idempotent like plain upsert
+    val twice = Merge.upsertEvolving(
+      Merge.upsertEvolving(base, upd, Seq("id")), upd, Seq("id"))
+      .orderBy("id").as[(Int, String, Option[String])].collect().toSeq
+    assert(twice == got)
+  }
+
   test("Merge.scd2: closes changed, passes history/no-op, inserts fresh") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
