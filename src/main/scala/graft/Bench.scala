@@ -36,6 +36,13 @@ object Bench {
     // aggregate.
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     var errors = List.empty[(String, String)]
+    // Host-load markers: a disturbed capture (concurrent sweep, another JVM
+    // on the same box) must carry its own evidence. getSystemLoadAverage is
+    // the 1-minute loadavg; on a 32-cpu box an idle capture reads well under
+    // ncpus while a contended one reads at/above it.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val startedAtMs = System.currentTimeMillis()
     val results = names.map { name =>
       def attempt(): Boolean =
@@ -58,29 +65,38 @@ object Bench {
         val t0 = System.nanoTime()
         if (warmed && attempt()) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      // min is the headline statistic: round 6 proved a disturbance can
+      // span ALL runs of one query (every j11 run inflated 10-25x), so the
+      // median doesn't survive it — but the min of 3 runs is the best
+      // available lower bound on what the engine itself costs. The median
+      // is still emitted for cross-checking run-to-run spread.
+      val min = if (times.isEmpty) -1.0 else times.min
       val median =
         if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      (name, median, times)
+      (name, min, median, times)
     }
-    // Self-diagnosing artifact: alongside each median, emit EVERY timed
-    // run. A disturbed-box capture (GC storm, concurrent sweep on the
-    // same host) shows up as one wild element in the run array — round 5
-    // produced a 10x outlier median that needed a manual re-run to
-    // adjudicate because the artifact carried only the median.
+    // Self-diagnosing artifact: alongside each min/median, emit EVERY
+    // timed run plus start/end host loadavg. A disturbed-box capture (GC
+    // storm, concurrent sweep on the same host) shows up as wild run
+    // arrays AND a loadavg far above idle — adjudicable with zero re-runs.
     // Locale.ROOT: a comma-decimal default locale would turn %.4f into
     // "1,2345" and corrupt the JSON line.
     def f4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f4(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, ts) =>
+    val ms = results.map { case (k, _, v, _) => "\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, _, ts) =>
       "\"" + k + "\":" + ts.map(f4).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val es = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
+    val totalMedian = results.filter(_._3 >= 0).map(_._3).sum
     val endedAtMs = System.currentTimeMillis()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_runs","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"ncpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }
 }

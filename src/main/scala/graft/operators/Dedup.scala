@@ -448,4 +448,48 @@ object Dedup {
         (col("doc_id") === col("first.doc_id") &&
           col("pos") === col("first.pos")).as("is_first"))
   }
+
+  /** The CUT pass over [[repeatedSpanOccurrences]] — Lee et al. 2022's
+    * actual output is the CLEANED corpus, not an occurrence list: every
+    * non-first occurrence window is spliced out of its document.
+    * Overlapping and adjacent cut windows merge into maximal spans (the
+    * island step) purely as a side effect of working at token
+    * granularity: the removed set is the UNION of covered token
+    * positions, and `n_spans` counts its contiguous runs.
+    *
+    * Returns one row per input document:
+    * (doc_id, text_clean, n_spans, n_cut) — whitespace-normalized
+    * cleaned text (tokens outside every cut window, re-joined), the
+    * number of maximal cut spans, and the number of tokens removed.
+    * Uncut documents pass through with n_spans = n_cut = 0.
+    *
+    * Scale shape: one extra shuffle beyond the occurrence pass — the
+    * groupBy(doc_id) that assembles each document's covered-position
+    * set (bounded by the doc's own token count, assembled in-row:
+    * flatten + distinct + sort after a map-side-combinable collect).
+    * The splice itself is a per-row filter over the token array — no
+    * window function, no driver involvement. Known caveat (as in the
+    * paper): splicing can form NEW k-windows across cut boundaries;
+    * a second pass converges in practice. */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val covered = repeatedSpanOccurrences(docs, idCol, textCol, k)
+      .filter(!col("is_first"))
+      .groupBy("doc_id")
+      .agg(sort_array(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + (k - 1)))))).as("cov"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.rawTokens(col(textCol)).as("t"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("array()").cast("array<int>")))
+      .select(col("doc_id"),
+        array_join(filter(col("t"),
+          (_, i) => !array_contains(col("cov"), i)), " ").as("text_clean"),
+        // a covered position starts a maximal span iff its predecessor
+        // position is not covered — counts islands without a window fn
+        size(filter(col("cov"),
+          p => !array_contains(col("cov"), p - 1))).cast("long").as("n_spans"),
+        size(col("cov")).cast("long").as("n_cut"))
+  }
 }

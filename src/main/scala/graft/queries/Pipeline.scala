@@ -397,6 +397,77 @@ object Pipeline {
       FROM occ o JOIN rep r USING (wh) JOIN firsts f USING (wh)
       WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)"""))
 
+  /** The cut pass completing exact-substring dedup (Lee et al. 2022's
+    * actual deliverable): non-first occurrences of cross-document
+    * 15-token windows are spliced out of their documents — adjacent/
+    * overlapping cut windows merging into maximal spans — and the
+    * CLEANED corpus is emitted: (doc_id, text_clean, n_spans, n_cut).
+    * Same synthesized collision corpus as dd_substring, so every window
+    * of the re-appended copies (ids ≥ 10^9) is cut and those docs clean
+    * to (near-)empty text, while the originals keep their first
+    * occurrences. The oracle replays the splice relationally: covered
+    * positions = cuts × [0,k), islands counted by the
+    * predecessor-absent rule, kept tokens re-agg'd in position order. */
+  val ddSubstringCut = Q(
+    "dd_substring_cut",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val dup = d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      Dedup.cutRepeatedSpans(d.union(dup), "doc_id", "text", k = 15)
+    },
+    Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 50),
+      toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM all_docs),
+      occ AS (
+        SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i : i + 14], ' ')) AS wh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+              FROM toks WHERE len(t) >= 15)),
+      rep AS (
+        SELECT wh FROM occ GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      firsts AS (
+        SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+          SELECT wh, doc_id, pos,
+            row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+          FROM occ) WHERE rn = 1),
+      cuts AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN rep USING (wh) JOIN firsts f USING (wh)
+        WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + j AS cov
+        FROM cuts, (SELECT unnest(generate_series(0, 14)) AS j) js),
+      spans AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        FROM covered c LEFT JOIN covered p
+          ON p.doc_id = c.doc_id AND p.cov = c.cov - 1
+        WHERE p.cov IS NULL GROUP BY c.doc_id),
+      ncut AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut
+        FROM covered GROUP BY doc_id),
+      tokpos AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM toks)),
+      kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tokpos tp LEFT JOIN covered c
+          ON c.doc_id = tp.doc_id AND c.cov = tp.i - 1
+        WHERE c.cov IS NULL),
+      clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(cl.text_clean, '') AS text_clean,
+        coalesce(s.n_spans, 0) AS n_spans, coalesce(n.n_cut, 0) AS n_cut
+      FROM toks d
+      LEFT JOIN clean cl USING (doc_id)
+      LEFT JOIN spans s USING (doc_id)
+      LEFT JOIN ncut n USING (doc_id)"""))
+
   /** Embedding-cosine near-dup pairs at cosine ≥ 0.4 (the corpus has no
     * truly duplicated vectors; 0.4 captures the closest cluster pairs).
     * Pinned to vec_id < 1000 like dd_ngram — exact all-pairs is the
@@ -1036,7 +1107,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
-    ddSubstring, txtSplitLeakfree,
+    ddSubstring, ddSubstringCut, txtSplitLeakfree,
     simTopk, simLsh, simIvf,
     simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,

@@ -187,6 +187,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cutRepeatedSpans equals brute force; no non-first cross-doc k-span survives") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.listOfN(6, doc)
+    val k = 3
+    samples(corpusGen, 6).foreach { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.cutRepeatedSpans(df, "doc_id", "text", k)
+        .select("doc_id", "text_clean", "n_spans", "n_cut")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // brute force: enumerate windows, find cross-doc repeats, cover all
+      // non-first occurrences, splice
+      val occ = for {
+        (ws, i) <- docs.zipWithIndex
+        p <- 0 to ws.length - k
+      } yield (ws.slice(p, p + k).mkString(" "), i, p)
+      val repeated = occ.groupBy(_._1).values
+        .filter(_.map(_._2).distinct.size >= 2).toSeq
+      val nonFirst = repeated.flatMap { os =>
+        val first = os.map(o => (o._2, o._3)).min
+        os.map(o => (o._2, o._3)).filterNot(_ == first)
+      }
+      val coveredByDoc = nonFirst.groupBy(_._1)
+        .map { case (d, ps) => d -> ps.flatMap(p => p._2 until p._2 + k).toSet }
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val cov = coveredByDoc.getOrElse(i, Set.empty[Int])
+        val wantClean = ws.zipWithIndex.filterNot(t => cov(t._2)).map(_._1).mkString(" ")
+        val wantSpans = cov.count(p => !cov(p - 1)).toLong
+        val (gClean, gSpans, gCut) = got(i.toLong)
+        assert(gClean == wantClean, s"doc $i text diverged on corpus $docs")
+        assert(gSpans == wantSpans && gCut == cov.size.toLong,
+          s"doc $i span stats diverged on corpus $docs")
+      }
+      // the paper's guarantee: of each cross-doc repeated window's
+      // occurrences, at most one survives the cut uncovered — and if one
+      // does, it is the first occurrence
+      repeated.foreach { os =>
+        val first = os.map(o => (o._2, o._3)).min
+        val surviving = os.map(o => (o._2, o._3)).filter { case (d, p) =>
+          val cov = coveredByDoc.getOrElse(d, Set.empty[Int])
+          (p until p + k).forall(!cov(_))
+        }
+        assert(surviving.size <= 1, s"span ${os.head._1} survived twice: $surviving")
+        surviving.foreach(s => assert(s == first,
+          s"non-first survivor $s of span ${os.head._1} in corpus $docs"))
+      }
+    }
+  }
+
   test("trainBatched(window=1) replays train exactly on random corpora") {
     import graft.operators.Bpe
     val word = Gen.choose(1, 4).flatMap(n =>
