@@ -55,11 +55,19 @@ object Similarity {
   /** Sign-bit LSH bucket id from `planes` random hyperplanes. Integer
     * plane coefficients are exact in doubles, so the bucket id is
     * reproducible across engines. */
-  def lshBucket(vRaw: Column, planes: Int, dims: Int): Column = {
+  def lshBucket(vRaw: Column, planes: Int, dims: Int): Column =
+    lshBucketTable(vRaw, 0, planes, dims)
+
+  /** Bucket id for hash TABLE `table` of a multi-table LSH index: bit p
+    * comes from global hyperplane table·planes + p, so every table sees
+    * an independent plane set and table 0 with `planes` planes is
+    * exactly [[lshBucket]]. */
+  def lshBucketTable(vRaw: Column, table: Int, planes: Int, dims: Int): Column = {
     val v = asDouble(vRaw)
-    (0 until planes).map { j =>
+    (0 until planes).map { p =>
+      val j = table * planes + p
       val coeffs = array((0 until dims).map(i => lit(planeCoeff(j, i).toDouble)): _*)
-      when(dot(v, coeffs) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(v, coeffs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -80,6 +88,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "bucket", "rank", "cos")
+  }
+
+  /** OR-amplified multi-table LSH ANN top-k — the standard fix for the
+    * single-table recall cliff ([[recallAtK]] measures table-of-8-planes
+    * recall at 0.00 on near-uniform vectors): `tables` independent hash
+    * tables of `planes` planes each, a candidate qualifies by
+    * co-bucketing with the query in ANY table (OR construction —
+    * Indyk & Motwani's E2LSH shape), then exact cosine re-rank over the
+    * distinct candidate set. Collision odds per table are ~2^-planes for
+    * a random pair but far higher for true neighbors, and the OR over
+    * tables amplifies toward 1 − (1 − p^planes)^tables.
+    *
+    * Scale shape: both sides emit `tables` bucket rows per vector
+    * (in-row posexplode, no shuffle); the candidate join is an equi-join
+    * on (table, bucket) with the query side broadcast; the distinct
+    * collapses multi-table hits BEFORE vectors are re-read, so each
+    * candidate vector is fetched once via one shuffle-join on cand_id. */
+  def lshMultiTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def buckets(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+          posexplode(array((0 until tables).map(t =>
+            lshBucketTable(col(vecCol), t, planes, dims)): _*)))
+        .select(col(id), col("pos").as("tbl"), col("col").as("bucket"))
+    val cand = buckets(candidates, "cand_id")
+      .join(broadcast(buckets(queries, "query_id")), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = cand.join(broadcast(q), "query_id").join(c, "cand_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
   }
 
   /** IVF-style ANN top-k: a deterministic coarse quantizer (seed
@@ -124,6 +170,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "cos")
   }
+
+  /** Recall@k of an approximate top-k result against the verified
+    * brute-force truth — the number that justifies (or indicts) an ANN
+    * bucketing trade. For each truth (query_id, cand_id) pair, a hit is
+    * its presence in `approx`; recall = hits / k per query. Composes two
+    * already-computed result sets, so the only work is one equi-join on
+    * (query_id, cand_id) and a groupBy on query_id — both tiny (k rows
+    * per query) regardless of corpus size.
+    * Returns (query_id, hits, recall). */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    truth.select("query_id", "cand_id")
+      .join(approx.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits") / lit(k.toDouble)).as("recall"))
 
   /** SemDeDup-style semantic dedup pairs — the SCALE path for
     * embedding-space near-dup (dd_embed_cosine is the all-pairs

@@ -17,6 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
+    "sim_recall",          // composes bruteforce truth + ivf (both above)
     "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
     "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
     "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
