@@ -50,14 +50,17 @@ object Graph {
     * exchanges, but its input is the pair list, not the appointments.
     *
     * `tag` namespaces the materialization (per catalog table name +
-    * location); re-invocations in the same JVM reuse it. Bucket count is
-    * the rebuild's parallelism — size it like shuffle partitions at the
-    * target scale (thousands for a 100 TB appointments table). */
+    * location) and MUST uniquely identify the input data — callers embed
+    * the source dir in it; the bucket geometry is part of the memo key
+    * (Bucketing.ensureBucketed), so same-tag calls with a different
+    * `buckets` re-write instead of reusing a stale layout, and the data
+    * path is pid-scoped so concurrent JVMs never collide. Bucket count
+    * is the rebuild's parallelism — size it like shuffle partitions at
+    * the target scale (thousands for a 100 TB appointments table). */
   def sharedKeyEdgesBucketed(spark: SparkSession, appointments: => DataFrame,
       groupCol: String, itemCol: String, tag: String, buckets: Int = 8,
       minShared: Int = 1, maxGroupSize: Int = 1000): DataFrame = {
-    val base =
-      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/appts_$tag"
+    val base = s"${graft.sources.Bucketing.processRoot}/appts_$tag"
     graft.sources.Bucketing.ensureBucketed(
       appointments.select(col(groupCol), col(itemCol)),
       s"g_appts_b_$tag", base, groupCol, buckets)

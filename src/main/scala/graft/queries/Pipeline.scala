@@ -207,6 +207,37 @@ object Pipeline {
       JOIN sig y ON y.doc_id = c.dup_of
       WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5"""))
 
+  /** dd_incremental through the STORED-signature path: identical
+    * result (same oracle), but the existing side's signatures and
+    * hot-capped band buckets are read from bucketed parquet tables
+    * written once per JVM (Dedup.incrementalNearDupsStored) — the
+    * batch signs only itself and the stored side shuffles nothing.
+    * OperatorsSpec pins that a second batch never re-signs the existing
+    * corpus. */
+  val ddIncStored = Q(
+    "dd_inc_stored",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      def docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalNearDupsStored(s,
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", tag = tag,
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+    },
+    Some(s"""WITH $minhashCtes,
+      cross_cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+          AND a.h2 = b.h2 AND a.h3 = b.h3
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      SELECT c.new_id, c.dup_of, ${jaccardSql("x.hs", "y.hs")} AS jaccard
+      FROM cross_cand c
+      JOIN sig x ON x.doc_id = c.new_id
+      JOIN sig y ON y.doc_id = c.dup_of
+      WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.5"""))
+
   /** Paragraph-level near-dup — the standard corpus granularity: a doc
     * that quotes one paragraph of another is invisible to doc-level LSH
     * (whole-doc Jaccard is diluted below any useful threshold), so
@@ -1269,7 +1300,8 @@ object Pipeline {
       UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddSemantic, ddComponents, ddIncremental, ddParagraph, ddJaccardPrefix,
+    ddSemantic, ddComponents, ddIncremental, ddIncStored, ddParagraph,
+    ddJaccardPrefix,
     ddSubstring, ddSubstringCut, txtSplitLeakfree,
     simTopk, simLsh, simLshMulti, simIvf, simRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,

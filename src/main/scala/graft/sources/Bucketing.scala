@@ -43,20 +43,40 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  // one bucketed materialization per (session, table) per JVM: Verify
-  // writes once; Bench's warm run writes, its timed run joins only —
-  // which is the honest split, the write is a one-time cost amortized
-  // over every later join exactly as at warehouse scale
+  /** Per-process data root: concurrent JVMs on one host each write
+    * under a pid-scoped subtree, so tmpdir table paths can never collide
+    * across processes (two simultaneous Verify/Bench runs would
+    * otherwise race on the same java.io.tmpdir paths). */
+  lazy val processRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/p${ProcessHandle.current().pid()}"
+
+  // one bucketed materialization per (table, location, geometry) per
+  // JVM: Verify writes once; Bench's warm run writes, its timed run
+  // joins only — which is the honest split, the write is a one-time
+  // cost amortized over every later join exactly as at warehouse scale
   private val materialized = new ConcurrentHashMap[String, Boolean]()
 
   /** Idempotently materialize `df` as bucketed table `table`; re-uses a
-    * registration already made by this JVM for the same location. */
+    * registration already made by this JVM for the same location AND
+    * the same bucket geometry — a later call with a different bucket
+    * count or column re-writes rather than silently reusing a stale
+    * layout. The caller's `table`/`location` must uniquely identify the
+    * input DATA (tags embed the source dir); geometry is in the key
+    * here. */
   def ensureBucketed(df: => DataFrame, table: String, location: String,
       bucketCol: String, buckets: Int): Unit =
-    materialized.computeIfAbsent(s"$table@$location", { _ =>
+    materialized.computeIfAbsent(s"$table@$location#$bucketCol/$buckets", { _ =>
       writeBucketed(df, table, location, bucketCol, buckets)
       true
     })
+
+  /** Run `write` exactly once per `key` per JVM — the memoization
+    * [[ensureBucketed]] uses, exposed for writers that materialize a
+    * FAMILY of tables from one forced input (e.g. Dedup's stored
+    * signature + bucket tables, which must force their source exactly
+    * once). */
+  def ensureOnce(key: String)(write: => Unit): Unit =
+    materialized.computeIfAbsent(key, { _ => write; true })
 
   /** The j13 demo shape: lineitem⋈orders on l_orderkey with both sides
     * bucketed — the plan has NO Exchange below the join (assert in
@@ -64,7 +84,7 @@ object Bucketing {
     * silently degrade to a broadcast at toy scale. */
   def bucketedOrderJoin(spark: SparkSession, lineitem: DataFrame,
       orders: DataFrame, tag: String, buckets: Int = 8): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
+    val base = s"$processRoot/$tag"
     ensureBucketed(
       lineitem.select(col("l_orderkey"), col("l_quantity"),
         col("l_extendedprice")),

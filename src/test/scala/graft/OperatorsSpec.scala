@@ -600,6 +600,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc == full, "batch-vs-corpus must find exactly the cross-split near-dups")
   }
 
+  test("incrementalNearDupsStored: exact vs baseline; batch N+1 never re-signs existing") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    var forced = 0
+    def existing = { forced += 1; docs.filter(col("doc_id") % 10 =!= 0) }
+    val batch1 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 === 0)
+    val batch2 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val got1 = canon(Dedup.incrementalNearDupsStored(spark, existing, batch1,
+      "doc_id", "text", tag = "opspec_inc"))
+    assert(forced == 1, "first batch materializes the stored tables once")
+    val got2 = canon(Dedup.incrementalNearDupsStored(spark, existing, batch2,
+      "doc_id", "text", tag = "opspec_inc"))
+    // THE stored-signature guarantee: the second batch runs entirely
+    // against the persisted tables — the existing-side thunk is never
+    // even forced, so no plan can have re-shingled or re-signed it
+    assert(forced == 1, "batch N+1 must not touch the existing corpus")
+    val want1 = canon(Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 10 =!= 0), batch1, "doc_id", "text"))
+    val want2 = canon(Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 10 =!= 0), batch2, "doc_id", "text"))
+    assert(got1 == want1 && got2 == want2,
+      "stored path must equal the re-signing baseline on every batch")
+    // the stored side reads its bucketed layout, shuffle-free
+    val p = Dedup.incrementalNearDupsStored(spark, existing, batch2,
+      "doc_id", "text", tag = "opspec_inc")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"),
+      s"candidate join must scan the stored bucket layout:\n$p")
+  }
+
   test("txt_pack: every bin but the bucket-last holds exactly 256 tokens") {
     val sf = "/root/testdata/sf0.001"
     val packed = graft.queries.Corpus.txtPack.run(spark, sf).cache()
