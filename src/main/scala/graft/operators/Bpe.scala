@@ -177,32 +177,79 @@ object Bpe {
     * a map over the vocab table; documents broadcast-join the vocab and
     * re-assemble in order with one groupBy over (doc, position). */
   def encodeIds(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame): DataFrame = {
-    val spark = vocab.sparkSession
-    import spark.implicits._
-    def utf8Less(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
-        i += 1
-      }
-      x.length < y.length
-    }
-    val symArr = expr("filter(split(r, '\\\\^'), x -> x != '')")
-    val syms = vocab.select(explode(symArr).as("s"))
-      .distinct().as[String].collect().sortWith(utf8Less)
-    val idMap = typedLit(syms.zipWithIndex.toMap)
-    val wordIds = vocab.select(col("word"),
-      array_join(transform(symArr, s => element_at(idMap, s).cast("string")), ",")
-        .as("word_ids"))
+      vocab: DataFrame): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.rawTokens(col(textCol))).as(Seq("pos", "word")))
-      .join(broadcast(wordIds), "word")
+      .join(broadcast(wordIdsTable(vocab)), "word")
       .groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("word_ids")))),
           x => x.getField("word_ids")), ",").as("ids"))
+
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private val symArr = expr("filter(split(r, '\\\\^'), x -> x != '')")
+
+  /** The trained symbol set in id order (UTF-8-byte rank — see
+    * [[encodeIds]]): one bounded collect, alphabet + one symbol per
+    * merge. */
+  private def symbolSet(vocab: DataFrame): Array[String] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    vocab.select(explode(symArr).as("s"))
+      .distinct().as[String].collect().sortWith(utf8Less)
+  }
+
+  /** (word, word_ids) — each vocab word's comma-joined symbol-id string
+    * under the [[symbolSet]] id assignment. */
+  def wordIdsTable(vocab: DataFrame): DataFrame = {
+    val idMap = typedLit(symbolSet(vocab).zipWithIndex.toMap)
+    vocab.select(col("word"),
+      array_join(transform(symArr, s => element_at(idMap, s).cast("string")), ",")
+        .as("word_ids"))
+  }
+
+  /** The round-trip that makes a tokenizer trustworthy:
+    * decode(encode(word)) for every corpus token, through the id map
+    * BOTH ways — encode via [[wordIdsTable]], decode via the inverse
+    * id→symbol map — and the document reassembled in token order.
+    * Returns (doc_id, text_rt, n_words, n_mismatch): text_rt must equal
+    * the whitespace-normalized token stream and n_mismatch must be 0
+    * whenever the id assignment is a true bijection (BMP contract —
+    * see the object docstring); a colliding or dropped symbol id shows
+    * up as a non-zero n_mismatch, which is exactly what this operator
+    * exists to catch.
+    *
+    * Scale shape: identical to [[encodeIds]] — decode happens on the
+    * vocab-sized word table BEFORE the broadcast join, so the per-token
+    * work is one hash probe; the only wide op is the per-doc
+    * reassembly groupBy. */
+  def roundTrip(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val invMap = typedLit(symbolSet(vocab).zipWithIndex
+      .map { case (s, i) => (i.toString, s) }.toMap)
+    val decoded = wordIdsTable(vocab).withColumn("decoded",
+      concat_ws("", transform(split(col("word_ids"), ","),
+        i => element_at(invMap, i))))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(decoded), "word")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("decoded")))),
+          x => x.getField("decoded")), " ").as("text_rt"),
+        count(lit(1)).cast("long").as("n_words"),
+        sum(when(col("decoded") =!= col("word"), 1).otherwise(0))
+          .cast("long").as("n_mismatch"))
   }
 }

@@ -343,6 +343,69 @@ object Corpus {
           AS n_tokens
       FROM e"""))
 
+  /** The loader tail composed: epoch shuffle → shard → pack, what a
+    * trainer actually reads. The epoch-1 shuffled stream
+    * (Align.epochShuffle — reproducible, no rand()) is dealt
+    * round-robin to 8 data-parallel loader shards (rank r reads
+    * positions ≡ r mod 8 — bins never straddle shards, exactly like
+    * real distributed loaders), and each shard packs ITS slice of the
+    * shuffled order into 256-token bins with docs straddling bin
+    * boundaries (txt_pack's packer, ordered by shuffle_pos instead of
+    * doc_id). Deterministic across re-runs (pinned in OperatorsSpec):
+    * same epoch → same permutation → same bins, which is what makes a
+    * crashed epoch resumable at an exact sample position.
+    *
+    * Scale shape: the only additions over txt_pack are the shuffle
+    * rank (range-sort + zipWithIndex, no global window) and a window
+    * partitioned BY SHARD — shards are the parallelism unit; raise the
+    * shard count with the cluster and every per-shard window stays
+    * narrow. */
+  val txtEpochPack = Q(
+    "txt_epoch_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 256
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n"))
+      val sh = graft.operators.Align.epochShuffle(base, "doc_id", epoch = 1)
+        .withColumn("shard", (col("shuffle_pos") - 1) % 8)
+      val w = Window.partitionBy("shard").orderBy("shuffle_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sh.withColumn("off", coalesce(sum("n").over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("shuffle_pos"),
+          col("n"), col("off"),
+          explode(expr(s"sequence(off div $cap, (off + n - 1) div $cap)"))
+            .as("bin_id"))
+        .select(col("doc_id"), col("shard"), col("shuffle_pos"), col("bin_id"),
+          (least(col("off") + col("n"), (col("bin_id") + 1) * cap)
+            - greatest(col("off"), col("bin_id") * cap)).as("n_tokens"))
+    },
+    Some(s"""WITH nn AS (
+        SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+        FROM documents),
+      sh AS (
+        SELECT doc_id, n, row_number() OVER (
+          ORDER BY ${h56("CONCAT('1:', CAST(doc_id AS VARCHAR))")}, doc_id)
+          AS shuffle_pos
+        FROM nn),
+      sd AS (SELECT doc_id, n, shuffle_pos,
+          (shuffle_pos - 1) % 8 AS shard FROM sh),
+      o AS (
+        SELECT doc_id, shard, shuffle_pos, n,
+          CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY shuffle_pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM sd),
+      e AS (
+        SELECT doc_id, shard, shuffle_pos, n, off,
+          unnest(generate_series(off // 256, (off + n - 1) // 256)) AS bin_id
+        FROM o)
+      SELECT doc_id, shard, shuffle_pos, bin_id,
+        least(off + n, (bin_id + 1) * 256) - greatest(off, bin_id * 256)
+          AS n_tokens
+      FROM e"""))
+
   /** TF-IDF top terms per document. idf is the LINEAR inverse document
     * frequency N/df, not ln(N/df): a single IEEE division is bit-exact
     * across engines, while ln() may differ in the last ulp between
@@ -527,6 +590,47 @@ object Corpus {
       FROM dw JOIN word_ids USING (word)
       GROUP BY doc_id"""))
 
+  /** The property that makes the tokenizer trustworthy, as a query:
+    * decode(encode(x)) == x. Every token of docs 0..19 is encoded to
+    * symbol ids and decoded back through the INVERSE id→symbol join;
+    * the reassembled text_rt must equal the whitespace-normalized
+    * token stream and n_mismatch must be 0 — a colliding or dropped
+    * symbol id (the failure mode of a buggy id assignment) breaks the
+    * hash here. Oracle replays both directions of the map. */
+  val txtBpeRoundtrip = Q(
+    "txt_bpe_roundtrip",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(docs, "text"), iters = 6)
+      graft.operators.Bpe.roundTrip(
+        docs.filter(col("doc_id") < 20), "doc_id", "text", vocab)
+    },
+    Some(s"""WITH $bpeTrainCtes,
+        syms AS (SELECT DISTINCT unnest(string_split(r, '^')[2:]) AS s FROM e6),
+        symid AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS id FROM syms),
+        wsym AS (
+          SELECT word, i, ss[i] AS s
+          FROM (SELECT word, string_split(r, '^')[2:] AS ss FROM e6),
+            LATERAL (SELECT unnest(generate_series(1, len(ss))) AS i)),
+        wid AS (
+          SELECT word, i, id FROM wsym JOIN symid USING (s)),
+        dec AS (
+          SELECT word, string_agg(sym.s, '' ORDER BY i) AS decoded
+          FROM wid JOIN symid sym USING (id) GROUP BY word),
+        toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE doc_id < 20),
+        dw AS (
+          SELECT doc_id, i, w[i] AS word
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i))
+      SELECT doc_id, string_agg(decoded, ' ' ORDER BY i) AS text_rt,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mismatch
+      FROM dw JOIN dec USING (word)
+      GROUP BY doc_id"""))
+
   /** DuckDB replay of Bpe.trainBatched(rounds, window): per round, one
     * pair-count CTE, a ranked candidate window (QUALIFY rk <= window), a
     * NON-recursive disjointness anti-join selecting the kept merges, and
@@ -624,7 +728,8 @@ object Corpus {
       GROUP BY doc_id ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
-    txtSample, txtChunks, txtDecontam, txtPack, txtTfidf, txtMix, txtSplit,
-    txtBpe, txtBpeIds, txtBpeBatched, txtBigramScore, txtShuffle,
-    txtDecontamRatio)
+    txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
+    txtMix, txtSplit,
+    txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtBigramScore,
+    txtShuffle, txtDecontamRatio)
 }

@@ -600,6 +600,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc == full, "batch-vs-corpus must find exactly the cross-split near-dups")
   }
 
+  test("txt_epoch_pack: deterministic across re-runs, conserves tokens, shards by pos") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = graft.queries.Corpus.txtEpochPack.run(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val a = run()
+    // re-executing the whole plan (fresh shuffle rank included) must
+    // deal the identical epoch — resumability depends on it
+    assert(a == run(), "epoch pack must be reproducible run-to-run")
+    // conservation: a doc's contributions across bins = its token count
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(operators.TextAnalysis.rawTokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = a.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    assert(byDoc.forall { case (d, t) => docs(d) == t },
+      "every token lands in exactly one bin")
+    // round-robin sharding: shard is a pure function of shuffle_pos
+    assert(a.forall { case (_, shard, pos, _, _) => shard == (pos - 1) % 8 })
+  }
+
+  test("BPE round-trip: decode(encode(x)) equals the token stream, zero mismatches") {
+    import graft.operators.Bpe
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = Bpe.train(Bpe.wordFreq(docs, "text"), iters = 6)
+    val slice = docs.filter(col("doc_id") < 50)
+    val rt = Bpe.roundTrip(slice, "doc_id", "text", vocab).cache()
+    try {
+      assert(rt.filter(col("n_mismatch") =!= 0).count() == 0,
+        "every token must decode back to itself")
+      val orig = slice.select(col("doc_id"),
+        array_join(operators.TextAnalysis.rawTokens(col("text")), " ").as("t"))
+      val diverged = rt.join(orig, "doc_id")
+        .filter(col("text_rt") =!= col("t")).count()
+      assert(diverged == 0, "reassembled text must equal the token stream")
+      assert(rt.count() == 50)
+    } finally rt.unpersist()
+  }
+
   test("incrementalNearDupsStored: exact vs baseline; batch N+1 never re-signs existing") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     var forced = 0
