@@ -422,10 +422,18 @@ object Dedup {
     * stated honestly: adding a document that BRIDGES two components can
     * relabel an existing component (min-id changes) and move that group
     * between splits — unavoidable under any scheme that keeps groups
-    * intact. Returns (idCol, rep, split) for every document. */
+    * intact. Returns (idCol, rep, split) for every document.
+    *
+    * Split ratios: the representative's hash bucket (0..99) lands in
+    * train below `trainUpto`, val below `valUpto`, else test — defaults
+    * 90/5/5, the reference pipeline's ratios, configurable without
+    * reimplementing the component-representative logic. */
   def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      trainUpto: Int = 90, valUpto: Int = 95): DataFrame = {
+    require(0 <= trainUpto && trainUpto <= valUpto && valUpto <= 100,
+      s"need 0 <= trainUpto <= valUpto <= 100, got $trainUpto/$valUpto")
     val pairs = minhashPairs(docs, idCol, textCol, n, k, bands, threshold)
       .select("id_a", "id_b")
     val comp = connectedComponents(pairs)
@@ -434,7 +442,7 @@ object Dedup {
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("rep"))
     val bucket = hash56(col("rep").cast("string")) % 100
     rep.select(col(idCol), col("rep"),
-      when(bucket < 90, "train").when(bucket < 95, "val")
+      when(bucket < trainUpto, "train").when(bucket < valUpto, "val")
         .otherwise("test").as("split"))
   }
 

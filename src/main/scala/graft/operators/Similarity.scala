@@ -435,13 +435,13 @@ object Similarity {
     * fixed-point distance from each query's subspace slice to every
     * codebook entry — queries × subspaces × |codebook| rows, broadcast
     * material. */
-  private def adcLut(queries: DataFrame, idCol: String,
+  private def adcLut(queries: DataFrame, idCol: String, vecCol: String,
       seeds: Seq[(Long, Seq[Long])], subspaces: Int, d: Int): DataFrame = {
     val flat: Seq[(Long, Int, Seq[Long])] =
       for ((id, v) <- seeds; j <- 0 until subspaces)
         yield (id, j, v.slice(j * d, (j + 1) * d))
     queries
-      .select(col(idCol).as("query_id"), quantized("embedding").as("qv"))
+      .select(col(idCol).as("query_id"), quantized(vecCol).as("qv"))
       .select(col("query_id"), col("qv"), explode(typedLit(flat)).as("cb"))
       .select(col("query_id"),
         col("cb._1").as("cid"), col("cb._2").as("cj"),
@@ -459,8 +459,7 @@ object Similarity {
     val d = seeds.head._2.length / subspaces
     val codes = pqEncodeWith(candQ, seeds, subspaces)
       .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
-    val lut = adcLut(queries.select(col(idCol), col(vecCol).as("embedding")),
-      idCol, seeds, subspaces, d)
+    val lut = adcLut(queries, idCol, vecCol, seeds, subspaces, d)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
     codes.join(broadcast(lut), col("j") === col("cj") && col("code") === col("cid"))
       .groupBy("query_id", "cand_id")
@@ -499,8 +498,7 @@ object Similarity {
     val codes = pqEncodeWith(candQ, seeds, subspaces)
       .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
       .join(candCell, "cand_id")
-    val lut = adcLut(queries.select(col(idCol), col(vecCol).as("embedding")),
-        idCol, seeds, subspaces, d)
+    val lut = adcLut(queries, idCol, vecCol, seeds, subspaces, d)
       .select(col("query_id"), col("cj").as("j"), col("cid").as("code"),
         col("dist"))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))

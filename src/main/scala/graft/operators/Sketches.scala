@@ -106,7 +106,11 @@ object Sketches {
   /** Frequency point-estimates for `probes`: append `cms_n` = min over
     * the d cells addressed by each probe key. The cell table is d·w rows
     * — broadcast; probes stream past it unshuffled except the final
-    * per-probe min (keyed on the probe row itself).
+    * per-probe min (keyed on the probe ROW: a generated row id, so
+    * duplicate probe rows each keep their own output row, and the probe
+    * frame's own columns never collide with the sketch internals — all
+    * temporaries are __cms_-namespaced and the cell columns are renamed
+    * before the join).
     *
     * LEFT join: cmsCells only emits observed cells, so a probe key the
     * sketch never saw addresses absent cells — those count as 0 (the
@@ -114,11 +118,17 @@ object Sketches {
     * over whichever cells happen to collide" (partial overcount). */
   def cmsEstimate(probes: DataFrame, keyCol: String, cells: DataFrame,
       d: Int, w: Int): DataFrame = {
-    val keyed = probes.withColumn("__h", explode(cmsStructs(col(keyCol), d, w)))
-      .withColumn("j", col("__h.j")).withColumn("b", col("__h.b"))
-      .drop("__h")
-    keyed.join(broadcast(cells), Seq("j", "b"), "left_outer")
-      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+    val keyed = probes
+      .withColumn("__cms_rid", monotonically_increasing_id())
+      .withColumn("__cms_jb", explode(cmsStructs(col(keyCol), d, w)))
+      .withColumn("__cms_j", col("__cms_jb.j"))
+      .withColumn("__cms_b", col("__cms_jb.b"))
+      .drop("__cms_jb")
+    val c = cells.select(col("j").as("__cms_j"), col("b").as("__cms_b"),
+      col("n").as("__cms_n"))
+    keyed.join(broadcast(c), Seq("__cms_j", "__cms_b"), "left_outer")
+      .groupBy((col("__cms_rid") +: probes.columns.map(col)).toIndexedSeq: _*)
+      .agg(min(coalesce(col("__cms_n"), lit(0L))).as("cms_n"))
+      .drop("__cms_rid")
   }
 }

@@ -53,9 +53,13 @@ class GraphSkewSpec extends AnyFunSuite {
     // The upstream DAG feeds degrees + orientation + three join sides;
     // triangleCount eagerly materializes the persisted edges in a
     // single-leg job first, so every later leg reads the cache and the
-    // build runs exactly once per row (a multi-leg first job could race
-    // two tasks onto the same uncached partition).
-    assert(builds.value == eSeq.size,
+    // build runs once per row. Bound is <= 2x, not ==: a task RETRY
+    // re-runs the build on its partition and double-counts the
+    // accumulator (Spark only dedups accumulators for result-stage
+    // tasks) — rare in local mode but an exact assert is flake-bait.
+    // The cache-isolation property still has teeth: before the fix the
+    // multi-leg fan-out ran the build 4-5x.
+    assert(builds.value >= eSeq.size && builds.value <= 2L * eSeq.size,
       s"edge build ran ${builds.value / eSeq.size.toDouble}x")
   }
 
