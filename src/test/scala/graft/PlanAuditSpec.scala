@@ -5,28 +5,52 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Fleet-wide physical-plan audit: every registered query — current and
   * future — is checked for the plan shapes that do not survive scale.
   * PlanSpec pins specific good plans; this spec guarantees no query
-  * anywhere in the registry regresses into the known scale-killers. */
+  * anywhere in the registry regresses into the known scale-killers.
+  *
+  * Every query is PLANNED EXACTLY ONCE (6-way concurrent, shared by all
+  * three checks): planning 160+ queries is the suite's whole cost, and
+  * the earlier one-planning-pass-per-test shape tripled it — the single
+  * shared pass keeps this suite flat as the registry grows. */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
-    * each is a deliberate bounded product with the small side broadcast
-    * (a baseline, or a top-k against a handful of broadcast queries). */
-  private val bnljAllowed = Set(
-    "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
-    "sim_ivf_topk",        // probe rows × broadcast centroid cells
-    "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
-    "sim_recall",          // composes bruteforce truth + ivf (both above)
-    "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
-    "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
-    "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
-  )
+  import org.apache.spark.sql.execution.SparkPlan
+
+  /** name → executed plan, computed once for the whole suite. A query
+    * that fails to plan surfaces in every check via the sentinel. */
+  private lazy val plans: Seq[(String, Either[String, SparkPlan])] = {
+    // Force the session ON THIS THREAD before any future runs: `spark`
+    // and `plans` are lazy vals on the same instance, and Scala 2 lazy
+    // vals share the instance monitor — a future touching the
+    // still-uninitialized `spark` while this thread awaits inside
+    // `plans` is a textbook lazy-val deadlock (observed: 6 pool threads
+    // BLOCKED on spark$lzycompute).
+    val s = spark
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.registry.sortBy(_.name).map { q =>
+      scala.concurrent.Future {
+        q.name -> (try Right(q.run(s, sf).queryExecution.executedPlan)
+        catch { case e: Throwable => Left(e.toString.take(200)) })
+      }
+    }
+    val out = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    out
+  }
+
+  test("every registry query plans") {
+    val broken = plans.collect { case (n, Left(e)) => s"$n: $e" }
+    assert(broken.isEmpty, s"unplannable queries:\n${broken.mkString("\n")}")
+  }
 
   test("no registered query plans a CartesianProduct") {
-    val offenders = SparkEntry.registry.flatMap { q =>
-      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    val offenders = plans.collect {
+      case (n, Right(p)) if p.toString.contains("CartesianProduct") => n
     }
     assert(offenders.isEmpty,
       s"cartesian plans (death at scale): ${offenders.mkString(", ")}")
@@ -42,7 +66,6 @@ class PlanAuditSpec extends AnyFunSuite {
   )
 
   test("no registered query windows the full relation on one task") {
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
     def globalWindows(p: SparkPlan): Seq[WindowExec] = {
@@ -51,21 +74,31 @@ class PlanAuditSpec extends AnyFunSuite {
         .flatMap(a => globalWindows(a.initialPlan))
       here ++ nested
     }
-    val offenders = SparkEntry.registry.flatMap { q =>
-      if (globalWindows(q.run(spark, sf).queryExecution.executedPlan).nonEmpty
-          && !globalWindowAllowed(q.name)) Some(q.name)
-      else None
+    val offenders = plans.collect {
+      case (n, Right(p))
+          if globalWindows(p).nonEmpty && !globalWindowAllowed(n) => n
     }
     assert(offenders.isEmpty,
       s"unpartitioned windows over unbounded input: ${offenders.mkString(", ")}")
   }
 
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * each is a deliberate bounded product with the small side broadcast
+    * (a baseline, or a top-k against a handful of broadcast queries). */
+  private val bnljAllowed = Set(
+    "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
+    "sim_ivf_topk",        // probe rows × broadcast centroid cells
+    "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
+    "sim_recall",          // composes bruteforce truth + ivf (both above)
+    "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
+    "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
+    "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
+  )
+
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
-    val offenders = SparkEntry.registry.flatMap { q =>
-      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
-      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(q.name))
-        Some(q.name)
-      else None
+    val offenders = plans.collect {
+      case (n, Right(p))
+          if p.toString.contains("BroadcastNestedLoopJoin") && !bnljAllowed(n) => n
     }
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins: ${offenders.mkString(", ")}")
