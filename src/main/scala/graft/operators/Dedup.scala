@@ -254,6 +254,53 @@ object Dedup {
       .select("new_id", "dup_of", "jaccard")
   }
 
+  /** The INGEST half of the stored-signature loop: append a batch's
+    * signatures and band-bucket rows to the tables
+    * [[incrementalNearDupsStored]] reads, making the batch part of
+    * "existing" for every LATER batch — together they are the
+    * continuous-ingest cycle (check batch → ingest batch → next batch
+    * sees it), exercised end-to-end by StreamingSpec's foreachBatch
+    * twin. Appends preserve the stored bucket layout (same bucketBy
+    * spec), so reads stay exchange-free.
+    *
+    * Hot-cap caveat, stated honestly: the cap was applied to the
+    * INITIAL corpus at build time; appended rows can in principle grow
+    * a bucket past the cap between compactions. A production store
+    * re-applies the cap on its periodic compaction pass — the same
+    * maintenance window that would merge small append files. */
+  def appendBatchToStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, tag: String,
+      n: Int = 5, k: Int = 16, bands: Int = 4, buckets: Int = 8): Unit = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sigTable = s"g_dd_sigs_$tag"
+    val bucketTable = s"g_dd_buckets_$tag"
+    require(spark.catalog.tableExists(sigTable) &&
+        spark.catalog.tableExists(bucketTable),
+      s"store '$tag' must be initialized by incrementalNearDupsStored first")
+    val hCols = (0 until rows).map(r => s"h$r")
+    val sig = batch.select(col(idCol).as("id"),
+        graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
+      .withColumn("sig", graft.plans.MinhashSig.minhashSig(col("hs"), k))
+      .cache()
+    sig.select("id", "hs").write.mode("append")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(sigTable)
+    sig.select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          struct((0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1).as(s"h$r")): _*)
+        }: _*)))
+      .select(col("id") +: col("pos").as("band") +:
+        hCols.map(h => col(s"col.$h").as(h)): _*)
+      .write.mode("append")
+      .bucketBy(buckets, "h0").sortBy("h0")
+      .format("parquet").saveAsTable(bucketTable)
+    sig.unpersist()
+    spark.catalog.refreshTable(sigTable)
+    spark.catalog.refreshTable(bucketTable)
+  }
+
   /** EXACT Jaccard near-dup pairs WITHOUT the all-pairs product — the
     * prefix-filter set-similarity join (AllPairs/PPJoin family): order
     * every document's shingles by ascending global frequency (rarest

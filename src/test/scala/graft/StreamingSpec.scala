@@ -332,6 +332,50 @@ class StreamingSpec extends AnyFunSuite {
       s.kept)).toList == List((1L, 1L, 0L, 1L), (0L, 0L, 1L, 1L)), stats)
   }
 
+  test("stored near-dup store: foreachBatch check+ingest loop equals batch-at-a-time") {
+    import graft.operators.Dedup
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") % 10 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 20 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    // baseline: two sequential batch-at-a-time passes, the second seeing
+    // the first batch as part of "existing"
+    val want1 = canon(Dedup.incrementalNearDups(seed, b1, "doc_id", "text"))
+    val want2 = canon(Dedup.incrementalNearDups(seed.union(b1), b2, "doc_id", "text"))
+
+    // streaming twin: each micro-batch checks against the STORE, then
+    // ingests itself — the continuous-ingest cycle over the stored tables
+    val tag = "streamspec_inc"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.cache()
+        got ++= canon(Dedup.incrementalNearDupsStored(spark, seed, b,
+          "doc_id", "text", tag = tag))
+        Dedup.appendBatchToStore(spark, b, "doc_id", "text", tag = tag)
+        b.unpersist(); ()
+      }
+      .start()
+    try {
+      mem.addData(b1.as[(Long, String)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.as[(Long, String)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == (want1 ++ want2),
+      "streamed check+ingest must equal sequential batch-at-a-time passes" +
+        s" (missing ${(want1 ++ want2) -- got}, extra ${got -- (want1 ++ want2)})")
+    // cross-batch teeth: batch 2 must have matched at least one batch-1 doc
+    val b1Ids = b1.select("doc_id").as[Long].collect().toSet
+    assert(want2.exists(p => b1Ids(p._2)),
+      "fixture must exercise batch-2-vs-batch-1 matches")
+  }
+
   test("batch sessionize splits on gaps") {
     val events = (batch1 ++ batch2).toDF()
     val got = EventPipeline.sessionize(events, gapMinutes = 240)
