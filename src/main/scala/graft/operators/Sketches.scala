@@ -67,6 +67,34 @@ object Sketches {
           ELSE $scale div element_at($kmvName, $k) END""")
   }
 
+  /** The UNION sketch of two k-min arrays: k smallest of the combined
+    * hash sets — the merge that makes KMV state composable across
+    * partitions, days, or tables (sketch once per shard, answer
+    * set-cardinality questions forever without re-scanning). */
+  def kmvUnion(a: Column, b: Column, k: Int): Column = {
+    require(k >= 2 && k <= MaxK, s"KMV k must be in [2, $MaxK], got $k")
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
+  /** Intersection-cardinality estimate from two k-min arrays and their
+    * union sketch (Beyer et al. 2007, "On synopses for distinct-value
+    * estimation under multiset operations"): of the union sketch's k
+    * values, the fraction present in BOTH input sketches estimates the
+    * Jaccard similarity, scaled by the union estimate. Exact (not an
+    * estimate) whenever the union sketch never filled — then every
+    * hash of both sets is present and the overlap count IS the
+    * intersection. All-integer, so oracle-replayable bit-exactly. */
+  def kmvIntersectEstimate(mergedName: String, aName: String,
+      bName: String, k: Int): Column = {
+    require(k >= 2 && k <= MaxK, s"KMV k must be in [2, $MaxK], got $k")
+    val scale = (k - 1).toLong * Dedup.M56
+    val common = s"CAST(size(filter($mergedName, " +
+      s"x -> array_contains($aName, x) AND array_contains($bName, x))) AS BIGINT)"
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN size($mergedName) < $k THEN $common
+          ELSE ($common * ($scale div element_at($mergedName, $k))) div $k END""")
+  }
+
   // ---- count-min sketch ----------------------------------------------------
   //
   // KMV answers "how many DISTINCT keys"; count-min answers "how OFTEN is

@@ -600,6 +600,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc == full, "batch-vs-corpus must find exactly the cross-split near-dups")
   }
 
+  test("a29 KMV set algebra: exact while unfilled; estimator tracks truth when full") {
+    import graft.queries.Coverage
+    def truth(sf: String) = {
+      val ev = graft.Tables.load(spark, sf, "events")
+      val a = ev.filter(col("event_type") === "click" && col("user_id") % 2 === 0)
+        .select("user_id").distinct()
+      val b = ev.filter(col("event_type") === "purchase" && col("user_id") % 3 === 0)
+        .select("user_id").distinct()
+      (a.count(), b.count(), a.union(b).distinct().count(),
+        a.intersect(b).count())
+    }
+    // sf0.001: 15 users → sketches never fill → ALL four outputs exact
+    val small = Coverage.a29KmvSetops.run(spark, "/root/testdata/sf0.001")
+      .select("a_users", "b_users", "union_users", "inter_users")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(small == truth("/root/testdata/sf0.001"),
+      s"unfilled sketches must be exact: got $small")
+    // sf0.01: 150 users → union sketch full → estimator branch; k=64
+    // gives ~12.5% se on cardinalities, intersection is noisier — pin a
+    // generous 3-sigma-ish envelope that still catches swapped operands
+    // or an off-by-k scale bug
+    val (ta, tb, tu, ti) = truth("/root/testdata/sf0.01")
+    val est = Coverage.a29KmvSetops.run(spark, "/root/testdata/sf0.01")
+      .select("a_users", "b_users", "union_users", "inter_users")
+      .as[(Long, Long, Long, Long)].collect().head
+    def within(got: Long, want: Long, tol: Double) =
+      math.abs(got - want) <= tol * want
+    assert(within(est._1, ta, 0.4) && within(est._2, tb, 0.4) &&
+      within(est._3, tu, 0.4) && within(est._4, ti, 0.8),
+      s"estimates $est too far from truth ($ta, $tb, $tu, $ti)")
+  }
+
   test("txt_epoch_pack: deterministic across re-runs, conserves tokens, shards by pos") {
     val sf = "/root/testdata/sf0.001"
     def run() = graft.queries.Corpus.txtEpochPack.run(spark, sf)
