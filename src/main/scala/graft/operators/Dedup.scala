@@ -455,6 +455,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", sort_array(collect_list(col("id")))).as("members"))
 
+  /** Quality-aware survivor view — the "keep the BEST copy" rule real
+    * curation applies (keep-longest in the dedup papers,
+    * keep-highest-quality-score in CCNet-style pipelines), where
+    * [[canonicalClusters]] keeps the min-id copy: one row per component
+    * with the member maximizing `scoreCol` (ties to the smallest id —
+    * total order, oracle-replayable). One equi-join on id + one groupBy
+    * on component; the argmax is a min(struct(-score, id)) aggregate,
+    * no window. Returns (component, keep_id, best_score, n_docs). */
+  def bestPerCluster(components: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    components
+      .join(scores.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("__score")), "id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("__score")).as("ns"), col("id").as("id"))).as("__best"))
+      .select(col("component"), col("__best.id").as("keep_id"),
+        (-col("__best.ns")).as("best_score"), col("n_docs"))
+
   /** Leakage-free train/val/test assignment: the split is a pure
     * function of the document's near-dup COMPONENT representative, not
     * of its own id — so near-duplicate documents always land on the

@@ -180,6 +180,47 @@ object Pipeline {
           AS n_regrouped
       FROM assigned GROUP BY split ORDER BY split"""))
 
+  /** dd_components with the survivor rule production curation actually
+    * uses: keep the LONGEST member of each near-dup cluster (highest
+    * token count, ties to smallest id), not the smallest id —
+    * Dedup.bestPerCluster over the same connected components. The
+    * oracle chains the recursive closure into a per-component argmax. */
+  val ddComponentsBest = Q(
+    "dd_components_best",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")
+      val scores = docs.select(col("doc_id"),
+        size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_tokens"))
+      Dedup.bestPerCluster(Dedup.connectedComponents(pairs), scores,
+        "doc_id", "n_tokens")
+    },
+    Some(s"""WITH RECURSIVE $minhashCtes,
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+      scored AS (
+        SELECT c.id, c.component,
+          CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS BIGINT)
+            AS sc
+        FROM comp c JOIN documents d ON d.doc_id = c.id),
+      best AS (
+        SELECT component, id, sc,
+          row_number() OVER (PARTITION BY component ORDER BY sc DESC, id) AS rn
+        FROM scored),
+      sizes AS (
+        SELECT component, count(*) AS n_docs FROM scored GROUP BY component)
+      SELECT b.component, b.id AS keep_id, b.sc AS best_score, s.n_docs
+      FROM best b JOIN sizes s USING (component)
+      WHERE b.rn = 1"""))
+
   /** Incremental near-dup: the incoming batch (doc_id % 10 = 0) checked
     * against the already-ingested corpus (the rest) — candidates share a
     * band bucket ACROSS sides only, so per-batch cost scales with the
@@ -1300,8 +1341,8 @@ object Pipeline {
       UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddSemantic, ddComponents, ddIncremental, ddIncStored, ddParagraph,
-    ddJaccardPrefix,
+    ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
+    ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, txtSplitLeakfree,
     simTopk, simLsh, simLshMulti, simIvf, simRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,

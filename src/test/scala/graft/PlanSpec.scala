@@ -286,6 +286,16 @@ class PlanSpec extends AnyFunSuite {
       "vocab-sized side must broadcast — an SMJ here shuffles the token stream")
   }
 
+  test("dd_substring_cut: span merge + splice are in-row — no window function anywhere") {
+    val p = plan(Pipeline.ddSubstringCut)
+    // islands come from the covered-position array (predecessor-absent
+    // count) and the splice is a per-row token filter; a window
+    // formulation would sort every doc's cut rows through WindowExec
+    assert(!p.contains("Window"),
+      s"cut pass must stay windowless — islands are array ops:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dd_paragraph: the cross-document predicate prunes candidates inside the bucket join") {
     val p = plan(Pipeline.ddParagraph)
     // Catalyst must push doc(id_a) != doc(id_b) into the LSH bucket
