@@ -631,6 +631,37 @@ object Corpus {
       FROM dw JOIN dec USING (word)
       GROUP BY doc_id"""))
 
+  /** Tokenizer FERTILITY by language — BPE symbols per word, the metric
+    * tokenizer teams track per language slice (a vocab trained on an
+    * English-heavy mix over-segments other languages; fertility is how
+    * that shows up). Fixed-point millionths (integer DIV) so the ratio
+    * is oracle-exact, same contract as txt_bigram_score. One broadcast
+    * vocab join + one groupBy(lang) — the corpus streams once. */
+  val txtFertility = Q(
+    "txt_fertility",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordFreq(docs, "text"), iters = 6)
+      docs.select(col("lang"),
+          explode(TextAnalysis.rawTokens(col("text"))).as("word"))
+        .join(broadcast(vocab.select("word", "n_sym")), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"))
+        .select(col("lang"), col("n_words"), col("n_bpe"),
+          expr("(n_bpe * 1000000) DIV n_words").as("fert6"))
+    },
+    Some(s"""WITH $bpeTrainCtes,
+        vocab AS (
+          SELECT word, len(string_split(r, '^')) - 1 AS n_sym FROM e6),
+        dw AS (
+          SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents)
+      SELECT lang, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+        (CAST(sum(n_sym) AS BIGINT) * 1000000) // count(*) AS fert6
+      FROM dw JOIN vocab USING (word)
+      GROUP BY lang"""))
+
   /** DuckDB replay of Bpe.trainBatched(rounds, window): per round, one
     * pair-count CTE, a ranked candidate window (QUALIFY rk <= window), a
     * NON-recursive disjointness anti-join selecting the kept merges, and
@@ -730,6 +761,6 @@ object Corpus {
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
-    txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtBigramScore,
-    txtShuffle, txtDecontamRatio)
+    txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
+    txtBigramScore, txtShuffle, txtDecontamRatio)
 }

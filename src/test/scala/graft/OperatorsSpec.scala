@@ -600,6 +600,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc == full, "batch-vs-corpus must find exactly the cross-split near-dups")
   }
 
+  test("cutRepeatedSpans: a second pass converges (splice residue is tiny)") {
+    // Lee et al.'s caveat, measured: splicing can form NEW k-windows
+    // across cut boundaries, so one pass need not reach a fixed point —
+    // but the residue must be a sliver of the original duplication or
+    // the "second pass converges in practice" claim is hollow.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val dup = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val corpus = docs.union(dup)
+    def residue(c: org.apache.spark.sql.DataFrame) =
+      Dedup.repeatedSpanOccurrences(c, "doc_id", "text", 15)
+        .filter(!col("is_first")).count()
+    val pass1 = residue(corpus)
+    val cleaned = Dedup.cutRepeatedSpans(corpus, "doc_id", "text", 15)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val pass2 = residue(cleaned)
+    assert(pass1 > 0, "fixture must contain cross-doc duplication")
+    assert(pass2 <= pass1 / 20,
+      s"pass-2 residue $pass2 vs pass-1 $pass1 — cut pass failed to converge")
+  }
+
   test("a29 KMV set algebra: exact while unfilled; estimator tracks truth when full") {
     import graft.queries.Coverage
     def truth(sf: String) = {
