@@ -38,7 +38,8 @@ object SparkEntry {
       "sim_pq_adc", "t12_hopping_window", "dd_paragraph", "txt_bpe",
       "a26_kmv_sketch", "dd_semantic", "g_pagerank", "txt_bigram_score",
       "txt_bpe_batched", "j15_bucketed_edges", "dd_substring",
-      "dd_semantic_kmeans", "dd_substring_cut")
+      "dd_semantic_kmeans", "dd_substring_cut", "dd_inc_stored",
+      "sim_lsh_multi")
     preferred.filter(queries.contains)
   }
 }
