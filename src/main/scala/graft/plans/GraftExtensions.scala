@@ -75,6 +75,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
       (args: Seq[Expression]) => SimhashBits(args.head)))
+    // F-series name functions, SQL-callable as EXPRESSION EXPANSIONS:
+    // each call site inlines the same built-in expression tree the
+    // Column library builds (regexp_replace/split/filter…), so SQL users
+    // get identical semantics AND whole-stage codegen — these are macro
+    // expansions at analysis time, not UDF calls at run time.
+    def expand1(name: String, f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.TextFunctions", name),
+        (args: Seq[Expression]) => {
+          import org.apache.spark.sql.classic.GraftShim
+          GraftShim.toExpressionTree(f(GraftShim.toColumn(args.head)))
+        }))
+    expand1("normalize_name", graft.functions.TextFunctions.normalizeName)
+    expand1("strip_company_suffixes",
+      graft.functions.TextFunctions.removeCompanySuffixes)
+    expand1("is_likely_individual",
+      graft.functions.TextFunctions.isLikelyIndividual)
+    expand1("name_tokens", c => graft.functions.TextFunctions.nameTokens(c))
+    ext.injectFunction((
+      FunctionIdentifier("token_jaccard"),
+      new ExpressionInfo("graft.functions.TextFunctions", "token_jaccard"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.classic.GraftShim
+        GraftShim.toExpressionTree(graft.functions.TextFunctions.tokenJaccard(
+          GraftShim.toColumn(args.head), GraftShim.toColumn(args(1))))
+      }))
     ext.injectOptimizerRule(_ => SimilarityPrefilter)
   }
 }

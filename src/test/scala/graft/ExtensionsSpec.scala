@@ -16,6 +16,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r._2 - (1.0 - 3.0 / 7.0)) < 1e-12)
   }
 
+  test("F-series name functions are SQL-callable expression expansions") {
+    // same trees as the Column library — verified value-equal here, and
+    // they stay codegen (no UDF node) because the expansion happens at
+    // analysis time
+    val r = spark.sql(
+      """SELECT normalize_name('  Acme & Sons, Ltd.!! ') AS n,
+        |       strip_company_suffixes('Thames Gate Holdings Limited') AS s,
+        |       is_likely_individual('Mr John Smith') AS i,
+        |       name_tokens('The Riverbend Homes Limited') AS t,
+        |       token_jaccard(array('a1','b2','c3'), array('a1','b2')) AS j
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == graft.Tables.load(spark,
+      "/root/testdata/sf0.001", "region").limit(1)
+      .select(graft.functions.TextFunctions.normalizeName(
+        lit("  Acme & Sons, Ltd.!! "))).collect().head.getString(0))
+    assert(r.getString(1) == "Thames Gate")
+    assert(r.getBoolean(2))
+    // "Limited" then "Homes" both peel (the double suffix-strip), "the"
+    // is a stopword — only the distinctive token survives
+    assert(r.getSeq[String](3) == Seq("riverbend"))
+    // subset bonus: 2/3 + 0.2
+    assert(math.abs(r.getDouble(4) - (2.0 / 3 + 0.2)) < 1e-12)
+    val plan = spark.sql(
+      "SELECT normalize_name('x') FROM range(1)").queryExecution.executedPlan
+    assert(!plan.toString.contains("BatchEvalPython") &&
+      !plan.toString.contains("ScalaUDF"), "expansion must not be a UDF")
+  }
+
   test("cosine_sim and simhash_bits are SQL-callable via extensions") {
     val r = spark.sql(
       """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
