@@ -631,6 +631,32 @@ object Corpus {
       FROM dw JOIN dec USING (word)
       GROUP BY doc_id"""))
 
+  /** Per-group QUOTA CAP — the "cap over-represented domains" curation
+    * rule (C4 drops boilerplate-heavy domains; mixture recipes cap any
+    * single source): keep at most `cap` documents per language, chosen
+    * by smallest hash56(doc_id) (deterministic, reproducible, stable
+    * under corpus growth in the KMV sense — a new doc displaces at most
+    * one incumbent). Emits the kept (lang, doc_id, rk) rows.
+    *
+    * Scale shape: rank-per-group over the group's hash order — the w1
+    * top-k pattern; for skew-heavy groups the TopK Aggregator (w6) is
+    * the shuffle-bounded twin, trading a sort for vocab-sized state. */
+  val txtGroupCap = Q(
+    "txt_group_cap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("__h", Dedup.hash56(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+    },
+    Some(s"""SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+          ORDER BY ${h56("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+        FROM documents) WHERE rk <= 100"""))
+
   /** Tokenizer FERTILITY by language — BPE symbols per word, the metric
     * tokenizer teams track per language slice (a vocab trained on an
     * English-heavy mix over-segments other languages; fertility is how
@@ -762,5 +788,5 @@ object Corpus {
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
-    txtBigramScore, txtShuffle, txtDecontamRatio)
+    txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap)
 }

@@ -180,6 +180,55 @@ object Pipeline {
           AS n_regrouped
       FROM assigned GROUP BY split ORDER BY split"""))
 
+  /** Contrastive training pairs for a LEARNED dedup/similarity model —
+    * the labeled data a neural reranker trains on once rule-based dedup
+    * plateaus: positives = the verified MinHash near-dup pairs
+    * (label 1), negatives = deterministic pseudo-random pairs of
+    * hash-adjacent documents (consecutive ranks of the epoch-0 shuffle
+    * order, paired off — uniform-ish, reproducible, no rand()), any
+    * accidental positive collision removed by anti-join (label 0).
+    * Negative sampling is the standard 1-per-2-docs rate; re-running
+    * yields byte-identical pairs, which makes the training set itself
+    * versionable. Scale shape: positives are the banded equi-join;
+    * negatives are one global rank (range-sort + zipWithIndex, no
+    * global window) and one groupBy on pair ordinal. */
+  val txtContrastivePairs = Q(
+    "txt_contrastive_pairs",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pos = Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 5, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("label"))
+      val neg = graft.operators.Align.epochShuffle(
+          docs.select("doc_id"), "doc_id", epoch = 0, posName = "pos")
+        .withColumn("pair", expr("(pos - 1) div 2"))
+        .groupBy("pair")
+        .agg(min("doc_id").as("id_a"), max("doc_id").as("id_b"),
+          count(lit(1)).as("n"))
+        .filter(col("n") === 2)
+        .select(col("id_a"), col("id_b"), lit(0L).as("label"))
+        .join(pos.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      pos.unionByName(neg)
+    },
+    Some(s"""WITH $minhashCtes,
+      pos AS (SELECT id_a, id_b FROM mh_pairs),
+      r AS (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY ((md5_number_lower(CONCAT('0:', CAST(doc_id AS VARCHAR)))
+            % ${Dedup.M56})::BIGINT), doc_id) AS pos
+        FROM documents),
+      p AS (
+        SELECT (pos - 1) // 2 AS pair, min(doc_id) AS id_a,
+          max(doc_id) AS id_b, count(*) AS n
+        FROM r GROUP BY 1),
+      neg AS (
+        SELECT p.id_a, p.id_b FROM p
+        WHERE n = 2 AND NOT EXISTS (
+          SELECT 1 FROM pos WHERE pos.id_a = p.id_a AND pos.id_b = p.id_b))
+      SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
+      UNION ALL
+      SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM neg"""))
+
   /** dd_components with the survivor rule production curation actually
     * uses: keep the LONGEST member of each near-dup cluster (highest
     * token count, ties to smallest id), not the smallest id —
@@ -1343,7 +1392,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
     ddParagraph, ddJaccardPrefix,
-    ddSubstring, ddSubstringCut, txtSplitLeakfree,
+    ddSubstring, ddSubstringCut, txtSplitLeakfree, txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
