@@ -196,9 +196,13 @@ object Pipeline {
     "txt_contrastive_pairs",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // pos feeds both the output union and the negative anti-join —
+      // cache the (tiny) verified pair list so the banded candidate
+      // join runs once, not twice
       val pos = Dedup.minhashPairs(docs, "doc_id", "text",
           n = 5, k = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), lit(1L).as("label"))
+        .cache()
       val neg = graft.operators.Align.epochShuffle(
           docs.select("doc_id"), "doc_id", epoch = 0, posName = "pos")
         .withColumn("pair", expr("(pos - 1) div 2"))

@@ -600,6 +600,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc == full, "batch-vs-corpus must find exactly the cross-split near-dups")
   }
 
+  test("cmsEstimate: duplicate probes each keep a row; j/b/n probe columns analyze") {
+    import graft.operators.Sketches
+    val data = Seq("x", "x", "x", "y", "z").toDF("k")
+    val cells = Sketches.cmsCells(data, "k", d = 4, w = 64)
+    // probe frame carries columns named j, b, n (the sketch's old
+    // internal names) AND a duplicated probe row — both were failure
+    // modes before the row-id keyed re-aggregation
+    val probes = Seq(("x", 1, 2L, 3.0), ("x", 9, 8L, 7.0), ("q", 0, 0L, 0.0))
+      .toDF("k", "j", "b", "n")
+    val out = Sketches.cmsEstimate(probes, "k", cells, d = 4, w = 64)
+      .select("k", "j", "cms_n").as[(String, Int, Long)].collect().toSet
+    // three output rows (the dup survives with its own payload), counts:
+    // x seen 3 times (CMS never undercounts; exact here — tiny sketch,
+    // no collisions forced), unseen q = 0
+    assert(out == Set(("x", 1, 3L), ("x", 9, 3L), ("q", 0, 0L)), out)
+  }
+
   test("cutRepeatedSpans: a second pass converges (splice residue is tiny)") {
     // Lee et al.'s caveat, measured: splicing can form NEW k-windows
     // across cut boundaries, so one pass need not reach a fixed point —
