@@ -61,6 +61,39 @@ object EventPipeline {
   def newOnly(incoming: DataFrame, existing: DataFrame): DataFrame =
     Merge.newOnly(incoming, existing, Seq("event_id"))
 
+  /** Malformed-payload QUARANTINE split — the reference's
+    * validate-or-400 gate (webhook_handler.py rejects bad payloads at
+    * the door) restated as a dataflow fork: raw JSON payload lines
+    * parse against the Event schema; rows that fail to parse or lack a
+    * required field route to the quarantine channel with a reason,
+    * never poisoning the typed stream. Both branches are pure row-local
+    * transforms, so the same split runs on a readStream source
+    * (dead-letter sink) or a batch frame. A dropped-on-the-floor bad
+    * payload is the silent-data-loss failure mode; a crashed stream is
+    * the availability one — the quarantine channel avoids both.
+    * Returns (typed events, quarantine(payload, reason)). */
+  def parseWithQuarantine(raw: DataFrame, jsonCol: String)
+      : (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields an all-null struct (not a null) for
+    // garbage input, so "couldn't parse" is only distinguishable from
+    // "parsed but fields missing" via the corrupt-record channel
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    def reason = when(col("__e").isNull ||
+        col("__e._corrupt_record").isNotNull, "malformed_json")
+      .when(col("__e.event_id").isNull, "missing_event_id")
+      .when(col("__e.ts").isNull, "missing_ts")
+      .when(col("__e.user_id").isNull, "missing_user_id")
+      .when(col("__e.event_type").isNull, "missing_event_type")
+    val parsed = raw.withColumn("__e", from_json(col(jsonCol), schema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val good = parsed.filter(reason.isNull)
+      .select(col("__e.*")).drop("_corrupt_record")
+    val bad = parsed.filter(reason.isNotNull)
+      .select(col(jsonCol).as("payload"), reason.as("reason"))
+    (good, bad)
+  }
+
   /** T5/T6: micro-batch upsert into a parquet sink keyed by event_id —
     * the foreachBatch body. Idempotent per key, so at-least-once batch
     * delivery still yields exactly-once table contents. */

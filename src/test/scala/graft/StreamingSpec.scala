@@ -376,6 +376,43 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must exercise batch-2-vs-batch-1 matches")
   }
 
+  test("parseWithQuarantine routes bad payloads with reasons, batch and stream") {
+    import graft.streaming.EventPipeline
+    val payloads = Seq(
+      """{"event_id": 1, "ts": "2025-01-01T00:00:00", "user_id": 7, "event_type": "click", "value": 1.5}""",
+      """not json at all""",
+      """{"ts": "2025-01-01T00:00:00", "user_id": 7, "event_type": "click", "value": 1.0}""",
+      """{"event_id": 3, "user_id": 7, "event_type": "click", "value": 1.0}""",
+      """{"event_id": 4, "ts": "2025-01-01T00:01:00", "user_id": 8, "event_type": "view", "value": 0.0}""")
+    val (good, bad) = EventPipeline.parseWithQuarantine(
+      payloads.toDF("payload"), "payload")
+    assert(good.select("event_id").as[Long].collect().toSet == Set(1L, 4L))
+    val reasons = bad.as[(String, String)].collect().toMap.values.toSet
+    assert(reasons == Set("malformed_json", "missing_event_id", "missing_ts"),
+      reasons)
+    // the same split runs on a stream: both channels drain per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val (gs, bs) = EventPipeline.parseWithQuarantine(
+      mem.toDF().toDF("payload"), "payload")
+    val goodIds = scala.collection.mutable.Set.empty[Long]
+    val badReasons = scala.collection.mutable.Set.empty[String]
+    val q1 = gs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        goodIds ++= b.select("event_id").as[Long].collect(); ()
+    }.start()
+    val q2 = bs.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        badReasons ++= b.select("reason").as[String].collect(); ()
+    }.start()
+    try {
+      mem.addData(payloads: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    assert(goodIds == Set(1L, 4L))
+    assert(badReasons == Set("malformed_json", "missing_event_id", "missing_ts"))
+  }
+
   test("batch sessionize splits on gaps") {
     val events = (batch1 ++ batch2).toDF()
     val got = EventPipeline.sessionize(events, gapMinutes = 240)
