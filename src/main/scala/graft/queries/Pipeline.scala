@@ -522,6 +522,65 @@ object Pipeline {
       FROM occ o JOIN rep r USING (wh) JOIN firsts f USING (wh)
       WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)"""))
 
+  /** The dedup family's instrument query (sim_recall's sibling): LSH
+    * near-dup pair recall/precision against the exact all-pairs n-gram
+    * Jaccard ground truth, on the same bounded id<1000 slice the
+    * baseline is pinned to. One row: truth pairs, LSH pairs, hits,
+    * recall, precision. The r=4 band geometry trades candidate volume
+    * for recall at J near the 0.5 threshold (P[catch] = 1-(1-J^4)^4 ≈
+    * 0.23 at J=0.5, ≈0.99 at J=0.9), so borderline pairs are where LSH
+    * legitimately misses — this query puts the measured number next to
+    * that documented claim. The only divergence source besides banding
+    * is hashed-vs-string shingle Jaccard (2^-31 collisions). Measured:
+    * recall = precision = 1.0 at both sf0.01 (25 truth pairs) and
+    * sf0.1 (7 pairs on the id<1000 slice) — this corpus's natural
+    * near-dups all sit at high J where banding is near-certain. */
+  val ddLshRecall = Q(
+    "dd_lsh_recall",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
+      val truth = {
+        val sh = docs.select(col("doc_id"),
+          Dedup.charShingles(col("text"), 5).as("sset"))
+        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jaccard", Dedup.jaccard(col("a.sset"), col("b.sset")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      }.cache()
+      val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5).select("id_a", "id_b").cache()
+      val hits = truth.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_lsh").cast("double"))
+            .as("precision"))
+    },
+    Some {
+      val truthCtes = s"""tsh AS (
+          SELECT doc_id, $shinglesSql AS sset FROM documents WHERE doc_id < 1000),
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM tsh a JOIN tsh b ON a.doc_id < b.doc_id
+          WHERE ${jaccardSql("a.sset", "b.sset")} >= 0.5)"""
+      s"""WITH ${minhashCtesOver("(SELECT * FROM documents WHERE doc_id < 1000)")},
+        $truthCtes,
+        hit AS (
+          SELECT t.id_a, t.id_b FROM truth t
+          WHERE EXISTS (SELECT 1 FROM mh_pairs p
+            WHERE p.id_a = t.id_a AND p.id_b = t.id_b))
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+          (SELECT count(*) FROM mh_pairs) AS n_lsh,
+          (SELECT count(*) FROM hit) AS n_hit,
+          CAST((SELECT count(*) FROM hit) AS DOUBLE)
+            / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall,
+          CAST((SELECT count(*) FROM hit) AS DOUBLE)
+            / CAST((SELECT count(*) FROM mh_pairs) AS DOUBLE) AS precision"""
+    })
+
   /** The cut pass completing exact-substring dedup (Lee et al. 2022's
     * actual deliverable): non-first occurrences of cross-document
     * 15-token windows are spliced out of their documents — adjacent/
@@ -1451,7 +1510,8 @@ object Pipeline {
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
     ddParagraph, ddJaccardPrefix,
-    ddSubstring, ddSubstringCut, txtSplitLeakfree, txtContrastivePairs,
+    ddSubstring, ddSubstringCut, ddLshRecall, txtSplitLeakfree,
+    txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,

@@ -91,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
     "sim_recall",          // composes bruteforce truth + ivf (both above)
     "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
+    "dd_lsh_recall",       // measures LSH against that bounded baseline
     "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
     "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
   )
