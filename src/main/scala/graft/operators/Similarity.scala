@@ -390,13 +390,30 @@ object Similarity {
     * for an ADC LUT (pqAdcTopK, ivfAdcTopK) collect them exactly once
     * instead of paying a second driver collect + candidate scan. */
   private def pqEncodeWith(q: DataFrame, seeds: Seq[(Long, Seq[Long])],
-      subspaces: Int): DataFrame = {
+      subspaces: Int): DataFrame =
+    pqEncodeCbs(q, sliceCodebooks(seeds, subspaces))
+
+  /** A full-width seed codebook viewed as `subspaces` independent
+    * per-subspace codebooks (entry j holds each seed's j-th slice) —
+    * the shared currency of the PQ family: raw seeds slice into it,
+    * Lloyd refinement ([[pqRefineCodebooks]]) transforms within it. */
+  private def sliceCodebooks(seeds: Seq[(Long, Seq[Long])],
+      subspaces: Int): Seq[Seq[(Long, Seq[Long])]] = {
     val d = seeds.head._2.length / subspaces
+    (0 until subspaces).map(j =>
+      seeds.map { case (id, v) => (id, v.slice(j * d, j * d + d)) })
+  }
+
+  /** [[pqEncodeWith]] over per-subspace codebooks whose entries may
+    * differ across subspaces (what Lloyd refinement produces — a cell
+    * that empties in one subspace drops out of that subspace only). */
+  private def pqEncodeCbs(q: DataFrame,
+      cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+    val d = cbs.head.head._2.length
     // One struct(minDist, code) per subspace — a codegen argmin over
-    // that subspace's codebook slice.
-    val best = (0 until subspaces).map { j =>
-      val cbJ = seeds.map { case (id, v) => (id, v.slice(j * d, j * d + d)) }
-      graft.plans.NearestCentroid.nearest(slice(col("qv"), j * d + 1, d), cbJ)
+    // that subspace's codebook.
+    val best = cbs.zipWithIndex.map { case (cb, j) =>
+      graft.plans.NearestCentroid.nearest(slice(col("qv"), j * d + 1, d), cb)
     }
     q.select(col("vid").as("vec_id"),
       array(best.map(_.getField("cid")): _*).as("codes"),
@@ -436,10 +453,14 @@ object Similarity {
     * codebook entry — queries × subspaces × |codebook| rows, broadcast
     * material. */
   private def adcLut(queries: DataFrame, idCol: String, vecCol: String,
-      seeds: Seq[(Long, Seq[Long])], subspaces: Int, d: Int): DataFrame = {
+      seeds: Seq[(Long, Seq[Long])], subspaces: Int, d: Int): DataFrame =
+    adcLutCbs(queries, idCol, vecCol, sliceCodebooks(seeds, subspaces), d)
+
+  /** [[adcLut]] over per-subspace codebooks ([[sliceCodebooks]] form). */
+  private def adcLutCbs(queries: DataFrame, idCol: String, vecCol: String,
+      cbs: Seq[Seq[(Long, Seq[Long])]], d: Int): DataFrame = {
     val flat: Seq[(Long, Int, Seq[Long])] =
-      for ((id, v) <- seeds; j <- 0 until subspaces)
-        yield (id, j, v.slice(j * d, (j + 1) * d))
+      for ((cb, j) <- cbs.zipWithIndex; (id, sv) <- cb) yield (id, j, sv)
     queries
       .select(col(idCol).as("query_id"), quantized(vecCol).as("qv"))
       .select(col("query_id"), col("qv"), explode(typedLit(flat)).as("cb"))
@@ -467,6 +488,105 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "adc")
+  }
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks — k-means run in
+    * each subspace independently over the sub-vectors, the codebook
+    * training step Jégou et al. 2011 actually prescribe (the raw stride
+    * seeds alone are the unrefined baseline sim_pq_adc ships).
+    *
+    * One Spark job per iteration: ASSIGNMENT is the same shipped-literal
+    * codegen argmin pqEncode uses (per-row expression, no join, no
+    * shuffle — all `subspaces` argmins emit in one pass over the data);
+    * the UPDATE groups at most subspaces·k·d rows, collected once per
+    * round, so the driver-side codebook stays bounded by the seed count
+    * regardless of corpus size. A cell that loses all members in some
+    * subspace drops out of that subspace's codebook only — exactly the
+    * GROUP BY semantics the oracle replays. Integer fixed-point DIV
+    * means every round is bit-reproducible across engines. */
+  def pqRefineCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      seedStride: Int, subspaces: Int, iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
+    val q = df.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    refinePq(q, collectSeeds(q, seedStride), subspaces, iters)
+  }
+
+  /** Shared per-subspace Lloyd loop over a pre-quantized (vid, qv)
+    * frame; iters = 0 returns the sliced seeds unchanged. */
+  private def refinePq(q: DataFrame, seeds: Seq[(Long, Seq[Long])],
+      subspaces: Int, iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val d = seeds.head._2.length / subspaces
+    var cbs = sliceCodebooks(seeds, subspaces)
+    for (_ <- 1 to iters) {
+      val rows = q
+        .select(posexplode(array(cbs.zipWithIndex.map { case (cb, j) =>
+          struct(
+            graft.plans.NearestCentroid.nearest(slice(col("qv"), j * d + 1, d), cb)
+              .getField("cid").as("cell"),
+            slice(col("qv"), j * d + 1, d).as("sv"))
+        }: _*)).as(Seq("j", "a")))
+        .select(col("j"), col("a.cell").as("cell"),
+          posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy("j", "cell", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .select(col("j"), col("cell"), col("pos"), expr("s DIV n").as("comp"))
+        .groupBy("j", "cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+        .select(col("j"), col("cell"), expr("transform(pc, p -> p.comp)").as("cv"))
+        .as[(Int, Long, Seq[Long])].collect()
+      cbs = (0 until subspaces).map(j =>
+        rows.filter(_._1 == j).map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+    }
+    cbs
+  }
+
+  /** [[pqAdcTopK]] with Lloyd-refined per-subspace codebooks: `iters`
+    * k-means rounds per subspace before encoding, then the identical
+    * codes-only ADC serving path. iters = 0 is bit-identical to
+    * pqAdcTopK (pinned in tests); each round tightens the codes around
+    * the candidate distribution, which is what lifts ADC recall without
+    * touching the serving shape — same broadcast LUT, same worst
+    * shuffle of candidates × subspaces code rows. */
+  def pqAdcTopKRefined(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, seedStride: Int, subspaces: Int,
+      iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candQ = candidates.select(col(idCol).as("vid"), quantized(vecCol).as("qv"))
+    val seeds = collectSeeds(candQ, seedStride)
+    val d = seeds.head._2.length / subspaces
+    val cbs = refinePq(candQ, seeds, subspaces, iters)
+    val codes = pqEncodeCbs(candQ, cbs)
+      .select(col("vec_id").as("cand_id"), posexplode(col("codes")).as(Seq("j", "code")))
+    val lut = adcLutCbs(queries, idCol, vecCol, cbs, d)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.join(broadcast(lut), col("j") === col("cj") && col("code") === col("cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("dist").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "adc")
+  }
+
+  /** Exact fixed-point squared-L2 top-k — the ground truth for the PQ
+    * family's recall instrument: candidates scored against queries on
+    * the SAME 10⁻⁶-quantized integers the PQ codes approximate, so
+    * recall@k against it isolates pure quantization loss (a cosine
+    * truth would conflate metric mismatch with code coarseness — ADC
+    * ranks by L2). Query side broadcast, candidates stream in one
+    * pass — the bruteForceTopK shape with an integer distance. */
+  def bruteForceL2TopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), quantized(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), quantized(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("dist", aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "dist")
   }
 
   /** IVF + ADC — the composed billion-vector serving shape (IVFADC,

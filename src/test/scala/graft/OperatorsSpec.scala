@@ -488,6 +488,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._3) == Seq(0L, 0L, 0L)) // all halves match exactly
   }
 
+  test("Similarity.pqRefineCodebooks: iters=0 is the sliced seeds; one round is the member DIV-mean per subspace") {
+    // 4 dims, 2 subspaces of 2; seeds = ids 0 and 2 (stride 2).
+    val vs = Seq(
+      (0L, Array(1f, 1f, 0f, 0f)),
+      (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(0f, 0f, 1f, 1f)),
+      (3L, Array(3f, 3f, 3f, 3f))
+    ).toDF("vec_id", "embedding")
+    val m = 1000000L
+    val sliced = Similarity.pqRefineCodebooks(vs, "vec_id", "embedding",
+      seedStride = 2, subspaces = 2, iters = 0)
+    assert(sliced == Seq(
+      Seq((0L, Seq(m, m)), (2L, Seq(0L, 0L))),
+      Seq((0L, Seq(0L, 0L)), (2L, Seq(m, m)))))
+    // Subspace 0 assignment: v0,v1->cell0 exactly; v3 (3,3) is nearer
+    // (1,1) than (0,0) -> cell0; v2 -> cell2. Mirror-image in subspace 1.
+    // DIV-mean of {1,1,3}*1e6 = 5000000 DIV 3 = 1666666 per component.
+    val one = Similarity.pqRefineCodebooks(vs, "vec_id", "embedding",
+      seedStride = 2, subspaces = 2, iters = 1)
+    assert(one == Seq(
+      Seq((0L, Seq(1666666L, 1666666L)), (2L, Seq(0L, 0L))),
+      Seq((0L, Seq(0L, 0L)), (2L, Seq(1666666L, 1666666L)))))
+  }
+
+  test("Similarity.pqAdcTopKRefined with iters=0 is bit-identical to pqAdcTopK") {
+    // Deterministic 8-dim fixture: 12 candidates, 2 queries.
+    def v(seed: Long) = Array.tabulate(8)(i =>
+      (((seed * 31 + i * 17 + 7) % 23) - 11).toFloat / 11f)
+    val cand = (10L to 21L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val qs = Seq((0L, v(101L)), (1L, v(202L))).toDF("vec_id", "embedding")
+    def run(df: => org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Long)].collect().toSet
+    val base = run(Similarity.pqAdcTopK(qs, cand, "vec_id", "embedding",
+      seedStride = 4, subspaces = 2, k = 3))
+    val zero = run(Similarity.pqAdcTopKRefined(qs, cand, "vec_id", "embedding",
+      seedStride = 4, subspaces = 2, iters = 0, k = 3))
+    assert(base == zero && base.nonEmpty)
+  }
+
   // ---- TextAnalysis -------------------------------------------------------
 
   test("TextAnalysis.langId picks the profile with most stopword hits") {
