@@ -102,6 +102,30 @@ object Streaming {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM hop GROUP BY 1, 2"""))
 
+  /** T13: stream-stream interval join, batch twin — every click
+    * correlated with the same user's errors inside the following
+    * 30 minutes (the click→error attribution shape). The streaming form
+    * is the same code path with watermarks on BOTH sides and the time
+    * bound in the join condition, so state evicts at
+    * watermark + interval (StreamingSpec drives it through two
+    * MemoryStreams and pins batch parity + late-row drop). Plan shape:
+    * equi-join on user_id with a range predicate — never a cartesian. */
+  val t13IntervalJoin = Q(
+    "t13_interval_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      EventPipeline.correlateWithin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "error"),
+        withinMinutes = 30)
+    },
+    Some("""SELECT c.user_id, c.event_id AS left_id, c.ts AS left_ts,
+        e.event_id AS right_id, e.ts AS right_ts
+      FROM events c JOIN events e
+        ON c.event_type = 'click' AND e.event_type = 'error'
+        AND c.user_id = e.user_id
+        AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE"""))
+
   val all: Seq[Q] = Seq(t8Sessionize, t10SessionWindow, t3NewOnly,
-    t12HoppingWindow)
+    t12HoppingWindow, t13IntervalJoin)
 }

@@ -178,6 +178,37 @@ object EventPipeline {
       }
   }
 
+  /** Stream-stream interval join: each left event correlated with the
+    * same user's right events landing in [left.ts, left.ts + within] —
+    * the click→error attribution shape (T-series; the reference's
+    * monitoring correlates trigger events with failures that follow).
+    *
+    * On streaming inputs pass `watermark`: both sides are watermarked
+    * and the time bound lives IN the join condition, which is what lets
+    * the state store evict — a buffered left row dies once the right
+    * watermark passes left_ts + within, a right row once the left
+    * watermark passes right_ts; state is bounded by (watermark + within)
+    * of traffic per side regardless of stream age. Late rows below the
+    * watermark are dropped, never matched (pinned in StreamingSpec).
+    * With watermark = None the identical plan runs on batch frames —
+    * the oracle-checkable twin (t13_interval_join): an equi-join on
+    * user_id with a range predicate, never a cartesian.
+    */
+  def correlateWithin(left: DataFrame, right: DataFrame, withinMinutes: Int,
+      watermark: Option[String] = None): DataFrame = {
+    val l0 = left.select(col("user_id"), col("event_id").as("left_id"),
+      col("ts").as("left_ts"))
+    val r0 = right.select(col("user_id").as("__ru"),
+      col("event_id").as("right_id"), col("ts").as("right_ts"))
+    val l = watermark.fold(l0)(w => l0.withWatermark("left_ts", w))
+    val r = watermark.fold(r0)(w => r0.withWatermark("right_ts", w))
+    l.join(r,
+        col("user_id") === col("__ru") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select("user_id", "left_id", "left_ts", "right_id", "right_ts")
+  }
+
   /** Gap-based sessionization, batch form: a new session starts after
     * `gapMinutes` of per-user silence. Pure window functions — the
     * streaming twin is [[sessionizeStream]]; the batch form is what the

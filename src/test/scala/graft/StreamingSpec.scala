@@ -188,32 +188,46 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-stream interval join: clicks attributed to purchases within 1h") {
     // two independent watermarked streams joined on key + time range —
     // state on both sides is bounded by the watermark + interval bound,
-    // which is what makes this shape viable on an unbounded stream
+    // which is what makes this shape viable on an unbounded stream.
+    // Drives the registered operator (t13_interval_join's streaming
+    // form) and pins batch parity + late-row drop.
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
     val buys = MemoryStream[Event]
-    val c = clicks.toDS().withWatermark("ts", "2 hours")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-    val b = buys.toDS().withWatermark("ts", "2 hours")
-      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
-        col("ts").as("buy_ts"))
-    val joined = c.join(b,
-      col("user_id") === col("b_user") &&
-        col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val joined = EventPipeline.correlateWithin(
+      clicks.toDS().toDF(), buys.toDS().toDF(),
+      withinMinutes = 60, watermark = Some("2 hours"))
     val q = joined.writeStream.format("memory").queryName("attrib_out")
       .outputMode("append").start()
+    val cData = Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+      Event(2, ts("2024-01-01 10:30:00"), 2, "click", 0))
+    val bData = Seq(Event(10, ts("2024-01-01 10:45:00"), 1, "purchase", 9.99),
+      Event(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.0)) // outside 1h
     try {
-      clicks.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
-        Event(2, ts("2024-01-01 10:30:00"), 2, "click", 0))
-      buys.addData(Event(10, ts("2024-01-01 10:45:00"), 1, "purchase", 9.99),
-        Event(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.0)) // outside 1h
+      clicks.addData(cData: _*)
+      buys.addData(bData: _*)
       q.processAllAvailable()
       val got = spark.table("attrib_out")
-        .select("click_id", "buy_id").as[(Long, Long)].collect().toSet
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 10L)),
         "only the purchase within the hour attributes")
+      // batch parity: the identical code path on static frames
+      val batch = EventPipeline.correlateWithin(
+        cData.toDF(), bData.toDF(), withinMinutes = 60)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      assert(batch == got, "streaming end-state must equal the batch twin")
+      // late-row drop: advance both watermarks past the fixture, then
+      // deliver an old click/purchase pair that would otherwise match —
+      // both sit below the watermark, so state never sees them
+      clicks.addData(Event(3, ts("2024-01-02 00:00:00"), 7, "click", 0))
+      buys.addData(Event(12, ts("2024-01-02 00:00:00"), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(4, ts("2024-01-01 10:05:00"), 9, "click", 0))
+      buys.addData(Event(13, ts("2024-01-01 10:20:00"), 9, "purchase", 2.0))
+      q.processAllAvailable()
+      val after = spark.table("attrib_out")
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      assert(after == got, "rows below the watermark must be dropped, not matched")
     } finally q.stop()
   }
 
