@@ -62,6 +62,56 @@ object TextAnalysis {
     lenScore + wordScore + stopScore + punctScore
   }
 
+  /** The Gopher quality-filter stop set (Rae et al. 2021, A1.1): a doc
+    * must contain at least 2 of these to pass the stop-word rule. */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, A1.1) as per-document flags
+    * plus the composed keep verdict — the published rule bundle curation
+    * pipelines actually apply, as one row-local expression pass:
+    *
+    *   r_wc        50 ≤ word count ≤ 100 000
+    *   r_mwl       mean word length in [3, 10]
+    *   r_sym       symbol-to-word ratio ('#' or ellipsis) ≤ 0.1
+    *   r_bullet    ≤ 90% of lines start with a bullet
+    *   r_ellipsis  ≤ 30% of lines end with an ellipsis
+    *   r_alpha     ≥ 80% of words contain an alphabetic character
+    *   r_stop      ≥ 2 hits in [[GopherStop]]
+    *
+    * Every ratio comparison is CROSS-MULTIPLIED into exact integer
+    * arithmetic (10·sym ≤ wc, 10·alpha ≥ 8·wc, 3·wc ≤ Σlen ≤ 10·wc, …)
+    * so no float division exists to drift between engines. Pure
+    * row-local expressions: at 100 TB this pipelines inside whole-stage
+    * codegen with the scan — no shuffle, no state. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = rawTokens(col(textCol))
+    val wc = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+    val alpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(words),
+      array(GopherStop.map(lit): _*))).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nl = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipses = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val symbols = size(regexp_extract_all(col(textCol),
+      lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    val rWc = flag(wc >= 50L && wc <= 100000L)
+    val rMwl = flag(lit(3L) * wc <= sumLen && sumLen <= lit(10L) * wc)
+    val rSym = flag(lit(10L) * symbols <= wc)
+    val rBullet = flag(lit(10L) * bullets <= lit(9L) * nl)
+    val rEllipsis = flag(lit(10L) * ellipses <= lit(3L) * nl)
+    val rAlpha = flag(lit(10L) * alpha >= lit(8L) * wc)
+    val rStop = flag(stopHits >= 2L)
+    docs.select(col(idCol).as("doc_id"), wc.as("word_count"),
+      rWc.as("r_wc"), rMwl.as("r_mwl"), rSym.as("r_sym"),
+      rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"),
+      rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWc * rMwl * rSym * rBullet * rEllipsis * rAlpha * rStop).as("keep"))
+  }
+
   /** Refine-style collision fingerprint: md5 of the sorted distinct
     * normalized tokens — word order and duplication invariant, so
     * shuffled near-duplicates collide. */

@@ -85,6 +85,81 @@ object Corpus {
         (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) >= 0.2 AS flagged
       FROM c GROUP BY 1"""))
 
+  /** Full Gopher quality-rule bundle (Rae et al. 2021, A1.1) —
+    * [[graft.operators.TextAnalysis.gopherRules]]: seven per-document
+    * flags (word count, mean word length, symbol ratio, bullet lines,
+    * ellipsis lines, alpha-word ratio, stop-word hits) and the composed
+    * keep verdict, every ratio cross-multiplied into exact integers.
+    * The synthetic corpus is single-line word soup, so the line/symbol
+    * rules would be inert on raw text — violating shapes are PLANTED
+    * deterministically by doc_id residue (the txt_pii convention):
+    * bullet-per-word, ellipsis line ends, '##' soup, digit-only words,
+    * and a one-word doc, so every rule is oracle-verified firing BOTH
+    * ways at both scales. */
+  val txtGopher = Q(
+    "txt_gopher",
+    (s, dir) => {
+      val planted = when(col("doc_id") % 11 === 3,
+          expr("replace(text, ' ', concat(chr(10), '- '))"))
+        .when(col("doc_id") % 11 === 4,
+          expr("replace(text, ' ', concat('...', chr(10)))"))
+        .when(col("doc_id") % 11 === 5, expr("replace(text, ' ', ' ## ')"))
+        .when(col("doc_id") % 11 === 6, expr("repeat('9 ', 60)"))
+        .when(col("doc_id") % 11 === 7, lit("word"))
+        // a PASSING shape: the soup has at most one Gopher stopword, so
+        // without this plant r_stop (and keep) would be constant-0
+        .when(col("doc_id") % 11 === 8,
+          expr("concat(text, ' the rest of it and that should have been with us')"))
+        .otherwise(col("text"))
+      TextAnalysis.gopherRules(
+        Tables.load(s, dir, "documents").select(col("doc_id"), planted.as("t2")),
+        "doc_id", "t2")
+    },
+    Some(s"""WITH p AS (
+        SELECT doc_id,
+          CASE
+            WHEN doc_id % 11 = 3 THEN replace(text, ' ', chr(10) || '- ')
+            WHEN doc_id % 11 = 4 THEN replace(text, ' ', '...' || chr(10))
+            WHEN doc_id % 11 = 5 THEN replace(text, ' ', ' ## ')
+            WHEN doc_id % 11 = 6 THEN repeat('9 ', 60)
+            WHEN doc_id % 11 = 7 THEN 'word'
+            WHEN doc_id % 11 = 8 THEN text ||
+              ' the rest of it and that should have been with us'
+            ELSE text END AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          string_split_regex(lower(trim(t)), '\\s+') AS words,
+          string_split(t, chr(10)) AS lines,
+          CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS BIGINT) AS symbols
+        FROM p),
+      c AS (
+        SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS wc,
+          CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha,
+          CAST(len(list_intersect(list_distinct(words),
+            [${TextAnalysis.GopherStop.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS stop_hits,
+          CAST(len(lines) AS BIGINT) AS nl,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullets,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS ellipses,
+          symbols
+        FROM m),
+      f AS (
+        SELECT doc_id, wc,
+          CAST(CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wc,
+          CAST(CASE WHEN 3 * wc <= sum_len AND sum_len <= 10 * wc THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+          CAST(CASE WHEN 10 * symbols <= wc THEN 1 ELSE 0 END AS BIGINT) AS r_sym,
+          CAST(CASE WHEN 10 * bullets <= 9 * nl THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+          CAST(CASE WHEN 10 * ellipses <= 3 * nl THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+          CAST(CASE WHEN 10 * alpha >= 8 * wc THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+          CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+        FROM c)
+      SELECT doc_id, wc AS word_count, r_wc, r_mwl, r_sym, r_bullet,
+        r_ellipsis, r_alpha, r_stop,
+        r_wc * r_mwl * r_sym * r_bullet * r_ellipsis * r_alpha * r_stop AS keep
+      FROM f"""))
+
   /** Tokenizer vocabulary: corpus-wide top-1000 words by frequency,
     * assigned dense ids in (count DESC, token ASC) order. The global
     * window ranks only the LIMITed top slice (TakeOrderedAndProject
@@ -784,7 +859,7 @@ object Corpus {
       FROM scored WHERE doc_id < 100
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(txtPii, txtRepetition, txtVocab, txtEncode,
+  val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,

@@ -549,6 +549,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s == 6)
   }
 
+  test("TextAnalysis.gopherRules: each rule fires on its crafted violator only") {
+    val good = (("the quick brown fox jumps over and over the lazy dog " * 5) +
+      "that it can have fun with it be done of course").trim
+    val docs = Seq(
+      (0L, good),                                    // passes everything
+      (1L, "the of and"),                            // too few words
+      (2L, ("a " * 60).trim + " the of"),            // mean word len < 3
+      (3L, good + " " + ("# " * 20).trim),           // symbol soup
+      (4L, good.split(" ").mkString("\n- ")),        // bullet lines
+      (5L, good.split(" ").mkString("...\n")),       // ellipsis line ends
+      (6L, ("42 " * 40).trim + " the of"),           // digit-only words
+      (7L, ("spark row scan " * 20).trim)            // no Gopher stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("r_wc", "r_mwl", "r_sym", "r_bullet", "r_ellipsis", "r_alpha",
+        "r_stop", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L)), s"good doc: ${got(0)}")
+    assert(got(1)._1 == 0L && got(1)._8 == 0L, "word count floor")
+    assert(got(2)._2 == 0L, "mean word length floor")
+    assert(got(3)._3 == 0L, "symbol ratio")
+    assert(got(4)._4 == 0L, "bullet lines")
+    assert(got(5)._5 == 0L, "ellipsis line ends")
+    assert(got(6)._6 == 0L, "alpha-word ratio")
+    assert(got(7)._7 == 0L && got(7)._8 == 0L, "stop-word hits")
+  }
+
   test("TextAnalysis.fingerprint is word-order invariant; rollingHash is not") {
     val df = Seq(("alpha beta gamma", "gamma beta alpha")).toDF("a", "b")
       .select(TextAnalysis.fingerprint($"a").as("fa"),
