@@ -159,4 +159,62 @@ object Sketches {
       .agg(min(coalesce(col("__cms_n"), lit(0L))).as("cms_n"))
       .drop("__cms_rid")
   }
+
+  // ---- Bloom filter --------------------------------------------------------
+  //
+  // KMV counts distinct keys, CMS counts key frequency; the Bloom filter
+  // answers the JOIN-PRUNING question: "could this fact row possibly
+  // match the dim side?" — the shuffle-reduction workhorse for joins
+  // whose dim side is too large to broadcast as ROWS but whose key SET
+  // compresses to a few KiB of bits (Bloom 1970; what Spark's AQE
+  // runtime-filter and every warehouse's join-index do internally, here
+  // as an explicit operator). md5-derived bit positions make the whole
+  // filter oracle-replayable: an external engine sets the same bits and
+  // reaches the same keep/drop verdicts, false positives included.
+
+  /** Bit position of `key` in hash row `j` of an m-bit Bloom filter:
+    * hash56 of the row-tagged key string (tag "b<j>:" — disjoint from
+    * the CMS "<j>:" tag family). Deterministic on any engine. */
+  def bloomPos(key: Column, j: Int, m: Int): Column =
+    Dedup.hash56(concat(lit(s"b$j:"), key.cast("string"))) % m
+
+  /** Build the filter over `df`'s `keyCol`: the m-bit bitmap as packed
+    * little-endian long words.
+    *
+    * Scale shape: the build aggregates DISTINCT bit positions — the
+    * collect is bounded by m (≤ 2^20 enforced), never by the key count;
+    * a billion dim keys still collect at most m/8 bytes. The bitmap then
+    * ships to probe tasks as a broadcast literal, exactly like a
+    * codebook. */
+  def bloomBuild(df: DataFrame, keyCol: String, m: Int, k: Int): Array[Long] = {
+    require(m >= 64 && m % 64 == 0 && m <= (1 << 20),
+      s"bloom bits m=$m must be a multiple of 64 in [64, 2^20]")
+    require(k >= 1 && k <= 8, s"bloom hash count k=$k out of [1, 8]")
+    val words = new Array[Long](m / 64)
+    df.select(explode(array((0 until k).map(j =>
+        bloomPos(col(keyCol), j, m)): _*)).as("p"))
+      .distinct().collect() // bounded: ≤ m distinct bit positions
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >> 6) |= (1L << (p & 63))
+      }
+    words
+  }
+
+  /** Membership test against a built bitmap: all k positions set.
+    * Never false-negative; false positives at the standard Bloom rate
+    * (~(1−e^{−kn/m})^k) — callers MUST treat a hit as "maybe" and let
+    * the real join eliminate impostors. Pure integer bit arithmetic over
+    * an array literal — codegen-friendly, runs map-side before any
+    * shuffle. */
+  def bloomMightContain(key: Column, words: Array[Long], k: Int): Column = {
+    val m = words.length * 64
+    val bm = typedLit(words.toSeq)
+    (0 until k).map { j =>
+      val p = bloomPos(key, j, m)
+      call_function("shiftright",
+        element_at(bm, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
 }

@@ -134,6 +134,58 @@ object Joins {
       JOIN (SELECT row_number() OVER (ORDER BY r_regionkey) AS idx, r_name FROM region) r
       USING (idx)"""))
 
+  /** J16: Bloom-filter join pruning — the shuffle-reduction move for a
+    * join whose dim side is too large to broadcast as ROWS but whose key
+    * SET fits a few KiB of bits (reference database.py joins filtered by
+    * an id set; at 100 TB the fact side must be thinned BEFORE the
+    * shuffle, not after). Build an m-bit filter over the dim keys
+    * (Sketches.bloomBuild — md5-derived positions, so the whole bitmap
+    * is oracle-replayable), broadcast it as a literal, and test fact
+    * rows map-side: only rows whose k positions are all set ever travel.
+    * False negatives are impossible; false positives surface here as
+    * hit = 0 rows and are exactly what the downstream real join
+    * eliminates — the oracle replays them bit-for-bit. */
+  val j16BloomJoin = Q(
+    "j16_bloom_join",
+    (s, dir) => {
+      val m = 1024; val k = 3
+      val dim = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val words = graft.operators.Sketches.bloomBuild(dim, "s_suppkey", m, k)
+      val surv = Tables.load(s, dir, "lineitem")
+        .filter(graft.operators.Sketches.bloomMightContain(
+          col("l_suppkey"), words, k))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+      surv.join(broadcast(dim.withColumn("hit", lit(1L))),
+          col("l_suppkey") === col("s_suppkey"), "left_outer")
+        .select(col("l_suppkey"), col("n_rows"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .orderBy("l_suppkey")
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      def pos(key: String, j: String) =
+        s"(((md5_number_lower(CONCAT('b', $j, ':', CAST($key AS VARCHAR))) % $m56)::BIGINT) % 1024)"
+      s"""WITH dim AS (
+          SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'),
+        js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        bits AS (SELECT DISTINCT ${pos("s_suppkey", "j")} AS pos
+          FROM dim CROSS JOIN js),
+        probe AS (SELECT l_suppkey, count(*) AS n_rows
+          FROM lineitem GROUP BY 1),
+        surv AS (SELECT p.* FROM probe p WHERE NOT EXISTS (
+          SELECT 1 FROM js WHERE ${pos("p.l_suppkey", "js.j")}
+            NOT IN (SELECT pos FROM bits)))
+        SELECT s.l_suppkey, s.n_rows,
+          CASE WHEN EXISTS (SELECT 1 FROM dim d WHERE d.s_suppkey = s.l_suppkey)
+            THEN 1 ELSE 0 END AS hit
+        FROM surv s ORDER BY l_suppkey"""
+    })
+
   val all: Seq[Q] = Seq(j2DistinctCount, j3JoinFilterProject, j5Neighborhood,
-    j7Anti, j8Semi, j9ZipIndex)
+    j7Anti, j8Semi, j9ZipIndex, j16BloomJoin)
 }

@@ -49,6 +49,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unseen == Seq(("zzz-never-seen", 0L)))
   }
 
+  test("Sketches.bloom: no false negatives; impostors only at the Bloom rate") {
+    import graft.operators.Sketches
+    val members = (0L until 40L).map(i => i * 7 + 1)
+    val dim = members.toDF("k")
+    val words = Sketches.bloomBuild(dim, "k", m = 1024, k = 3)
+    assert(words.length == 1024 / 64)
+    assert(words.map(java.lang.Long.bitCount).sum <= 40 * 3,
+      "at most k bits set per key")
+    // every member MUST pass — a false negative is a correctness bug
+    val memberPass = dim
+      .filter(Sketches.bloomMightContain(col("k"), words, k = 3))
+      .count()
+    assert(memberPass == members.size.toLong)
+    // non-members pass only at the (1-e^{-kn/m})^k false-positive rate:
+    // ~0.16% here, so 2000 probes should see just a handful
+    val probes = (10000L until 12000L).toDF("k")
+    val fps = probes
+      .filter(Sketches.bloomMightContain(col("k"), words, k = 3))
+      .count()
+    assert(fps <= 40, s"false-positive rate far above the Bloom bound: $fps/2000")
+  }
+
   test("Align.epochShuffle: a true permutation, reproducible per epoch, different across epochs") {
     val docs = (1L to 50L).toDF("doc_id")
     def perm(epoch: Int) = Align.epochShuffle(docs, "doc_id", epoch)

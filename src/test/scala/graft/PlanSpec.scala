@@ -262,6 +262,23 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("j16: explicit bloom bitmap prunes the fact side map-side, below any exchange") {
+    // the bitmap membership test (shiftright over the literal word array)
+    // must evaluate BELOW every shuffle: rows are dropped before the
+    // groupBy exchange, which is the operator's entire point at scale
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exec = Joins.j16BloomJoin.run(spark, sf).queryExecution.sparkPlan
+    def hasBloomFilterBelowScanSide(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.exists {
+        case f: FilterExec => f.condition.toString.contains("shiftright") &&
+          !f.exists(_.isInstanceOf[Exchange])
+        case _ => false
+      }
+    assert(hasBloomFilterBelowScanSide(exec),
+      s"bloom bit test must filter below the exchange:\n$exec")
+  }
+
   test("j14: partitioned scan gets a dynamic partition pruning filter") {
     // the events scan must carry a runtime dynamicpruningexpression on
     // its partition column — at scale it lists only the day directories
