@@ -112,6 +112,49 @@ object TextAnalysis {
       (rWc * rMwl * rSym * rBullet * rEllipsis * rAlpha * rStop).as("keep"))
   }
 
+  /** Placeholder stand-in for C4's published word blocklist (the "Dirty,
+    * Naughty…" list) — the operator is list-parameterized; tests plant
+    * these tokens. */
+  val C4Badwords: Seq[String] = Seq("profanity", "obscenity")
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2) as per-document flags —
+    * the LINE-level keep filter plus the PAGE-level drop rules, the
+    * other published curation bundle next to [[gopherRules]]:
+    *
+    *   line kept    ≥ 5 words, ends in terminal punctuation ([.!?"]),
+    *                no "javascript", no policy boilerplate phrase
+    *   r_sent       kept text contains ≥ 3 sentence terminators
+    *   r_lorem      no "lorem ipsum"
+    *   r_brace      no '{' (code page)
+    *   r_bad        no blocklist word ([[C4Badwords]])
+    *
+    * All counts are exact integers and every predicate is row-local
+    * string work — like gopherRules this pipelines inside whole-stage
+    * codegen with the scan; no shuffle, no state, no floats to drift. */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String,
+      badwords: Seq[String] = C4Badwords): DataFrame = {
+    val t = lower(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val nl = size(lines).cast("long")
+    val kept = filter(lines, l =>
+      size(split(trim(l), "\\s+")) >= 5 &&
+        trim(l).rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript") &&
+        !lower(l).rlike("privacy policy|terms of use|cookie policy"))
+    val nKept = size(kept).cast("long")
+    val sentences = size(regexp_extract_all(array_join(kept, "\n"),
+      lit("[.!?]"), lit(0))).cast("long")
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    val rSent = flag(sentences >= 3L)
+    val rLorem = flag(!t.contains("lorem ipsum"))
+    val rBrace = flag(!col(textCol).contains("{"))
+    val rBad = flag(!t.rlike(s"\\b(${badwords.mkString("|")})\\b"))
+    docs.select(col(idCol).as("doc_id"), nl.as("n_lines"),
+      nKept.as("n_kept_lines"), sentences.as("n_sentences"),
+      rSent.as("r_sent"), rLorem.as("r_lorem"), rBrace.as("r_brace"),
+      rBad.as("r_bad"), (rSent * rLorem * rBrace * rBad).as("keep"))
+  }
+
   /** Refine-style collision fingerprint: md5 of the sorted distinct
     * normalized tokens — word order and duplication invariant, so
     * shuffled near-duplicates collide. */

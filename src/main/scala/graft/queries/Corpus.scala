@@ -160,6 +160,87 @@ object Corpus {
         r_wc * r_mwl * r_sym * r_bullet * r_ellipsis * r_alpha * r_stop AS keep
       FROM f"""))
 
+  // Shared fixture sentences for txt_c4 — one set of Scala constants
+  // feeds BOTH the Spark plant and the DuckDB replay, so the two sides
+  // cannot drift.
+  private val c4S1 = "a first proper sentence with enough words here."
+  private val c4S2 = "a second proper sentence with enough words here."
+  private val c4S3 = "a third proper sentence with enough words also."
+  private val c4Js = "please enable javascript to continue browsing this page."
+  private val c4Pp = "read our privacy policy before continuing to browse."
+  private val c4Bw = "this sentence casually mentions profanity in passing today."
+
+  /** The OTHER published curation bundle: C4's line-keep filter + page
+    * drops (Raffel et al. 2020 §2.2) as per-document flags
+    * ([[graft.operators.TextAnalysis.c4Rules]]). The synthetic soup has
+    * no terminal punctuation, so rule-exercising shapes are planted
+    * deterministically by doc_id (the txt_pii/txt_gopher convention):
+    * every flag fires both ways under the oracle — line drops that do
+    * NOT kill the page (javascript / policy boilerplate lines), page
+    * drops (lorem ipsum, code braces, blocklist), and clean passes. */
+  val txtC4 = Q(
+    "txt_c4",
+    (s, dir) => {
+      def page(ls: String*) = lit(ls.mkString("\n"))
+      val planted = when(col("doc_id") % 13 === 3,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 13 === 4,
+          concat(col("text"), lit(" { code block here }")))
+        .when(col("doc_id") % 13 === 5, page(c4S1, c4Js, c4S2, c4S3))
+        .when(col("doc_id") % 13 === 6, page(c4S1, c4Pp, c4S2, c4S3))
+        .when(col("doc_id") % 13 === 7, page(c4S1, c4S2, c4S3))
+        .when(col("doc_id") % 13 === 8, page(c4S1, c4S2))
+        .when(col("doc_id") % 13 === 9, page(c4S1, c4S2, c4Bw))
+        .otherwise(col("text"))
+      TextAnalysis.c4Rules(
+        Tables.load(s, dir, "documents").select(col("doc_id"), planted.as("t2")),
+        "doc_id", "t2")
+    },
+    Some {
+      def page(ls: String*) = ls.map(l => s"'$l'").mkString(" || chr(10) || ")
+      s"""WITH p AS (
+        SELECT doc_id,
+          CASE
+            WHEN doc_id % 13 = 3 THEN text || ' lorem ipsum dolor sit amet.'
+            WHEN doc_id % 13 = 4 THEN text || ' { code block here }'
+            WHEN doc_id % 13 = 5 THEN ${page(c4S1, c4Js, c4S2, c4S3)}
+            WHEN doc_id % 13 = 6 THEN ${page(c4S1, c4Pp, c4S2, c4S3)}
+            WHEN doc_id % 13 = 7 THEN ${page(c4S1, c4S2, c4S3)}
+            WHEN doc_id % 13 = 8 THEN ${page(c4S1, c4S2)}
+            WHEN doc_id % 13 = 9 THEN ${page(c4S1, c4S2, c4Bw)}
+            ELSE text END AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+          list_filter(string_split(t, chr(10)), l ->
+            len(string_split_regex(trim(l), '\\s+')) >= 5
+            AND regexp_matches(trim(l), '[.!?"]$$')
+            AND NOT contains(lower(l), 'javascript')
+            AND NOT regexp_matches(lower(l),
+              'privacy policy|terms of use|cookie policy')) AS kept
+        FROM p),
+      c AS (
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          CAST(len(regexp_extract_all(
+            coalesce(array_to_string(kept, chr(10)), ''),
+            '[.!?]')) AS BIGINT) AS n_sentences,
+          CAST(CASE WHEN NOT contains(lower(t), 'lorem ipsum')
+            THEN 1 ELSE 0 END AS BIGINT) AS r_lorem,
+          CAST(CASE WHEN NOT contains(t, '{') THEN 1 ELSE 0 END AS BIGINT) AS r_brace,
+          CAST(CASE WHEN NOT regexp_matches(lower(t),
+            '\\b(${TextAnalysis.C4Badwords.mkString("|")})\\b')
+            THEN 1 ELSE 0 END AS BIGINT) AS r_bad
+        FROM m)
+      SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+        CAST(CASE WHEN n_sentences >= 3 THEN 1 ELSE 0 END AS BIGINT) AS r_sent,
+        r_lorem, r_brace, r_bad,
+        CAST(CASE WHEN n_sentences >= 3 THEN 1 ELSE 0 END AS BIGINT)
+          * r_lorem * r_brace * r_bad AS keep
+      FROM c"""
+    })
+
   /** Tokenizer vocabulary: corpus-wide top-1000 words by frequency,
     * assigned dense ids in (count DESC, token ASC) order. The global
     * window ranks only the LIMITed top slice (TakeOrderedAndProject
@@ -859,7 +940,7 @@ object Corpus {
       FROM scored WHERE doc_id < 100
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtVocab, txtEncode,
+  val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,

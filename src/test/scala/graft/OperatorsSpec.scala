@@ -599,6 +599,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(7)._7 == 0L && got(7)._8 == 0L, "stop-word hits")
   }
 
+  test("TextAnalysis.c4Rules: line keeps and page drops fire on their crafted shapes only") {
+    val s1 = "a first proper sentence with enough words here."
+    val s2 = "a second proper sentence with enough words here."
+    val s3 = "a third proper sentence with enough words also."
+    val docs = Seq(
+      (0L, Seq(s1, s2, s3).mkString("\n")),              // clean pass
+      (1L, Seq(s1, s2).mkString("\n")),                  // < 3 sentences
+      (2L, Seq(s1, "too short.", s2, s3).mkString("\n")), // short line dropped, page kept
+      (3L, Seq(s1, "please enable javascript to continue browsing.", s2, s3)
+        .mkString("\n")),                                 // js line dropped, page kept
+      (4L, Seq(s1, "read our privacy policy before continuing to browse.", s2, s3)
+        .mkString("\n")),                                 // policy line dropped, page kept
+      (5L, Seq(s1, s2, s3).mkString("\n") + " lorem ipsum dolor"), // page drop
+      (6L, Seq(s1, s2, s3).mkString("\n") + " { code }"),          // page drop
+      (7L, Seq(s1, s2, s3, "this line mentions profanity in passing today.")
+        .mkString("\n"))                                  // blocklist page drop
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Rules(docs, "doc_id", "text").orderBy("doc_id")
+      .select("n_lines", "n_kept_lines", "n_sentences", "r_sent", "r_lorem",
+        "r_brace", "r_bad", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((3L, 3L, 3L, 1L, 1L, 1L, 1L, 1L)), s"clean page: ${got(0)}")
+    assert(got(1)._4 == 0L && got(1)._8 == 0L, "sentence floor")
+    assert(got(2) == ((4L, 3L, 3L, 1L, 1L, 1L, 1L, 1L)), s"short line: ${got(2)}")
+    assert(got(3) == ((4L, 3L, 3L, 1L, 1L, 1L, 1L, 1L)), s"js line: ${got(3)}")
+    assert(got(4) == ((4L, 3L, 3L, 1L, 1L, 1L, 1L, 1L)), s"policy line: ${got(4)}")
+    assert(got(5)._5 == 0L && got(5)._8 == 0L, "lorem ipsum page drop")
+    assert(got(6)._6 == 0L && got(6)._8 == 0L, "brace page drop")
+    assert(got(7)._7 == 0L && got(7)._8 == 0L, "blocklist page drop")
+  }
+
   test("TextAnalysis.fingerprint is word-order invariant; rollingHash is not") {
     val df = Seq(("alpha beta gamma", "gamma beta alpha")).toDF("a", "b")
       .select(TextAnalysis.fingerprint($"a").as("fa"),
