@@ -465,6 +465,71 @@ object Coverage {
         GROUP BY 1, 2 ORDER BY user_id"""
     })
 
+  /** A30: Pearson correlation + population covariance per group from
+    * EXACT integer moment sums — the distributed one-pass five-sum
+    * formulation (Σx, Σy, Σxy, Σx², Σy²), map-side combined, one
+    * shuffle of five longs per group. Inputs round to integer units
+    * FIRST (the .5 boundary of an integer round is always
+    * binary-representable, so both engines see the same half cases);
+    * every sum is then exact in BIGINT, the final scalars exact in
+    * DECIMAL(38,0)/HUGEINT, and the only floating-point steps are the
+    * closing cast/sqrt/divide — identical IEEE ops anywhere, hence
+    * oracle-exact with NO tolerance. Built-in corr() aggregates floats
+    * in partition order and is not replayable; this is, at the same one
+    * shuffle. Headroom: 10^5-unit values hold to ~10^9 rows per group
+    * in n·Σy²; past that widen the sums themselves to DECIMAL(38,0). */
+  val a30Corr = Q(
+    "a30_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val b = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      val m = b.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val f = m.select(col("l_returnflag"), col("n"),
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).as("num"),
+        (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("d1"),
+        (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).as("d2"))
+      f.select(col("l_returnflag"), col("n"),
+        when(col("d1") > 0 && col("d2") > 0,
+          col("num").cast("double") /
+            (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+          .as("corr_qty_price"),
+        (col("num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("cov_pop"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (
+        SELECT l_returnflag,
+          CAST(round(l_quantity) AS BIGINT) AS x,
+          CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(x*y) AS HUGEINT) AS sxy,
+          CAST(sum(x*x) AS HUGEINT) AS sxx,
+          CAST(sum(y*y) AS HUGEINT) AS syy
+        FROM b GROUP BY 1),
+      f AS (
+        SELECT l_returnflag, n,
+          (n*sxy - sx*sy) AS num,
+          (n*sxx - sx*sx) AS d1,
+          (n*syy - sy*sy) AS d2
+        FROM m)
+      SELECT l_returnflag, n,
+        CASE WHEN d1 > 0 AND d2 > 0 THEN
+          CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+        END AS corr_qty_price,
+        CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_pop
+      FROM f ORDER BY l_returnflag"""))
+
   /** S12/J10: the external-lookup join VALUE-verified (its rate-limit /
     * Retry-After contract is unit-tested with a fake clock; this query
     * pins row fidelity — zero lost rows, zero duplicates, correct
@@ -599,6 +664,6 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops,
+    a29KmvSetops, a30Corr,
     j13Bucketed, j14DppJoin, j15BucketedEdges, s12LookupJoin)
 }
