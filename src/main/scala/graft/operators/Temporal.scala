@@ -82,4 +82,33 @@ object Temporal {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Calendar gap-fill / resample: complete each key's daily series from
+    * its first to its last active day (reference weekly_scheduler.py
+    * month-chunk iteration renders continuous ranges; dashboards need
+    * zero rows for silent days, not missing rows). `zeroFill` columns
+    * get 0 on gap days; each `ffill` column gains a `<col>_filled` twin
+    * carrying the last non-null value forward (NULL before the first
+    * observation — no fabricated leading values).
+    *
+    * Scale shape: the spine is per-key min/max (one partial-agg
+    * shuffle) exploded row-locally — spine size is keys × days, never a
+    * cross join against a global calendar; the fill join is an
+    * equi-join on (key, day); the forward-fill window is PARTITIONED by
+    * key (the PlanAudit rule — no global window ever). */
+  def gapFillDaily(daily: DataFrame, keyCol: String, dayCol: String,
+      zeroFill: Seq[String], ffill: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+      .select(col(keyCol), explode(sequence(col("__d0"), col("__d1"),
+        expr("INTERVAL 1 DAY"))).as(dayCol))
+    val joined = spine.join(daily, Seq(keyCol, dayCol), "left_outer")
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zf = zeroFill.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))))
+    ffill.foldLeft(zf)((d, c) =>
+      d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w)))
+  }
 }

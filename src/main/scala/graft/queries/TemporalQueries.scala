@@ -62,5 +62,41 @@ object TemporalQueries {
       FROM w JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
       GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(t9Asof, j11Range)
+  /** T13: calendar gap-fill — each sampled user's daily activity as a
+    * CONTINUOUS series (zero rows on silent days, last known day_sum
+    * carried forward) via [[Temporal.gapFillDaily]]. The oracle rebuilds
+    * the spine with generate_series and the carry with an IGNORE NULLS
+    * running window; day_sum goes through the DECIMAL(18,2) contract so
+    * the doubles hash identically. */
+  val t13Gapfill = Q(
+    "t13_gapfill",
+    (s, dir) => {
+      import Q._
+      val daily = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 97 === 0)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum("value").as("day_sum"))
+      Temporal.gapFillDaily(daily, "user_id", "day",
+        zeroFill = Seq("n_events"), ffill = Seq("day_sum"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+        FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+          CAST(unnest(generate_series(CAST(min_d AS TIMESTAMP),
+            CAST(max_d AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, min(day) AS min_d, max(day) AS max_d
+          FROM d GROUP BY 1))
+      SELECT s.user_id, s.day,
+        coalesce(d.n_events, 0) AS n_events, d.day_sum,
+        last_value(d.day_sum IGNORE NULLS) OVER (
+          PARTITION BY s.user_id ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_sum_filled
+      FROM spine s LEFT JOIN d USING (user_id, day)
+      ORDER BY user_id, day"""))
+
+  val all: Seq[Q] = Seq(t9Asof, j11Range, t13Gapfill)
 }

@@ -599,6 +599,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(7)._7 == 0L && got(7)._8 == 0L, "stop-word hits")
   }
 
+  test("Temporal.gapFillDaily: complete spine, zero-filled counts, carried values") {
+    import java.sql.Date
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 2L, Some(10.0)),
+      (1L, Date.valueOf("2024-01-04"), 1L, Some(40.0)),
+      (2L, Date.valueOf("2024-01-02"), 3L, None: Option[Double])
+    ).toDF("k", "day", "n", "v")
+    val got = Temporal.gapFillDaily(daily, "k", "day",
+        zeroFill = Seq("n"), ffill = Seq("v"))
+      .orderBy("k", "day")
+      .select("k", "day", "n", "v_filled")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.length == 5, s"key 1 spans 4 days + key 2 spans 1: ${got.toSeq}")
+    assert(got(0) == ((1L, "2024-01-01", 2L, Some(10.0))))
+    assert(got(1) == ((1L, "2024-01-02", 0L, Some(10.0))), "gap day: zero count, carried value")
+    assert(got(2) == ((1L, "2024-01-03", 0L, Some(10.0))))
+    assert(got(3) == ((1L, "2024-01-04", 1L, Some(40.0))), "new observation replaces the carry")
+    assert(got(4) == ((2L, "2024-01-02", 3L, None)), "no leading value is fabricated")
+  }
+
   test("TextAnalysis.c4Rules: line keeps and page drops fire on their crafted shapes only") {
     val s1 = "a first proper sentence with enough words here."
     val s2 = "a second proper sentence with enough words here."
