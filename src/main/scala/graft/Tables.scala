@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table catalog over a scale-factor directory.
   *
@@ -20,16 +20,25 @@ object Tables {
 
   /** Load one table from `dir` (e.g. /root/testdata/sf0.01).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * refuses to read natively; read it as epoch-nanos long and truncate to
-    * micros (integer DIV — a double division would lose precision above
-    * 2^53), matching DuckDB's own nanos→micros truncation.
+    * `events.ts` has been generated two ways across driver runs:
+    *  - parquet TIMESTAMP(NANOS), which Spark refuses to read natively —
+    *    read as epoch-nanos long and truncate to micros (integer DIV; a
+    *    double division would lose precision above 2^53), matching
+    *    DuckDB's own nanos→micros truncation;
+    *  - parquet timestamp[us] without isAdjustedToUTC, which Spark's
+    *    NTZ inference reads as TIMESTAMP_NTZ — cast to TIMESTAMP so
+    *    instant functions (unix_micros, window, watermarks) keep
+    *    working. The session zone is pinned UTC (GraftSession), so the
+    *    cast reinterprets the same micros value and matches DuckDB,
+    *    which treats the column as a naive TIMESTAMP throughout.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

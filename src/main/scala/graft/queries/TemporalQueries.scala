@@ -62,14 +62,14 @@ object TemporalQueries {
       FROM w JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
       GROUP BY 1"""))
 
-  /** T13: calendar gap-fill — each sampled user's daily activity as a
+  /** T14: calendar gap-fill — each sampled user's daily activity as a
     * CONTINUOUS series (zero rows on silent days, last known day_sum
     * carried forward) via [[Temporal.gapFillDaily]]. The oracle rebuilds
     * the spine with generate_series and the carry with an IGNORE NULLS
     * running window; day_sum goes through the DECIMAL(18,2) contract so
     * the doubles hash identically. */
-  val t13Gapfill = Q(
-    "t13_gapfill",
+  val t14Gapfill = Q(
+    "t14_gapfill",
     (s, dir) => {
       import Q._
       val daily = Tables.load(s, dir, "events")
@@ -98,5 +98,5 @@ object TemporalQueries {
       FROM spine s LEFT JOIN d USING (user_id, day)
       ORDER BY user_id, day"""))
 
-  val all: Seq[Q] = Seq(t9Asof, j11Range, t13Gapfill)
+  val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill)
 }
