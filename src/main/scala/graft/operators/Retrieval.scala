@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over an inverted-index shape — the keyword
+  * half of a corpus-curation / retrieval stack (the reference's search
+  * screens rank hits by relevance server-side; reference:
+  * DatabaseConverter/api_clients.py search bodies). Okapi BM25
+  * (Robertson & Walker 1994) with the standard k1/b parameterization.
+  *
+  * Exactness strategy (same family as txt_tfidf / txt_bigram_score): no
+  * transcendental functions anywhere. The classic idf uses ln(); rank
+  * order does not need it for fixed query terms, so we keep the raw
+  * Robertson–Spärck Jones odds ratio as an exact rational,
+  * (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1) — integer-valued
+  * numerator and denominator, one IEEE double division that both Spark
+  * and DuckDB evaluate bit-identically. Each per-term contribution is
+  * then floored into 1e-6 fixed point BEFORE summation, so the per-doc
+  * score is an exact BIGINT sum — invariant to aggregation order across
+  * partitions and engines.
+  *
+  * Scale shape: the postings build is ONE map-side-combined shuffle
+  * keyed (doc, term) — the inverted index. Query terms broadcast; df
+  * re-aggregates only the matched postings (a per-term count, tiny);
+  * corpus stats are a 1-row broadcast. The final top-k per query uses
+  * the partial TopK aggregator, so a query matching half the corpus
+  * still caps shuffle volume at queries×k — no window ever holds a
+  * query's full posting list on one task.
+  */
+object Retrieval {
+
+  /** BM25 constants — baked into both the plan and the generated oracle
+    * SQL (always emitted as CAST(.. AS DOUBLE): DuckDB parses bare
+    * decimal literals as DECIMAL and would do decimal, not double,
+    * arithmetic). */
+  val K1 = 1.2
+  val B = 0.75
+  val ScoreScale = 1000000L
+
+  /** Inverted-index postings: one row per (doc, term) with the term
+    * frequency and the document's token length. One shuffle, partially
+    * aggregated map-side; dl rides along as max() since it is constant
+    * per doc. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.rawTokens(col(textCol))
+    docs
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+  }
+
+  /** Top-k docs per query by BM25. `queries` is the (queryId, terms)
+    * batch — a handful of rows, broadcast. Output: one row per
+    * (query_id, rank) with the doc, its fixed-point score, and how many
+    * query terms matched. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = postings(docs, idCol, textCol)
+    // 1-row corpus stats; avgdl = exact-integer sum / exact-integer
+    // count, a single double division.
+    val toks = TextAnalysis.rawTokens(col(textCol))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("sum_dl"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    // Matched postings only: the broadcast semi-join prunes the index
+    // to query terms before any further aggregation.
+    val matched = post.join(
+      broadcast(qterms.select("term").distinct()), "term")
+    // df per term counts over ALL documents (postings are unique per
+    // (doc, term)), computed after the prune so only query terms pay.
+    val dfreq = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf =
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
+        (lit(2L) * col("df") + lit(1L)).cast("double")
+    val tfnorm = (col("tf").cast("double") * lit(K1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / avgdl))
+    val contrib =
+      floor(lit(ScoreScale.toDouble) * idf * tfnorm).cast("long")
+    val scored = matched
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        contrib.as("contrib"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("contrib").as("score_fp"))
+    // Partial top-k: shuffle volume is queries×k however skewed the
+    // match distribution is. score_fp < ~1e10 « 2^53, so the double
+    // round-trip through the aggregator is exact.
+    val topk = TopK.topK(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score_fp").cast("double"), col(idCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").cast("long").as("score_fp"))
+  }
+
+  /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the
+    * same constants so the two can never drift. */
+  def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val qrows = queries
+      .flatMap { case (qid, ts) =>
+        ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
+      }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qrows),
+      toks AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      dl AS (
+        SELECT doc_id,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+        FROM documents),
+      post AS (
+        SELECT t.doc_id, t.term, count(*) AS tf, max(d.dl) AS dl
+        FROM toks t JOIN dl d USING (doc_id)
+        WHERE t.term IN (SELECT DISTINCT term FROM q)
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT count(*) AS n_docs,
+          sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS sum_dl
+        FROM documents),
+      dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      contrib AS (
+        SELECT q.query_id, p.doc_id,
+          CAST(floor(CAST($ScoreScale AS DOUBLE)
+            * (CAST(2 * s.n_docs - 2 * f.df + 1 AS DOUBLE)
+               / CAST(2 * f.df + 1 AS DOUBLE))
+            * ((CAST(p.tf AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
+               / (CAST(p.tf AS DOUBLE)
+                  + CAST($K1 AS DOUBLE)
+                    * (CAST(${1.0 - B} AS DOUBLE)
+                       + CAST($B AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / (CAST(s.sum_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))) AS BIGINT)
+            AS contrib
+        FROM post p JOIN dfreq f USING (term) JOIN q USING (term), stats s),
+      scored AS (
+        SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
+        FROM contrib GROUP BY 1, 2)
+      SELECT query_id, rank, doc_id, score_fp FROM (
+        SELECT query_id, doc_id, score_fp,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= $k"""
+  }
+}

@@ -940,9 +940,30 @@ object Corpus {
       FROM scored WHERE doc_id < 100
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Fixed retrieval batch for txt_bm25 — the oracle SQL is generated
+    * from these same constants (operators.Retrieval.bm25OracleSql). */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join"),
+    2L -> Seq("hash", "scan", "filter"),
+    3L -> Seq("vector", "stream"),
+    4L -> Seq("customer", "merge", "window"),
+    5L -> Seq("data", "query", "table"))
+
+  /** BM25 ranked retrieval: top-10 docs per query from the inverted
+    * index, scored in exact 1e-6 fixed point (operators.Retrieval —
+    * rational idf, no ln(), floor before the order-invariant BIGINT
+    * sum). Plan: one map-side-combined postings shuffle, broadcast
+    * query terms, partial TopK — no window holds a query's full match
+    * list. */
+  val txtBm25 = Q(
+    "txt_bm25",
+    (s, dir) => graft.operators.Retrieval.bm25TopK(
+      Tables.load(s, dir, "documents"), "doc_id", "text", Bm25Queries, 10),
+    Some(graft.operators.Retrieval.bm25OracleSql(Bm25Queries, 10)))
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
-    txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap)
+    txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25)
 }

@@ -930,6 +930,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 1L)))
   }
 
+  test("Retrieval.bm25TopK: rarer terms dominate, dl normalizes, ties break by id") {
+    // "rare" appears in one doc, "common" in all four; doc 4 repeats
+    // common but is long, so its tf gain is damped by dl normalization.
+    val docs = Seq(
+      (1L, "rare common alpha"),
+      (2L, "common beta gamma"),
+      (3L, "common beta gamma"),
+      (4L, "common common common beta beta beta gamma gamma gamma delta delta delta"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> Seq("rare", "common")), k = 4)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).toSeq == Seq(1L, 4L, 2L, 3L),
+      s"expected rare-term doc first, then tf-rich long doc, then id ties: ${got.toSeq}")
+    // identical docs 2 and 3 score identically; id breaks the tie
+    val score = got.map(r => r._3 -> r._4).toMap
+    assert(score(2L) == score(3L))
+    assert(score(1L) > score(4L), "one rare-term hit must beat repeated common hits")
+  }
+
   test("Graph.pagerankFixed: ranks conserve mass and hubs outrank leaves") {
     // star: 1 is the hub of 2,3,4; plus an isolated edge 5-6
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))

@@ -94,7 +94,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
     "dd_lsh_recall",       // measures LSH against that bounded baseline
     "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
-    "txt_tfidf"            // 1-row corpus-size frame broadcast into the scorer
+    "txt_tfidf",           // 1-row corpus-size frame broadcast into the scorer
+    "txt_bm25"             // 1-row corpus-stats frame broadcast into the scorer
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {

@@ -322,4 +322,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joinCond.contains("div 1048576"),
       s"cross-doc filter must live in the join condition:\n$joinCond")
   }
+
+  test("txt_bm25: broadcast query terms, partial top-k, no window over matches") {
+    val p = plan(Corpus.txtBm25)
+    // query terms and per-term df are tiny frames: they must broadcast
+    // into the postings, never shuffle them
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the final ranking is the partial TopK aggregator — a window form
+    // would move every matched posting of a query to one task
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"top-k per query must be the partial aggregator, not a window:\n$p")
+    // postings build partially aggregates map-side before its shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"postings must combine map-side:\n$p")
+  }
 }
