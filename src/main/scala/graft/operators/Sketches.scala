@@ -160,6 +160,32 @@ object Sketches {
       .drop("__cms_rid")
   }
 
+  /** Join-cardinality estimate from two CMS cell tables — the
+    * pre-flight guard that answers "how many rows will this join emit?"
+    * BEFORE paying its shuffle. The inner product of two sketches
+    * (Cormode & Muthukrishnan 2005 §4.2): per hash row j,
+    * dot_j = Σ_b nA(j,b)·nB(j,b); the estimate is min_j dot_j. Always ≥
+    * the true Σ_k fA(k)·fB(k) (collisions only add), within
+    * N_A·N_B/w at confidence 1 − 2⁻ᵈ.
+    *
+    * Scale shape: each side's cells are one map-side-combined shuffle of
+    * ≤ d·w rows per partition (cmsCells); the product itself touches two
+    * d·w tables — the 100 TB self-join that would emit 10¹⁸ rows costs
+    * d·w integers to detect. Products go through DECIMAL(18,0)·(18,0)
+    * → DECIMAL(37,0), so counts up to 10¹⁸ per cell cannot overflow the
+    * dot product. All-integer, hence oracle-exact. */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = cellsA.select(col("j"), col("b"),
+      col("n").cast(DecimalType(18, 0)).as("__cms_na"))
+    val b = cellsB.select(col("j"), col("b"),
+      col("n").cast(DecimalType(18, 0)).as("__cms_nb"))
+    a.join(b, Seq("j", "b"))
+      .groupBy("j")
+      .agg(sum(col("__cms_na") * col("__cms_nb")).as("__cms_dot"))
+      .agg(min("__cms_dot").cast("long").as("est_rows"))
+  }
+
   // ---- Bloom filter --------------------------------------------------------
   //
   // KMV counts distinct keys, CMS counts key frequency; the Bloom filter

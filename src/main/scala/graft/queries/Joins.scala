@@ -186,6 +186,49 @@ object Joins {
         FROM surv s ORDER BY l_suppkey"""
     })
 
+  /** J17: join-size guard — estimate the events×events self-join on
+    * user_id from two count-min sketches BEFORE paying its shuffle
+    * (Sketches.cmsJoinSize: min over hash rows of the cell-table inner
+    * product). This is the pre-flight check for the skew blow-up that
+    * j12_salted_join then survives: at 100 TB the exact Σf(k)² needs the
+    * full key shuffle this query deliberately avoids — here the exact
+    * twin rides along as the labeled truth (est ≥ exact always; the
+    * over_pct column is the collision inflation at this d·w geometry).
+    * All-integer, so the whole comparison is oracle-exact. */
+  val j17JoinGuard = Q(
+    "j17_join_guard",
+    (s, dir) => {
+      val d = 4; val w = 1024
+      val ev = Tables.load(s, dir, "events")
+      val cells = graft.operators.Sketches.cmsCells(ev, "user_id", d, w)
+      // self-join: both sides share ONE sketch build
+      val est = graft.operators.Sketches.cmsJoinSize(cells, cells)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("exact_rows"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_rows"), col("exact_rows"),
+          expr("(100 * est_rows) div exact_rows").as("over_pct"))
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      def b(key: String, j: String) =
+        s"(((md5_number_lower(CONCAT($j, ':', CAST($key AS VARCHAR))) % $m56)::BIGINT) % 1024)"
+      s"""WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        cells AS (
+          SELECT j, ${b("user_id", "j")} AS b, count(*) AS n
+          FROM events CROSS JOIN js GROUP BY 1, 2),
+        dots AS (
+          SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS dot
+          FROM cells a JOIN cells b USING (j, b) GROUP BY 1),
+        est AS (SELECT min(dot) AS est_rows FROM dots),
+        ex AS (
+          SELECT CAST(sum(f * f) AS BIGINT) AS exact_rows FROM (
+            SELECT count(*) AS f FROM events GROUP BY user_id))
+        SELECT est_rows, exact_rows,
+          CAST((100 * est_rows) // exact_rows AS BIGINT) AS over_pct
+        FROM est, ex"""
+    })
+
   val all: Seq[Q] = Seq(j2DistinctCount, j3JoinFilterProject, j5Neighborhood,
-    j7Anti, j8Semi, j9ZipIndex, j16BloomJoin)
+    j7Anti, j8Semi, j9ZipIndex, j16BloomJoin, j17JoinGuard)
 }

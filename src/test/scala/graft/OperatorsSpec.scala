@@ -930,6 +930,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 1L)))
   }
 
+  test("Sketches.cmsJoinSize: never under the true join size, exact sans collisions") {
+    val a = Seq(1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val ca = Sketches.cmsCells(a, "k", d = 4, w = 4096)
+    val cb = Sketches.cmsCells(b, "k", d = 4, w = 4096)
+    val est = Sketches.cmsJoinSize(ca, cb).as[Long].head()
+    // true |A ⋈ B| = 2·1 (key 1) + 1·2 (key 2) + 0 (key 3 unmatched) = 4;
+    // 3 keys in 4096 buckets collide in none of the 4 hash rows, so the
+    // min-of-dots is exact here — and can only exceed the truth in general
+    assert(est == 4L, s"inner-product estimate drifted: $est")
+    // self-join guard: Σf² for a = 2² + 1² = 5
+    val self = Sketches.cmsJoinSize(ca, ca).as[Long].head()
+    assert(self == 5L, s"self-join estimate drifted: $self")
+  }
+
   test("Retrieval.bm25TopK: rarer terms dominate, dl normalizes, ties break by id") {
     // "rare" appears in one doc, "common" in all four; doc 4 repeats
     // common but is long, so its tf gain is damped by dl normalization.

@@ -95,7 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_lsh_recall",       // measures LSH against that bounded baseline
     "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
     "txt_tfidf",           // 1-row corpus-size frame broadcast into the scorer
-    "txt_bm25"             // 1-row corpus-stats frame broadcast into the scorer
+    "txt_bm25",            // 1-row corpus-stats frame broadcast into the scorer
+    "j17_join_guard"       // 1-row estimate × 1-row labeled truth
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
