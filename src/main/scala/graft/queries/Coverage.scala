@@ -661,9 +661,127 @@ object Coverage {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM f JOIN d USING (day) GROUP BY f.day"""))
 
+  /** A31: robust outlier detection — median/MAD flagging per group
+    * (the 3-sigma rule's robust cousin: mean/stddev are themselves
+    * dragged by the outliers they're meant to find). Exactness: values
+    * quantize to integer units FIRST, medians run in doubled-unit
+    * spaces so every interpolated midpoint is integer-valued, and the
+    * flag compares 2·dev₂ > 3·mad₄ — all-integer, oracle-exact.
+    *
+    * Scale note: Spark's exact percentile aggregates a value→count map,
+    * so the quantization ALSO bounds aggregation state to the unit
+    * range (≤49k counters here) independent of row count — exact
+    * medians stay cluster-safe; no approx_percentile fallback needed
+    * until the unit range itself explodes. */
+  val a31Outliers = Q(
+    "a31_outliers",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * lit(100)).cast("long").as("u"))
+      val med = ev.groupBy("event_type")
+        .agg((lit(2.0) * expr("percentile(u, 0.5)")).cast("long").as("med2"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(lit(2L) * col("u") - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg((lit(2.0) * expr("percentile(dev2, 0.5)")).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med2"), col("mad4"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("n_outliers"),
+          (col("med2").cast("double") / lit(200.0)).as("median_value"),
+          (col("mad4").cast("double") / lit(400.0)).as("mad_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS u
+        FROM events),
+      med AS (
+        SELECT event_type, CAST(2.0 * quantile_cont(u, 0.5) AS BIGINT) AS med2
+        FROM b GROUP BY 1),
+      dev AS (
+        SELECT b.event_type, med2, abs(2 * u - med2) AS dev2
+        FROM b JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type,
+          CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY 1)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        CAST(med2 AS DOUBLE) / 200.0 AS median_value,
+        CAST(mad4 AS DOUBLE) / 400.0 AS mad_value
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY event_type, med2, mad4
+      ORDER BY event_type"""))
+
+  /** A32: per-group OLS trend line (order value over time per
+    * priority) from the same exact five-sum formulation as a30 — one
+    * map-side-combined shuffle of five BIGINTs per group; slope,
+    * intercept, and r² close over exact DECIMAL(38,0) moments with
+    * only the final IEEE divisions in float, hence oracle-exact. x is
+    * epoch-days (exact small integers), y integer-rounded price. */
+  val a32Regression = Q(
+    "a32_regression",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val b = Tables.load(s, dir, "orders").select(col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("x"),
+        round(col("o_totalprice")).cast("long").as("y"))
+      val m = b.groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("o_orderpriority"), col("n"),
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).as("num"),
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("d1"),
+          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).as("d2"),
+          col("sx"), col("sy"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("num").cast("double") / col("d1").cast("double")).as("slope"),
+          ((col("sy").cast("double") -
+            (col("num").cast("double") / col("d1").cast("double"))
+              * col("sx").cast("double")) / col("n").cast("double"))
+            .as("intercept"),
+          ((col("num").cast("double") * col("num").cast("double")) /
+            (col("d1").cast("double") * col("d2").cast("double"))).as("r2"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH b AS (
+        SELECT o_orderpriority,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          CAST(round(o_totalprice) AS BIGINT) AS y
+        FROM orders),
+      m AS (
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(x*y) AS HUGEINT) AS sxy,
+          CAST(sum(x*x) AS HUGEINT) AS sxx,
+          CAST(sum(y*y) AS HUGEINT) AS syy
+        FROM b GROUP BY 1),
+      f AS (
+        SELECT o_orderpriority, n,
+          (n*sxy - sx*sy) AS num, (n*sxx - sx*sx) AS d1,
+          (n*syy - sy*sy) AS d2, sx, sy
+        FROM m)
+      SELECT o_orderpriority, n,
+        CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) AS slope,
+        (CAST(sy AS DOUBLE)
+          - (CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE) AS intercept,
+        (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+          / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r2
+      FROM f ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a30Corr,
+    a29KmvSetops, a30Corr, a31Outliers, a32Regression,
     j13Bucketed, j14DppJoin, j15BucketedEdges, s12LookupJoin)
 }

@@ -267,7 +267,56 @@ object SetMerge {
       SELECT o_orderkey, status, valid_from, CAST(NULL AS TIMESTAMP),
         true FROM j WHERE eff IS NULL OR ustatus IS NOT DISTINCT FROM status"""))
 
+  /** M13: snapshot diff — the CDC view between two keyed versions of
+    * orders (operators.Merge.snapshotDiff: one full-outer key join +
+    * row-local verdict; unchanged rows dropped). The "new" snapshot is
+    * derived deterministically from the same table — keys %97 deleted,
+    * prices bumped on %31, %89 re-keyed high as inserts — so the oracle
+    * replays both sides and the classification exactly. */
+  val m13SnapshotDiff = Q(
+    "m13_snapshot_diff",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val newer = orders
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+          .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus")))
+      graft.operators.Merge.snapshotDiff(orders, newer,
+          Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH older AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      newer AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, 'N'
+        FROM orders WHERE o_orderkey % 89 = 0)
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN n.o_orderkey IS NULL THEN 'removed'
+          ELSE 'changed' END AS change,
+        o.o_totalprice AS old_o_totalprice,
+        n.o_totalprice AS new_o_totalprice,
+        o.o_orderstatus AS old_o_orderstatus,
+        n.o_orderstatus AS new_o_orderstatus
+      FROM older o FULL OUTER JOIN newer n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
-    u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving)
+    u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
+    m13SnapshotDiff)
 }

@@ -930,6 +930,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 1L)))
   }
 
+  test("Merge.snapshotDiff: added/removed/changed verdicts, null-safe compare") {
+    val older = Seq((1L, Some("a"), 10.0), (2L, None, 20.0),
+      (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val newer = Seq((1L, Some("a"), 10.0), (2L, None, 20.0),
+      (3L, None, 30.0), (5L, Some("e"), 50.0))
+      .toDF("k", "s", "v")
+    val got = Merge.snapshotDiff(older, newer, Seq("k"), Seq("s", "v"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    // 1 identical, 2 identical WITH null field (null-safe: not a change),
+    // 3 changed (c -> null), 4 removed, 5 added
+    assert(got == Map(3L -> "changed", 4L -> "removed", 5L -> "added"),
+      s"got $got")
+  }
+
   test("Sketches.cmsJoinSize: never under the true join size, exact sans collisions") {
     val a = Seq(1L, 1L, 2L).toDF("k")
     val b = Seq(1L, 2L, 2L, 3L).toDF("k")
