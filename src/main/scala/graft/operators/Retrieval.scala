@@ -51,20 +51,31 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
   }
 
+  /** 1-row corpus stats frame; avgdl = exact-integer sum /
+    * exact-integer count, a single double division. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextAnalysis.rawTokens(col(textCol))
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("sum_dl"))
+  }
+
   /** Top-k docs per query by BM25. `queries` is the (queryId, terms)
     * batch — a handful of rows, broadcast. Output: one row per
     * (query_id, rank) with the doc, its fixed-point score, and how many
     * query terms matched. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame =
+    bm25Serve(postings(docs, idCol, textCol),
+      corpusStats(docs, textCol), idCol, queries, k)
+
+  /** [[bm25TopK]] against an ALREADY-BUILT index: score a query batch
+    * from a postings table + 1-row stats frame. This is the serving
+    * half — index once, query many; nothing here touches document
+    * text. */
+  def bm25Serve(post: DataFrame, stats: DataFrame, idCol: String,
       queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = post.sparkSession
     import spark.implicits._
-    val post = postings(docs, idCol, textCol)
-    // 1-row corpus stats; avgdl = exact-integer sum / exact-integer
-    // count, a single double division.
-    val toks = TextAnalysis.rawTokens(col(textCol))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(toks).cast("long")).as("sum_dl"))
     val qterms = queries
       .flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("query_id", "term")
@@ -102,6 +113,36 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), col("col.score").cast("long").as("score_fp"))
+  }
+
+  /** [[bm25TopK]] with the index MATERIALIZED: the postings land once
+    * as a term-bucketed stored table (plus the 1-row stats table), and
+    * every query batch after the first serves purely from the store —
+    * the `docs` thunk is never forced again (same stored-table contract
+    * as Dedup.incrementalNearDupsStored). At 100 TB this is the only
+    * sane shape: tokenizing the corpus is the dominant cost and is paid
+    * exactly once per index build, not per query. */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession,
+      docs: => DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int, tag: String,
+      buckets: Int = 8): DataFrame = {
+    val postTable = s"g_bm25_post_$tag"
+    val statsTable = s"g_bm25_stats_$tag"
+    val base = s"${graft.sources.Bucketing.processRoot}/bm25_$tag"
+    graft.sources.Bucketing.ensureOnce(s"bm25@$tag#$buckets") {
+      // the ONLY place the corpus is read: one forced pass feeds both
+      // stored tables
+      val d = docs.cache()
+      graft.sources.Bucketing.writeBucketed(
+        postings(d, idCol, textCol), postTable, s"$base/post",
+        "term", buckets)
+      corpusStats(d, textCol).write
+        .option("path", s"$base/stats").mode("overwrite")
+        .format("parquet").saveAsTable(statsTable)
+      d.unpersist()
+    }
+    bm25Serve(spark.table(postTable), spark.table(statsTable),
+      idCol, queries, k)
   }
 
   /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the

@@ -961,9 +961,32 @@ object Corpus {
       Tables.load(s, dir, "documents"), "doc_id", "text", Bm25Queries, 10),
     Some(graft.operators.Retrieval.bm25OracleSql(Bm25Queries, 10)))
 
+  /** Second retrieval batch, served from the STORED index — proves the
+    * index outlives the batch that built it. */
+  val Bm25QueriesB: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("order", "group", "sort"),
+    2L -> Seq("big", "small"),
+    3L -> Seq("line", "part", "key"))
+
+  /** BM25 served from the materialized term-bucketed postings store
+    * (operators.Retrieval.bm25TopKStored): the corpus is tokenized once
+    * per index build; this query batch reads only the stored tables.
+    * The oracle recomputes from scratch — identical results, which IS
+    * the stored-index contract. */
+  val txtBm25Stored = Q(
+    "txt_bm25_stored",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Retrieval.bm25TopKStored(s,
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Bm25QueriesB, 10, tag = tag)
+    },
+    Some(graft.operators.Retrieval.bm25OracleSql(Bm25QueriesB, 10)))
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
-    txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25)
+    txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
+    txtBm25Stored)
 }

@@ -930,6 +930,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 1L)))
   }
 
+  test("Retrieval.bm25TopKStored: equals the direct path; batch 2 never re-reads docs") {
+    val sf = "/root/testdata/sf0.001"
+    var forced = 0
+    def docs = { forced += 1; graft.Tables.load(spark, sf, "documents") }
+    val qA = Seq(1L -> Seq("spark", "join"))
+    val qB = Seq(1L -> Seq("hash", "scan"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val got1 = canon(Retrieval.bm25TopKStored(spark, docs, "doc_id", "text",
+      qA, 5, tag = "opspec_bm25"))
+    assert(forced == 1, "first batch builds the index once")
+    val got2 = canon(Retrieval.bm25TopKStored(spark, docs, "doc_id", "text",
+      qB, 5, tag = "opspec_bm25"))
+    // the stored-index contract: a later batch serves purely from the
+    // store — the docs thunk is never even forced
+    assert(forced == 1, "batch 2 must not touch the corpus")
+    val base = graft.Tables.load(spark, sf, "documents")
+    assert(got1 == canon(Retrieval.bm25TopK(base, "doc_id", "text", qA, 5)))
+    assert(got2 == canon(Retrieval.bm25TopK(base, "doc_id", "text", qB, 5)))
+  }
+
   test("Merge.snapshotDiff: added/removed/changed verdicts, null-safe compare") {
     val older = Seq((1L, Some("a"), 10.0), (2L, None, 20.0),
       (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))

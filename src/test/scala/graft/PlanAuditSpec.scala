@@ -96,6 +96,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_embed_cosine",     // ground-truth baseline, pinned to id<1000
     "txt_tfidf",           // 1-row corpus-size frame broadcast into the scorer
     "txt_bm25",            // 1-row corpus-stats frame broadcast into the scorer
+    "txt_bm25_stored",     // same 1-row stats frame, read from the store
     "j17_join_guard"       // 1-row estimate × 1-row labeled truth
   )
 
