@@ -779,9 +779,118 @@ object Coverage {
           / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r2
       FROM f ORDER BY o_orderpriority"""))
 
+  /** A33: mergeable-sketch ROLLUP — cumulative distinct users per day
+    * from per-day KMV sketches alone. The property that makes sketches
+    * the warehouse rollup primitive: day sketches build once (groups×k
+    * longs of shuffle, map-side combined), and every cumulative answer
+    * after that merges sketch ARRAYS — k-smallest of the union of
+    * k-smallest sets IS the k-smallest of the union, so the merge is
+    * lossless and the rollup never re-scans the raw stream. The
+    * triangular day≤day join touches |days|²·k longs — at 100 TB that
+    * is the difference between re-scanning a year of events per report
+    * and merging 365 arrays. All-integer, oracle-exact (the oracle
+    * recomputes each cumulative sketch from scratch; equality with the
+    * merged form is exactly the losslessness claim). */
+  val a33SketchRollup = Q(
+    "a33_sketch_rollup",
+    (s, dir) => {
+      val k = 64
+      val daily = Tables.load(s, dir, "events")
+        .select(col("ts").cast("date").as("day"),
+          graft.operators.Dedup.hash56(col("user_id").cast("string")).as("h"))
+        .groupBy("day")
+        .agg(graft.operators.Sketches.kmv(k)(col("h")).as("kmv"))
+      val cum = daily.as("a")
+        .join(broadcast(daily.select(col("day").as("day_b"),
+          col("kmv").as("kmv_b"))), col("day_b") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(slice(array_sort(array_distinct(
+          flatten(collect_list(col("kmv_b"))))), 1, k).as("kmv"))
+      daily.select(col("day"),
+          graft.operators.Sketches.estimate("kmv", k).as("day_users_est"))
+        .join(cum.select(col("day"),
+          graft.operators.Sketches.estimate("kmv", k).as("cum_users_est")),
+          "day")
+        .orderBy("day")
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      val scale = 63L * m56
+      s"""WITH h AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+          ((md5_number_lower(CAST(user_id AS VARCHAR)) % $m56)::BIGINT) AS hv
+        FROM events),
+      r AS (
+        SELECT day, hv,
+          row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM h),
+      daily AS (
+        SELECT day,
+          CASE WHEN count(*) < 64 THEN count(*)
+               ELSE $scale // max(hv) END AS day_users_est
+        FROM r WHERE rn <= 64 GROUP BY day),
+      days AS (SELECT DISTINCT day FROM h),
+      ch AS (
+        SELECT d.day, h.hv FROM days d
+        JOIN (SELECT DISTINCT day, hv FROM h) h ON h.day <= d.day),
+      cdh AS (SELECT DISTINCT day, hv FROM ch),
+      cr AS (
+        SELECT day, hv,
+          row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM cdh),
+      cum AS (
+        SELECT day,
+          CASE WHEN count(*) < 64 THEN count(*)
+               ELSE $scale // max(hv) END AS cum_users_est
+        FROM cr WHERE rn <= 64 GROUP BY day)
+      SELECT day, day_users_est, cum_users_est
+      FROM daily JOIN cum USING (day) ORDER BY day"""
+    })
+
+  /** A34: key-skew report — the pre-join diagnostic that decides
+    * whether a key needs j12's salting or AQE skew splitting BEFORE the
+    * join runs. One frequency pass over the key (the profiling job pays
+    * the key shuffle once — this IS the job), then 1-row integer
+    * stats: hottest-key share, top-10 share, max/avg ratio, and the
+    * median frequency (integer-exact percentile over the bounded
+    * value→count state). All integer ‰/% fixed point, oracle-exact. */
+  val a34SkewReport = Q(
+    "a34_skew_report",
+    (s, dir) => {
+      val f = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("f"))
+      val top10 = f.orderBy(col("f").desc, col("user_id")).limit(10)
+        .agg(sum("f").as("top10_rows"))
+      f.agg(count(lit(1)).as("n_keys"), sum("f").as("n_rows"),
+          max("f").as("max_f"),
+          (lit(2.0) * expr("percentile(f, 0.5)")).cast("long").as("med_f2"))
+        .crossJoin(broadcast(top10))
+        .select(col("n_keys"), col("n_rows"), col("max_f"),
+          expr("(1000 * max_f) div n_rows").as("top1_share_pm"),
+          expr("(1000 * top10_rows) div n_rows").as("top10_share_pm"),
+          expr("(100 * max_f * n_keys) div n_rows").as("max_over_avg_pct"),
+          expr("med_f2 div 2").as("median_f"))
+    },
+    Some("""WITH f AS (
+        SELECT user_id, count(*) AS f FROM events GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(f) AS BIGINT) AS top10_rows FROM (
+          SELECT f FROM f ORDER BY f DESC, user_id LIMIT 10)),
+      m AS (
+        SELECT count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows,
+          max(f) AS max_f,
+          CAST(2.0 * quantile_cont(f, 0.5) AS BIGINT) AS med_f2
+        FROM f)
+      SELECT n_keys, n_rows, max_f,
+        (1000 * max_f) // n_rows AS top1_share_pm,
+        (1000 * top10_rows) // n_rows AS top10_share_pm,
+        (100 * max_f * n_keys) // n_rows AS max_over_avg_pct,
+        med_f2 // 2 AS median_f
+      FROM m, t"""))
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a30Corr, a31Outliers, a32Regression,
-    j13Bucketed, j14DppJoin, j15BucketedEdges, s12LookupJoin)
+    a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a34SkewReport, j13Bucketed, j14DppJoin, j15BucketedEdges, s12LookupJoin)
 }
