@@ -53,4 +53,35 @@ object Profile {
       .select(explode(array(entries.indices.map(i => col(s"c$i")): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Distribution drift between two snapshot generations — the monitor
+    * that catches a crawl whose language mix or value distribution
+    * silently shifted before it trains a model. Inputs are pre-bucketed
+    * observations, one row per record: `(dim, bucket)` — the caller
+    * decides what a bucket is (a categorical value, a fixed-width
+    * numeric bin). Output: per (dim, bucket) the old/new counts, each
+    * side's share of its dim in integer permille, and the absolute
+    * share delta — all-integer, so the whole report is oracle-exact
+    * (sum delta_pm over a dim and halve for total-variation distance).
+    *
+    * Scale: one map-side-combined count per side keyed (dim, bucket) —
+    * cardinality = buckets, not rows; dim totals re-aggregate the
+    * bucket counts (tiny) and broadcast back. */
+  def driftReport(olderBuckets: DataFrame, newerBuckets: DataFrame): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.groupBy("dim", "bucket").agg(count(lit(1)).as(as))
+    val j = counts(olderBuckets, "n_old")
+      .join(counts(newerBuckets, "n_new"), Seq("dim", "bucket"), "full_outer")
+      .select(col("dim"), col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = j.groupBy("dim")
+      .agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
+    j.join(broadcast(totals), "dim")
+      .select(col("dim"), col("bucket"), col("n_old"), col("n_new"),
+        expr("(1000 * n_old) div tot_old").as("share_old_pm"),
+        expr("(1000 * n_new) div tot_new").as("share_new_pm"),
+        abs(expr("(1000 * n_old) div tot_old") -
+          expr("(1000 * n_new) div tot_new")).as("delta_pm"))
+  }
 }

@@ -888,9 +888,74 @@ object Coverage {
         med_f2 // 2 AS median_f
       FROM m, t"""))
 
+  /** A35: snapshot drift report (operators.Profile.driftReport) — the
+    * between-generations monitor a training-data pipeline runs before a
+    * new crawl trains anything: per (dimension, bucket) counts and
+    * integer-permille shares for both generations plus the absolute
+    * share delta. The "new" generation is derived deterministically
+    * (clicks hash-downsampled to ~30%), so the category histogram
+    * shifts while value deciles barely move — both visible in delta_pm.
+    * All-integer, oracle-exact. */
+  val a35DriftReport = Q(
+    "a35_drift_report",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val ev = Tables.load(s, dir, "events")
+      val newSnap = ev.filter(col("event_type") =!= "click" ||
+        graft.operators.Dedup.hash56(col("event_id").cast("string")) % 10 < 3)
+      def buckets(df: DataFrame) = df
+        .select(lit("event_type").as("dim"), col("event_type").as("bucket"))
+        .unionByName(df.select(lit("value_bin").as("dim"),
+          concat(lit("b"), expr(
+            "least(9, cast(round(value * 100) as bigint) div 5000)"))
+            .as("bucket")))
+      graft.operators.Profile.driftReport(buckets(ev), buckets(newSnap))
+        .orderBy("dim", "bucket")
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      s"""WITH newsnap AS (
+        SELECT * FROM events WHERE event_type <> 'click'
+          OR ((md5_number_lower(CAST(event_id AS VARCHAR)) % $m56)::BIGINT) % 10 < 3),
+      ob AS (
+        SELECT 'event_type' AS dim, event_type AS bucket FROM events
+        UNION ALL
+        SELECT 'value_bin',
+          'b' || CAST(least(9, CAST(round(value * 100) AS BIGINT) // 5000)
+            AS VARCHAR)
+        FROM events),
+      nb AS (
+        SELECT 'event_type' AS dim, event_type AS bucket FROM newsnap
+        UNION ALL
+        SELECT 'value_bin',
+          'b' || CAST(least(9, CAST(round(value * 100) AS BIGINT) // 5000)
+            AS VARCHAR)
+        FROM newsnap),
+      oc AS (SELECT dim, bucket, count(*) AS n_old FROM ob GROUP BY 1, 2),
+      nc AS (SELECT dim, bucket, count(*) AS n_new FROM nb GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(oc.dim, nc.dim) AS dim,
+          coalesce(oc.bucket, nc.bucket) AS bucket,
+          CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+          CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+        FROM oc FULL OUTER JOIN nc
+          ON oc.dim = nc.dim AND oc.bucket = nc.bucket),
+      t AS (
+        SELECT dim, CAST(sum(n_old) AS BIGINT) AS tot_old,
+          CAST(sum(n_new) AS BIGINT) AS tot_new
+        FROM j GROUP BY 1)
+      SELECT j.dim, bucket, n_old, n_new,
+        (1000 * n_old) // tot_old AS share_old_pm,
+        (1000 * n_new) // tot_new AS share_new_pm,
+        abs((1000 * n_old) // tot_old - (1000 * n_new) // tot_new)
+          AS delta_pm
+      FROM j JOIN t USING (dim) ORDER BY dim, bucket"""
+    })
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
-    a34SkewReport, j13Bucketed, j14DppJoin, j15BucketedEdges, s12LookupJoin)
+    a34SkewReport, a35DriftReport, j13Bucketed, j14DppJoin,
+    j15BucketedEdges, s12LookupJoin)
 }
