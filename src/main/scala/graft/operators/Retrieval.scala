@@ -145,6 +145,46 @@ object Retrieval {
       idCol, queries, k)
   }
 
+  /** The INGEST half of the live index: append a document batch's
+    * postings to the stored table (same bucket spec — reads stay
+    * term-bucketed) and roll the batch's token counts into the stats
+    * row. After this, [[bm25TopKStored]] serves WITH the new docs: df,
+    * n_docs, and avgdl all reflect the append, so results equal a full
+    * rebuild over the grown corpus (pinned in OperatorsSpec). Together
+    * with bm25TopKStored this is the index-maintenance cycle a live
+    * search tier runs per ingest batch — tokenize the BATCH, never the
+    * corpus.
+    *
+    * The stats update is a driver-side read-modify-write of ONE row —
+    * bounded by construction. Caller contract (same as the dedup
+    * store): a doc id is appended at most once; re-sending a batch
+    * double-counts it. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, tag: String,
+      buckets: Int = 8): Unit = {
+    val postTable = s"g_bm25_post_$tag"
+    val statsTable = s"g_bm25_stats_$tag"
+    require(spark.catalog.tableExists(postTable) &&
+        spark.catalog.tableExists(statsTable),
+      s"index '$tag' must be initialized by bm25TopKStored first")
+    val b = batch.cache()
+    postings(b, idCol, textCol).write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(postTable)
+    val add = corpusStats(b, textCol).collect().head
+    b.unpersist()
+    // 1-row read-modify-write; the row is collected BEFORE the
+    // overwrite, and the location is derived from the tag exactly as
+    // the build derived it
+    val cur = spark.table(statsTable).collect().head
+    import spark.implicits._
+    Seq((cur.getLong(0) + add.getLong(0), cur.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite")
+      .option("path", s"${graft.sources.Bucketing.processRoot}/bm25_$tag/stats")
+      .format("parquet").saveAsTable(statsTable)
+  }
+
   /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the
     * same constants so the two can never drift. */
   def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {

@@ -951,6 +951,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == canon(Retrieval.bm25TopK(base, "doc_id", "text", qB, 5)))
   }
 
+  test("Retrieval.appendToIndex: served results equal a full rebuild after ingest") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"), 2L -> Seq("hash", "scan"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    // index 80% of the corpus, then ingest the remaining 20% in two batches
+    Retrieval.bm25TopKStored(spark, docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", q, 5, tag = "opspec_bm25ing").collect()
+    Retrieval.appendToIndex(spark,
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0),
+      "doc_id", "text", tag = "opspec_bm25ing")
+    Retrieval.appendToIndex(spark,
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0),
+      "doc_id", "text", tag = "opspec_bm25ing")
+    val served = canon(Retrieval.bm25TopKStored(spark,
+      sys.error("grown index must serve without touching the corpus"),
+      "doc_id", "text", q, 5, tag = "opspec_bm25ing"))
+    // df, n_docs, and avgdl must all reflect the appends: any stale stat
+    // shifts scores and breaks set equality with the full rebuild
+    assert(served == canon(Retrieval.bm25TopK(docs, "doc_id", "text", q, 5)),
+      "served index after ingest must equal a rebuild over the grown corpus")
+  }
+
   test("Merge.snapshotDiff: added/removed/changed verdicts, null-safe compare") {
     val older = Seq((1L, Some("a"), 10.0), (2L, None, 20.0),
       (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))
