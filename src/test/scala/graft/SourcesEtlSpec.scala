@@ -11,6 +11,22 @@ class SourcesEtlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("Shards.writeWithManifest: shard count, row conservation, verifiable manifest") {
+    import graft.sources.Shards
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val df = (1L to 1000L).toDF("id").withColumn("payload",
+      concat(lit("row"), col("id")))
+    val man = Shards.writeWithManifest(df, dir, "id", 8).cache()
+    try {
+      assert(man.count() == 8, "one manifest row per shard file")
+      assert(Shards.verifyManifest(man, 1000L))
+      assert(!Shards.verifyManifest(man, 999L),
+        "row-total mismatch must fail verification")
+      // manifest rows must equal the data re-read (trust nothing)
+      assert(spark.read.parquet(dir).count() == 1000L)
+    } finally man.unpersist()
+  }
+
   test("Layout.zValue interleaves bits; writeZOrdered bounds both dims per file") {
     import graft.sources.Layout
     // exact Morton weave: x=5 (101), y=3 (011), 3 bits →
