@@ -162,6 +162,34 @@ object Graph {
     * lineage stays shallow enough to skip checkpointing. */
   val Unit12 = 1000000000000L
 
+  /** Multi-source BFS hop distance over the undirected item graph —
+    * "how far is every product from the seed set" (the reference's
+    * network screens walk 1 hop; this is the general k-hop reach).
+    * Frontier expansion: seeds start at hop 0; each round joins ONLY
+    * the current frontier to the adjacency, anti-joins what's already
+    * reached (first discovery IS the min hop — the BFS invariant), and
+    * unions the new layer in. maxHops rounds of equi-join + anti-join,
+    * frontier-sized inputs — the standard distributed BFS. For deep
+    * traversals add a localCheckpoint every few rounds (the
+    * connectedComponents lineage lesson); at the small fixed depths a
+    * reachability report uses, plain lineage is cheaper. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    var dist = seeds.select(col("node"), lit(0L).as("hop"))
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = directed.join(frontier,
+          directed("src") === frontier("node")).drop("node")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop"))
+      dist = dist.unionByName(next)
+      frontier = next.select("node")
+    }
+    dist
+  }
+
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))

@@ -261,6 +261,42 @@ object Coverage {
         UNION ALL SELECT item_b FROM edges)
       GROUP BY 1"""))
 
+  /** G4: multi-source BFS hop distance (Graph.bfsHops) over the same
+    * co-purchase graph as g_degrees — seeds are partkeys ≡ 0 mod 97,
+    * output is every node within 3 hops with its first-discovery (=
+    * minimum) hop. The oracle is a recursive CTE whose UNION-dedup
+    * bounds each level at |nodes| rows, closed with min(hop) — the
+    * declarative restatement of the frontier invariant. */
+  val gBfs = Q(
+    "g_bfs",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
+        minShared = 2, maxGroupSize = Int.MaxValue)
+      val nodes = edges.select(col("item_a").as("node"))
+        .unionByName(edges.select(col("item_b").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 97 === 0)
+      Graph.bfsHops(edges, seeds, maxHops = 3).orderBy("node")
+    },
+    Some("""WITH RECURSIVE ld AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS (
+        SELECT item_a AS src, item_b AS dst FROM edges
+        UNION ALL SELECT item_b, item_a FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM und),
+      bfs(node, hop) AS (
+        SELECT node, 0 FROM nodes WHERE node % 97 = 0
+        UNION
+        SELECT u.dst, b.hop + 1 FROM bfs b JOIN und u ON u.src = b.node
+        WHERE b.hop < 3)
+      SELECT node, CAST(min(hop) AS BIGINT) AS hop
+      FROM bfs GROUP BY node ORDER BY node"""))
+
   /** A18: sketch aggregates — HyperLogLog++ distinct counts and t-digest
     * quantiles per group. These are THE at-scale forms of A6/A17 (exact
     * distinct shuffles every key; exact percentile sorts every value;
@@ -953,7 +989,7 @@ object Coverage {
     })
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gBfs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, j13Bucketed, j14DppJoin,

@@ -1026,6 +1026,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(score(1L) > score(4L), "one rare-term hit must beat repeated common hits")
   }
 
+  test("Graph.bfsHops: min-hop layers, unreachable nodes absent, seeds at 0") {
+    // path 1-2-3-4-5 plus a detached pair 8-9; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("item_a", "item_b")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"got $got") // 5 is 4 hops out; 8/9 unreachable
+    // a cycle must not re-discover at a larger hop: triangle seeded at one corner
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("item_a", "item_b")
+    val g2 = Graph.bfsHops(tri, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("Graph.pagerankFixed: ranks conserve mass and hubs outrank leaves") {
     // star: 1 is the hub of 2,3,4; plus an isolated edge 5-6
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
