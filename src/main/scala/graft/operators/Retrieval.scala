@@ -195,6 +195,33 @@ object Retrieval {
       .write.mode("overwrite")
       .option("path", s"${graft.sources.Bucketing.processRoot}/bm25_$tag/stats")
       .format("parquet").saveAsTable(statsTable)
+    // invalidate cached relations/file listings in EVERY session sharing
+    // the catalog: a foreachBatch append runs in a micro-batch session
+    // clone, and without this the outer session kept serving the
+    // pre-append listing (observed: df from a fraction of the corpus)
+    spark.catalog.refreshTable(postTable)
+    spark.catalog.refreshTable(statsTable)
+  }
+
+  /** [[appendToIndex]] made REDELIVERY-PROOF: drop batch docs whose id
+    * the index already holds (one anti-join against the stored doc
+    * ids), then append the remainder. This is the foreachBatch body for
+    * a live-indexing stream — an at-least-once source can re-send a
+    * batch and the index neither double-counts postings nor inflates
+    * the stats (the StreamingSpec twin pins it). */
+  def ingestNewDocs(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, tag: String,
+      buckets: Int = 8): Unit = {
+    val known = spark.table(s"g_bm25_post_$tag").select(col(idCol)).distinct()
+    // localCheckpoint (eager), NOT cache: the anti-join reads the very
+    // table the append below mutates, and a lazily-cached plan re-reads
+    // the POST-append file listing for any partition the guard didn't
+    // materialize — the batch's own rows then look "known" and vanish
+    // mid-ingest (observed as a null stats sum). Truncating the lineage
+    // pins the pre-append snapshot.
+    val fresh = batch.join(known, Seq(idCol), "left_anti").localCheckpoint()
+    if (fresh.limit(1).count() > 0)
+      appendToIndex(spark, fresh, idCol, textCol, tag, buckets)
   }
 
   /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the

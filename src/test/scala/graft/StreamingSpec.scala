@@ -435,4 +435,41 @@ class StreamingSpec extends AnyFunSuite {
     // user 1: (e1,e2) then e4; user 2: e3 then e5
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
   }
+
+  test("live BM25 indexing stream: ingest per micro-batch, redelivery is a no-op") {
+    import graft.operators.Retrieval
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents").cache()
+    val tag = "streamspec_bm25"
+    val q = Seq(1L -> Seq("spark", "join"), 2L -> Seq("hash", "scan"))
+    // index the first 60% of the corpus, stream the rest in micro-batches
+    Retrieval.bm25TopKStored(spark, docs.filter(col("doc_id") % 5 < 3),
+      "doc_id", "text", q, 5, tag = tag).collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val query = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Retrieval.ingestNewDocs(spark, b, "doc_id", "text", tag); ()
+      }.start()
+    val tail = docs.filter(col("doc_id") % 5 >= 3)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = tail.splitAt(tail.length / 2)
+    try {
+      mem.addData(b1.toIndexedSeq: _*); query.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); query.processAllAvailable()
+      // at-least-once source re-sends batch 1 wholesale
+      mem.addData(b1.toIndexedSeq: _*); query.processAllAvailable()
+    } finally query.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val served = canon(Retrieval.bm25TopKStored(spark,
+      sys.error("serving must not read the corpus"),
+      "doc_id", "text", q, 5, tag = tag))
+    // redelivery must not double-count postings or inflate stats: the
+    // served results equal one clean rebuild over the full corpus
+    assert(served == canon(Retrieval.bm25TopK(docs, "doc_id", "text", q, 5)),
+      "streamed index must equal a full rebuild despite redelivery")
+    docs.unpersist(); ()
+  }
 }
