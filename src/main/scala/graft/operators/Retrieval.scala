@@ -203,6 +203,40 @@ object Retrieval {
     spark.catalog.refreshTable(statsTable)
   }
 
+  /** RRF constants — Cormack et al. 2009's k=60, and a 1e9 fixed-point
+    * scale so every reciprocal is an exact integer division. */
+  val RrfK = 60L
+  val RrfScale = 1000000000L
+
+  /** Reciprocal-rank fusion of two rankings — hybrid retrieval's
+    * standard combiner (Cormack, Clarke & Buettcher 2009): documents
+    * found by BOTH a sparse (BM25) and a dense (embedding) ranker beat
+    * documents found by one. Score = Σ_r SCALE div (60 + rank_r), an
+    * integer per list entry, so the fused score is an exact BIGINT sum
+    * no matter which engine or order computes it — no min-max score
+    * normalization (the reason RRF wins in practice: ranks compose
+    * across scorers whose scores don't). Inputs: (query_id, id, rank)
+    * each; an id absent from one list contributes 0 from it. Output
+    * top-k per query via the partial TopK aggregator. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val l = a.select(col("query_id"), col("id"),
+      col("rank").cast("long").as("rank_a"))
+    val r = b.select(col("query_id"), col("id"),
+      col("rank").cast("long").as("rank_b"))
+    val fused = l.join(r, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(expr(s"$RrfScale div ($RrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK + rank_b)"), lit(0L)))
+          .as("rrf_fp"))
+    val topk = TopK.topK(k)
+    fused.groupBy("query_id")
+      .agg(topk(col("rrf_fp").cast("double"), col("id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("rrf_fp"))
+  }
+
   /** [[appendToIndex]] made REDELIVERY-PROOF: drop batch docs whose id
     * the index already holds (one anti-join against the stored doc
     * ids), then append the remainder. This is the foreachBatch body for
@@ -224,23 +258,28 @@ object Retrieval {
       appendToIndex(spark, fresh, idCol, textCol, tag, buckets)
   }
 
-  /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the
-    * same constants so the two can never drift. */
-  def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+  /** The [[bm25TopK]] oracle as a reusable CTE chain (final CTE
+    * `bm25_ranked(query_id, doc_id, score_fp, rank)` holds ALL ranked
+    * matches — callers apply their own rank cutoff). `docWhere` filters
+    * the corpus (e.g. "WHERE doc_id >= 10"); generated from the same
+    * constants as the Spark plan so the two can never drift. */
+  def bm25Ctes(queries: Seq[(Long, Seq[String])],
+      docWhere: String = ""): String = {
     val qrows = queries
       .flatMap { case (qid, ts) =>
         ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
       }
       .mkString(", ")
-    s"""WITH q(query_id, term) AS (VALUES $qrows),
+    s"""q(query_id, term) AS (VALUES $qrows),
+      corpus AS (SELECT * FROM documents $docWhere),
       toks AS (
         SELECT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-        FROM documents),
+        FROM corpus),
       dl AS (
         SELECT doc_id,
           len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
-        FROM documents),
+        FROM corpus),
       post AS (
         SELECT t.doc_id, t.term, count(*) AS tf, max(d.dl) AS dl
         FROM toks t JOIN dl d USING (doc_id)
@@ -249,7 +288,7 @@ object Retrieval {
       stats AS (
         SELECT count(*) AS n_docs,
           sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS sum_dl
-        FROM documents),
+        FROM corpus),
       dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
       contrib AS (
         SELECT q.query_id, p.doc_id,
@@ -265,14 +304,20 @@ object Retrieval {
                             / CAST(s.n_docs AS DOUBLE)))))) AS BIGINT)
             AS contrib
         FROM post p JOIN dfreq f USING (term) JOIN q USING (term), stats s),
-      scored AS (
+      bm25_scored AS (
         SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
-        FROM contrib GROUP BY 1, 2)
-      SELECT query_id, rank, doc_id, score_fp FROM (
+        FROM contrib GROUP BY 1, 2),
+      bm25_ranked AS (
         SELECT query_id, doc_id, score_fp,
           CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
-        FROM scored)
-      WHERE rank <= $k"""
+        FROM bm25_scored)"""
   }
+
+  /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the
+    * same constants so the two can never drift. */
+  def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String =
+    s"""WITH ${bm25Ctes(queries)}
+      SELECT query_id, rank, doc_id, score_fp FROM bm25_ranked
+      WHERE rank <= $k"""
 }

@@ -1612,13 +1612,76 @@ object Pipeline {
         CAST((SELECT coalesce(sum(words), 0) FROM near)
           - (SELECT count(*) FROM covered6) AS BIGINT)"""))
 
+  /** Hybrid retrieval: dense (brute-force cosine over embeddings) and
+    * sparse (BM25 over documents) rankings for the SAME five queries —
+    * query q's vector is embeddings[vec_id=q], its terms are
+    * Corpus.Bm25Queries(q) — fused by reciprocal rank
+    * (Retrieval.rrfFuse; exact integer reciprocals, so the fusion is
+    * oracle-replayable even though the two scorers' scores are
+    * incommensurable). Candidates are ids ≥ 10 on both sides (the dense
+    * query split). This is the production search-stack shape: two
+    * independent indexes, rank-level combination, no score
+    * normalization. */
+  val simHybridRrf = Q(
+    "sim_hybrid_rrf",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id").between(1, 5)),
+          e.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("cand_id").as("id"), col("rank"))
+      val sparse = graft.operators.Retrieval.bm25TopK(
+          Tables.load(s, dir, "documents").filter(col("doc_id") >= 10),
+          "doc_id", "text", Corpus.Bm25Queries, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(dense, sparse, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      import graft.operators.Retrieval.{RrfK, RrfScale}
+      s"""WITH ${graft.operators.Retrieval.bm25Ctes(
+          Corpus.Bm25Queries, "WHERE doc_id >= 10")},
+        v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        dsc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ${dotSql("q.e", "c.e")} /
+              (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("c.e", "c.e")}))
+              AS cos
+          FROM v q JOIN v c
+            ON q.vec_id BETWEEN 1 AND 5 AND c.vec_id >= 10),
+        dense AS (
+          SELECT query_id, cand_id, rank FROM (
+            SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id) AS rank
+            FROM dsc) WHERE rank <= 20),
+        sparse AS (
+          SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= 20),
+        fused AS (
+          SELECT coalesce(d.query_id, s.query_id) AS query_id,
+            coalesce(d.cand_id, s.doc_id) AS id,
+            coalesce($RrfScale // ($RrfK + d.rank), 0)
+              + coalesce($RrfScale // ($RrfK + s.rank), 0) AS rrf_fp
+          FROM dense d FULL OUTER JOIN sparse s
+            ON d.query_id = s.query_id AND d.cand_id = s.doc_id)
+        SELECT query_id, rank, id AS doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp
+        FROM (
+          SELECT query_id, id, rrf_fp,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_fp DESC, id) AS BIGINT) AS rank
+          FROM fused)
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+    })
+
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simRecall, simPqRecall,
-    simKmeans, simPq, simPqAdc, simIvfPq, ddSemanticKmeans, txtLangid,
+    simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, ddSemanticKmeans,
+    txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate, corpusCurateCut)
 }

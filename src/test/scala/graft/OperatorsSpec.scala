@@ -951,6 +951,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == canon(Retrieval.bm25TopK(base, "doc_id", "text", qB, 5)))
   }
 
+  test("Retrieval.rrfFuse: both-lists beats one, absence contributes zero") {
+    val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("query_id", "id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 3)
+      .select("doc_id", "rrf_fp").as[(Long, Long)].collect().toMap
+    val s = Retrieval.RrfScale; val k = Retrieval.RrfK
+    // 101 is rank 2 + rank 1; 100 only rank 1; 102 only rank 2
+    assert(got(101L) == s / (k + 2) + s / (k + 1))
+    assert(got(100L) == s / (k + 1) && got(102L) == s / (k + 2))
+    assert(got(101L) > got(100L),
+      "a doc both rankers found must beat either single-ranker doc")
+  }
+
   test("Retrieval.appendToIndex: served results equal a full rebuild after ingest") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents")
