@@ -275,7 +275,74 @@ object Analytics {
         count(DISTINCT user_id) AS n_users
       FROM j GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets,
+  /** Journey patterns for t15 — (name, regex). Kept to the regex core
+    * Java and RE2 agree on (literals, ., *, +, [^x] classes; no
+    * lookaround, no lazy quantifiers), so Spark's rlike and DuckDB's
+    * regexp_matches reach identical verdicts. */
+  val JourneyPatterns: Seq[(String, String)] = Seq(
+    "signup_then_purchase" -> "s.*p",
+    "click_to_purchase" -> "c[^p]*p",
+    "double_click" -> "cc",
+    "error_then_purchase" -> "e[^p]*p")
+
+  /** T15: event-sequence pattern matching — the MATCH_RECOGNIZE niche
+    * done relationally. Each user's ordered event stream collapses to a
+    * journey STRING (one char per event, ordered by (ts, event_id) — a
+    * total order, so the string is deterministic), and funnel questions
+    * become regex matches: "signed up then eventually purchased",
+    * "clicked straight to purchase with nothing between". Output: one
+    * row per pattern with matched-user count and rate in permille.
+    *
+    * Scale shape: ONE groupBy(user) building the journey (state ∝
+    * events-per-user, the sessionization class); the pattern sweep is a
+    * per-row flag vector over user-count rows. At 100 TB the journey
+    * build shares its shuffle across ALL patterns — adding a pattern
+    * costs one more regex per user row, not another scan. */
+  val t15SequenceMatch = Q(
+    "t15_sequence_match",
+    (s, dir) => {
+      val j = Tables.load(s, dir, "events")
+        .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("ch")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("e"))), x => x("ch")), "")
+          .as("journey"))
+      val flags = JourneyPatterns.foldLeft(j) { case (d, (name, re)) =>
+        d.withColumn(name, col("journey").rlike(re))
+      }
+      // ONE aggregation emits every pattern count + the base, then the
+      // 1-row result explodes to long format — no per-pattern job, no
+      // driver-side action
+      val aggs = count(lit(1)).as("total") +: JourneyPatterns.map {
+        case (name, _) => sum(when(col(name), 1L).otherwise(0L)).as(name)
+      }
+      val rows = JourneyPatterns.map { case (name, _) =>
+        struct(lit(name).as("pattern"), col(name).as("n_users"),
+          expr(s"(1000 * $name) div total").as("rate_pm"))
+      }
+      flags.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.*")).orderBy("pattern")
+    },
+    Some {
+      val arms = JourneyPatterns.map { case (name, re) =>
+        s"""SELECT '$name' AS pattern,
+          CAST(sum(CASE WHEN regexp_matches(journey, '$re') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users,
+          CAST((1000 * sum(CASE WHEN regexp_matches(journey, '$re')
+            THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS rate_pm
+        FROM j"""
+      }.mkString(" UNION ALL ")
+      s"""WITH j AS (
+        SELECT user_id,
+          string_agg(substr(event_type, 1, 1), ''
+            ORDER BY epoch_us(ts), event_id) AS journey
+        FROM events GROUP BY 1)
+      $arms ORDER BY pattern"""
+    })
+
+  val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg)
 }
