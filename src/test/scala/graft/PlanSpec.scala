@@ -323,6 +323,31 @@ class PlanSpec extends AnyFunSuite {
       s"cross-doc filter must live in the join condition:\n$joinCond")
   }
 
+  test("m13: snapshot diff joins once on the business key — no product, no window") {
+    val p = plan(SetMerge.m13SnapshotDiff)
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"diff must be one full-outer key join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t15: journey build is one user-keyed aggregate; patterns add no shuffle") {
+    val p = plan(Analytics.t15SequenceMatch)
+    // the per-pattern flags are row-local regexes over the aggregated
+    // journey; a per-pattern scan or join would multiply the shuffle
+    assert(!p.contains("Window"), s"no window belongs in the journey build:\n$p")
+    // user-key shuffle + 1-row final agg + 4-row ORDER BY range exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4,
+      s"journey build should shuffle once (+tiny agg/sort), saw $exchanges:\n$p")
+  }
+
+  test("j17: sketch cells partially aggregate before any exchange") {
+    val p = plan(Joins.j17JoinGuard)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"cmsCells must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("txt_bm25: broadcast query terms, partial top-k, no window over matches") {
     val p = plan(Corpus.txtBm25)
     // query terms and per-term df are tiny frames: they must broadcast
