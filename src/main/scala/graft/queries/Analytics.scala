@@ -342,7 +342,55 @@ object Analytics {
       $arms ORDER BY pattern"""
     })
 
+  /** A36: time-to-convert — seconds from first signup to first
+    * subsequent purchase per user, summarized as converter count plus
+    * exact p50/p75. Percentiles stay at interpolation points whose
+    * fractions are binary-exact ({0,.5} and {0,.25,.5,.75}), and the
+    * interpolated values scale by 4 into integers, so both engines'
+    * linear-interpolation formulas agree bit-for-bit with NO tolerance
+    * (the a31 doubled-unit trick, generalized to quarter units — p90
+    * would interpolate at 0.9·k fractions, which are NOT exact in
+    * binary; stick to dyadic percentiles for oracle-exact results).
+    * Shape: two filtered min-aggregates on user_id (one shuffle each,
+    * map-side combined), a user-key join, then a 1-row summary whose
+    * exact-percentile state is bounded by distinct delta values. */
+  val a36TimeToConvert = Q(
+    "a36_time_to_convert",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val d = su.join(pu, "user_id")
+        .filter(col("p_us") > col("s_us"))
+        .select(expr("(p_us - s_us) div 1000000").as("delta_s"))
+      d.agg(count(lit(1)).as("n_converters"),
+          (lit(4.0) * expr("percentile(delta_s, 0.5)")).cast("long").as("med4"),
+          (lit(4.0) * expr("percentile(delta_s, 0.75)")).cast("long").as("p75_4"))
+        .select(col("n_converters"),
+          (col("med4").cast("double") / lit(4.0)).as("p50_s"),
+          (col("p75_4").cast("double") / lit(4.0)).as("p75_s"))
+    },
+    Some("""WITH su AS (
+        SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (
+        SELECT user_id, min(epoch_us(ts)) AS p_us FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (
+        SELECT (p_us - s_us) // 1000000 AS delta_s
+        FROM su JOIN pu USING (user_id) WHERE p_us > s_us)
+      SELECT count(*) AS n_converters,
+        CAST(CAST(4.0 * quantile_cont(delta_s, 0.5) AS BIGINT) AS DOUBLE)
+          / 4.0 AS p50_s,
+        CAST(CAST(4.0 * quantile_cont(delta_s, 0.75) AS BIGINT) AS DOUBLE)
+          / 4.0 AS p75_s
+      FROM d"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
+    a36TimeToConvert,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg)
 }
