@@ -988,10 +988,48 @@ object Coverage {
       FROM j JOIN t USING (dim) ORDER BY dim, bucket"""
     })
 
+  /** A37: concentration index — per event type, the Herfindahl–
+    * Hirschman index of user-activity shares (Σ shareᵢ², the standard
+    * "is this market/keyspace dominated by a few players" statistic;
+    * here: is an event type's volume spread across users or owned by a
+    * handful). Computed exactly in integer basis points of a full
+    * 10000-point HHI: hhi_bp = (10⁸·Σfᵢ²) div (Σf)² — LONG floor
+    * division, matching DuckDB's `//` bit-for-bit (decimal division
+    * would round half-up at its result scale before any cast and
+    * disagree with the oracle's floor on knife-edge quotients).
+    * Headroom: 10⁸·Σfᵢ² fits a LONG to ~3·10⁵ rows per hottest key;
+    * past that pre-scale the frequencies (f div 10 shifts both sums by
+    * 100, leaving the ratio intact to rounding) or lift into
+    * DECIMAL(38,0) with an explicit floor. Complements a34's order
+    * statistics (max/top-10 share) with the full-distribution scalar;
+    * one frequency pass keyed (event_type, user), one bounded rollup.
+    * All-integer, oracle-exact. */
+  val a37Concentration = Q(
+    "a37_concentration",
+    (s, dir) => {
+      val f = Tables.load(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("f"))
+      f.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum("f").as("n_rows"),
+          sum(col("f") * col("f")).as("sum_f2"))
+        .select(col("event_type"), col("n_users"), col("n_rows"),
+          expr("(100000000 * sum_f2) div (n_rows * n_rows)").as("hhi_bp"))
+        .orderBy("event_type")
+    },
+    Some("""WITH f AS (
+        SELECT event_type, user_id, count(*) AS f FROM events GROUP BY 1, 2)
+      SELECT event_type, count(*) AS n_users,
+        CAST(sum(f) AS BIGINT) AS n_rows,
+        CAST((100000000 * CAST(sum(f * f) AS HUGEINT))
+          // (CAST(sum(f) AS HUGEINT) * CAST(sum(f) AS HUGEINT))
+          AS BIGINT) AS hhi_bp
+      FROM f GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gBfs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
-    a34SkewReport, a35DriftReport, j13Bucketed, j14DppJoin,
+    a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
