@@ -275,6 +275,102 @@ object Analytics {
         count(DISTINCT user_id) AS n_users
       FROM j GROUP BY 1, 2"""))
 
+  /** A38: cohort LTV curve — cumulative per-user-cohort value by weeks
+    * since acquisition (a25's retention grid, upgraded from "was
+    * active" to "how much value"): per (cohort_week, week_offset) the
+    * week's summed value, distinct active users, and the running
+    * cumulative — the curve a growth team reads LTV payback off.
+    * Sums stay DECIMAL through the cumulative window (running double
+    * sums would be frame-order-dependent; decimal is exact) and cast to
+    * double only on output. The cumulative window partitions by cohort
+    * over ≤ a-few-dozen offset rows — bounded by calendar, not data. */
+  val a38CohortLtv = Q(
+    "a38_cohort_ltv",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val cohort = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val wk = e.join(cohort, "user_id")
+        .withColumn("week_offset",
+          expr("CAST(datediff(date_trunc('week', ts), cohort_week) DIV 7 AS BIGINT)"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(sum(Q.dec("value")).as("wv"),
+          countDistinct(col("user_id")).as("n_users"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wk.select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("wv").cast("double").as("week_value"),
+        sum(col("wv")).over(w).cast("double").as("cum_value"))
+    },
+    Some("""WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT f.cohort_week,
+          CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+            AS BIGINT) AS week_offset,
+          e.user_id, CAST(e.value AS DECIMAL(18,2)) AS v
+        FROM events e JOIN f USING (user_id)),
+      wk AS (
+        SELECT cohort_week, week_offset, sum(v) AS wv,
+          count(DISTINCT user_id) AS n_users
+        FROM j GROUP BY 1, 2)
+      SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+        n_users, CAST(wv AS DOUBLE) AS week_value,
+        CAST(sum(wv) OVER (PARTITION BY cohort_week ORDER BY week_offset
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS cum_value
+      FROM wk"""))
+
+  /** T16: OHLC resample bars — the classic time-series downsample
+    * (open/high/low/close per instrument per hour; here event_type is
+    * the instrument and value the tick). Open/close are first/last in
+    * (ts, event_id) order — a total order, so bars are deterministic;
+    * value goes through the DECIMAL(18,2) contract. Windows partition
+    * by (instrument, bar): no task ever sees more than one bar's
+    * ticks. */
+  val t16OhlcBars = Q(
+    "t16_ohlc_bars",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bar"),
+          unix_micros(col("ts")).as("us"), col("event_id"), Q.dec("value").as("v"))
+      val wa = Window.partitionBy("event_type", "bar")
+        .orderBy(col("us"), col("event_id"))
+      val wf = wa.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.select(col("event_type"), col("bar"),
+          first(col("v")).over(wf).as("open"),
+          max(col("v")).over(wf).as("high"),
+          min(col("v")).over(wf).as("low"),
+          last(col("v")).over(wf).as("close"),
+          count(lit(1)).over(wf).as("n_ticks"))
+        .distinct()
+        .select(col("event_type"), col("bar"),
+          col("open").cast("double").as("open"),
+          col("high").cast("double").as("high"),
+          col("low").cast("double").as("low"),
+          col("close").cast("double").as("close"), col("n_ticks"))
+    },
+    Some("""WITH t AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar,
+          epoch_us(ts) AS us, event_id,
+          CAST(value AS DECIMAL(18,2)) AS v
+        FROM events),
+      b AS (
+        SELECT DISTINCT event_type, bar,
+          first_value(v) OVER w AS open,
+          max(v) OVER w AS high,
+          min(v) OVER w AS low,
+          last_value(v) OVER w AS close,
+          count(*) OVER w AS n_ticks
+        FROM t
+        WINDOW w AS (PARTITION BY event_type, bar ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT event_type, CAST(bar AS TIMESTAMP) AS bar,
+        CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+        CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close,
+        n_ticks FROM b"""))
+
   /** Journey patterns for t15 — (name, regex). Kept to the regex core
     * Java and RE2 agree on (literals, ., *, +, [^x] classes; no
     * lookaround, no lazy quantifiers), so Spark's rlike and DuckDB's
@@ -390,7 +486,7 @@ object Analytics {
       FROM d"""))
 
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
-    a36TimeToConvert,
+    a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg)
 }
