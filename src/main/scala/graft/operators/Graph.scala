@@ -190,6 +190,39 @@ object Graph {
     dist
   }
 
+  /** Personalized PageRank — [[pagerankFixed]] with the teleport mass
+    * pinned to a SEED set ("entities similar to THESE", the
+    * recommendation/expansion primitive; global PageRank answers
+    * "globally important"). Same 10⁻¹² integer units, same lazy
+    * ReuseExchange iteration shape; two differences, both forced by
+    * the semantics: ranks seed at Unit12·1[v∈S], and each step is a
+    * LEFT join of the full node set against incoming contributions —
+    * the inner-join form global PageRank uses would drop a seed with
+    * no in-edges and lose its teleport mass. */
+  def personalizedPagerankFixed(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = directed.join(deg, "src")
+    val base = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node")).distinct().withColumn("__s", lit(1L)),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+    var ranks = base.select(col("node"),
+      (col("is_seed") * lit(Unit12)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("pr DIV deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = base.join(contrib, base("node") === contrib("dst"), "left_outer")
+        .select(base("node"),
+          (col("is_seed") * lit(Unit12 * 15 / 100) +
+            expr("(85 * coalesce(s, 0)) DIV 100")).as("pr"))
+    }
+    ranks
+  }
+
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))

@@ -297,6 +297,52 @@ object Coverage {
       SELECT node, CAST(min(hop) AS BIGINT) AS hop
       FROM bfs GROUP BY node ORDER BY node"""))
 
+  /** G5: personalized PageRank from the mod-97 seed set over the
+    * co-purchase graph (Graph.personalizedPagerankFixed) — "parts that
+    * matter to THIS portfolio", vs g_pagerank's global importance.
+    * Integer 10⁻¹² units; the oracle unrolls the 3 iterations as
+    * chained CTEs with the same LEFT-join-keeps-seeds shape. */
+  val gPpr = Q(
+    "g_ppr",
+    (s, dir) => {
+      val edges = Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = Int.MaxValue)
+      val nodes = edges.select(col("item_a").as("node"))
+        .unionByName(edges.select(col("item_b").as("node"))).distinct()
+      Graph.personalizedPagerankFixed(edges,
+          nodes.filter(col("node") % 97 === 0), iters = 3)
+        .orderBy("node")
+    },
+    Some {
+      def step(prev: String) =
+        s"""SELECT n.node,
+          n.is_seed * 150000000000
+            + CAST((85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr
+        FROM nodes n LEFT JOIN (
+          SELECT d.dst, CAST(sum(r.pr // g.deg) AS BIGINT) AS s
+          FROM d JOIN deg g USING (src) JOIN $prev r ON r.node = d.src
+          GROUP BY 1) c ON c.dst = n.node"""
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        d AS (
+          SELECT item_a AS src, item_b AS dst FROM e
+          UNION ALL SELECT item_b, item_a FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM d GROUP BY 1),
+        nodes AS (
+          SELECT src AS node,
+            CASE WHEN src % 97 = 0 THEN 1 ELSE 0 END AS is_seed
+          FROM deg),
+        r0 AS (SELECT node, is_seed * 1000000000000 AS pr FROM nodes),
+        r1 AS (${step("r0")}),
+        r2 AS (${step("r1")}),
+        r3 AS (${step("r2")})
+      SELECT node, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY node"""
+    })
+
   /** A18: sketch aggregates — HyperLogLog++ distinct counts and t-digest
     * quantiles per group. These are THE at-scale forms of A6/A17 (exact
     * distinct shuffles every key; exact percentile sorts every value;
@@ -1027,7 +1073,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gBfs, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gBfs, gPpr, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,

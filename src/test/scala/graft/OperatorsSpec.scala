@@ -1055,6 +1055,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("Graph.personalizedPagerankFixed: seedless components get ZERO; distance decays") {
+    // component A: 1 (seed) - 2 - 4 chain + 1-3; component B: 8-9 with
+    // NO seed — the property that distinguishes PPR from global
+    // PageRank is that B receives exactly nothing (no teleport, no
+    // reachable contribution), while global PR would rank it
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (8L, 9L))
+      .toDF("item_a", "item_b")
+    val seeds = Seq(1L).toDF("node")
+    val pr = Graph.personalizedPagerankFixed(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(8L) == 0L && pr(9L) == 0L,
+      s"a component unreachable from every seed must hold zero mass: $pr")
+    assert(pr(4L) < pr(2L),
+      s"rank must decay with distance from the seed: $pr")
+    assert(pr.size == 6 && pr.values.forall(_ >= 0))
+  }
+
   test("Graph.pagerankFixed: ranks conserve mass and hubs outrank leaves") {
     // star: 1 is the hub of 2,3,4; plus an isolated edge 5-6
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
