@@ -964,6 +964,34 @@ class OperatorsSpec extends AnyFunSuite {
       "a doc both rankers found must beat either single-ranker doc")
   }
 
+  test("Retrieval.bm25TopK: invariant to input row order") {
+    // the exactness claim implies order-invariance: floored fixed-point
+    // contributions sum to the same BIGINT whatever the scan order
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join", "hash"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSeq
+    val a = canon(Retrieval.bm25TopK(docs, "doc_id", "text", q, 10))
+    val b = canon(Retrieval.bm25TopK(
+      docs.orderBy(col("doc_id").desc), "doc_id", "text", q, 10))
+    assert(a == b, "scores and ranks must not depend on scan order")
+  }
+
+  test("Retrieval.rrfFuse: improving a rank never lowers the fused score") {
+    val b = Seq((1L, 101L, 3L)).toDF("query_id", "id", "rank")
+    def fusedScore(rankInA: Long): Long = {
+      val a = Seq((1L, 101L, rankInA), (1L, 102L, 5L))
+        .toDF("query_id", "id", "rank")
+      Retrieval.rrfFuse(a, b, k = 5)
+        .filter(col("doc_id") === 101L)
+        .select("rrf_fp").as[Long].head()
+    }
+    val scores = Seq(4L, 3L, 2L, 1L).map(fusedScore)
+    assert(scores == scores.sorted,
+      s"fused score must be monotone in rank improvement: $scores")
+  }
+
   test("Retrieval.appendToIndex: served results equal a full rebuild after ingest") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents")
