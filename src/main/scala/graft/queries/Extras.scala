@@ -213,7 +213,49 @@ object Extras {
         CAST(try_strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS back
       FROM orders"""))
 
+  /** D8: business-day lead time — weekdays between order date and each
+    * line's ship date, summarized per priority (the reference's weekly
+    * scheduler reasons in working days). Engine-portable weekday math:
+    * dayofweek CONVENTIONS differ between engines (Spark counts from
+    * Sunday=1, DuckDB from Sunday=0 — an off-by-one that silently
+    * corrupts results), so instead g(d) = weekdays since the epoch
+    * MONDAY 1970-01-05 = (days div 7)·5 + least(days mod 7, 5), and
+    * busdays(a,b) = g(b) − g(a) — pure integer day arithmetic both
+    * engines compute identically, no dow function anywhere. Averages in
+    * integer thousandths. */
+  val d8Busdays = Q(
+    "d8_busdays",
+    (s, dir) => {
+      def g(c: String) =
+        s"((datediff($c, DATE '1970-01-05') div 7) * 5" +
+          s" + least(datediff($c, DATE '1970-01-05') % 7, 5))"
+      val j = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          expr(s"CAST(${g("CAST(l_shipdate AS DATE)")} " +
+            s"- ${g("CAST(o_orderdate AS DATE)")} AS BIGINT)").as("busdays"))
+      j.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), max("busdays").as("max_busdays"),
+          expr("(1000 * sum(busdays)) div count(1)").as("avg_busdays_k"))
+        .orderBy("o_orderpriority")
+    },
+    Some {
+      def g(c: String) =
+        s"((date_diff('day', DATE '1970-01-05', $c) // 7) * 5" +
+          s" + least(date_diff('day', DATE '1970-01-05', $c) % 7, 5))"
+      s"""WITH j AS (
+        SELECT o_orderpriority,
+          ${g("CAST(l_shipdate AS DATE)")}
+            - ${g("CAST(o_orderdate AS DATE)")} AS busdays
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(max(busdays) AS BIGINT) AS max_busdays,
+        CAST((1000 * sum(busdays)) // count(*) AS BIGINT) AS avg_busdays_k
+      FROM j GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube, s7EsBool,
     f19EmailPatterns, d5MonthChunks, a1TableCounts, f17DisplayString,
-    f20Confidence, d2UkRoundtrip)
+    f20Confidence, d2UkRoundtrip, d8Busdays)
 }
