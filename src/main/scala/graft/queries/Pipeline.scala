@@ -1674,13 +1674,82 @@ object Pipeline {
         WHERE rank <= 10 ORDER BY query_id, rank"""
     })
 
+  /** Ranker agreement: per query, how much the dense (cosine) and
+    * sparse (BM25) top-10 lists overlap — intersection size and Jaccard
+    * in permille. This is the instrument that justifies sim_hybrid_rrf:
+    * low overlap means the two systems surface DIFFERENT relevant
+    * docs, which is exactly when rank fusion adds information (high
+    * overlap would make hybrid redundant). Composes the two verified
+    * ranking chains; all-integer, oracle-exact. */
+  val simRankerOverlap = Q(
+    "sim_ranker_overlap",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id").between(1, 5)),
+          e.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("cand_id").as("id"))
+      val sparse = graft.operators.Retrieval.bm25TopK(
+          Tables.load(s, dir, "documents").filter(col("doc_id") >= 10),
+          "doc_id", "text", Corpus.Bm25Queries, k = 10)
+        .select(col("query_id"), col("doc_id").as("id"))
+      val inter = dense.join(sparse, Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      val sizes = dense.groupBy("query_id").agg(count(lit(1)).as("n_dense"))
+        .join(sparse.groupBy("query_id").agg(count(lit(1)).as("n_sparse")),
+          "query_id")
+      sizes.join(inter, Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_dense"), col("n_sparse"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          expr("(1000 * coalesce(n_common, 0))" +
+            " div (n_dense + n_sparse - coalesce(n_common, 0))")
+            .as("jaccard_pm"))
+        .orderBy("query_id")
+    },
+    Some {
+      s"""WITH ${graft.operators.Retrieval.bm25Ctes(
+          Corpus.Bm25Queries, "WHERE doc_id >= 10")},
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        dsc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ${dotSql("q.e", "c.e")} /
+              (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("c.e", "c.e")}))
+              AS cos
+          FROM v q JOIN v c
+            ON q.vec_id BETWEEN 1 AND 5 AND c.vec_id >= 10),
+        dense AS (
+          SELECT query_id, cand_id AS id FROM (
+            SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cand_id) AS rank
+            FROM dsc) WHERE rank <= 10),
+        sparse AS (
+          SELECT query_id, doc_id AS id FROM bm25_ranked WHERE rank <= 10),
+        inter AS (
+          SELECT query_id, count(*) AS n_common
+          FROM dense JOIN sparse USING (query_id, id) GROUP BY 1),
+        sizes AS (
+          SELECT d.query_id, d.n_dense, s.n_sparse
+          FROM (SELECT query_id, count(*) AS n_dense FROM dense GROUP BY 1) d
+          JOIN (SELECT query_id, count(*) AS n_sparse FROM sparse GROUP BY 1) s
+            USING (query_id))
+        SELECT query_id, n_dense, n_sparse,
+          CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+          CAST((1000 * coalesce(n_common, 0))
+            // (n_dense + n_sparse - coalesce(n_common, 0)) AS BIGINT)
+            AS jaccard_pm
+        FROM sizes LEFT JOIN inter USING (query_id)
+        ORDER BY query_id"""
+    })
+
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simRecall, simPqRecall,
-    simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, ddSemanticKmeans,
+    simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
+    ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, corpusCurate, corpusCurateCut)

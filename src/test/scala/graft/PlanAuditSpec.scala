@@ -91,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
     "sim_recall",          // composes bruteforce truth + ivf (both above)
     "sim_hybrid_rrf",      // dense leg is the broadcast brute-force ranker
+    "sim_ranker_overlap", // same broadcast dense leg, overlap instrument
     "sim_pq_recall",       // same broadcast bruteforce-truth leg (L2 variant)
     "dd_ngram_jaccard",    // ground-truth baseline, pinned to id<1000
     "dd_lsh_recall",       // measures LSH against that bounded baseline
