@@ -348,6 +348,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_hybrid_rrf: fusion is a keyed full-outer + partial top-k — no fused window") {
+    val p = plan(Pipeline.simHybridRrf)
+    // the two ranker legs may window internally over per-query
+    // partitions; the FUSION itself must stay a (query, id) equi-join
+    // into the TopK aggregator, never a re-sort of the fused set
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"rank fusion joins the two lists full-outer on (query, id):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("txt_bm25: broadcast query terms, partial top-k, no window over matches") {
     val p = plan(Corpus.txtBm25)
     // query terms and per-term df are tiny frames: they must broadcast
