@@ -9,16 +9,26 @@ import org.apache.spark.sql.functions._
   * DatabaseConverter/api_clients.py search bodies). Okapi BM25
   * (Robertson & Walker 1994) with the standard k1/b parameterization.
   *
-  * Exactness strategy (same family as txt_tfidf / txt_bigram_score): no
-  * transcendental functions anywhere. The classic idf uses ln(); rank
-  * order does not need it for fixed query terms, so we keep the raw
-  * Robertson–Spärck Jones odds ratio as an exact rational,
-  * (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1) — integer-valued
-  * numerator and denominator, one IEEE double division that both Spark
-  * and DuckDB evaluate bit-identically. Each per-term contribution is
-  * then floored into 1e-6 fixed point BEFORE summation, so the per-doc
-  * score is an exact BIGINT sum — invariant to aggregation order across
-  * partitions and engines.
+  * Idf is a TRUE log idf, in the positive-definite form every deployed
+  * BM25 uses (Lucene/Elasticsearch): ln(1 + (N − df + ½)/(df + ½)),
+  * whose argument is the exact rational (2N + 2)/(2df + 1). The raw
+  * Robertson–Spärck Jones ln((2N − 2df + 1)/(2df + 1)) goes NEGATIVE
+  * for df > N/2, making extra occurrences of a common term LOWER a
+  * doc's score — the known pathology the +1 removes; round 7's
+  * log-free odds-ratio scorer additionally mis-ordered multi-term
+  * queries (a sum of raw ratios weights rare terms exponentially
+  * harder than a sum of logs) and is kept only as `idfMode = "odds"`
+  * for the txt_bm25_rankshift instrument that measures that deviation.
+  *
+  * Exactness strategy (same family as txt_tfidf / txt_bigram_score):
+  * no transcendental LIBRARY functions anywhere — ln is evaluated
+  * through [[graft.functions.PortableLn]], a generated expression of
+  * IEEE +,−,×,÷ and power-of-two CASE range reduction that Spark and
+  * DuckDB compute bit-identically from the identical SQL text. Each
+  * per-term contribution is floored into 1e-6 fixed point BEFORE
+  * summation, so the per-doc score is an exact BIGINT sum — invariant
+  * to aggregation order across partitions and engines. The ln runs on
+  * the per-TERM frame (≤ |query terms| rows), never per posting.
   *
   * Scale shape: the postings build is ONE map-side-combined shuffle
   * keyed (doc, term) — the inverted index. Query terms broadcast; df
@@ -37,6 +47,32 @@ object Retrieval {
   val K1 = 1.2
   val B = 0.75
   val ScoreScale = 1000000L
+
+  import graft.functions.PortableLn
+
+  /** (2N + 2)/(2df + 1) — the Lucene idf argument 1 + (N−df+½)/(df+½)
+    * as an exact integer-over-integer rational; always > 1, so its ln
+    * is always positive. Same text feeds `expr` and the oracle. */
+  def idfRatioSql(df: String, nDocs: String): String =
+    s"(CAST(2 * $nDocs + 2 AS DOUBLE) / CAST(2 * $df + 1 AS DOUBLE))"
+
+  /** Round-7's raw RSJ odds ratio (2N − 2df + 1)/(2df + 1), kept ONLY
+    * as the `idfMode = "odds"` baseline for txt_bm25_rankshift. */
+  def oddsRatioSql(df: String, nDocs: String): String =
+    s"(CAST(2 * $nDocs - 2 * $df + 1 AS DOUBLE) / CAST(2 * $df + 1 AS DOUBLE))"
+
+  /** floor((SCALE · idf) · tfnorm) AS BIGINT with pinned
+    * parenthesization — the one fragment both the Spark plan and the
+    * DuckDB oracle evaluate, so the arithmetic can never drift. */
+  def contribSql(tf: String, dl: String, idf: String, nDocs: String,
+      sumDl: String): String = {
+    val tfD = s"CAST($tf AS DOUBLE)"
+    val dlD = s"CAST($dl AS DOUBLE)"
+    val d = PortableLn.dbl _
+    s"CAST(floor((${d(ScoreScale.toDouble)} * $idf) * " +
+      s"(($tfD * ${d(K1 + 1.0)}) / ($tfD + ${d(K1)} * (${d(1.0 - B)} + " +
+      s"(${d(B)} * $dlD) / (CAST($sumDl AS DOUBLE) / CAST($nDocs AS DOUBLE)))))) AS BIGINT)"
+  }
 
   /** Inverted-index postings: one row per (doc, term) with the term
     * frequency and the document's token length. One shuffle, partially
@@ -85,7 +121,8 @@ object Retrieval {
     * half — index once, query many; nothing here touches document
     * text. */
   def bm25Serve(post: DataFrame, stats: DataFrame, idCol: String,
-      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+      queries: Seq[(Long, Seq[String])], k: Int,
+      idfMode: String = "log"): DataFrame = {
     val spark = post.sparkSession
     import spark.implicits._
     val qterms = queries
@@ -97,22 +134,28 @@ object Retrieval {
       broadcast(qterms.select("term").distinct()), "term")
     // df per term counts over ALL documents (postings are unique per
     // (doc, term)), computed after the prune so only query terms pay.
+    // The idf — including the staged PortableLn pipeline — runs on
+    // THIS frame (≤ |query terms| rows × a 1-row stats broadcast),
+    // then broadcast-joins back into the postings.
     val dfreq = matched.groupBy("term").agg(count(lit(1)).as("df"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val idf =
-      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
-        (lit(2L) * col("df") + lit(1L)).cast("double")
-    val tfnorm = (col("tf").cast("double") * lit(K1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / avgdl))
-    val contrib =
-      floor(lit(ScoreScale.toDouble) * idf * tfnorm).cast("long")
+    val termStats = dfreq.crossJoin(broadcast(stats))
+    val withIdf = idfMode match {
+      case "log" =>
+        PortableLn.withLn(
+          termStats.withColumn("idf_ratio",
+            expr(idfRatioSql("df", "n_docs"))),
+          "idf_ratio", "idf_v")
+      case "odds" =>
+        termStats.withColumn("idf_v", expr(oddsRatioSql("df", "n_docs")))
+      case other => sys.error(s"unknown idfMode '$other'")
+    }
     val scored = matched
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(withIdf.select(col("term"), col("idf_v"),
+        col("n_docs"), col("sum_dl"))), "term")
       .join(broadcast(qterms), "term")
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),
-        contrib.as("contrib"))
+        expr(contribSql("tf", "dl", "idf_v", "n_docs", "sum_dl"))
+          .as("contrib"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum("contrib").as("score_fp"))
     // Partial top-k: shuffle volume is queries×k however skewed the
@@ -259,59 +302,73 @@ object Retrieval {
   }
 
   /** The [[bm25TopK]] oracle as a reusable CTE chain (final CTE
-    * `bm25_ranked(query_id, doc_id, score_fp, rank)` holds ALL ranked
-    * matches — callers apply their own rank cutoff). `docWhere` filters
-    * the corpus (e.g. "WHERE doc_id >= 10"); generated from the same
-    * constants as the Spark plan so the two can never drift. */
+    * `<pre>bm25_ranked(query_id, doc_id, score_fp, rank)` holds ALL
+    * ranked matches — callers apply their own rank cutoff). `docWhere`
+    * filters the corpus (e.g. "WHERE doc_id >= 10"); `idfMode` picks
+    * the scorer exactly as [[bm25Serve]] does; `pre` prefixes every
+    * CTE name so two chains (e.g. log vs odds for the rank-shift
+    * instrument) can coexist in one query. The idf/contrib arithmetic
+    * is the SAME generated fragments the Spark plan runs through
+    * `expr`, so the two can never drift. */
   def bm25Ctes(queries: Seq[(Long, Seq[String])],
-      docWhere: String = ""): String = {
+      docWhere: String = "", idfMode: String = "log",
+      pre: String = ""): String = {
     val qrows = queries
       .flatMap { case (qid, ts) =>
         ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
       }
       .mkString(", ")
-    s"""q(query_id, term) AS (VALUES $qrows),
-      corpus AS (SELECT * FROM documents $docWhere),
-      toks AS (
+    val idfCtes = idfMode match {
+      case "log" =>
+        s"""${pre}idf0 AS (
+        SELECT f.term, f.df, s.n_docs, s.sum_dl,
+          ${idfRatioSql("f.df", "s.n_docs")} AS idf_ratio
+        FROM ${pre}dfreq f, ${pre}stats s),
+      ${PortableLn.cteChainSql(s"${pre}idf0", "idf_ratio", "idf_v",
+          s"${pre}lnc")},
+      ${pre}idf AS (SELECT * FROM ${PortableLn.cteChainOut(s"${pre}lnc")})"""
+      case "odds" =>
+        s"""${pre}idf AS (
+        SELECT f.term, f.df, s.n_docs, s.sum_dl,
+          ${oddsRatioSql("f.df", "s.n_docs")} AS idf_v
+        FROM ${pre}dfreq f, ${pre}stats s)"""
+      case other => sys.error(s"unknown idfMode '$other'")
+    }
+    s"""${pre}q(query_id, term) AS (VALUES $qrows),
+      ${pre}corpus AS (SELECT * FROM documents $docWhere),
+      ${pre}toks AS (
         SELECT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-        FROM corpus),
-      dl AS (
+        FROM ${pre}corpus),
+      ${pre}dl AS (
         SELECT doc_id,
           len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
-        FROM corpus),
-      post AS (
+        FROM ${pre}corpus),
+      ${pre}post AS (
         SELECT t.doc_id, t.term, count(*) AS tf, max(d.dl) AS dl
-        FROM toks t JOIN dl d USING (doc_id)
-        WHERE t.term IN (SELECT DISTINCT term FROM q)
+        FROM ${pre}toks t JOIN ${pre}dl d USING (doc_id)
+        WHERE t.term IN (SELECT DISTINCT term FROM ${pre}q)
         GROUP BY 1, 2),
-      stats AS (
+      ${pre}stats AS (
         SELECT count(*) AS n_docs,
           sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS sum_dl
-        FROM corpus),
-      dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-      contrib AS (
+        FROM ${pre}corpus),
+      ${pre}dfreq AS (SELECT term, count(*) AS df FROM ${pre}post GROUP BY 1),
+      $idfCtes,
+      ${pre}contrib AS (
         SELECT q.query_id, p.doc_id,
-          CAST(floor(CAST($ScoreScale AS DOUBLE)
-            * (CAST(2 * s.n_docs - 2 * f.df + 1 AS DOUBLE)
-               / CAST(2 * f.df + 1 AS DOUBLE))
-            * ((CAST(p.tf AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
-               / (CAST(p.tf AS DOUBLE)
-                  + CAST($K1 AS DOUBLE)
-                    * (CAST(${1.0 - B} AS DOUBLE)
-                       + CAST($B AS DOUBLE) * CAST(p.dl AS DOUBLE)
-                         / (CAST(s.sum_dl AS DOUBLE)
-                            / CAST(s.n_docs AS DOUBLE)))))) AS BIGINT)
+          ${contribSql("p.tf", "p.dl", "i.idf_v", "i.n_docs", "i.sum_dl")}
             AS contrib
-        FROM post p JOIN dfreq f USING (term) JOIN q USING (term), stats s),
-      bm25_scored AS (
+        FROM ${pre}post p JOIN ${pre}idf i USING (term)
+          JOIN ${pre}q q USING (term)),
+      ${pre}bm25_scored AS (
         SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
-        FROM contrib GROUP BY 1, 2),
-      bm25_ranked AS (
+        FROM ${pre}contrib GROUP BY 1, 2),
+      ${pre}bm25_ranked AS (
         SELECT query_id, doc_id, score_fp,
           CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
-        FROM bm25_scored)"""
+        FROM ${pre}bm25_scored)"""
   }
 
   /** Oracle SQL for [[bm25TopK]] over `documents`, generated from the

@@ -951,10 +951,10 @@ object Corpus {
 
   /** BM25 ranked retrieval: top-10 docs per query from the inverted
     * index, scored in exact 1e-6 fixed point (operators.Retrieval —
-    * rational idf, no ln(), floor before the order-invariant BIGINT
-    * sum). Plan: one map-side-combined postings shuffle, broadcast
-    * query terms, partial TopK — no window holds a query's full match
-    * list. */
+    * true Lucene-form log idf through the bit-portable PortableLn,
+    * floor before the order-invariant BIGINT sum). Plan: one
+    * map-side-combined postings shuffle, broadcast query terms,
+    * partial TopK — no window holds a query's full match list. */
   val txtBm25 = Q(
     "txt_bm25",
     (s, dir) => graft.operators.Retrieval.bm25TopK(
@@ -983,10 +983,62 @@ object Corpus {
     },
     Some(graft.operators.Retrieval.bm25OracleSql(Bm25QueriesB, 10)))
 
+  /** The instrument behind round 8's scorer fix: per query, how far
+    * the TRUE log-idf BM25 ranking (idfMode "log", the default) moved
+    * from round 7's log-free odds-ratio ranking (idfMode "odds").
+    * n_common = top-10 set overlap, n_same_pos = positions unchanged,
+    * footrule = Σ|Δrank| over the common docs (Spearman's footrule on
+    * the intersection). A nonzero footrule/sub-10 n_same_pos is the
+    * measured proof the odds-ratio scorer was NOT ranking like the
+    * algorithm it was named for; both chains share one postings build
+    * and one stats frame. */
+  val txtBm25Rankshift = Q(
+    "txt_bm25_rankshift",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      val post = Retrieval.postings(
+        Tables.load(s, dir, "documents"), "doc_id", "text").cache()
+      val stats = post.groupBy(col("doc_id")).agg(max("dl").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val ln = Retrieval.bm25Serve(post, stats, "doc_id", Bm25Queries, 10)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_ln"))
+      val od = Retrieval.bm25Serve(post, stats, "doc_id", Bm25Queries, 10,
+          idfMode = "odds")
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_od"))
+      ln.join(od, Seq("query_id", "doc_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ln"),
+          count(col("rank_od")).as("n_common"),
+          sum(when(col("rank_ln") === col("rank_od"), 1L).otherwise(0L))
+            .as("n_same_pos"),
+          coalesce(sum(abs(col("rank_ln") - col("rank_od"))), lit(0L))
+            .as("footrule"))
+        .orderBy("query_id")
+    },
+    Some {
+      s"""WITH ${graft.operators.Retrieval.bm25Ctes(
+          Bm25Queries, idfMode = "log", pre = "ln_")},
+        ${graft.operators.Retrieval.bm25Ctes(
+          Bm25Queries, idfMode = "odds", pre = "od_")},
+        lnk AS (SELECT query_id, doc_id, rank AS rank_ln
+          FROM ln_bm25_ranked WHERE rank <= 10),
+        odk AS (SELECT query_id, doc_id, rank AS rank_od
+          FROM od_bm25_ranked WHERE rank <= 10),
+        j AS (SELECT l.query_id, l.rank_ln, o.rank_od
+          FROM lnk l LEFT JOIN odk o USING (query_id, doc_id))
+        SELECT query_id, count(*) AS n_ln,
+          count(rank_od) AS n_common,
+          CAST(coalesce(sum(CASE WHEN rank_ln = rank_od THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_same_pos,
+          CAST(coalesce(sum(abs(rank_ln - rank_od)), 0) AS BIGINT)
+            AS footrule
+        FROM j GROUP BY query_id ORDER BY query_id"""
+    })
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
-    txtBm25Stored)
+    txtBm25Stored, txtBm25Rankshift)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{DateFunctions, TextFunctions}
+import graft.functions.{DateFunctions, PortableLn, TextFunctions}
 
 class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -113,5 +113,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1) == "Sunday 11th June 2023")
     assert(got(2) == "Thursday 1st June 2023")
     assert(got(3) == "Friday 2nd June 2023")
+  }
+
+  test("PortableLn: Spark evaluation is BIT-identical to the Scala mirror") {
+    // the exactness contract: the generated SQL, run through Catalyst,
+    // must produce the same 64 bits as the plain-Scala evaluator with
+    // the pinned op order (DuckDB parity was validated the same way)
+    val rnd = new scala.util.Random(42)
+    val xs = Seq(1.0, 2.0, 0.5, 7.0 / 3, 1.0 / 9, math.pow(2, 52),
+        math.pow(2, -52), 1.9999999999999998, 1.0000000000000002) ++
+      (1 to 200).map(_ => math.exp(rnd.nextDouble() * 60 - 30))
+    val df = xs.toDF("x")
+    val got = PortableLn.withLn(df, "x", "lnv")
+      .select("x", "lnv").as[(Double, Double)].collect()
+    got.foreach { case (x, lnv) =>
+      assert(java.lang.Double.doubleToLongBits(lnv) ==
+        java.lang.Double.doubleToLongBits(PortableLn(x)),
+        s"bit drift at x=$x: spark=$lnv scala=${PortableLn(x)}")
+    }
+  }
+
+  test("PortableLn: accurate to 1e-9 relative against math.log across the domain") {
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 500).map(_ => math.exp(rnd.nextDouble() * 72 - 36))
+    xs.foreach { x =>
+      val err = math.abs(PortableLn(x) - math.log(x))
+      assert(err <= 1e-9 * math.max(1.0, math.abs(math.log(x))),
+        s"fidelity drift at x=$x: ${PortableLn(x)} vs ${math.log(x)}")
+    }
   }
 }

@@ -1067,6 +1067,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(score(1L) > score(4L), "one rare-term hit must beat repeated common hits")
   }
 
+  test("Retrieval.bm25TopK: log idf orders multi-term queries unlike the odds ratio") {
+    // The round-8 fix in one fixture: one rare term (df=1) vs seven
+    // mid-frequency terms (df=25 of N=51). Under the raw odds ratio the
+    // rare term's untempered 33x weight makes doc A win; under true log
+    // idf the seven compressed mid contributions overtake it. The two
+    // modes MUST disagree here — this is the measured proof the round-7
+    // scorer was not ranking like the algorithm it was named for
+    // (txt_bm25_rankshift measures the same thing on the real corpus).
+    val docs = (
+      Seq(1L -> "rare", 2L -> "m1 m2 m3 m4 m5 m6 m7") ++
+        (3L to 26L).map(i => i -> "m1 m2 m3 m4 m5 m6 m7 pad") ++
+        (27L to 51L).map(i => i -> Seq.fill(30)("pad").mkString(" "))
+      ).toDF("doc_id", "text")
+    val q = Seq(1L -> Seq("rare", "m1", "m2", "m3", "m4", "m5", "m6", "m7"))
+    val lnTop = Retrieval.bm25TopK(docs, "doc_id", "text", q, 1)
+      .select("doc_id").as[Long].head()
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    val stats = post.groupBy(col("doc_id")).agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val oddsTop = Retrieval.bm25Serve(post, stats, "doc_id", q, 1,
+        idfMode = "odds")
+      .select("doc_id").as[Long].head()
+    assert(lnTop == 2L, s"log idf must rank the seven-mid-term doc first: $lnTop")
+    assert(oddsTop == 1L, s"odds ratio must rank the rare-term doc first: $oddsTop")
+    // fidelity: the fixed-point score equals libm Okapi to < 1e-3
+    val gotFp = Retrieval.bm25TopK(docs, "doc_id", "text", q, 51)
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    val n = 51.0; val sumDl = 1 + 7 + 24 * 8 + 25 * 30
+    val avgdl = sumDl / n
+    def okapi(tf: Double, dl: Double, df: Double): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val wantA = okapi(1, 1, 1)
+    val wantB = 7 * okapi(1, 7, 25)
+    assert(math.abs(gotFp(1L) / 1e6 - wantA) < 1e-3,
+      s"doc 1 score ${gotFp(1L) / 1e6} vs libm Okapi $wantA")
+    assert(math.abs(gotFp(2L) / 1e6 - wantB) < 1e-3,
+      s"doc 2 score ${gotFp(2L) / 1e6} vs libm Okapi $wantB")
+  }
+
   test("Graph.bfsHops: min-hop layers, unreachable nodes absent, seeds at 0") {
     // path 1-2-3-4-5 plus a detached pair 8-9; seed = {1}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
