@@ -181,70 +181,255 @@ object Retrieval {
       docs: => DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, Seq[String])], k: Int, tag: String,
       buckets: Int = 8): DataFrame = {
-    val postTable = s"g_bm25_post_$tag"
-    val statsTable = s"g_bm25_stats_$tag"
-    val base = s"${graft.sources.Bucketing.processRoot}/bm25_$tag"
+    buildIndex(spark, docs, idCol, textCol, tag, buckets)
+    serveIndex(spark, idCol, queries, k, tag)
+  }
+
+  private def postTable(tag: String) = s"g_bm25_post_$tag"
+  private def statsTable(tag: String) = s"g_bm25_stats_$tag"
+  private def tombTable(tag: String) = s"g_bm25_tomb_$tag"
+  private def indexBase(tag: String) =
+    s"${graft.sources.Bucketing.processRoot}/bm25_$tag"
+
+  /** Build the stored index once per (tag, geometry): term-bucketed
+    * postings stamped with generation 0, plus the 1-row stats table
+    * (n_docs, sum_dl, gen). The ONLY place the corpus is read — one
+    * forced pass feeds both stored tables. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: => DataFrame, idCol: String, textCol: String, tag: String,
+      buckets: Int = 8): Unit =
     graft.sources.Bucketing.ensureOnce(s"bm25@$tag#$buckets") {
-      // the ONLY place the corpus is read: one forced pass feeds both
-      // stored tables
       val d = docs.cache()
       graft.sources.Bucketing.writeBucketed(
-        postings(d, idCol, textCol), postTable, s"$base/post",
-        "term", buckets)
-      corpusStats(d, textCol).write
-        .option("path", s"$base/stats").mode("overwrite")
-        .format("parquet").saveAsTable(statsTable)
+        postings(d, idCol, textCol).withColumn("gen", lit(0L)),
+        postTable(tag), s"${indexBase(tag)}/post", "term", buckets)
+      corpusStats(d, textCol).withColumn("gen", lit(0L)).write
+        .option("path", s"${indexBase(tag)}/stats").mode("overwrite")
+        .format("parquet").saveAsTable(statsTable(tag))
       d.unpersist()
     }
-    bm25Serve(spark.table(postTable), spark.table(statsTable),
-      idCol, queries, k)
+
+  /** The stored index through its tombstones — the merge-on-read view.
+    * Postings rows carry the generation that appended them; a tombstone
+    * (id, dl, upto_gen) retracts the doc's postings UP TO that
+    * generation, so a later re-add (higher gen) serves while the old
+    * rows stay suppressed until [[compactIndex]] drops them physically.
+    * The tombstone side is broadcast (its volume is bounded by deletes
+    * since the last compaction — compact before it outgrows the
+    * broadcast threshold), so the postings side keeps its term-bucketed
+    * layout with no extra shuffle. Stats are the stored row minus the
+    * tombstoned docs' counts — the same integers a rebuild over the
+    * surviving corpus would compute, which is what makes
+    * serve-after-delete hash-exact against rebuild-without-doc. */
+  private def liveIndex(spark: org.apache.spark.sql.SparkSession,
+      tag: String, idCol: String): (DataFrame, DataFrame) = {
+    val post = spark.table(postTable(tag))
+    val stats = spark.table(statsTable(tag)).select("n_docs", "sum_dl")
+    if (!spark.catalog.tableExists(tombTable(tag))) (post, stats)
+    else {
+      val tomb = spark.table(tombTable(tag))
+      val tombMax = tomb.groupBy(col(idCol))
+        .agg(max("upto_gen").as("tomb_upto"))
+      val live = post.join(broadcast(tombMax), Seq(idCol), "left_outer")
+        .filter(col("tomb_upto").isNull || col("gen") > col("tomb_upto"))
+        .drop("tomb_upto")
+      val tombAgg = tomb.agg(count(lit(1)).as("t_n"),
+        coalesce(sum("dl"), lit(0L)).as("t_dl"))
+      val liveStats = stats.crossJoin(broadcast(tombAgg))
+        .select((col("n_docs") - col("t_n")).as("n_docs"),
+          (col("sum_dl") - col("t_dl")).as("sum_dl"))
+      (live, liveStats)
+    }
+  }
+
+  /** Serve a query batch purely from the stored index (tombstones
+    * applied) — never touches document text. */
+  def serveIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int, tag: String): DataFrame = {
+    val (post, stats) = liveIndex(spark, tag, idCol)
+    bm25Serve(post, stats, idCol, queries, k)
+  }
+
+  /** Retract documents from the stored index WITHOUT rewriting it: one
+    * tombstone row (id, dl, upto_gen) per doc that is currently live.
+    * Ids absent from the index — or already fully tombstoned — produce
+    * no row, so deleting twice never double-subtracts the stats.
+    * Serving reflects the delete immediately ([[liveIndex]]); the
+    * physical rows go away at the next [[compactIndex]]. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, tag: String): Unit = {
+    require(spark.catalog.tableExists(postTable(tag)),
+      s"index '$tag' must be initialized by buildIndex first")
+    val (livePost, _) = liveIndex(spark, tag, idCol)
+    // localCheckpoint pins the pre-delete snapshot: the doomed set is
+    // computed FROM the tombstone view we are about to append to
+    val doomed = livePost.join(ids.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(max("dl").as("dl"), max("gen").as("upto_gen"))
+      .localCheckpoint()
+    if (doomed.limit(1).count() > 0) {
+      doomed.write.mode("append")
+        .option("path", s"${indexBase(tag)}/tomb")
+        .format("parquet").saveAsTable(tombTable(tag))
+      spark.catalog.refreshTable(tombTable(tag))
+    }
+  }
+
+  /** Delete-then-append on the business key — the index twin of the
+    * reference's M1 upsert (database.py upsert semantics): docs already
+    * live are tombstoned at their current generation, then the batch
+    * appends at the next generation, so the new postings serve while
+    * the old stay suppressed. Docs not in the index insert cleanly. */
+  def upsertIntoIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, tag: String,
+      buckets: Int = 8): Unit = {
+    val b = batch.cache()
+    deleteFromIndex(spark, b.select(col(idCol)), idCol, tag)
+    appendToIndex(spark, b, idCol, textCol, tag, buckets)
+    b.unpersist()
+  }
+
+  /** Physically drop tombstoned postings and merge the
+    * append-accumulated small files: rewrite the live postings as a
+    * fresh term-bucketed table, restate the stats to the live values,
+    * and empty the tombstone table. Returns (filesBefore, filesAfter)
+    * for the postings store. The rewrite snapshots the live view
+    * (localCheckpoint) before overwriting — a production deployment
+    * would stage to a new directory and swap pointers atomically; the
+    * snapshot gives the same read-your-own-overwrite safety here. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, tag: String,
+      idCol: String, buckets: Int = 8): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(s"${indexBase(tag)}/post")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(loc)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val (livePost, liveStats) = liveIndex(spark, tag, idCol)
+    val postSnap = livePost.localCheckpoint()
+    val gen = spark.table(statsTable(tag)).select("gen")
+      .collect().head.getLong(0)
+    val Array(nDocs, sumDl) = liveStats.collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    graft.sources.Bucketing.writeBucketed(postSnap, postTable(tag),
+      s"${indexBase(tag)}/post", "term", buckets)
+    writeStats(spark, tag, nDocs, sumDl, gen)
+    if (spark.catalog.tableExists(tombTable(tag))) {
+      val schema = spark.table(tombTable(tag)).schema
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite")
+        .option("path", s"${indexBase(tag)}/tomb")
+        .format("parquet").saveAsTable(tombTable(tag))
+      spark.catalog.refreshTable(tombTable(tag))
+    }
+    spark.catalog.refreshTable(postTable(tag))
+    spark.catalog.refreshTable(statsTable(tag))
+    (before, parquetFiles())
+  }
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      tag: String, nDocs: Long, sumDl: Long, gen: Long): Unit = {
+    import spark.implicits._
+    Seq((nDocs, sumDl, gen)).toDF("n_docs", "sum_dl", "gen")
+      .write.mode("overwrite")
+      .option("path", s"${indexBase(tag)}/stats")
+      .format("parquet").saveAsTable(statsTable(tag))
+  }
+
+  /** Recompute the stats row from the live postings — the detect-or-
+    * repair half of the [[appendToIndex]] crash contract. If a crash
+    * landed between the postings append and the stats overwrite, the
+    * stored row undercounts the appended docs; this restates it as
+    * (live truth + tombstone totals), which is exactly what the two
+    * ordered writes would have left. Returns true when a repair was
+    * needed. Cost: one pass over the postings (a per-doc max — no
+    * tokenization), so it is safe to run on every recovery. */
+  def repairStats(spark: org.apache.spark.sql.SparkSession, tag: String,
+      idCol: String): Boolean = {
+    val (livePost, _) = liveIndex(spark, tag, idCol)
+    val truth = livePost.groupBy(col(idCol))
+      .agg(max("dl").as("dl"), max("gen").as("g"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+        coalesce(sum("dl"), lit(0L)).as("s"),
+        coalesce(max("g"), lit(0L)).as("g"))
+      .collect().head
+    val (tn, tdl) =
+      if (!spark.catalog.tableExists(tombTable(tag))) (0L, 0L)
+      else {
+        val r = spark.table(tombTable(tag))
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+    val (wantN, wantS, wantG) =
+      (truth.getLong(0) + tn, truth.getLong(1) + tdl, truth.getLong(2))
+    val cur = spark.table(statsTable(tag)).collect().head
+    val drifted = cur.getLong(0) != wantN || cur.getLong(1) != wantS ||
+      cur.getLong(2) != wantG
+    if (drifted) {
+      writeStats(spark, tag, wantN, wantS, wantG)
+      spark.catalog.refreshTable(statsTable(tag))
+    }
+    drifted
   }
 
   /** The INGEST half of the live index: append a document batch's
     * postings to the stored table (same bucket spec — reads stay
-    * term-bucketed) and roll the batch's token counts into the stats
-    * row. After this, [[bm25TopKStored]] serves WITH the new docs: df,
-    * n_docs, and avgdl all reflect the append, so results equal a full
-    * rebuild over the grown corpus (pinned in OperatorsSpec). Together
-    * with bm25TopKStored this is the index-maintenance cycle a live
+    * term-bucketed) at the NEXT generation, and roll the batch's token
+    * counts into the stats row. After this, [[serveIndex]] serves WITH
+    * the new docs: df, n_docs, and avgdl all reflect the append, so
+    * results equal a full rebuild over the grown corpus (pinned in
+    * OperatorsSpec). Together with [[buildIndex]]/[[deleteFromIndex]]/
+    * [[compactIndex]] this is the index-maintenance cycle a live
     * search tier runs per ingest batch — tokenize the BATCH, never the
     * corpus.
     *
-    * The stats update is a driver-side read-modify-write of ONE row —
-    * bounded by construction. Caller contract (same as the dedup
-    * store): a doc id is appended at most once; re-sending a batch
-    * double-counts it. */
+    * CRASH CONTRACT: two non-atomic writes, postings append THEN stats
+    * overwrite — deliberately in that order. A crash between them
+    * leaves postings the stats row does not count: scores are mildly
+    * off (df/avgdl stale) but every doc remains servable, and
+    * [[repairStats]] restates the row from the postings on recovery.
+    * The reverse order would instead count docs that have no postings —
+    * an undetectable phantom (nothing on disk to recompute them from),
+    * which is why stats go last. The stats update itself is a 1-row
+    * driver-side read-modify-write, bounded by construction.
+    *
+    * Caller contract (same as the dedup store): a doc id is appended at
+    * most once per index generation; re-sending a batch double-counts
+    * it. [[ingestNewDocs]] is the redelivery-proof wrapper. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, tag: String,
       buckets: Int = 8): Unit = {
-    val postTable = s"g_bm25_post_$tag"
-    val statsTable = s"g_bm25_stats_$tag"
-    require(spark.catalog.tableExists(postTable) &&
-        spark.catalog.tableExists(statsTable),
-      s"index '$tag' must be initialized by bm25TopKStored first")
+    require(spark.catalog.tableExists(postTable(tag)) &&
+        spark.catalog.tableExists(statsTable(tag)),
+      s"index '$tag' must be initialized by buildIndex first")
     val b = batch.cache()
-    postings(b, idCol, textCol).write.mode("append")
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(postTable)
     val add = corpusStats(b, textCol).collect().head
+    val cur = spark.table(statsTable(tag)).collect().head
+    val gen = cur.getLong(2) + 1
+    appendPostings(spark, postings(b, idCol, textCol)
+      .withColumn("gen", lit(gen)), tag, buckets)
     b.unpersist()
-    // 1-row read-modify-write; the row is collected BEFORE the
-    // overwrite, and the location is derived from the tag exactly as
-    // the build derived it
-    val cur = spark.table(statsTable).collect().head
-    import spark.implicits._
-    Seq((cur.getLong(0) + add.getLong(0), cur.getLong(1) + add.getLong(1)))
-      .toDF("n_docs", "sum_dl")
-      .write.mode("overwrite")
-      .option("path", s"${graft.sources.Bucketing.processRoot}/bm25_$tag/stats")
-      .format("parquet").saveAsTable(statsTable)
+    writeStats(spark, tag, cur.getLong(0) + add.getLong(0),
+      cur.getLong(1) + add.getLong(1), gen)
     // invalidate cached relations/file listings in EVERY session sharing
     // the catalog: a foreachBatch append runs in a micro-batch session
     // clone, and without this the outer session kept serving the
     // pre-append listing (observed: df from a fraction of the corpus)
-    spark.catalog.refreshTable(postTable)
-    spark.catalog.refreshTable(statsTable)
+    spark.catalog.refreshTable(postTable(tag))
+    spark.catalog.refreshTable(statsTable(tag))
   }
+
+  /** The postings half of [[appendToIndex]] alone — package-private so
+    * the crash-sim test can stop exactly at the contract's vulnerable
+    * point (postings written, stats not) and prove [[repairStats]]
+    * recovers. */
+  private[graft] def appendPostings(
+      spark: org.apache.spark.sql.SparkSession, post: DataFrame,
+      tag: String, buckets: Int): Unit =
+    post.write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(postTable(tag))
 
   /** RRF constants — Cormack et al. 2009's k=60, and a 1e9 fixed-point
     * scale so every reciprocal is an exact integer division. */
@@ -280,23 +465,31 @@ object Retrieval {
         col("col.score").cast("long").as("rrf_fp"))
   }
 
-  /** [[appendToIndex]] made REDELIVERY-PROOF: drop batch docs whose id
-    * the index already holds (one anti-join against the stored doc
-    * ids), then append the remainder. This is the foreachBatch body for
-    * a live-indexing stream — an at-least-once source can re-send a
-    * batch and the index neither double-counts postings nor inflates
-    * the stats (the StreamingSpec twin pins it). */
+  /** [[appendToIndex]] made REDELIVERY-PROOF: drop duplicates WITHIN
+    * the batch (an at-least-once producer can retry inside one
+    * micro-batch, delivering the same doc twice in a single frame),
+    * then drop docs whose id the index has EVER held (one anti-join
+    * against the stored doc ids — including tombstoned ones, so a
+    * redelivered insert can never resurrect a deliberately deleted doc;
+    * tombstone wins, and an intentional re-add goes through
+    * [[upsertIntoIndex]]), then append the remainder. This is the
+    * foreachBatch body for a live-indexing stream — re-sending a batch
+    * neither double-counts postings nor inflates the stats (the
+    * StreamingSpec twin pins it). Intra-batch copies of one id are
+    * retried deliveries of the SAME document, so which copy survives
+    * dropDuplicates is immaterial. */
   def ingestNewDocs(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, tag: String,
       buckets: Int = 8): Unit = {
-    val known = spark.table(s"g_bm25_post_$tag").select(col(idCol)).distinct()
+    val known = spark.table(postTable(tag)).select(col(idCol)).distinct()
     // localCheckpoint (eager), NOT cache: the anti-join reads the very
     // table the append below mutates, and a lazily-cached plan re-reads
     // the POST-append file listing for any partition the guard didn't
     // materialize — the batch's own rows then look "known" and vanish
     // mid-ingest (observed as a null stats sum). Truncating the lineage
     // pins the pre-append snapshot.
-    val fresh = batch.join(known, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = batch.dropDuplicates(Seq(idCol))
+      .join(known, Seq(idCol), "left_anti").localCheckpoint()
     if (fresh.limit(1).count() > 0)
       appendToIndex(spark, fresh, idCol, textCol, tag, buckets)
   }
@@ -312,7 +505,7 @@ object Retrieval {
     * `expr`, so the two can never drift. */
   def bm25Ctes(queries: Seq[(Long, Seq[String])],
       docWhere: String = "", idfMode: String = "log",
-      pre: String = ""): String = {
+      pre: String = "", corpusSql: Option[String] = None): String = {
     val qrows = queries
       .flatMap { case (qid, ts) =>
         ts.map(t => s"(CAST($qid AS BIGINT), '$t')")
@@ -335,7 +528,8 @@ object Retrieval {
       case other => sys.error(s"unknown idfMode '$other'")
     }
     s"""${pre}q(query_id, term) AS (VALUES $qrows),
-      ${pre}corpus AS (SELECT * FROM documents $docWhere),
+      ${pre}corpus AS (${
+        corpusSql.getOrElse(s"SELECT * FROM documents $docWhere")}),
       ${pre}toks AS (
         SELECT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term

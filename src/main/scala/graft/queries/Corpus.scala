@@ -983,6 +983,49 @@ object Corpus {
     },
     Some(graft.operators.Retrieval.bm25OracleSql(Bm25QueriesB, 10)))
 
+  /** The full index-maintenance cycle the round-7 verdict flagged as
+    * missing, as one oracle-exact query: build the stored BM25 index
+    * over the corpus, RETRACT every doc_id%10==3 (tombstones), RE-INDEX
+    * every doc_id%10==7 with changed text (upsert = tombstone old gen +
+    * append new gen), COMPACT (physically drop suppressed rows, merge
+    * small files), then retract doc_id%10==9 post-compaction so serving
+    * also exercises live tombstones over a compacted store. The serve
+    * must equal a from-scratch build over the mutated corpus — which is
+    * exactly what the oracle computes, making retraction correctness a
+    * hash-checked property, not a unit assertion. */
+  val txtBm25Upsert = Q(
+    "txt_bm25_upsert",
+    (s, dir) => {
+      import graft.operators.Retrieval
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_up"
+      graft.sources.Bucketing.ensureOnce(s"bm25upsert@$tag") {
+        val docs = Tables.load(s, dir, "documents")
+        Retrieval.buildIndex(s, docs, "doc_id", "text", tag)
+        Retrieval.deleteFromIndex(s,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
+          "doc_id", tag)
+        Retrieval.upsertIntoIndex(s,
+          docs.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" upd")).as("text")),
+          "doc_id", "text", tag)
+        Retrieval.compactIndex(s, tag, "doc_id")
+        Retrieval.deleteFromIndex(s,
+          docs.filter(col("doc_id") % 10 === 9).select("doc_id"),
+          "doc_id", tag)
+      }
+      Retrieval.serveIndex(s, "doc_id", Bm25Queries, 10, tag)
+    },
+    Some {
+      val mutated = "SELECT doc_id, CASE WHEN doc_id % 10 = 7 " +
+        "THEN text || ' upd' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 10 NOT IN (3, 9)"
+      s"""WITH ${graft.operators.Retrieval.bm25Ctes(
+          Bm25Queries, corpusSql = Some(mutated))}
+        SELECT query_id, rank, doc_id, score_fp FROM bm25_ranked
+        WHERE rank <= 10"""
+    })
+
   /** The instrument behind round 8's scorer fix: per query, how far
     * the TRUE log-idf BM25 ranking (idfMode "log", the default) moved
     * from round 7's log-free odds-ratio ranking (idfMode "odds").
@@ -1040,5 +1083,5 @@ object Corpus {
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
-    txtBm25Stored, txtBm25Rankshift)
+    txtBm25Stored, txtBm25Rankshift, txtBm25Upsert)
 }

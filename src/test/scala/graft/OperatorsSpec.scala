@@ -1016,6 +1016,125 @@ class OperatorsSpec extends AnyFunSuite {
       "served index after ingest must equal a rebuild over the grown corpus")
   }
 
+  test("Retrieval index retraction: delete == rebuild-without-doc; double delete safe") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"), 2L -> Seq("hash", "scan"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25del"
+    Retrieval.buildIndex(spark, docs, "doc_id", "text", tag)
+    val doomedIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    Retrieval.deleteFromIndex(spark, doomedIds, "doc_id", tag)
+    val want = canon(Retrieval.bm25TopK(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", q, 5))
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == want,
+      "serve-after-delete must equal a rebuild without the docs")
+    // deleting the same ids again must not double-subtract the stats
+    Retrieval.deleteFromIndex(spark, doomedIds, "doc_id", tag)
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == want,
+      "a second delete of the same ids must be a no-op")
+  }
+
+  test("Retrieval.upsertIntoIndex: re-added doc serves its NEW text; old stays dead") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"), 2L -> Seq("data", "table"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25ups"
+    Retrieval.buildIndex(spark, docs, "doc_id", "text", tag)
+    // delete %9==0, then upsert %9∈{0,1} with mutated text: the ==0 docs
+    // are RE-ADDS over their own tombstones, the ==1 docs plain updates
+    Retrieval.deleteFromIndex(spark,
+      docs.filter(col("doc_id") % 9 === 0).select("doc_id"), "doc_id", tag)
+    Retrieval.upsertIntoIndex(spark,
+      docs.filter(col("doc_id") % 9 <= 1)
+        .select(col("doc_id"), concat(col("text"), lit(" zz")).as("text")),
+      "doc_id", "text", tag)
+    val mutated = docs.select(col("doc_id"),
+      when(col("doc_id") % 9 <= 1, concat(col("text"), lit(" zz")))
+        .otherwise(col("text")).as("text"))
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) ==
+      canon(Retrieval.bm25TopK(mutated, "doc_id", "text", q, 5)),
+      "upsert must serve the new text exactly as a rebuild would")
+  }
+
+  test("Retrieval.compactIndex: drops suppressed rows, merges files, serve unchanged") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25cmp"
+    Retrieval.buildIndex(spark, docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", tag)
+    // three appends + a delete accrete small files and tombstones
+    Retrieval.appendToIndex(spark, docs.filter(col("doc_id") % 9 === 0),
+      "doc_id", "text", tag)
+    Retrieval.appendToIndex(spark, docs.filter(col("doc_id") % 9 === 3),
+      "doc_id", "text", tag)
+    Retrieval.appendToIndex(spark, docs.filter(col("doc_id") % 9 === 6),
+      "doc_id", "text", tag)
+    Retrieval.deleteFromIndex(spark,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id", tag)
+    val before = canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag))
+    val (nBefore, nAfter) = Retrieval.compactIndex(spark, tag, "doc_id")
+    assert(nAfter < nBefore,
+      s"compaction must merge the append-accumulated files: $nBefore -> $nAfter")
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before,
+      "compaction must not change served results")
+    assert(spark.table(s"g_bm25_tomb_$tag").count() == 0,
+      "compaction must clear the tombstone table")
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) ==
+      canon(Retrieval.bm25TopK(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", q, 5)),
+      "compacted index must still equal the rebuild over surviving docs")
+  }
+
+  test("Retrieval.ingestNewDocs: intra-batch duplicate ids ingest exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"), 2L -> Seq("data", "table"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25dup"
+    Retrieval.buildIndex(spark, docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", tag)
+    // an at-least-once producer retried inside the micro-batch: every
+    // new doc arrives twice in ONE frame
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    Retrieval.ingestNewDocs(spark, batch.union(batch), "doc_id", "text", tag)
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) ==
+      canon(Retrieval.bm25TopK(docs, "doc_id", "text", q, 5)),
+      "duplicated batch rows must not double-count tf or stats")
+  }
+
+  test("Retrieval.repairStats: detects and repairs a crash between the two writes") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25crash"
+    Retrieval.buildIndex(spark, docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", tag)
+    // simulate the crash at the contract's vulnerable point: postings
+    // of the batch land (gen 1), stats never do
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    Retrieval.appendPostings(spark,
+      Retrieval.postings(batch, "doc_id", "text")
+        .withColumn("gen", lit(1L)), tag, buckets = 8)
+    spark.catalog.refreshTable(s"g_bm25_post_$tag")
+    assert(Retrieval.repairStats(spark, tag, "doc_id"),
+      "repairStats must report the stats row drifted")
+    assert(!Retrieval.repairStats(spark, tag, "doc_id"),
+      "a second repair must find nothing to do")
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) ==
+      canon(Retrieval.bm25TopK(docs, "doc_id", "text", q, 5)),
+      "repaired index must serve exactly as a rebuild over the grown corpus")
+  }
+
   test("Merge.snapshotDiff: added/removed/changed verdicts, null-safe compare") {
     val older = Seq((1L, Some("a"), 10.0), (2L, None, 20.0),
       (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))

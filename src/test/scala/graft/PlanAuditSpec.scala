@@ -100,6 +100,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_bm25",            // 1-row corpus-stats frame broadcast into the scorer
     "txt_bm25_stored",     // same 1-row stats frame, read from the store
     "txt_bm25_rankshift",  // both scorer legs share that 1-row stats product
+    "txt_bm25_upsert",     // same 1-row stats product over the tombstone-adjusted store
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
     "a33_sketch_rollup",   // triangular day≤day merge of |days| k-long sketch arrays
     "a34_skew_report"      // 1-row stats × 1-row top10 sum
