@@ -198,7 +198,11 @@ object Graph {
     * the semantics: ranks seed at Unit12·1[v∈S], and each step is a
     * LEFT join of the full node set against incoming contributions —
     * the inner-join form global PageRank uses would drop a seed with
-    * no in-edges and lose its teleport mass. */
+    * no in-edges and lose its teleport mass. The node universe is the
+    * edge endpoints UNION the seeds: a seed outside the edge list
+    * entirely (the "expand from this cold entity" call) still holds
+    * its teleport share and converges to 0.15·Unit12 rather than
+    * silently vanishing from the output. */
   def personalizedPagerankFixed(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
@@ -206,6 +210,8 @@ object Graph {
     val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
     val adj = directed.join(deg, "src")
     val base = deg.select(col("src").as("node"))
+      .unionByName(seeds.select(col("node")))
+      .distinct()
       .join(seeds.select(col("node")).distinct().withColumn("__s", lit(1L)),
         Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))

@@ -64,6 +64,12 @@ object Profile {
     * share delta — all-integer, so the whole report is oracle-exact
     * (sum delta_pm over a dim and halve for total-variation distance).
     *
+    * A dim present in only ONE generation (a brand-new or vanished
+    * dimension — the strongest drift there is) has a zero total on the
+    * other side; its share there is 0 permille (of nothing, nothing is
+    * this bucket), NOT null, so those rows surface with maximal
+    * delta_pm instead of silently nulling out of the report.
+    *
     * Scale: one map-side-combined count per side keyed (dim, bucket) —
     * cardinality = buckets, not rows; dim totals re-aggregate the
     * bucket counts (tiny) and broadcast back. */
@@ -77,11 +83,14 @@ object Profile {
         coalesce(col("n_new"), lit(0L)).as("n_new"))
     val totals = j.groupBy("dim")
       .agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
+    val shareOld =
+      expr("CASE WHEN tot_old = 0 THEN 0 ELSE (1000 * n_old) div tot_old END")
+    val shareNew =
+      expr("CASE WHEN tot_new = 0 THEN 0 ELSE (1000 * n_new) div tot_new END")
     j.join(broadcast(totals), "dim")
       .select(col("dim"), col("bucket"), col("n_old"), col("n_new"),
-        expr("(1000 * n_old) div tot_old").as("share_old_pm"),
-        expr("(1000 * n_new) div tot_new").as("share_new_pm"),
-        abs(expr("(1000 * n_old) div tot_old") -
-          expr("(1000 * n_new) div tot_new")).as("delta_pm"))
+        shareOld.as("share_old_pm"),
+        shareNew.as("share_new_pm"),
+        abs(shareOld - shareNew).as("delta_pm"))
   }
 }

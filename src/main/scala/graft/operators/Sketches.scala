@@ -173,17 +173,29 @@ object Sketches {
     * d·w tables — the 100 TB self-join that would emit 10¹⁸ rows costs
     * d·w integers to detect. Products go through DECIMAL(18,0)·(18,0)
     * → DECIMAL(37,0), so counts up to 10¹⁸ per cell cannot overflow the
-    * dot product. All-integer, hence oracle-exact. */
+    * dot product. All-integer, hence oracle-exact.
+    *
+    * A hash row where the two sides share NO cells has dot = 0 — the
+    * true minimum — so the dots are LEFT-joined from the full hash-row
+    * domain (cellsA's distinct j: every key addresses every row, so a
+    * non-empty sketch populates all d) with missing dots as 0, and a
+    * fully-disjoint pair estimates 0, not the inner-join's inflated
+    * min-over-survivors (or a null). Largely-disjoint key sets are
+    * exactly what a pre-flight join guard most needs to catch. */
   def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val a = cellsA.select(col("j"), col("b"),
       col("n").cast(DecimalType(18, 0)).as("__cms_na"))
     val b = cellsB.select(col("j"), col("b"),
       col("n").cast(DecimalType(18, 0)).as("__cms_nb"))
-    a.join(b, Seq("j", "b"))
+    val dots = a.join(b, Seq("j", "b"))
       .groupBy("j")
       .agg(sum(col("__cms_na") * col("__cms_nb")).as("__cms_dot"))
-      .agg(min("__cms_dot").cast("long").as("est_rows"))
+    cellsA.select("j").distinct()
+      .join(dots, Seq("j"), "left_outer")
+      .agg(coalesce(min(coalesce(col("__cms_dot"),
+          lit(0).cast(DecimalType(38, 0)))).cast("long"), lit(0L))
+        .as("est_rows"))
   }
 
   // ---- Bloom filter --------------------------------------------------------

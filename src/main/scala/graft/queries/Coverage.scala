@@ -1027,10 +1027,14 @@ object Coverage {
           CAST(sum(n_new) AS BIGINT) AS tot_new
         FROM j GROUP BY 1)
       SELECT j.dim, bucket, n_old, n_new,
-        (1000 * n_old) // tot_old AS share_old_pm,
-        (1000 * n_new) // tot_new AS share_new_pm,
-        abs((1000 * n_old) // tot_old - (1000 * n_new) // tot_new)
-          AS delta_pm
+        CASE WHEN tot_old = 0 THEN 0
+             ELSE (1000 * n_old) // tot_old END AS share_old_pm,
+        CASE WHEN tot_new = 0 THEN 0
+             ELSE (1000 * n_new) // tot_new END AS share_new_pm,
+        abs(CASE WHEN tot_old = 0 THEN 0
+                 ELSE (1000 * n_old) // tot_old END
+          - CASE WHEN tot_new = 0 THEN 0
+                 ELSE (1000 * n_new) // tot_new END) AS delta_pm
       FROM j JOIN t USING (dim) ORDER BY dim, bucket"""
     })
 

@@ -220,7 +220,10 @@ object Joins {
         dots AS (
           SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS dot
           FROM cells a JOIN cells b USING (j, b) GROUP BY 1),
-        est AS (SELECT min(dot) AS est_rows FROM dots),
+        est AS (
+          SELECT CAST(coalesce(min(coalesce(dot, 0)), 0) AS BIGINT)
+            AS est_rows
+          FROM js LEFT JOIN dots USING (j)),
         ex AS (
           SELECT CAST(sum(f * f) AS BIGINT) AS exact_rows FROM (
             SELECT count(*) AS f FROM events GROUP BY user_id))

@@ -930,6 +930,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("s") == ((3L, 1L, 1L)))
   }
 
+  test("Profile.driftReport: one-sided dims read as maximal drift, never NULL") {
+    // dim "lang" exists only in the NEW generation (a brand-new
+    // dimension — the strongest drift) and dim "gone" only in the OLD;
+    // both must surface with 0-permille shares on their absent side and
+    // maximal delta, not null out of the report
+    val old = Seq(("type", "a"), ("type", "a"), ("type", "b"),
+      ("gone", "x")).toDF("dim", "bucket")
+    val nu = Seq(("type", "a"), ("type", "c"),
+      ("lang", "en"), ("lang", "en")).toDF("dim", "bucket")
+    val got = Profile.driftReport(old, nu)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(("lang", "en")) == ((0L, 1000L, 1000L)),
+      s"new-only dim must show 0 -> 1000 permille: $got")
+    assert(got(("gone", "x")) == ((1000L, 0L, 1000L)),
+      s"vanished dim must show 1000 -> 0 permille: $got")
+    assert(got(("type", "b")) == ((333L, 0L, 333L)) &&
+      got(("type", "c")) == ((0L, 500L, 500L)), s"got $got")
+  }
+
   test("Retrieval.bm25TopKStored: equals the direct path; batch 2 never re-reads docs") {
     val sf = "/root/testdata/sf0.001"
     var forced = 0
@@ -1163,6 +1183,15 @@ class OperatorsSpec extends AnyFunSuite {
     // self-join guard: Σf² for a = 2² + 1² = 5
     val self = Sketches.cmsJoinSize(ca, ca).as[Long].head()
     assert(self == 5L, s"self-join estimate drifted: $self")
+    // DISJOINT key sets: any hash row where no cells collide has a true
+    // dot of 0, so the estimate must be 0 (not null, not an inflated
+    // min over the colliding rows) — the case a pre-flight guard most
+    // needs to catch
+    val c = Seq(100L, 200L, 300L).toDF("k")
+    val cc = Sketches.cmsCells(c, "k", d = 4, w = 4096)
+    val disjoint = Sketches.cmsJoinSize(ca, cc).as[Long].head()
+    assert(disjoint == 0L,
+      s"fully-disjoint sketches must estimate a 0-row join: $disjoint")
   }
 
   test("Retrieval.bm25TopK: rarer terms dominate, dl normalizes, ties break by id") {
@@ -1257,6 +1286,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pr(4L) < pr(2L),
       s"rank must decay with distance from the seed: $pr")
     assert(pr.size == 6 && pr.values.forall(_ >= 0))
+    // an EDGE-LESS seed (not in the edge list at all) must keep its
+    // teleport mass — converging to 0.15·Unit12 — not silently vanish
+    val cold = Graph.personalizedPagerankFixed(edges,
+        Seq(1L, 99L).toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cold.contains(99L) && cold(99L) == Graph.Unit12 * 15 / 100,
+      s"isolated seed must hold exactly the teleport share: $cold")
   }
 
   test("Graph.pagerankFixed: ranks conserve mass and hubs outrank leaves") {
