@@ -324,52 +324,45 @@ object Analytics {
 
   /** T16: OHLC resample bars — the classic time-series downsample
     * (open/high/low/close per instrument per hour; here event_type is
-    * the instrument and value the tick). Open/close are first/last in
-    * (ts, event_id) order — a total order, so bars are deterministic;
-    * value goes through the DECIMAL(18,2) contract. Windows partition
-    * by (instrument, bar): no task ever sees more than one bar's
-    * ticks. */
+    * the instrument and value the tick). Open/close are min_by/max_by
+    * over a zero-padded (us, event_id) ordering STRING — a total order
+    * both engines compare byte-identically — so the whole bar is ONE
+    * partial+final aggregate: no WindowExec, no distinct pass, and
+    * map-side combine ships at most one candidate row per (instrument,
+    * bar) per task into the shuffle. Value goes through the
+    * DECIMAL(18,2) contract. */
   val t16OhlcBars = Q(
     "t16_ohlc_bars",
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
         .select(col("event_type"), date_trunc("hour", col("ts")).as("bar"),
-          unix_micros(col("ts")).as("us"), col("event_id"), Q.dec("value").as("v"))
-      val wa = Window.partitionBy("event_type", "bar")
-        .orderBy(col("us"), col("event_id"))
-      val wf = wa.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      e.select(col("event_type"), col("bar"),
-          first(col("v")).over(wf).as("open"),
-          max(col("v")).over(wf).as("high"),
-          min(col("v")).over(wf).as("low"),
-          last(col("v")).over(wf).as("close"),
-          count(lit(1)).over(wf).as("n_ticks"))
-        .distinct()
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 12, "0")).as("ord"),
+          Q.dec("value").as("v"))
+      e.groupBy(col("event_type"), col("bar"))
+        .agg(min_by(col("v"), col("ord")).as("o"),
+          max(col("v")).as("h"), min(col("v")).as("l"),
+          max_by(col("v"), col("ord")).as("c"),
+          count(lit(1)).as("n_ticks"))
         .select(col("event_type"), col("bar"),
-          col("open").cast("double").as("open"),
-          col("high").cast("double").as("high"),
-          col("low").cast("double").as("low"),
-          col("close").cast("double").as("close"), col("n_ticks"))
+          col("o").cast("double").as("open"),
+          col("h").cast("double").as("high"),
+          col("l").cast("double").as("low"),
+          col("c").cast("double").as("close"), col("n_ticks"))
     },
     Some("""WITH t AS (
         SELECT event_type, date_trunc('hour', ts) AS bar,
-          epoch_us(ts) AS us, event_id,
+          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+            lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
           CAST(value AS DECIMAL(18,2)) AS v
-        FROM events),
-      b AS (
-        SELECT DISTINCT event_type, bar,
-          first_value(v) OVER w AS open,
-          max(v) OVER w AS high,
-          min(v) OVER w AS low,
-          last_value(v) OVER w AS close,
-          count(*) OVER w AS n_ticks
-        FROM t
-        WINDOW w AS (PARTITION BY event_type, bar ORDER BY us, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        FROM events)
       SELECT event_type, CAST(bar AS TIMESTAMP) AS bar,
-        CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
-        CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close,
-        n_ticks FROM b"""))
+        CAST(arg_min(v, ord) AS DOUBLE) AS open,
+        CAST(max(v) AS DOUBLE) AS high,
+        CAST(min(v) AS DOUBLE) AS low,
+        CAST(arg_max(v, ord) AS DOUBLE) AS close,
+        count(*) AS n_ticks
+      FROM t GROUP BY 1, 2"""))
 
   /** Journey patterns for t15 — (name, regex). Kept to the regex core
     * Java and RE2 agree on (literals, ., *, +, [^x] classes; no

@@ -346,23 +346,34 @@ object Coverage {
   /** A18: sketch aggregates — HyperLogLog++ distinct counts and t-digest
     * quantiles per group. These are THE at-scale forms of A6/A17 (exact
     * distinct shuffles every key; exact percentile sorts every value;
-    * the sketches are fixed-size mergeable state). No oracle SQL on
-    * purpose: sketch results are algorithm-specific, so DuckDB's
-    * approx_count_distinct would legitimately differ — the driver's
-    * rows-only check applies, and the EXACT twins (a6, a17) remain the
-    * value-verified forms. A spec bounds the sketch error against them.
-    * The ORACLE-EXACT sketch sibling is a26_kmv_sketch below — a real
-    * bounded-memory mergeable distinct sketch with full value
-    * verification; a18 stays rows-only because HLL/t-digest register
-    * state is engine-private, not because sketches can't be verified. */
+    * the sketches are fixed-size mergeable state). The sketch VALUES
+    * are engine-private (DuckDB's approx_count_distinct would
+    * legitimately differ), so the oracle verifies the sketches'
+    * CONTRACT instead: per group, the HLL estimate must land within 10%
+    * of the exact distinct count (rsd=0.02 → 5σ headroom) and the
+    * approximate median inside the exact [p40, p60] band (accuracy
+    * 10000 → near-exact). The oracle asserts TRUE for every group, so a
+    * sketch drifting out of tolerance is a driver-visible hash mismatch
+    * — strictly stronger than the old rows-only check. The instrument
+    * pays the exact-twin cost to verify; production uses only the
+    * sketch line (a6/a17 remain the exact forms, a26 the oracle-EXACT
+    * mergeable sketch). */
   val a18Sketches = Q(
     "a18_sketches",
     (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50")),
-    None)
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"),
+          countDistinct(col("user_id")).as("xu"),
+          expr("percentile(value, 0.4)").as("p40"),
+          expr("percentile(value, 0.6)").as("p60"))
+        .select(col("event_type"),
+          (abs(col("au") - col("xu")) <= col("xu") * 0.1).as("hll_ok"),
+          col("ap").between(col("p40"), col("p60")).as("p50_ok"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, TRUE AS hll_ok, TRUE AS p50_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** A26: KMV distinct-count sketch — a18's ORACLE-EXACT sibling. HLL
     * register state is engine-private (a18 stays rows-only by design);

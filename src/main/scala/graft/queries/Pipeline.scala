@@ -652,6 +652,85 @@ object Pipeline {
       LEFT JOIN spans s USING (doc_id)
       LEFT JOIN ncut n USING (doc_id)"""))
 
+  /** The convergence instrument for [[ddSubstringCut]]: the cut pass's
+    * documented caveat is that splicing can form NEW k-windows across
+    * cut boundaries (Lee et al. 2022 note the same of their pass and
+    * iterate to convergence). This query measures the residual — the
+    * occurrence pass re-run over `text_clean` — so the "converges in
+    * practice" claim carries a number instead of a promise. One row:
+    * total occurrences of still-cross-document 15-token windows in the
+    * cleaned corpus and the count of such distinct windows. Measured 0/0
+    * at sf0.01 and sf0.1 (the synthesized collisions are whole-document,
+    * so copies clean to empty and nothing can straddle a boundary);
+    * a unit test pins the non-zero boundary-splice case and that one
+    * more pass drives IT to zero.
+    *
+    * Scale shape: strictly the two passes it composes — no new wide
+    * operator; the final agg is a 1-row global. */
+  val ddSubstringResidual = Q(
+    "dd_substring_residual",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val dup = d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      val cleaned = Dedup.cutRepeatedSpans(d.union(dup), "doc_id", "text", k = 15)
+        .select(col("doc_id"), col("text_clean"))
+      Dedup.repeatedSpanOccurrences(cleaned, "doc_id", "text_clean", k = 15)
+        .agg(count(lit(1)).as("n_residual_occ"),
+          countDistinct(col("wh")).as("n_residual_windows"))
+    },
+    Some("""WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 50),
+      toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM all_docs),
+      occ AS (
+        SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i : i + 14], ' ')) AS wh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+              FROM toks WHERE len(t) >= 15)),
+      rep AS (
+        SELECT wh FROM occ GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      firsts AS (
+        SELECT wh, doc_id AS fdoc, pos AS fpos FROM (
+          SELECT wh, doc_id, pos,
+            row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+          FROM occ) WHERE rn = 1),
+      cuts AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN rep USING (wh) JOIN firsts f USING (wh)
+        WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)),
+      covered AS (
+        SELECT DISTINCT doc_id, pos + j AS cov
+        FROM cuts, (SELECT unnest(generate_series(0, 14)) AS j) js),
+      tokpos AS (
+        SELECT doc_id, i, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+              FROM toks)),
+      kept AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tokpos tp LEFT JOIN covered c
+          ON c.doc_id = tp.doc_id AND c.cov = tp.i - 1
+        WHERE c.cov IS NULL),
+      clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean
+        FROM kept GROUP BY doc_id),
+      toks2 AS (
+        SELECT doc_id,
+          string_split_regex(lower(trim(coalesce(text_clean, ''))), '\s+') AS t
+        FROM (SELECT d.doc_id, cl.text_clean
+              FROM toks d LEFT JOIN clean cl USING (doc_id))),
+      occ2 AS (
+        SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i : i + 14], ' ')) AS wh
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+              FROM toks2 WHERE len(t) >= 15)),
+      rep2 AS (
+        SELECT wh FROM occ2 GROUP BY wh HAVING count(DISTINCT doc_id) >= 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_residual_occ,
+        CAST(count(DISTINCT wh) AS BIGINT) AS n_residual_windows
+      FROM occ2 JOIN rep2 USING (wh)"""))
+
   /** Embedding-cosine near-dup pairs at cosine ≥ 0.4 (the corpus has no
     * truly duplicated vectors; 0.4 captures the closest cluster pairs).
     * Pinned to vec_id < 1000 like dd_ngram — exact all-pairs is the
@@ -1745,7 +1824,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
     ddParagraph, ddJaccardPrefix,
-    ddSubstring, ddSubstringCut, ddLshRecall, txtSplitLeakfree,
+    ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,

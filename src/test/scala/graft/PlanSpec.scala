@@ -371,4 +371,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"postings must combine map-side:\n$p")
   }
+
+  test("t16: OHLC bars are one partial+final aggregate — no window, no distinct pass") {
+    val p = plan(Analytics.t16OhlcBars)
+    // min_by/max_by over the ordering key replace the old
+    // first/last-over-window + distinct formulation: each task ships at
+    // most one candidate row per (instrument, bar) into the shuffle
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"OHLC must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_"),
+      s"bar aggregate must combine map-side:\n$p")
+    // exactly one shuffle: the grouping exchange (plus AQE reads)
+    assert(p.split("Exchange").length <= 3, s"expected a single exchange:\n$p")
+  }
 }

@@ -254,4 +254,31 @@ class PropertySpec extends AnyFunSuite {
       assert(bat == seqv, s"diverged on corpus: $doc")
     }
   }
+
+  test("ANN recall floors: a bucketing change that destroys recall fails here, not in prod") {
+    // sim_recall / sim_pq_recall / dd_lsh_recall MEASURE recall; this
+    // test PINS it. Floors sit well under the measured sf0.01 values
+    // (lsh_multi 0.76, ivf 0.24, pq_adc 0.18, dd_lsh 1.0/1.0) so
+    // corpus-regeneration noise passes but a geometry/hashing regression
+    // that silently zeroes recall cannot ship. Single-table `lsh` is the
+    // documented recall-cliff instrument (measured ~0.0 at 8 planes) —
+    // no floor, by design.
+    val sf = "/root/testdata/sf0.01"
+    val sim = graft.queries.Pipeline.simRecall.run(spark, sf)
+      .groupBy("method").agg(org.apache.spark.sql.functions.avg("recall").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(sim("lsh_multi") >= 0.5,
+      s"OR-amplified LSH mean recall ${sim("lsh_multi")} below 0.5 floor")
+    assert(sim("ivf") >= 0.1, s"IVF mean recall ${sim("ivf")} below 0.1 floor")
+    val pq = graft.queries.Pipeline.simPqRecall.run(spark, sf)
+      .groupBy("method").agg(org.apache.spark.sql.functions.avg("recall").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(pq("pq_adc") >= 0.1, s"PQ-ADC mean recall ${pq("pq_adc")} below 0.1 floor")
+    assert(pq("pq_refined") >= 0.1,
+      s"Lloyd-refined PQ mean recall ${pq("pq_refined")} below 0.1 floor")
+    val dd = graft.queries.Pipeline.ddLshRecall.run(spark, sf)
+      .select("recall", "precision").as[(Double, Double)].collect().head
+    assert(dd._1 >= 0.8, s"near-dup LSH recall ${dd._1} below 0.8 floor")
+    assert(dd._2 >= 0.8, s"near-dup LSH precision ${dd._2} below 0.8 floor")
+  }
 }
