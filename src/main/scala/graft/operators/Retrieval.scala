@@ -465,6 +465,92 @@ object Retrieval {
         col("col.score").cast("long").as("rrf_fp"))
   }
 
+  /** Exact PHRASE search — the positional half of the retrieval stack
+    * (BM25 ranks bags of words; "customer part join" as a phrase needs
+    * token ADJACENCY). Classic engines intersect positional postings
+    * term-by-term (one join per phrase term, each shuffling a full
+    * posting list). This is windows-as-terms instead: for each distinct
+    * phrase LENGTH n in the batch, every n-token window of every doc is
+    * emitted IN-ROW (the Dedup.repeatedSpanOccurrences pattern — no
+    * window function, amplification = tokens × distinct lengths) and
+    * equi-joined against the broadcast phrase batch, so matching costs
+    * ONE broadcast probe however long the phrase is. Docs rank by
+    * occurrence count (ties → lower doc_id) through the partial TopK
+    * aggregator: a phrase matching half the corpus still shuffles
+    * queries×k rows. Output: (query_id, rank, doc_id, n_hits,
+    * first_pos) — first_pos is the snippet anchor a serving tier
+    * highlights.
+    *
+    * Phrases are normalized exactly like document text (lower + trim +
+    * whitespace split), so a query phrase matches iff its normalized
+    * token run appears verbatim. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = phrases.map { case (qid, p) =>
+      (qid, p.toLowerCase.trim.split("\\s+").toSeq) }
+    require(norm.forall(_._2.nonEmpty), "empty phrase")
+    val lens = norm.map(_._2.length).distinct.sorted
+    val pdf = norm.map { case (q, ts) => (q, ts.mkString(" "), ts.length) }
+      .toDF("query_id", "phrase", "plen")
+    val toks = docs.select(col(idCol),
+      graft.operators.TextAnalysis.rawTokens(col(textCol)).as("t"))
+    val wins = lens.map { n =>
+      toks.filter(size(col("t")) >= n)
+        .select(col(idCol), explode(expr(
+          s"""transform(sequence(1, size(t) - ${n - 1}),
+              i -> struct(i - 1 AS pos, array_join(slice(t, i, $n), ' ') AS w))"""))
+          .as("x"))
+        .select(col(idCol), col("x.pos").as("pos"), col("x.w").as("w"),
+          lit(n).as("wlen"))
+    }.reduce(_ unionByName _)
+    val hits = wins
+      .join(broadcast(pdf),
+        wins("w") === pdf("phrase") && wins("wlen") === pdf("plen"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+    val topk = TopK.topK(k)
+    val ranked = hits.groupBy("query_id")
+      .agg(topk(col("n_hits").cast("double"), col(idCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol))
+    // re-attach counts/anchor: k×queries rows joining a keyed agg — tiny
+    ranked.join(hits, Seq("query_id", idCol))
+      .select(col("query_id"), col("rank"), col(idCol), col("n_hits"),
+        col("first_pos").cast("long").as("first_pos"))
+  }
+
+  /** The [[phraseSearch]] oracle: replay window extraction per distinct
+    * phrase length and rank with a window (oracle-side scale is not a
+    * concern). Same normalization, same (n_hits DESC, doc_id) order. */
+  def phraseOracleSql(phrases: Seq[(Long, String)], k: Int): String = {
+    val norm = phrases.map { case (q, p) =>
+      (q, p.toLowerCase.trim.split("\\s+").toSeq) }
+    val perPhrase = norm.map { case (qid, ts) =>
+      val n = ts.length
+      val lit = ts.mkString(" ").replace("'", "''")
+      s"""SELECT $qid AS query_id, doc_id,
+          CAST(count(*) AS BIGINT) AS n_hits,
+          CAST(min(i - 1) AS BIGINT) AS first_pos
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+              FROM ptoks WHERE len(t) >= $n)
+        WHERE array_to_string(t[i : i + ${n - 1}], ' ') = '$lit'
+        GROUP BY doc_id"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH ptoks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      phits AS (
+      $perPhrase)
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, n_hits, first_pos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY n_hits DESC, doc_id) AS rn
+            FROM phits)
+      WHERE rn <= $k"""
+  }
+
   /** [[appendToIndex]] made REDELIVERY-PROOF: drop duplicates WITHIN
     * the batch (an at-least-once producer can retry inside one
     * micro-batch, delivering the same doc twice in a single frame),

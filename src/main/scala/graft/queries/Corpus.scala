@@ -961,6 +961,30 @@ object Corpus {
       Tables.load(s, dir, "documents"), "doc_id", "text", Bm25Queries, 10),
     Some(graft.operators.Retrieval.bm25OracleSql(Bm25Queries, 10)))
 
+  /** Phrase batch for txt_phrase — mixed 2- and 3-token phrases chosen
+    * to have real occurrence spread in the corpus (bigrams ~45 hits,
+    * trigrams ~7 at sf0.01). */
+  val PhraseQueries: Seq[(Long, String)] = Seq(
+    1L -> "table hash",
+    2L -> "customer join",
+    3L -> "slow hash batch",
+    4L -> "part filter scan",
+    5L -> "window fast query")
+
+  /** Exact phrase search — the positional complement of txt_bm25:
+    * token-ADJACENT matches ranked by occurrence count. Windows-as-
+    * terms plan (operators.Retrieval.phraseSearch): n-token windows
+    * emitted in-row per distinct phrase length, broadcast equi-join
+    * against the phrase batch, partial TopK — matching a phrase costs
+    * one probe regardless of its length, and no posting-list
+    * intersection chain. */
+  val txtPhrase = Q(
+    "txt_phrase",
+    (s, dir) => graft.operators.Retrieval.phraseSearch(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      PhraseQueries, 10),
+    Some(graft.operators.Retrieval.phraseOracleSql(PhraseQueries, 10)))
+
   /** Second retrieval batch, served from the STORED index — proves the
     * index outlives the batch that built it. */
   val Bm25QueriesB: Seq[(Long, Seq[String])] = Seq(
@@ -1083,5 +1107,5 @@ object Corpus {
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
-    txtBm25Stored, txtBm25Rankshift, txtBm25Upsert)
+    txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase)
 }
