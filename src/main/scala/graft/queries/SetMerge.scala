@@ -315,8 +315,41 @@ object SetMerge {
         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
       ORDER BY o_orderkey"""))
 
+  /** M14: incremental materialized-view maintenance
+    * (operators.MatView) — a per-(event_type, day) count/sum rollup is
+    * built over 80% of the stream, then brought current by DELTA
+    * MERGES alone: one insert batch (the remaining 20%) and one
+    * retraction batch (every event_id%5==0, sign −1, e.g. a bad
+    * producer's rows being clawed back). The final view must equal a
+    * from-scratch groupBy over the corrected stream — which is exactly
+    * what the oracle computes, so "maintenance == recompute" is a
+    * hash-checked property. Refresh cost is ∝ |delta| + |view|; the
+    * base rows are never re-read after the initial build. */
+  val m14IncrementalMv = Q(
+    "m14_incremental_mv",
+    (s, dir) => {
+      import graft.operators.MatView
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("value"))
+      val keys = Seq("event_type", "day")
+      val mv0 = MatView.build(e.filter(col("event_id") % 10 < 8), keys, "value")
+      val ins = e.filter(col("event_id") % 10 >= 8).withColumn("sign", lit(1))
+      val mv1 = MatView.applyDelta(mv0, ins, keys, "value", "sign")
+      val ret = e.filter(col("event_id") % 5 === 0).withColumn("sign", lit(-1))
+      MatView.applyDelta(mv1, ret, keys, "value", "sign")
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("total").cast("double").as("total"))
+    },
+    Some("""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+          AS total
+      FROM events WHERE event_id % 5 != 0
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
-    m13SnapshotDiff)
+    m13SnapshotDiff, m14IncrementalMv)
 }

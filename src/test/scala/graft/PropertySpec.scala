@@ -255,6 +255,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MatView.applyDelta == rebuild on random insert/retract interleavings") {
+    import graft.operators.MatView
+    // random bases and deltas over a small key space force every edge:
+    // groups born in a delta, groups retracted to zero, mixed-sign
+    // batches combining on one group
+    val row = for {
+      k <- Gen.choose(0, 3)
+      v <- Gen.choose(-50, 50)
+    } yield (s"k$k", v.toDouble)
+    val gen = for {
+      base <- Gen.listOfN(20, row)
+      dels <- Gen.someOf(base) // retract only rows that exist
+      ins <- Gen.listOfN(8, row)
+    } yield (base, dels.toList, ins)
+    samples(gen, 8).foreach { case (base, dels, ins) =>
+      val b = base.toDF("k", "value")
+      val delta = (ins.map { case (k, v) => (k, v, 1) } ++
+        dels.map { case (k, v) => (k, v, -1) }).toDF("k", "value", "sign")
+      val maintained = MatView.applyDelta(
+        MatView.build(b, Seq("k"), "value"), delta, Seq("k"), "value", "sign")
+        .select("k", "cnt", "total")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val afterBase = base.diff(dels) ++ ins
+      val rebuilt = MatView.build(afterBase.toDF("k", "value"), Seq("k"), "value")
+        .select("k", "cnt", "total")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(maintained == rebuilt,
+        s"maintained $maintained != rebuilt $rebuilt (base=$base dels=$dels ins=$ins)")
+    }
+  }
+
   test("ANN recall floors: a bucketing change that destroys recall fails here, not in prod") {
     // sim_recall / sim_pq_recall / dd_lsh_recall MEASURE recall; this
     // test PINS it. Floors sit well under the measured sf0.01 values
