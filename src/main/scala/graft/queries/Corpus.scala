@@ -312,6 +312,20 @@ object Corpus {
     Some(s"""SELECT doc_id, lang FROM documents
       WHERE ((md5_number_lower(CAST(doc_id AS VARCHAR)) % ${Dedup.M56})::BIGINT) % 10 = 0"""))
 
+  /** Weighted sampling without replacement (operators.Sampling,
+    * Efraimidis–Spirakis with deterministic hash draws): the 100 docs
+    * sampled ∝ n_chars — the "sample long documents proportionally
+    * harder" mixture knob txt_sample's unweighted hash-mod can't
+    * express. Reproducible by construction (pure function of ids and
+    * weights), exact-k, and the oracle replays the full selection via
+    * the shared PortableLn ranking. */
+  val txtWeightedSample = Q(
+    "txt_weighted_sample",
+    (s, dir) => graft.operators.Sampling.weightedSample(
+      Tables.load(s, dir, "documents"), "doc_id", "n_chars", k = 100),
+    Some(graft.operators.Sampling.weightedSampleOracleSql(
+      "documents", "doc_id", "n_chars", k = 100)))
+
   /** Deterministic stratified train/val/test split: assignment is a pure
     * function of doc_id (hash56 % 100 → 90/5/5), so the split is
     * reproducible on any engine, stable under re-partitioning, and adding
@@ -1107,5 +1121,6 @@ object Corpus {
     txtMix, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
-    txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase)
+    txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
+    txtWeightedSample)
 }

@@ -733,6 +733,59 @@ object Coverage {
       JOIN oriented e2 ON e1.b = e2.a
       JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b"""))
 
+  /** Local clustering coefficient per node (Graph.localClustering) —
+    * triangleCount's per-node refinement: how interconnected each
+    * product's co-purchase neighborhood is, in exact integer permille.
+    * Same degree-ordered orientation (O(√m) fan-out bound); the
+    * witness explode adds 3 rows per triangle, proportional to the
+    * answer. The oracle enumerates the same oriented triangles and
+    * credits all three corners. */
+  val gClustering = Q(
+    "g_clustering",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      Graph.localClustering(
+        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue))
+    },
+    Some("""WITH ld AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT x AS item FROM edges UNION ALL SELECT y FROM edges)
+        GROUP BY 1),
+      oriented AS (
+        SELECT CASE WHEN dx.degree < dy.degree
+                      OR (dx.degree = dy.degree AND e.x < e.y)
+                    THEN e.x ELSE e.y END AS a,
+               CASE WHEN dx.degree < dy.degree
+                      OR (dx.degree = dy.degree AND e.x < e.y)
+                    THEN e.y ELSE e.x END AS b
+        FROM edges e
+        JOIN deg dx ON dx.item = e.x
+        JOIN deg dy ON dy.item = e.y),
+      tri AS (
+        SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM oriented e1
+        JOIN oriented e2 ON e1.b = e2.a
+        JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tn AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_tri FROM (
+          SELECT ta AS item FROM tri
+          UNION ALL SELECT tb FROM tri
+          UNION ALL SELECT tc FROM tri)
+        GROUP BY 1)
+      SELECT d.item, d.degree, coalesce(tn.n_tri, 0) AS n_tri,
+        CASE WHEN d.degree >= 2
+             THEN (2000 * coalesce(tn.n_tri, 0)) // (d.degree * (d.degree - 1))
+             ELSE 0 END AS cc_pm
+      FROM deg d LEFT JOIN tn USING (item)"""))
+
   /** J14: dynamic partition pruning — date-partitioned events joined to
     * a runtime-filtered dim of days (graft.sources.Partitioned). The
     * events scan carries a dynamicpruningexpression partition filter
@@ -1088,7 +1141,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gBfs, gPpr, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,

@@ -714,6 +714,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("Graph.localClustering: hand-checked coefficients; corner sum = 3 x global count") {
+    val edges = Seq( // K4 over 1-4 (4 triangles), path 4-5-6 (none)
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("item_a", "item_b")
+    val got = Graph.localClustering(edges)
+      .select("item", "degree", "n_tri", "cc_pm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // K4 interior: deg 3, all 3 wedges closed -> cc 1000
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(got(v) == ((v, 3L, 3L, 1000L)), s"node $v: ${got(v)}")
+    }
+    // node 4: deg 4 (K4 + pendant 5), 3 triangles of 6 wedges -> 1000*3/6... in permille: 2000*3/(4*3)=500
+    assert(got(4L) == ((4L, 4L, 3L, 500L)), s"node 4: ${got(4L)}")
+    // path nodes: 5 has deg 2 but open wedge (cc 0), 6 is a leaf
+    assert(got(5L) == ((5L, 2L, 0L, 0L)), s"node 5: ${got(5L)}")
+    assert(got(6L) == ((6L, 1L, 0L, 0L)), s"node 6: ${got(6L)}")
+    // every triangle credits exactly 3 corners
+    assert(got.values.map(_._3).sum == 3 * 4, "corner credits != 3 x triangles")
+  }
+
   test("Align.zipWithGlobalIndex: contiguous 1..N in sort order across partitions") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderkey")
@@ -803,6 +823,31 @@ class OperatorsSpec extends AnyFunSuite {
     val twice = Dedup.cutRepeatedSpans(once, "doc_id", "text", 3)
       .select(col("doc_id"), col("text_clean").as("text"))
     assert(residual(twice) == 0L, "second pass must reach the fixed point")
+  }
+
+  test("weightedSample: exact-k, deterministic, and genuinely weight-sensitive") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 2000 items, 10% carry weight 50 vs 1: an unweighted sampler picks
+    // ~10% heavies in any k; Efraimidis-Spirakis at w-ratio 50 must pick
+    // mostly heavies. E[P(heavy wins a slot)] >> uniform because
+    // u^(1/50) concentrates near 1 while u^(1/1) = u stays uniform.
+    val items = (0L until 2000L).map(i =>
+      (i, if (i % 10 == 0) 50L else 1L)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(items, "id", "w", k = 200)
+      .select("rank", "id").as[(Long, Long)].collect().sortBy(_._1)
+    val s2 = Sampling.weightedSample(items, "id", "w", k = 200)
+      .select("rank", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(s1.length == 200, "sample must hit k exactly")
+    assert(s1.toSeq == s2.toSeq, "sample must be a pure function of (ids, weights)")
+    val heavies = s1.count { case (_, id) => id % 10 == 0 }
+    // 200 heavy items exist in total; weight 50 should sweep most of
+    // them into a 200-slot sample (measured 148; uniform would give ~20)
+    assert(heavies >= 120,
+      s"only $heavies/200 heavy items sampled — weights not respected")
+    // and the light majority must not be shut out entirely (it's a
+    // weighted sample, not a weight-sorted head)
+    assert(heavies <= 199, "light items must retain sampling probability")
   }
 
   test("a29 KMV set algebra: exact while unfilled; estimator tracks truth when full") {
