@@ -39,7 +39,8 @@ object SparkEntry {
       "a26_kmv_sketch", "dd_semantic", "g_pagerank", "txt_bigram_score",
       "txt_bpe_batched", "j15_bucketed_edges", "dd_substring",
       "dd_semantic_kmeans", "dd_substring_cut", "dd_inc_stored",
-      "sim_lsh_multi", "sim_pq_recall", "txt_bm25", "txt_bm25_stored")
+      "sim_lsh_multi", "sim_pq_recall", "txt_bm25", "txt_bm25_stored",
+      "txt_phrase", "txt_phrase_stored", "txt_phrase_rank")
     preferred.filter(queries.contains)
   }
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Era-addressed storage for served indexes (BM25 postings, phrase
+  * postings) — the atomic-swap layer under their maintenance cycles.
+  *
+  * An index's tables (postings / stats / tombstones) live in ERA
+  * directories: `base/post_e0`, `base/stats_e0`, `base/tomb_e0`, then
+  * `..._e1` after the first compaction, and so on. Which era is live is
+  * decided by MARKER FILES under `base/era/` — `e_0`, `e_1`, … — and
+  * the rule "largest marker wins". Committing era N is ONE filesystem
+  * create (`era/e_N`), issued only after every table of era N is fully
+  * staged, so there is no window in which a reader can observe a
+  * half-written index:
+  *
+  *  - crash BEFORE the marker lands → recovery reads the old marker and
+  *    serves the old era, whose directories are untouched (compaction
+  *    stages into fresh directories, never in place);
+  *  - crash AFTER → the new era is complete by construction.
+  *
+  * Tombstones are era-scoped ON PURPOSE: compaction folds them into the
+  * new era's postings and stages an EMPTY tomb table, so the swap
+  * retires the postings and their tombstones in the same atomic step —
+  * a manifest that swapped only the postings would double-apply the
+  * old tombstones' stats corrections.
+  *
+  * The reference keeps its sync state as SQLite rows rewritten in place
+  * (DatabaseConverter/database.py); at warehouse scale the equivalent
+  * durable primitive is exactly this: immutable staged directories plus
+  * a single-file commit point (the Iceberg/Delta snapshot-pointer idea,
+  * reduced to what a filesystem gives for free).
+  *
+  * Catalog entries are per-JVM (in-memory session catalog), so
+  * registration is re-derivable state: [[registerParquet]] /
+  * [[registerBucketed]] re-create the table entry over the era
+  * directory with the schema inferred from the parquet footers —
+  * which is how a fresh session "opens" an index from nothing but the
+  * marker files.
+  */
+object IndexStore {
+
+  def postDir(base: String, era: Long): String = s"$base/post_e$era"
+  def statsDir(base: String, era: Long): String = s"$base/stats_e$era"
+  def tombDir(base: String, era: Long): String = s"$base/tomb_e$era"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live era = max N over `base/era/e_N` markers; None before the
+    * first [[commitEra]] (index never built). */
+  def readEra(spark: SparkSession, base: String): Option[Long] = {
+    val dir = new Path(s"$base/era")
+    val f = fs(spark, base)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("e_") => n.drop(2).toLong }
+      .sorted.lastOption
+  }
+
+  /** THE commit point: one file create. Everything of era N must
+    * already be staged under its directories. */
+  def commitEra(spark: SparkSession, base: String, era: Long): Unit = {
+    val f = fs(spark, base)
+    f.mkdirs(new Path(s"$base/era"))
+    f.create(new Path(s"$base/era/e_$era"), true).close()
+  }
+
+  /** Drop eras strictly older than `keep`: their markers first (so a
+    * crash mid-cleanup can only leave unreferenced directories, never a
+    * marker pointing at deleted data), then their directories. */
+  def dropOldEras(spark: SparkSession, base: String, keep: Long): Unit = {
+    val f = fs(spark, base)
+    (0L until keep).foreach { e =>
+      f.delete(new Path(s"$base/era/e_$e"), false)
+      Seq(postDir(base, e), statsDir(base, e), tombDir(base, e))
+        .foreach(d => f.delete(new Path(d), true))
+    }
+  }
+
+  /** Register `table` over an existing parquet directory, schema
+    * inferred from the footers. Replaces any prior entry (external
+    * data is never touched by DROP). */
+  def registerParquet(spark: SparkSession, table: String,
+      location: String): Unit = {
+    val ddl = spark.read.parquet(location).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"CREATE TABLE `$table` ($ddl) USING parquet " +
+      s"LOCATION '$location'")
+  }
+
+  /** Register `table` over an existing BUCKETED parquet directory
+    * (files written by a bucketBy writer carry the bucket id in their
+    * names; the CLUSTERED BY spec here must match the write). */
+  def registerBucketed(spark: SparkSession, table: String,
+      location: String, bucketCol: String, buckets: Int): Unit = {
+    val ddl = spark.read.parquet(location).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"CREATE TABLE `$table` ($ddl) USING parquet " +
+      s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+      s"INTO $buckets BUCKETS LOCATION '$location'")
+  }
+
+  /** Stage `df` as a bucketed parquet directory at `location` WITHOUT
+    * leaving a catalog entry: bucketBy requires saveAsTable, so the
+    * write goes through a scratch name that is dropped immediately
+    * (external — the files stay). */
+  def stageBucketed(df: DataFrame, location: String, bucketCol: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val scratch = s"g_stage_${System.nanoTime()}"
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", location).mode("overwrite")
+      .format("parquet").saveAsTable(scratch)
+    spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+  }
+
+  /** Stage a plain parquet directory; repartition(1) so even an EMPTY
+    * frame leaves one footer-bearing file for later schema inference. */
+  def stagePlain(df: DataFrame, location: String): Unit =
+    df.repartition(1).write.mode("overwrite").parquet(location)
+}

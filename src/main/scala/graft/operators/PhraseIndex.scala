@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STORED exact-phrase index — the serving twin of
+  * [[Retrieval.phraseSearch]], which re-materializes every n-token
+  * window of the whole corpus per query batch. That per-batch pass is
+  * the honest baseline but cannot survive 100 TB (the round-8 verdict's
+  * top gap): like BM25's stored index, the corpus must be tokenized
+  * ONCE per index build, and every query batch after that must touch
+  * only the store.
+  *
+  * The index is windows-as-terms made durable: for each phrase length n
+  * the tier serves (declared at build — the classic next-word-index
+  * trade, cf. Williams, Zobel & Bahle 2004, "Fast phrase querying with
+  * combined indexes"), every n-token window of every doc is
+  * pre-aggregated to one posting row (window-string, n, doc,
+  * occurrence-count, first-position) and stored bucketed BY WINDOW.
+  * Serving a phrase batch is then ONE broadcast probe into the postings
+  * — no window re-extraction, no posting-list intersection chain, cost
+  * independent of phrase length — followed by the partial TopK, so a
+  * phrase matching half the corpus still shuffles queries×k rows.
+  * The reference pushes exactly this operation to its search backend as
+  * `match_phrase` clauses inside bool queries
+  * (DatabaseConverter/api_clients.py:677-728); here the index IS ours,
+  * so the maintenance cycle comes with it.
+  *
+  * Maintenance mirrors the BM25 index 1:1 on the same [[IndexStore]]
+  * era layout: generation-stamped appends ([[appendToPhraseIndex]]),
+  * tombstone retraction with an ENFORCED broadcast bound
+  * ([[deleteFromPhraseIndex]] auto-compacts past the cap), upsert =
+  * tombstone-then-append, and ATOMIC compaction (stage era N+1, commit
+  * with one marker create, old era untouched until after the commit).
+  * The only structural difference from BM25: no corpus-stats row is
+  * needed for ranking (occurrence count is per-doc), so the 1-row meta
+  * table carries just the append generation and the indexed lengths.
+  *
+  * Storage cost: Σ_n (tokens − n + 1) window rows before per-doc
+  * aggregation — the standard positional-index multiple of the text. At
+  * 100 TB the lengths list is the knob: index 2..3 and serve longer
+  * phrases by probing their length-3 prefix then verifying, or widen
+  * the list for a phrase-heavy tier.
+  */
+object PhraseIndex {
+
+  private def postTable(tag: String) = s"g_phr_post_$tag"
+  private def metaTable(tag: String) = s"g_phr_meta_$tag"
+  private def tombTable(tag: String) = s"g_phr_tomb_$tag"
+  private def indexBase(tag: String) =
+    s"${graft.sources.Bucketing.processRoot}/phrase_$tag"
+
+  /** One posting row per (doc, window-string, length): every n-token
+    * window for each n in `lengths`, emitted IN-ROW (transform over
+    * sequence — no window function, amplification = tokens × |lengths|)
+    * and pre-aggregated per doc map-side. One shuffle, keyed by the
+    * window string the probe will hit. */
+  def windowPostings(docs: DataFrame, idCol: String, textCol: String,
+      lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      s"phrase lengths must be >= 1: $lengths")
+    val toks = docs.select(col(idCol),
+      TextAnalysis.rawTokens(col(textCol)).as("t"))
+    lengths.distinct.sorted.map { n =>
+      toks.filter(size(col("t")) >= n)
+        .select(col(idCol), explode(expr(
+          s"""transform(sequence(1, size(t) - ${n - 1}),
+              i -> struct(i - 1 AS pos, array_join(slice(t, i, $n), ' ') AS w))"""))
+          .as("x"))
+        .select(col(idCol), col("x.w").as("w"), lit(n).as("wlen"),
+          col("x.pos").as("pos"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(idCol), col("w"), col("wlen"))
+      .agg(count(lit(1)).as("n_hits"),
+        min("pos").cast("long").as("first_pos"))
+  }
+
+  private def registerTables(spark: SparkSession, tag: String, era: Long,
+      buckets: Int): Unit = {
+    val base = indexBase(tag)
+    IndexStore.registerBucketed(spark, postTable(tag),
+      IndexStore.postDir(base, era), "w", buckets)
+    IndexStore.registerParquet(spark, metaTable(tag),
+      IndexStore.statsDir(base, era))
+    IndexStore.registerParquet(spark, tombTable(tag),
+      IndexStore.tombDir(base, era))
+  }
+
+  /** Recover the catalog entries from the newest committed era — the
+    * fresh-session / post-crash entry point (same contract as
+    * [[Retrieval.openIndex]]). */
+  def openIndex(spark: SparkSession, tag: String, buckets: Int = 8): Unit = {
+    val era = IndexStore.readEra(spark, indexBase(tag)).getOrElse(
+      sys.error(s"phrase index '$tag' has no committed era"))
+    registerTables(spark, tag, era, buckets)
+  }
+
+  private def writeMeta(spark: SparkSession, tag: String, gen: Long,
+      lengths: Seq[Int], era: Long): Unit = {
+    import spark.implicits._
+    IndexStore.stagePlain(
+      Seq((gen, lengths.distinct.sorted.mkString(",")))
+        .toDF("gen", "lens"),
+      IndexStore.statsDir(indexBase(tag), era))
+  }
+
+  private def readMeta(spark: SparkSession, tag: String): (Long, Seq[Int]) = {
+    val r = spark.table(metaTable(tag)).collect().head
+    (r.getLong(0),
+      r.getString(1).split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+  }
+
+  /** Build the stored phrase index once per (tag, geometry): window
+    * postings for the declared lengths at generation 0, the 1-row meta
+    * table, an empty tombstone table — staged under era 0, committed
+    * with one marker create. The ONLY place the corpus is read. */
+  def buildPhraseIndex(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, tag: String, lengths: Seq[Int],
+      buckets: Int = 8): Unit =
+    graft.sources.Bucketing.ensureOnce(s"phrase@$tag#$buckets") {
+      val base = indexBase(tag)
+      val post = windowPostings(docs, idCol, textCol, lengths)
+        .withColumn("gen", lit(0L))
+      IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
+        "w", buckets)
+      writeMeta(spark, tag, 0L, lengths, era = 0L)
+      IndexStore.stagePlain(
+        post.select(col(idCol), col("gen").as("upto_gen")).limit(0),
+        IndexStore.tombDir(base, 0L))
+      IndexStore.commitEra(spark, base, 0L)
+      registerTables(spark, tag, 0L, buckets)
+    }
+
+  /** The stored postings through their tombstones — merge-on-read,
+    * identical shape to BM25's: tombstone max-gens broadcast, postings
+    * keep their window-bucketed layout, a doc's rows serve only above
+    * its tombstone generation. */
+  private def livePostings(spark: SparkSession, tag: String,
+      idCol: String): DataFrame = {
+    val post = spark.table(postTable(tag))
+    if (spark.table(tombTable(tag)).isEmpty) post
+    else {
+      val tombMax = spark.table(tombTable(tag)).groupBy(col(idCol))
+        .agg(max("upto_gen").as("tomb_upto"))
+      post.join(broadcast(tombMax), Seq(idCol), "left_outer")
+        .filter(col("tomb_upto").isNull || col("gen") > col("tomb_upto"))
+        .drop("tomb_upto")
+    }
+  }
+
+  /** ALL phrase matches per query from the store, un-ranked: one row
+    * per (query_id, doc) with the occurrence count and first position.
+    * This is the probe [[servePhrases]] ranks and the candidate set
+    * [[Retrieval.phraseRankedTopK]] intersects with BM25 scoring.
+    * Fails fast on a phrase whose length the index does not carry. */
+  def phraseMatches(spark: SparkSession, idCol: String,
+      phrases: Seq[(Long, String)], tag: String): DataFrame = {
+    import spark.implicits._
+    val norm = phrases.map { case (qid, p) =>
+      (qid, p.toLowerCase.trim.split("\\s+").toSeq) }
+    require(norm.forall(_._2.forall(_.nonEmpty)),
+      "empty or whitespace-only phrase")
+    val (_, lens) = readMeta(spark, tag)
+    val missing = norm.map(_._2.length).distinct.filterNot(lens.contains)
+    require(missing.isEmpty,
+      s"index '$tag' carries lengths $lens; batch needs $missing")
+    val pdf = norm.map { case (q, ts) => (q, ts.mkString(" "), ts.length) }
+      .toDF("query_id", "phrase", "plen")
+    val post = livePostings(spark, tag, idCol)
+    post
+      .join(broadcast(pdf),
+        post("w") === pdf("phrase") && post("wlen") === pdf("plen"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("n_hits").as("n_hits"), min("first_pos").as("first_pos"))
+  }
+
+  /** Serve a phrase batch purely from the store: normalize exactly like
+    * [[Retrieval.phraseSearch]], probe the live postings with the
+    * broadcast batch, merge per doc across generations, partial TopK.
+    * Output schema and ranking (n_hits DESC, doc_id) are identical to
+    * the per-batch rebuild — that equality is the stored-index
+    * contract, hash-checked by the txt_phrase_stored oracle. */
+  def servePhrases(spark: SparkSession, idCol: String,
+      phrases: Seq[(Long, String)], k: Int, tag: String): DataFrame = {
+    val hits = phraseMatches(spark, idCol, phrases, tag)
+    val topk = TopK.topK(k)
+    val ranked = hits.groupBy("query_id")
+      .agg(topk(col("n_hits").cast("double"), col(idCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol))
+    ranked.join(hits, Seq("query_id", idCol))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("n_hits").cast("long").as("n_hits"),
+        col("first_pos").cast("long").as("first_pos"))
+  }
+
+  /** Build-once / serve-many wrapper (the [[Retrieval.bm25TopKStored]]
+    * shape): after the first call the `docs` thunk is never forced
+    * again. */
+  def phraseTopKStored(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, phrases: Seq[(Long, String)],
+      k: Int, tag: String, lengths: Seq[Int] = Seq(2, 3),
+      buckets: Int = 8): DataFrame = {
+    buildPhraseIndex(spark, docs, idCol, textCol, tag, lengths, buckets)
+    servePhrases(spark, idCol, phrases, k, tag)
+  }
+
+  /** Ingest a document batch: append its window postings at the next
+    * generation. Same crash contract as BM25's append — postings land
+    * first, the 1-row meta (gen counter) second; [[repairMeta]]
+    * restates a stale counter from the postings on recovery. Caller
+    * contract: a doc id is appended at most once per live generation
+    * ([[upsertIntoPhraseIndex]] is the re-add path). */
+  def appendToPhraseIndex(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, tag: String,
+      buckets: Int = 8): Unit = {
+    require(spark.catalog.tableExists(postTable(tag)),
+      s"phrase index '$tag' must be initialized by buildPhraseIndex first")
+    val (gen, lens) = readMeta(spark, tag)
+    val next = gen + 1
+    windowPostings(batch, idCol, textCol, lens)
+      .withColumn("gen", lit(next))
+      .write.mode("append").bucketBy(buckets, "w").sortBy("w")
+      .format("parquet").saveAsTable(postTable(tag))
+    val era = IndexStore.readEra(spark, indexBase(tag)).get
+    writeMeta(spark, tag, next, lens, era)
+    spark.catalog.refreshTable(postTable(tag))
+    spark.catalog.refreshTable(metaTable(tag))
+  }
+
+  /** Restate the meta generation counter from the stored truth (max
+    * postings gen ∪ max tombstone gen) after a crash between the two
+    * append writes. Returns true when a repair was needed. */
+  def repairMeta(spark: SparkSession, tag: String): Boolean = {
+    val maxPost = spark.table(postTable(tag))
+      .agg(coalesce(max("gen"), lit(0L))).collect().head.getLong(0)
+    val maxTomb = spark.table(tombTable(tag))
+      .agg(coalesce(max("upto_gen"), lit(0L))).collect().head.getLong(0)
+    val want = math.max(maxPost, maxTomb)
+    val (cur, lens) = readMeta(spark, tag)
+    val drifted = cur != want
+    if (drifted) {
+      val era = IndexStore.readEra(spark, indexBase(tag)).get
+      writeMeta(spark, tag, want, lens, era)
+      spark.catalog.refreshTable(metaTable(tag))
+    }
+    drifted
+  }
+
+  /** Retract docs: one tombstone (id, upto_gen) per currently-live doc;
+    * double deletes are no-ops. Auto-compacts when the tombstone table
+    * outgrows `maxTombstones` — the serve-time broadcast bound is
+    * enforced, not advisory. */
+  def deleteFromPhraseIndex(spark: SparkSession, ids: DataFrame,
+      idCol: String, tag: String,
+      maxTombstones: Long = Retrieval.DefaultMaxTombstones,
+      buckets: Int = 8): Unit = {
+    require(spark.catalog.tableExists(postTable(tag)),
+      s"phrase index '$tag' must be initialized by buildPhraseIndex first")
+    val doomed = livePostings(spark, tag, idCol)
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(max("gen").as("upto_gen"))
+      .localCheckpoint()
+    if (doomed.limit(1).count() > 0) {
+      doomed.write.mode("append").format("parquet")
+        .saveAsTable(tombTable(tag))
+      spark.catalog.refreshTable(tombTable(tag))
+      if (spark.table(tombTable(tag)).count() > maxTombstones)
+        compactPhraseIndex(spark, tag, idCol, buckets)
+    }
+  }
+
+  /** Delete-then-append on the doc id — the phrase-index half of an
+    * upsert (run it alongside [[Retrieval.upsertIntoIndex]] to keep a
+    * BM25+phrase tier consistent). */
+  def upsertIntoPhraseIndex(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, tag: String,
+      buckets: Int = 8): Unit = {
+    val b = batch.cache()
+    deleteFromPhraseIndex(spark, b.select(col(idCol)), idCol, tag,
+      buckets = buckets)
+    appendToPhraseIndex(spark, b, idCol, textCol, tag, buckets)
+    b.unpersist()
+  }
+
+  /** Atomic compaction: stage era N+1 (live postings with tombstones
+    * folded in, meta, empty tombstones), commit with one marker create,
+    * re-point the catalog, drop era N. Crash before the marker → era N
+    * serves untouched via [[openIndex]]. Returns (filesBefore,
+    * filesAfter) for the postings store. */
+  def compactPhraseIndex(spark: SparkSession, tag: String, idCol: String,
+      buckets: Int = 8): (Int, Int) = {
+    val before = parquetFileCount(spark, tag)
+    val next = compactStage(spark, tag, idCol, buckets)
+    compactCommit(spark, tag, next, buckets)
+    (before, parquetFileCount(spark, tag))
+  }
+
+  private def parquetFileCount(spark: SparkSession, tag: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val base = indexBase(tag)
+    val era = IndexStore.readEra(spark, base).get
+    val loc = new Path(IndexStore.postDir(base, era))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  private[graft] def compactStage(spark: SparkSession, tag: String,
+      idCol: String, buckets: Int): Long = {
+    val base = indexBase(tag)
+    val era = IndexStore.readEra(spark, base).get
+    val next = era + 1
+    val (gen, lens) = readMeta(spark, tag)
+    // same one-task-per-bucket rewrite as Retrieval.compactStage: the
+    // shuffle hash IS the bucket hash, so `buckets` tasks → `buckets`
+    // files, a real small-file merge
+    val postSnap = livePostings(spark, tag, idCol).localCheckpoint()
+      .repartition(buckets, col("w"))
+    IndexStore.stageBucketed(postSnap, IndexStore.postDir(base, next),
+      "w", buckets)
+    writeMeta(spark, tag, gen, lens, era = next)
+    IndexStore.stagePlain(spark.table(tombTable(tag)).limit(0),
+      IndexStore.tombDir(base, next))
+    next
+  }
+
+  private[graft] def compactCommit(spark: SparkSession, tag: String,
+      era: Long, buckets: Int): Unit = {
+    val base = indexBase(tag)
+    IndexStore.commitEra(spark, base, era)
+    registerTables(spark, tag, era, buckets)
+    IndexStore.dropOldEras(spark, base, keep = era)
+  }
+}

@@ -999,6 +999,102 @@ object Corpus {
       PhraseQueries, 10),
     Some(graft.operators.Retrieval.phraseOracleSql(PhraseQueries, 10)))
 
+  /** Second phrase batch, served from the STORED phrase index — proves
+    * the index outlives the batch that built it (the Bm25QueriesB
+    * pattern). */
+  val PhraseQueriesB: Seq[(Long, String)] = Seq(
+    1L -> "join scan",
+    2L -> "query merge",
+    3L -> "data table join",
+    4L -> "hash filter",
+    5L -> "big stream sort")
+
+  /** Exact phrase search served from the MATERIALIZED window-postings
+    * store (operators.PhraseIndex): window extraction runs once per
+    * index build; this batch reads only the stored window-bucketed
+    * postings. The oracle replays extraction from scratch — identical
+    * results IS the stored-index contract (the txt_bm25_stored
+    * pattern). */
+  val txtPhraseStored = Q(
+    "txt_phrase_stored",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.PhraseIndex.phraseTopKStored(s,
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        PhraseQueriesB, 10, tag = tag, lengths = Seq(2, 3))
+    },
+    Some(graft.operators.Retrieval.phraseOracleSql(PhraseQueriesB, 10)))
+
+  /** The phrase-index maintenance cycle as one oracle-exact query —
+    * the txt_bm25_upsert shape on the window-postings store: build,
+    * RETRACT doc_id%10==3, RE-INDEX doc_id%10==7 with changed text,
+    * COMPACT (atomic era swap), retract doc_id%10==9 post-compaction,
+    * serve. Must equal a from-scratch extraction over the mutated
+    * corpus — which is exactly what the oracle computes. */
+  val txtPhraseUpsert = Q(
+    "txt_phrase_upsert",
+    (s, dir) => {
+      import graft.operators.PhraseIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_pup"
+      graft.sources.Bucketing.ensureOnce(s"phraseupsert@$tag") {
+        val docs = Tables.load(s, dir, "documents")
+        PhraseIndex.buildPhraseIndex(s, docs, "doc_id", "text", tag,
+          lengths = Seq(2, 3))
+        PhraseIndex.deleteFromPhraseIndex(s,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
+          "doc_id", tag)
+        PhraseIndex.upsertIntoPhraseIndex(s,
+          docs.filter(col("doc_id") % 10 === 7)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" upd")).as("text")),
+          "doc_id", "text", tag)
+        PhraseIndex.compactPhraseIndex(s, tag, "doc_id")
+        PhraseIndex.deleteFromPhraseIndex(s,
+          docs.filter(col("doc_id") % 10 === 9).select("doc_id"),
+          "doc_id", tag)
+      }
+      PhraseIndex.servePhrases(s, "doc_id", PhraseQueries, 10, tag)
+    },
+    Some {
+      val mutated = "SELECT doc_id, CASE WHEN doc_id % 10 = 7 " +
+        "THEN text || ' upd' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 10 NOT IN (3, 9)"
+      graft.operators.Retrieval.phraseOracleSql(PhraseQueries, 10,
+        corpusSql = Some(mutated))
+    })
+
+  /** Query batch for txt_phrase_rank: BM25 terms + an exact-phrase
+    * constraint per query — the reference's ES bool `must` +
+    * `match_phrase` combination (api_clients.py:677-728). */
+  val PhraseRankQueries: Seq[(Long, Seq[String], String)] = Seq(
+    (1L, Seq("spark", "join"), "table hash"),
+    (2L, Seq("hash", "scan", "filter"), "customer join"),
+    (3L, Seq("data", "query", "table"), "join scan"),
+    (4L, Seq("customer", "merge", "window"), "part filter scan"),
+    (5L, Seq("vector", "stream"), "hash filter"))
+
+  /** Phrase-constrained ranked retrieval: candidates = docs containing
+    * the exact phrase (stored phrase-index probe), ranking = BM25 over
+    * the stored term postings; rank assigned on the FILTERED candidate
+    * set. Both stores are the ones txt_bm25_stored / txt_phrase_stored
+    * build (shared tags — one index family per corpus, many query
+    * shapes), and the plan runs one postings pass per leg joined by a
+    * semi-join before the partial TopK. */
+  val txtPhraseRank = Q(
+    "txt_phrase_rank",
+    (s, dir) => {
+      import graft.operators.{PhraseIndex, Retrieval}
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.load(s, dir, "documents")
+      Retrieval.buildIndex(s, docs, "doc_id", "text", tag)
+      PhraseIndex.buildPhraseIndex(s, docs, "doc_id", "text", tag,
+        lengths = Seq(2, 3))
+      Retrieval.phraseRankedTopK(s, "doc_id", PhraseRankQueries, 10,
+        bm25Tag = tag, phraseTag = tag)
+    },
+    Some(graft.operators.Retrieval.phraseRankOracleSql(
+      PhraseRankQueries, 10)))
+
   /** Second retrieval batch, served from the STORED index — proves the
     * index outlives the batch that built it. */
   val Bm25QueriesB: Seq[(Long, Seq[String])] = Seq(
@@ -1122,5 +1218,6 @@ object Corpus {
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
+    txtPhraseStored, txtPhraseUpsert, txtPhraseRank,
     txtWeightedSample)
 }

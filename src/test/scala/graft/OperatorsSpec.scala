@@ -1225,6 +1225,136 @@ class OperatorsSpec extends AnyFunSuite {
       "repaired index must serve exactly as a rebuild over the grown corpus")
   }
 
+  test("Retrieval atomic compaction: crash between stage and commit serves the OLD index") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25atom"
+    Retrieval.buildIndex(spark, docs, "doc_id", "text", tag)
+    Retrieval.deleteFromIndex(spark,
+      docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id", tag)
+    val before = canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag))
+    // CRASH SIM: era 1 fully staged, marker never created — then the
+    // process dies (catalog entries are per-JVM; drop them) and a fresh
+    // session recovers from the marker files alone
+    val staged = Retrieval.compactStage(spark, tag, "doc_id", buckets = 8)
+    Seq("post", "stats", "tomb").foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS g_bm25_${k}_$tag"))
+    Retrieval.openIndex(spark, tag)
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before,
+      "recovery after a crash mid-compaction must serve the OLD era, " +
+        "tombstones still applied")
+    assert(spark.table(s"g_bm25_tomb_$tag").count() > 0,
+      "the old era's tombstones must still be live after the aborted swap")
+    // now the commit lands: one marker create flips the index to era 1
+    Retrieval.compactCommit(spark, tag, staged, buckets = 8)
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before,
+      "the committed compaction must serve identically")
+    assert(spark.table(s"g_bm25_tomb_$tag").count() == 0,
+      "the new era starts with no tombstones")
+  }
+
+  test("Retrieval.deleteFromIndex: tombstone bound auto-compacts") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25bound"
+    Retrieval.buildIndex(spark, docs, "doc_id", "text", tag)
+    // bound of 10: the first delete (~1/7 of the corpus, » 10 docs)
+    // must trip the auto-compaction — tombstones fold into era 1 and
+    // the table comes back empty, so the serve-time broadcast can never
+    // exceed the bound by more than one delete batch
+    Retrieval.deleteFromIndex(spark,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id", tag,
+      maxTombstones = 10L)
+    assert(spark.table(s"g_bm25_tomb_$tag").count() == 0,
+      "exceeding maxTombstones must trigger compaction")
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) ==
+      canon(Retrieval.bm25TopK(docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", q, 5)),
+      "auto-compacted index must equal the rebuild without the docs")
+  }
+
+  test("PhraseIndex: stored serve == per-batch phraseSearch; docs read once") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val ph = Seq(1L -> "table hash", 2L -> "part filter scan")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_phr"
+    val stored = canon(PhraseIndex.phraseTopKStored(spark, docs,
+      "doc_id", "text", ph, 5, tag, lengths = Seq(2, 3)))
+    assert(stored == canon(Retrieval.phraseSearch(docs, "doc_id", "text",
+      ph, 5)), "stored phrase serve must equal the per-batch rebuild")
+    // second batch must serve WITHOUT the docs thunk
+    PhraseIndex.phraseTopKStored(spark,
+      sys.error("stored phrase index must serve without the corpus"),
+      "doc_id", "text", Seq(3L -> "customer join"), 5, tag,
+      lengths = Seq(2, 3)).collect()
+  }
+
+  test("PhraseIndex maintenance: delete/upsert/compact == rebuild over mutated corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val ph = Seq(1L -> "table hash", 2L -> "customer join")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_phrmut"
+    PhraseIndex.buildPhraseIndex(spark, docs, "doc_id", "text", tag,
+      lengths = Seq(2, 3))
+    PhraseIndex.deleteFromPhraseIndex(spark,
+      docs.filter(col("doc_id") % 8 === 0).select("doc_id"), "doc_id", tag)
+    PhraseIndex.upsertIntoPhraseIndex(spark,
+      docs.filter(col("doc_id") % 8 === 1)
+        .select(col("doc_id"),
+          concat(lit("table hash "), col("text")).as("text")),
+      "doc_id", "text", tag)
+    val mutated = docs.filter(col("doc_id") % 8 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 8 === 1, concat(lit("table hash "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val want = canon(Retrieval.phraseSearch(mutated, "doc_id", "text", ph, 5))
+    assert(canon(PhraseIndex.servePhrases(spark, "doc_id", ph, 5, tag)) ==
+      want, "phrase serve after delete+upsert must equal the mutated rebuild")
+    // double delete is a no-op; compaction changes nothing served
+    PhraseIndex.deleteFromPhraseIndex(spark,
+      docs.filter(col("doc_id") % 8 === 0).select("doc_id"), "doc_id", tag)
+    val (nb, na) = PhraseIndex.compactPhraseIndex(spark, tag, "doc_id")
+    assert(na < nb, s"compaction must merge append files: $nb -> $na")
+    assert(canon(PhraseIndex.servePhrases(spark, "doc_id", ph, 5, tag)) ==
+      want, "compacted phrase index must serve identically")
+    assert(spark.table(s"g_phr_tomb_$tag").count() == 0)
+  }
+
+  test("PhraseIndex.repairMeta: restates a stale gen counter from the postings") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val tag = "opspec_phrrep"
+    PhraseIndex.buildPhraseIndex(spark,
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tag,
+      lengths = Seq(2))
+    // crash sim: postings of gen 1 land, meta never does — replay the
+    // postings half of append only
+    PhraseIndex.appendToPhraseIndex(spark,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", tag)
+    import org.apache.spark.sql.SaveMode
+    val stale = Seq((0L, "2")).toDF("gen", "lens")
+    stale.repartition(1).write.mode(SaveMode.Overwrite)
+      .parquet(graft.operators.IndexStore.statsDir(
+        s"${graft.sources.Bucketing.processRoot}/phrase_$tag",
+        graft.operators.IndexStore.readEra(spark,
+          s"${graft.sources.Bucketing.processRoot}/phrase_$tag").get))
+    spark.catalog.refreshTable(s"g_phr_meta_$tag")
+    assert(PhraseIndex.repairMeta(spark, tag),
+      "repairMeta must detect the stale counter")
+    assert(!PhraseIndex.repairMeta(spark, tag),
+      "a second repair must find nothing to do")
+  }
+
   test("Merge.snapshotDiff: added/removed/changed verdicts, null-safe compare") {
     val older = Seq((1L, Some("a"), 10.0), (2L, None, 20.0),
       (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))
