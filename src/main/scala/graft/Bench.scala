@@ -26,16 +26,8 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }.take(200)
-    // Warm EACH query once before timing it: at sf0.1 a single cold run is
-    // dominated by janino whole-stage-codegen compilation (measured ~3 s
-    // compile vs ~1 s execute on the heavy queries) — a fixed per-plan cost
-    // that amortizes to zero over a 100 TB scan. Then time THREE runs and
-    // report the median: single timed runs swing ±20% with box noise
-    // (GC, page cache), which previously made round-over-round totals
-    // incomparable. The median measures the engine: scan, shuffle, join,
-    // aggregate.
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    var errors = List.empty[(String, String)]
+    val timedPasses = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    var errors = Map.empty[String, String]
     // Host-load markers: a disturbed capture (concurrent sweep, another JVM
     // on the same box) must carry its own evidence. getSystemLoadAverage is
     // the 1-minute loadavg; on a 32-cpu box an idle capture reads well under
@@ -44,41 +36,64 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
     val startedAtMs = System.currentTimeMillis()
-    val results = names.map { name =>
+    // One timed SAMPLE of a query = clearCache + unmeasured warm run + timed
+    // run. The clearCache starts the sample from a cold data cache (several
+    // queries .cache() shared stages — curation funnel, similarity codebooks
+    // — so without it a timing depends on which earlier query populated or
+    // evicted the shared cache; byte-identical code once swung 7x between
+    // rounds). The warm run then repopulates exactly the caches this query's
+    // own plan declares AND amortizes janino whole-stage-codegen compilation
+    // (measured ~3 s compile vs ~1 s execute on the heavy queries at sf0.1 —
+    // a fixed per-plan cost that is zero at 100 TB). The timed run measures
+    // the engine: scan, shuffle, join, aggregate.
+    def sample(name: String): Option[Double] = {
+      spark.catalog.clearCache()
       def attempt(): Boolean =
         try { exec(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
-          errors ::= (name -> sanitize(e))
+          if (!errors.contains(name)) errors += (name -> sanitize(e))
           false
         }
-      // Start every query from a cold cache: several queries .cache()
-      // shared stages (curation funnel, similarity codebooks), so without
-      // this a query's timing depends on which earlier query populated or
-      // evicted the shared cache — byte-identical code swung 7x between
-      // rounds. The warm-up run then repopulates exactly the caches this
-      // query's own plan declares, and the timed medians measure the
-      // query with its own steady-state cache, independent of run order.
-      spark.catalog.clearCache()
-      val warmed = attempt()
-      val times = (1 to timedRuns).flatMap { _ =>
+      if (!attempt()) None
+      else {
         val t0 = System.nanoTime()
-        if (warmed && attempt()) Some((System.nanoTime() - t0) / 1e9) else None
+        if (attempt()) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      // min is the headline statistic: round 6 proved a disturbance can
-      // span ALL runs of one query (every j11 run inflated 10-25x), so the
-      // median doesn't survive it — but the min of 3 runs is the best
-      // available lower bound on what the engine itself costs. The median
-      // is still emitted for cross-checking run-to-run spread.
+    }
+    // INTERLEAVED passes: the suite runs end-to-end timedPasses times
+    // (pass 1 samples every query once, then pass 2, then pass 3) instead
+    // of 3 back-to-back runs per query. Two rounds running, a sustained
+    // host disturbance (concurrent sweep, GC storm) spanned all three
+    // back-to-back runs of whichever queries it overlapped, defeating
+    // min-of-runs and forcing a judge re-run to adjudicate. With passes
+    // minutes apart, a disturbance window inflates one PASS of several
+    // queries — visible as one bad column in the runs arrays — while each
+    // query's min over passes still reaches an undisturbed sample.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val passTotals = (1 to timedPasses).map { _ =>
+      names.flatMap { name =>
+        val s = sample(name)
+        s.foreach(t => samples(name) = samples.getOrElse(name, Nil) :+ t)
+        s
+      }.sum
+    }
+    val results = names.map { name =>
+      val times = samples.getOrElse(name, Nil)
+      // min over passes is the headline statistic: it is the best available
+      // lower bound on what the engine itself costs, and with interleaving
+      // a sustained disturbance can no longer poison every sample of one
+      // query. The median is still emitted for cross-checking spread.
       val min = if (times.isEmpty) -1.0 else times.min
       val median =
         if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       (name, min, median, times)
     }
-    // Self-diagnosing artifact: alongside each min/median, emit EVERY
-    // timed run plus start/end host loadavg. A disturbed-box capture (GC
-    // storm, concurrent sweep on the same host) shows up as wild run
-    // arrays AND a loadavg far above idle — adjudicable with zero re-runs.
+    // Self-diagnosing artifact: alongside each min/median, emit EVERY timed
+    // sample (runs[name][i] = this query's time in pass i+1), per-pass suite
+    // totals, and start/end host loadavg. A disturbed capture shows as one
+    // inflated pass total + a vertical stripe in the runs arrays + loadavg
+    // above idle — adjudicable with zero re-runs.
     // Locale.ROOT: a comma-decimal default locale would turn %.4f into
     // "1,2345" and corrupt the JSON line.
     def f4(v: Double): String =
@@ -90,13 +105,14 @@ object Bench {
     val rs = results.map { case (k, _, _, ts) =>
       "\"" + k + "\":" + ts.map(f4).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val es = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val pt = passTotals.map(f4).mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMedian = results.filter(_._3 >= 0).map(_._3).sum
     val endedAtMs = System.currentTimeMillis()
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_runs","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"ncpus":${Runtime.getRuntime.availableProcessors}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"pass_totals":$pt,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"ncpus":${Runtime.getRuntime.availableProcessors}}""")
     spark.stop()
   }
 }

@@ -68,4 +68,108 @@ object MatView {
           .cast(Dec).as("total")): _*)
       .filter(col("cnt") > 0)
   }
+
+  // ---- min/max maintenance ------------------------------------------
+  //
+  // min/max are distributive but NOT invertible: an insert can only
+  // tighten the extremum (vmin' = least(vmin, new)), but retracting the
+  // row that HOLDS the extremum leaves no way to widen it from the view
+  // alone — the second-smallest value was never retained. The standard
+  // maintenance rule (same shape as DBSP / Materialize's MIN handling):
+  // inserts fold in monotonically; a retraction that touches the
+  // current extremum (r_min ≤ vmin or r_max ≥ vmax — conservative,
+  // because equal values carry multiplicity) flags the GROUP for
+  // recompute, and only flagged groups re-aggregate from the
+  // already-updated base. Refresh cost: ∝ |delta| + |view| + (base rows
+  // of the few touched-extremum groups), never ∝ |base| for count/sum
+  // and only group-local for min/max.
+
+  /** Build the min/max-carrying view: (keys, cnt, total, vmin, vmax). */
+  def buildMinMax(base: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(Dec)).cast(Dec).as("total"),
+        min(col(valueCol).cast(Dec)).as("vmin"),
+        max(col(valueCol).cast(Dec)).as("vmax"))
+
+  /** Merge a signed delta into a min/max view. `updatedBase` is the
+    * base AFTER the delta is applied (the sink table the caller
+    * maintains anyway — e.g. the foreachBatch upsert target); it is
+    * read ONLY for groups whose retraction touched an extremum, via a
+    * semi-join that prunes everything else. Contract (property-tested
+    * like applyDelta): applyDeltaMinMax(buildMinMax(B), Δ, B ⊎ Δ) ==
+    * buildMinMax(B ⊎ Δ). */
+  def applyDeltaMinMax(mv: DataFrame, delta: DataFrame,
+      updatedBase: DataFrame, keys: Seq[String], valueCol: String,
+      signCol: String): DataFrame = {
+    val v = col(valueCol).cast(Dec)
+    val sign = col(signCol).cast("long")
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("d_cnt"),
+        sum(v * sign.cast(Dec)).cast(Dec).as("d_total"),
+        min(when(sign > 0, v)).as("i_min"),
+        max(when(sign > 0, v)).as("i_max"),
+        min(when(sign < 0, v)).as("r_min"),
+        max(when(sign < 0, v)).as("r_max"))
+    val zero = lit(0).cast(Dec)
+    // needRec: a retraction exists and could have removed the extremum
+    // (≤/≥ because equal values have multiplicity; a null vmin means
+    // the group is new this batch yet carries retractions — recompute
+    // is the only safe answer there too).
+    val merged = mv.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("total"), zero) + coalesce(col("d_total"), zero))
+          .cast(Dec).as("total"),
+        col("vmin"), col("vmax"), col("i_min"), col("i_max"),
+        (col("r_min").isNotNull && (col("vmin").isNull ||
+          col("r_min") <= col("vmin") || col("r_max") >= col("vmax")))
+          .as("need_rec")): _*)
+      .filter(col("cnt") > 0)
+    val trig = merged.filter(col("need_rec")).select(keys.map(col): _*)
+    val rec = updatedBase
+      .join(broadcast(trig), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol).cast(Dec)).as("rec_min"),
+        max(col(valueCol).cast(Dec)).as("rec_max"))
+    merged.join(broadcast(rec), keys, "left_outer")
+      .select(keys.map(col) ++ Seq(
+        col("cnt"), col("total"),
+        when(col("need_rec"), col("rec_min"))
+          .otherwise(least(col("vmin"), col("i_min"))).as("vmin"),
+        when(col("need_rec"), col("rec_max"))
+          .otherwise(greatest(col("vmax"), col("i_max"))).as("vmax")): _*)
+  }
+
+  // ---- streaming integration ----------------------------------------
+
+  /** foreachBatch body: fold one signed micro-batch into the parquet
+    * view at `viewDir` (created on first batch). Same temp-dir-then-
+    * rename swap as EventPipeline.mergeIntoTable — the view is both the
+    * source and the sink of the merge, so overwrite-in-place would
+    * truncate before the read runs. Redelivered batches are NOT
+    * idempotent here (Z-set deltas add); exactly-once comes from the
+    * streaming checkpoint, which is the foreachBatch contract
+    * (batchId-keyed commit log). The view stays one-row-per-group, so
+    * each refresh is ∝ |batch| + |view| — the reference re-runs its
+    * dashboard rollup per sync (database.py:458-499); this is that
+    * rollup maintained incrementally under live ingest. */
+  def maintainBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, viewDir: String, keys: Seq[String],
+      valueCol: String, signCol: String): Unit = {
+    val target = new java.io.File(viewDir)
+    val mv =
+      if (target.exists() && target.list().nonEmpty)
+        spark.read.parquet(viewDir)
+      else build(batch.limit(0), keys, valueCol) // empty, right schema
+    val updated = applyDelta(mv, batch, keys, valueCol, signCol)
+    val tmp = viewDir + ".tmp"
+    updated.write.mode("overwrite").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(viewDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 }

@@ -46,44 +46,82 @@ object Sampling {
   def keySql(lnu: String, w: String): String =
     s"($lnu / CAST($w AS DOUBLE))"
 
-  /** The k-item weighted sample: (rank, id, weight), rank 1 = largest
-    * key. `idCol` must be castable to string (hash input) and LONG
-    * (TopK id slot). */
+  /** The k-item weighted sample: (rank, id, weight-as-double), rank 1 =
+    * largest key. `idCol` must be castable to string (hash input) and
+    * LONG (TopK id slot), and ids must be UNIQUE: u is a pure function
+    * of the id, so duplicate ids share one draw — they are the same
+    * item to E-S, not independent entries (the determinism that makes
+    * the sample auditable is exactly what forbids multiset ids). The
+    * weight rides through the aggregation in the TopK payload slot, so
+    * the sampled rows need no re-attach join — one corpus scan total,
+    * and the weight emitted is bit-for-bit the weight that ranked the
+    * row. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
+    val keyed = keyedFrame(df, idCol, weightCol)
+    val topk = TopK.topKW(k)
+    keyed
+      .groupBy()
+      .agg(topk(col("es_key"), col(idCol).cast("long"),
+        col(weightCol).cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.w").as(weightCol))
+  }
+
+  /** STRATIFIED weighted sampling: exact k per stratum (per language,
+    * per source, per quality band) — the mixture-construction primitive
+    * behind fixed-ratio training mixes ("50k docs per language, long
+    * docs proportionally harder"). Same E-S keys as [[weightedSample]];
+    * the only change is the groupBy, so map-side combine caps the
+    * shuffle at partitions × strata × k and a hot stratum never owns a
+    * task (the TopK skew property). Output: (stratum, rank, id, weight),
+    * rank 1..k within each stratum. */
+  def weightedSampleStratified(df: DataFrame, strataCol: String,
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    val keyed = keyedFrame(df, idCol, weightCol)
+    val topk = TopK.topKW(k)
+    keyed
+      .groupBy(col(strataCol))
+      .agg(topk(col("es_key"), col(idCol).cast("long"),
+        col(weightCol).cast("double")).as("top"))
+      .select(col(strataCol), posexplode(col("top")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.w").as(weightCol))
+  }
+
+  /** Shared key computation: w>0 filter, deterministic u, portable ln,
+    * key = ln(u)/w. Per-row narrow work — no shuffle. */
+  private def keyedFrame(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
     val base = df
       .filter(col(weightCol) > 0)
       .withColumn("es_h", Dedup.hash56(col(idCol).cast("string")))
       .withColumn("es_u", expr(uSql("es_h")))
-    val keyed = PortableLn.withLn(base, "es_u", "es_lnu")
+    PortableLn.withLn(base, "es_u", "es_lnu")
       .withColumn("es_key", expr(keySql("es_lnu", weightCol)))
-    val topk = TopK.topK(k)
-    val ranked = keyed
-      .groupBy()
-      .agg(topk(col("es_key"), col(idCol).cast("long")).as("top"))
-      .select(posexplode(col("top")))
-      .select((col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as(idCol))
-    // re-attach the weight: k rows joining the base relation on its key
-    ranked.join(df.select(col(idCol), col(weightCol)), Seq(idCol))
-      .select(col("rank"), col(idCol), col(weightCol))
   }
 
   /** The oracle: same u, same PortableLn chain, same key, ranked by a
-    * window (oracle-side scale is not a concern). */
+    * window (oracle-side scale is not a concern). `strataCol` adds the
+    * PARTITION BY for the stratified twin. */
   def weightedSampleOracleSql(table: String, idCol: String,
-      weightCol: String, k: Int): String = {
+      weightCol: String, k: Int, strataCol: Option[String] = None): String = {
     val h = s"((md5_number_lower(CAST($idCol AS VARCHAR)) % ${Dedup.M56})::BIGINT)"
+    val strata = strataCol.map(c => s"$c, ").getOrElse("")
+    val partition = strataCol.map(c => s"PARTITION BY $c ").getOrElse("")
     s"""WITH es0 AS (
-        SELECT $idCol, $weightCol, ${uSql(h)} AS es_u
+        SELECT $strata$idCol, $weightCol, ${uSql(h)} AS es_u
         FROM $table WHERE $weightCol > 0),
       ${PortableLn.cteChainSql("es0", "es_u", "es_lnu", "esln")},
       esk AS (
-        SELECT $idCol, $weightCol,
+        SELECT $strata$idCol, $weightCol,
           ${keySql("es_lnu", weightCol)} AS es_key
         FROM ${PortableLn.cteChainOut("esln")})
-      SELECT CAST(rn AS BIGINT) AS rank, $idCol, $weightCol
-      FROM (SELECT *, row_number() OVER (ORDER BY es_key DESC, $idCol) AS rn
+      SELECT $strata CAST(rn AS BIGINT) AS rank, $idCol,
+        CAST($weightCol AS DOUBLE) AS $weightCol
+      FROM (SELECT *, row_number()
+              OVER ($partition ORDER BY es_key DESC, $idCol) AS rn
             FROM esk)
       WHERE rn <= $k"""
   }

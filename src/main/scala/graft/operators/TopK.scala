@@ -53,4 +53,39 @@ object TopK {
     val fn = udaf(new TopKAgg(k), Encoders.product[Scored])
     (score, id) => fn(score, id)
   }
+
+  /** Payload-carrying twin: each candidate rides with one extra double
+    * (Sampling carries the item's weight so the sample needs NO
+    * re-attach join — the weight that ranked the row is the weight
+    * emitted, and a second corpus scan disappears). Ordering and the
+    * partitions×k shuffle bound are identical to [[TopKAgg]]; the
+    * payload never participates in comparisons. */
+  final case class ScoredW(score: Double, id: Long, w: Double)
+
+  private def betterW(a: ScoredW, b: ScoredW): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  final class TopKWAgg(k: Int)
+      extends Aggregator[ScoredW, Seq[ScoredW], Seq[ScoredW]] {
+    require(k > 0)
+    override def zero: Seq[ScoredW] = Vector.empty
+    override def reduce(buf: Seq[ScoredW], x: ScoredW): Seq[ScoredW] =
+      if (buf.size < k) (buf :+ x).sortWith(betterW)
+      else if (betterW(x, buf.last)) ((buf :+ x).sortWith(betterW)).take(k)
+      else buf
+    override def merge(a: Seq[ScoredW], b: Seq[ScoredW]): Seq[ScoredW] =
+      (a ++ b).sortWith(betterW).take(k)
+    override def finish(r: Seq[ScoredW]): Seq[ScoredW] = r
+    override def bufferEncoder: Encoder[Seq[ScoredW]] =
+      ExpressionEncoder[Seq[ScoredW]]()
+    override def outputEncoder: Encoder[Seq[ScoredW]] =
+      ExpressionEncoder[Seq[ScoredW]]()
+  }
+
+  /** `topKW(3)(col("score"), col("id"), col("w"))` — returns
+    * array<struct<score,id,w>> of the group's top k by (score, id). */
+  def topKW(k: Int): (Column, Column, Column) => Column = {
+    val fn = udaf(new TopKWAgg(k), Encoders.product[ScoredW])
+    (score, id, w) => fn(score, id, w)
+  }
 }

@@ -325,19 +325,27 @@ object Analytics {
   /** T16: OHLC resample bars — the classic time-series downsample
     * (open/high/low/close per instrument per hour; here event_type is
     * the instrument and value the tick). Open/close are min_by/max_by
-    * over a zero-padded (us, event_id) ordering STRING — a total order
-    * both engines compare byte-identically — so the whole bar is ONE
-    * partial+final aggregate: no WindowExec, no distinct pass, and
-    * map-side combine ships at most one candidate row per (instrument,
-    * bar) per task into the shuffle. Value goes through the
-    * DECIMAL(18,2) contract. */
+    * over an EXACT 128-bit ordering key
+    * `(unix_micros + 10^18) * 10^19 + event_id` — DECIMAL(38,0) here,
+    * HUGEINT in the oracle — which is strictly monotone in the
+    * (ts, event_id) lexicographic order for any non-negative bigint
+    * event_id and any ts from year ~-29700 on (the 10^18 offset keeps
+    * pre-1970 micros positive; 10^19 > any bigint keeps the two fields
+    * in disjoint digit ranges). The previous zero-padded-string key
+    * silently truncated event_ids past 12 digits and byte-misordered
+    * negative micros. The whole bar stays ONE partial+final aggregate:
+    * no WindowExec, no distinct pass, and map-side combine ships at
+    * most one candidate row per (instrument, bar) per task into the
+    * shuffle. Value goes through the DECIMAL(18,2) contract. */
   val t16OhlcBars = Q(
     "t16_ohlc_bars",
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
         .select(col("event_type"), date_trunc("hour", col("ts")).as("bar"),
-          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-            lpad(col("event_id").cast("string"), 12, "0")).as("ord"),
+          expr("""(cast(unix_micros(ts) as decimal(38,0))
+                   + 1000000000000000000)
+                  * 10000000000000000000
+                  + cast(event_id as decimal(38,0))""").as("ord"),
           Q.dec("value").as("v"))
       e.groupBy(col("event_type"), col("bar"))
         .agg(min_by(col("v"), col("ord")).as("o"),
@@ -352,8 +360,8 @@ object Analytics {
     },
     Some("""WITH t AS (
         SELECT event_type, date_trunc('hour', ts) AS bar,
-          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-            lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+          (epoch_us(ts) + 1000000000000000000)::HUGEINT
+            * 10000000000000000000::HUGEINT + event_id AS ord,
           CAST(value AS DECIMAL(18,2)) AS v
         FROM events)
       SELECT event_type, CAST(bar AS TIMESTAMP) AS bar,

@@ -326,6 +326,19 @@ object Corpus {
     Some(graft.operators.Sampling.weightedSampleOracleSql(
       "documents", "doc_id", "n_chars", k = 100)))
 
+  /** Stratified E-S sampling: exact 20 docs PER LANGUAGE ∝ n_chars —
+    * the fixed-ratio mixture primitive (txt_mix declares ratios; this
+    * selects the members). Same deterministic keys as
+    * txt_weighted_sample; the per-stratum TopK caps the shuffle at
+    * partitions × langs × k and the oracle replays every stratum's
+    * selection through the shared PortableLn ranking. */
+  val txtWeightedStratified = Q(
+    "txt_weighted_stratified",
+    (s, dir) => graft.operators.Sampling.weightedSampleStratified(
+      Tables.load(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 20),
+    Some(graft.operators.Sampling.weightedSampleOracleSql(
+      "documents", "doc_id", "n_chars", k = 20, strataCol = Some("lang"))))
+
   /** Deterministic stratified train/val/test split: assignment is a pure
     * function of doc_id (hash56 % 100 → 90/5/5), so the split is
     * reproducible on any engine, stable under re-partitioning, and adding
@@ -1219,5 +1232,5 @@ object Corpus {
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank,
-    txtWeightedSample)
+    txtWeightedSample, txtWeightedStratified)
 }

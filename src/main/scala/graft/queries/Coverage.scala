@@ -352,12 +352,16 @@ object Coverage {
     * CONTRACT instead: per group, the HLL estimate must land within 10%
     * of the exact distinct count (rsd=0.02 → 5σ headroom) and the
     * approximate median inside the exact [p40, p60] band (accuracy
-    * 10000 → near-exact). The oracle asserts TRUE for every group, so a
-    * sketch drifting out of tolerance is a driver-visible hash mismatch
-    * — strictly stronger than the old rows-only check. The instrument
-    * pays the exact-twin cost to verify; production uses only the
-    * sketch line (a6/a17 remain the exact forms, a26 the oracle-EXACT
-    * mergeable sketch). */
+    * 10000 → near-exact). The EXACT sides (xu, p40, p60) are emitted
+    * alongside the ok flags and the oracle recomputes them in DuckDB —
+    * so the tolerance comparison's inputs are cross-engine-verified
+    * (percentile vs quantile_cont bit-exactness is a17's proven pair),
+    * and a Spark bug that compared approx-to-approx would hash-mismatch
+    * on the exact columns rather than silently asserting TRUE. A sketch
+    * drifting out of tolerance is a driver-visible hash mismatch on the
+    * flags. The instrument pays the exact-twin cost to verify;
+    * production uses only the sketch line (a6/a17 remain the exact
+    * forms, a26 the oracle-EXACT mergeable sketch). */
   val a18Sketches = Q(
     "a18_sketches",
     (s, dir) =>
@@ -366,13 +370,17 @@ object Coverage {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"),
           countDistinct(col("user_id")).as("xu"),
-          expr("percentile(value, 0.4)").as("p40"),
-          expr("percentile(value, 0.6)").as("p60"))
-        .select(col("event_type"),
+          expr("percentile(value, 0.4D)").as("p40"),
+          expr("percentile(value, 0.6D)").as("p60"))
+        .select(col("event_type"), col("xu"), col("p40"), col("p60"),
           (abs(col("au") - col("xu")) <= col("xu") * 0.1).as("hll_ok"),
           col("ap").between(col("p40"), col("p60")).as("p50_ok"))
         .orderBy("event_type"),
-    Some("""SELECT event_type, TRUE AS hll_ok, TRUE AS p50_ok
+    Some("""SELECT event_type,
+        count(DISTINCT user_id) AS xu,
+        quantile_cont(value, 0.4) AS p40,
+        quantile_cont(value, 0.6) AS p60,
+        TRUE AS hll_ok, TRUE AS p50_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** A26: KMV distinct-count sketch — a18's ORACLE-EXACT sibling. HLL

@@ -348,8 +348,45 @@ object SetMerge {
       FROM events WHERE event_id % 5 != 0
       GROUP BY 1, 2"""))
 
+  /** M15: min/max view maintenance under retraction — m14's view
+    * widened with vmin/vmax, the aggregates a delta CANNOT always
+    * maintain from the view alone (retracting the row holding the
+    * extremum forces a group-local recompute; inserts fold in
+    * monotonically). Same insert-then-retract interleaving as m14; the
+    * recompute reads the updated base only for groups whose retraction
+    * touched an extremum, semi-join-pruned. The oracle is the full
+    * rebuild — maintained == recomputed, bit-equal through the
+    * DECIMAL(18,2) contract. */
+  val m15MinMaxMv = Q(
+    "m15_minmax_mv",
+    (s, dir) => {
+      import graft.operators.MatView
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("value"))
+      val keys = Seq("event_type", "day")
+      val mv0 = MatView.buildMinMax(e.filter(col("event_id") % 10 < 8), keys, "value")
+      val ins = e.filter(col("event_id") % 10 >= 8).withColumn("sign", lit(1))
+      val mv1 = MatView.applyDeltaMinMax(mv0, ins, e, keys, "value", "sign")
+      val ret = e.filter(col("event_id") % 5 === 0).withColumn("sign", lit(-1))
+      val base2 = e.filter(col("event_id") % 5 =!= 0)
+      MatView.applyDeltaMinMax(mv1, ret, base2, keys, "value", "sign")
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("total").cast("double").as("total"),
+          col("vmin").cast("double").as("vmin"),
+          col("vmax").cast("double").as("vmax"))
+    },
+    Some("""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+          AS total,
+        CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+        CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+      FROM events WHERE event_id % 5 != 0
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
-    m13SnapshotDiff, m14IncrementalMv)
+    m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv)
 }

@@ -288,6 +288,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MatView.applyDeltaMinMax == rebuild on random insert/retract interleavings") {
+    import graft.operators.MatView
+    // same adversarial shape as the count/sum property, now hunting the
+    // min/max-specific edges: retracting the row that HOLDS an extremum
+    // (forces the group-local recompute path), retracting one copy of a
+    // duplicated extremum value (multiplicity — the conservative ≤/≥
+    // trigger must recompute, and the recompute must still find the
+    // surviving copy), and groups born in a mixed-sign batch
+    val row = for {
+      k <- Gen.choose(0, 3)
+      v <- Gen.choose(-5, 5) // tight range → frequent duplicate extrema
+    } yield (s"k$k", v.toDouble)
+    val gen = for {
+      base <- Gen.listOfN(20, row)
+      dels <- Gen.someOf(base)
+      ins <- Gen.listOfN(8, row)
+    } yield (base, dels.toList, ins)
+    samples(gen, 8).foreach { case (base, dels, ins) =>
+      val b = base.toDF("k", "value")
+      val afterBase = base.diff(dels) ++ ins
+      val updated = afterBase.toDF("k", "value")
+      val delta = (ins.map { case (k, v) => (k, v, 1) } ++
+        dels.map { case (k, v) => (k, v, -1) }).toDF("k", "value", "sign")
+      val maintained = MatView.applyDeltaMinMax(
+        MatView.buildMinMax(b, Seq("k"), "value"), delta, updated,
+        Seq("k"), "value", "sign")
+        .select("k", "cnt", "total", "vmin", "vmax")
+        .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+      val rebuilt = MatView.buildMinMax(updated, Seq("k"), "value")
+        .select("k", "cnt", "total", "vmin", "vmax")
+        .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+      assert(maintained == rebuilt,
+        s"maintained $maintained != rebuilt $rebuilt (base=$base dels=$dels ins=$ins)")
+    }
+  }
+
   test("ANN recall floors: a bucketing change that destroys recall fails here, not in prod") {
     // sim_recall / sim_pq_recall / dd_lsh_recall MEASURE recall; this
     // test PINS it. Floors sit well under the measured sf0.01 values

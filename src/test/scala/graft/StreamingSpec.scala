@@ -142,6 +142,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MatView.maintainBatch maintains the view across micro-batches incl. retractions") {
+    import graft.operators.MatView
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString + "/v"
+    implicit val sqlCtx = spark.sqlContext
+    // signed delta stream: (event_type, value, sign)
+    val mem = MemoryStream[(String, Double, Int)]
+    val q = mem.toDF().toDF("event_type", "value", "sign").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        MatView.maintainBatch(spark, df, dir, Seq("event_type"), "value", "sign")
+      }.start()
+    try {
+      mem.addData(("click", 1.0, 1), ("click", 2.0, 1), ("view", 3.0, 1))
+      q.processAllAvailable()
+      mem.addData(("click", 2.0, -1), ("view", 4.0, 1)) // retract a click
+      q.processAllAvailable()
+      mem.addData(("view", 3.0, -1), ("view", 4.0, -1)) // view → zero, leaves
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir)
+        .select("event_type", "cnt", "total")
+        .as[(String, Long, java.math.BigDecimal)].collect()
+        .map(t => t._1 -> (t._2, t._3.doubleValue)).toMap
+      // surviving multiset: click ×1 (value 1.0) — view retracted to zero
+      assert(got == Map("click" -> (1L, 1.0)), s"view state was $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
