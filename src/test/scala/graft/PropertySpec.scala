@@ -343,6 +343,10 @@ class PropertySpec extends AnyFunSuite {
     assert(sim("lsh_multi") >= 0.5,
       s"OR-amplified LSH mean recall ${sim("lsh_multi")} below 0.5 floor")
     assert(sim("ivf") >= 0.1, s"IVF mean recall ${sim("ivf")} below 0.1 floor")
+    // spill=2/nprobe=8 measures 0.66 on this geometry — the serving
+    // config (sim_ivf_multiprobe) carries the raised floor
+    assert(sim("ivf_spill") >= 0.5,
+      s"spilled IVF mean recall ${sim("ivf_spill")} below 0.5 floor")
     val pq = graft.queries.Pipeline.simPqRecall.run(spark, sf)
       .groupBy("method").agg(org.apache.spark.sql.functions.avg("recall").as("r"))
       .as[(String, Double)].collect().toMap
