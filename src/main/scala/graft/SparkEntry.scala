@@ -40,7 +40,8 @@ object SparkEntry {
       "txt_bpe_batched", "j15_bucketed_edges", "dd_substring",
       "dd_semantic_kmeans", "dd_substring_cut", "dd_inc_stored",
       "sim_lsh_multi", "sim_pq_recall", "txt_bm25", "txt_bm25_stored",
-      "txt_phrase", "txt_phrase_stored", "txt_phrase_rank")
+      "txt_phrase", "txt_phrase_stored", "txt_phrase_rank",
+      "sim_ivf_multiprobe", "txt_heavy_tokens")
     preferred.filter(queries.contains)
   }
 }

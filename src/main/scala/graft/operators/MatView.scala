@@ -143,6 +143,67 @@ object MatView {
           .otherwise(greatest(col("vmax"), col("i_max"))).as("vmax")): _*)
   }
 
+  // ---- second moments (avg / variance) ------------------------------
+  //
+  // Like count/sum — and unlike min/max — the second moment IS
+  // invertible under retraction: Σv² is a signed sum, so the same Z-set
+  // delta rule maintains it with no recompute path. avg and variance
+  // are DERIVED at read time from (cnt, total, total_sq); derived
+  // columns are never maintained state. Σv² at DECIMAL(18,2)² needs
+  // scale 4; DECIMAL(38,4) holds ~10^34 — exact for any realistic
+  // group, so maintained == rebuilt is bit-equal, not merely close.
+
+  private val DecSq = DecimalType(38, 4)
+
+  /** Build the moments view: (keys, cnt, total, total_sq). */
+  def buildMoments(base: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(Dec)
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(v).cast(Dec).as("total"),
+        sum((v * v).cast(DecSq)).cast(DecSq).as("total_sq"))
+  }
+
+  /** Merge a signed delta into a moments view — pure delta propagation,
+    * same contract shape as [[applyDelta]]. */
+  def applyDeltaMoments(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+      valueCol: String, signCol: String): DataFrame = {
+    val v = col(valueCol).cast(Dec)
+    val sign = col(signCol).cast("long")
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("d_cnt"),
+        sum(v * sign.cast(Dec)).cast(Dec).as("d_total"),
+        sum(((v * v).cast(DecSq)) * sign.cast(DecSq)).cast(DecSq)
+          .as("d_total_sq"))
+    val zero = lit(0).cast(Dec)
+    val zeroSq = lit(0).cast(DecSq)
+    mv.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("total"), zero) + coalesce(col("d_total"), zero))
+          .cast(Dec).as("total"),
+        (coalesce(col("total_sq"), zeroSq) +
+          coalesce(col("d_total_sq"), zeroSq)).cast(DecSq).as("total_sq")): _*)
+      .filter(col("cnt") > 0)
+  }
+
+  /** Read-time derivation: avg and POPULATION variance from the
+    * maintained moments, in an explicit IEEE double expression order
+    * (sq/n − mean², clamped at 0 for the catastrophic-cancellation
+    * residual) that an oracle can replay verbatim. */
+  def momentsReadModel(view: DataFrame, keys: Seq[String]): DataFrame = {
+    val n = col("cnt").cast("double")
+    val mean = col("total").cast("double") / n
+    val rawVar = col("total_sq").cast("double") / n - mean * mean
+    view.select(keys.map(col) ++ Seq(
+      col("cnt"),
+      col("total").cast("double").as("total"),
+      mean.as("avg_v"),
+      greatest(rawVar, lit(0.0)).as("var_pop")): _*)
+  }
+
   // ---- streaming integration ----------------------------------------
 
   /** foreachBatch body: fold one signed micro-batch into the parquet

@@ -299,6 +299,28 @@ object Corpus {
       SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
       FROM toks t LEFT JOIN vocab v USING (token)"""))
 
+  /** EXACT heavy-hitter tokens (operators.HeavyHitters): every token
+    * carrying > 1/200 of the corpus token mass, with exact counts — the
+    * stopword-discovery / vocab-head pass. The direct GROUP BY would
+    * shuffle the whole token domain (billions of keys at 100 TB, almost
+    * all below threshold); the two-pass form shuffles partitions × k
+    * Misra-Gries entries, then recounts only the ≤ k candidates through
+    * a broadcast semi-join. Output is exact, so the oracle is the plain
+    * HAVING query — MG nominates, never answers. */
+  val txtHeavyTokens = Q(
+    "txt_heavy_tokens",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+      graft.operators.HeavyHitters.exactHeavyHitters(toks, "item", k = 200)
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS item
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM tok)
+      SELECT item, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, tot GROUP BY item, n HAVING count(*) * 200 > n"""))
+
   /** Deterministic stratified sample: ~10% of documents, selected by
     * content-independent stable hash of the id — reproducible across
     * runs, engines, and partitionings (no rand()), and joinable back to
@@ -1232,5 +1254,5 @@ object Corpus {
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank,
-    txtWeightedSample, txtWeightedStratified)
+    txtWeightedSample, txtWeightedStratified, txtHeavyTokens)
 }

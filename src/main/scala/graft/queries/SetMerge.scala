@@ -385,8 +385,49 @@ object SetMerge {
       FROM events WHERE event_id % 5 != 0
       GROUP BY 1, 2"""))
 
+  /** M16: avg/variance view maintenance — the moments view. Unlike
+    * min/max (m15), Σv² is a signed sum, so retraction is pure delta
+    * propagation with no recompute path; avg/var_pop derive at read
+    * time from (cnt, total, total_sq) in an explicit double-expression
+    * order the oracle replays verbatim. Same interleaving as m14/m15;
+    * maintained == rebuilt bit-equal through DECIMAL(18,2)/(38,4). */
+  val m16MomentsMv = Q(
+    "m16_moments_mv",
+    (s, dir) => {
+      import graft.operators.MatView
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("value"))
+      val keys = Seq("event_type", "day")
+      val mv0 = MatView.buildMoments(e.filter(col("event_id") % 10 < 8), keys, "value")
+      val ins = e.filter(col("event_id") % 10 >= 8).withColumn("sign", lit(1))
+      val mv1 = MatView.applyDeltaMoments(mv0, ins, keys, "value", "sign")
+      val ret = e.filter(col("event_id") % 5 === 0).withColumn("sign", lit(-1))
+      val mv2 = MatView.applyDeltaMoments(mv1, ret, keys, "value", "sign")
+      MatView.momentsReadModel(mv2, keys)
+        .select(col("event_type"), col("day"), col("cnt"), col("total"),
+          col("avg_v"), col("var_pop"))
+    },
+    Some("""WITH g AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+                        CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS total_sq
+        FROM events WHERE event_id % 5 != 0
+        GROUP BY 1, 2)
+      SELECT event_type, day, cnt, CAST(total AS DOUBLE) AS total,
+        CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE) AS avg_v,
+        greatest(
+          CAST(total_sq AS DOUBLE) / CAST(cnt AS DOUBLE) -
+            (CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) *
+            (CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)),
+          0.0) AS var_pop
+      FROM g"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
-    m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv)
+    m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv)
 }

@@ -359,6 +359,7 @@ class OperatorsSpec extends AnyFunSuite {
     // the scale the driver's gate doesn't run.
     val rows = graft.queries.Coverage.a18Sketches
       .run(spark, "/root/testdata/sf0.001")
+      .select("event_type", "hll_ok", "p50_ok")
       .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
     assert(rows.nonEmpty)
     rows.foreach { case (k, hllOk, p50Ok) =>

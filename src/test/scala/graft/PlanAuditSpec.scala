@@ -88,6 +88,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
+    "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
     "sim_recall",          // composes bruteforce truth + ivf (both above)
     "sim_hybrid_rrf",      // dense leg is the broadcast brute-force ranker
@@ -102,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_bm25_rankshift",  // both scorer legs share that 1-row stats product
     "txt_bm25_upsert",     // same 1-row stats product over the tombstone-adjusted store
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
+    "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
     "a33_sketch_rollup",   // triangular day≤day merge of |days| k-long sketch arrays
     "a34_skew_report"      // 1-row stats × 1-row top10 sum
   )

@@ -288,6 +288,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exactHeavyHitters equals brute-force HAVING on random multisets") {
+    import graft.operators.HeavyHitters
+    // skewed generator: a few hot items over a long tail, exercising the
+    // MG decrement path (k=2 keeps the buffer permanently full) and the
+    // merge cut across partitions. The output must be EXACT for every k
+    // regardless — MG only nominates.
+    val itemGen = Gen.frequency(
+      (8, Gen.oneOf("a", "b", "c")),
+      (4, Gen.choose(0, 30).map(i => s"t$i")))
+    samples(Gen.listOfN(120, itemGen), 6).foreach { items =>
+      val df = items.toDF("item").repartition(7) // force multi-partition merge
+      val n = items.size
+      for (k <- Seq(2, 5, 20)) {
+        val got = HeavyHitters.exactHeavyHitters(df, "item", k)
+          .as[(String, Long)].collect().toMap
+        val want = items.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * k > n }.toMap
+        assert(got == want, s"k=$k n=$n got=$got want=$want")
+      }
+    }
+  }
+
   test("MatView.applyDeltaMinMax == rebuild on random insert/retract interleavings") {
     import graft.operators.MatView
     // same adversarial shape as the count/sum property, now hunting the
