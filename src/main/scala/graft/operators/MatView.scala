@@ -220,15 +220,55 @@ object MatView {
   def maintainBatch(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, viewDir: String, keys: Seq[String],
       valueCol: String, signCol: String): Unit = {
-    val target = new java.io.File(viewDir)
-    val mv =
-      if (target.exists() && target.list().nonEmpty)
-        spark.read.parquet(viewDir)
-      else build(batch.limit(0), keys, valueCol) // empty, right schema
-    val updated = applyDelta(mv, batch, keys, valueCol, signCol)
-    val tmp = viewDir + ".tmp"
-    updated.write.mode("overwrite").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(viewDir)
+    val mv = readOr(spark, viewDir, build(batch.limit(0), keys, valueCol))
+    swapWrite(spark, applyDelta(mv, batch, keys, valueCol, signCol), viewDir)
+  }
+
+  /** foreachBatch body maintaining the BASE TABLE and its min/max view
+    * TOGETHER — the composition m15 runs in batch, under live ingest.
+    * Batch rows carry a unique `rowId`: sign +1 inserts the row into
+    * the base (upsert by rowId — redelivery-safe), sign −1 deletes it.
+    * The base is written first, read back, and handed to
+    * [[applyDeltaMinMax]] as the updated base for extremum recomputes.
+    * Exactly-once comes from the streaming checkpoint; a crash BETWEEN
+    * the base write and the view write leaves the view one batch
+    * behind the base — the repair is rebuildMinMax-from-base (cheap:
+    * one aggregate), the same restate-from-source contract as
+    * Retrieval.repairStats. */
+  def maintainBatchMinMax(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, baseDir: String, viewDir: String, rowId: String,
+      keys: Seq[String], valueCol: String, signCol: String): Unit = {
+    val rows = batch.drop(signCol)
+    val inserts = batch.filter(col(signCol) > 0).drop(signCol)
+    val deletes = batch.filter(col(signCol) < 0).select(col(rowId))
+    val base0 = readOr(spark, baseDir, rows.limit(0))
+    // delete-then-insert on rowId: an upsert that also serves retraction
+    val newBase = base0
+      .join(deletes.unionByName(inserts.select(col(rowId))).distinct(),
+        Seq(rowId), "left_anti")
+      .unionByName(inserts)
+    swapWrite(spark, newBase, baseDir)
+    val mv = readOr(spark, viewDir, buildMinMax(rows.limit(0), keys, valueCol))
+    val updatedBase = spark.read.parquet(baseDir)
+    swapWrite(spark,
+      applyDeltaMinMax(mv, batch, updatedBase, keys, valueCol, signCol),
+      viewDir)
+  }
+
+  private def readOr(spark: org.apache.spark.sql.SparkSession, dir: String,
+      empty: => DataFrame): DataFrame = {
+    val f = new java.io.File(dir)
+    if (f.exists() && f.list().nonEmpty) spark.read.parquet(dir) else empty
+  }
+
+  /** Write via temp dir then rename: the source of every maintenance
+    * merge is also its sink, and overwrite-in-place would truncate
+    * before the read runs. */
+  private def swapWrite(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, dir: String): Unit = {
+    val tmp = dir + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

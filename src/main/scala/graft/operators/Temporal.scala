@@ -83,6 +83,37 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** INTERVAL-OVERLAP JOIN: pairs of intervals that overlap,
+    * `lStart <= rEnd AND rStart <= lEnd` (closed ends) — sessions ×
+    * incident windows, ad flights × user visits. The naive non-equi
+    * join is a nested-loop product; here BOTH sides explode into the
+    * fixed-width bins they cover and the join is an equi-join on bin.
+    *
+    * A pair overlapping n shared bins would surface n times; instead of
+    * a distinct shuffle, each pair is kept ONLY in the first bin both
+    * cover — `bin == greatest(floor(lStart), floor(rStart))`, a
+    * row-local predicate — so the output is exactly-once with no extra
+    * exchange. `binSeconds` ~ the typical interval length (same trade
+    * as [[rangeJoin]]). Column names must not collide across sides;
+    * intervals with start > end are the caller's bug (they match
+    * nothing in either engine). */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    val binUs = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String, b0: String) =
+      df.withColumn(b0, floor(unix_micros(col(s)) / binUs))
+        .withColumn("__bin", explode(sequence(col(b0),
+          floor(unix_micros(col(e)) / binUs))))
+    val l = binned(left, lStart, lEnd, "__lb0")
+    val r = binned(right, rStart, rEnd, "__rb0")
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(col("__lb0"), col("__rb0")))
+      .drop("__bin", "__lb0", "__rb0")
+  }
+
   /** Calendar gap-fill / resample: complete each key's daily series from
     * its first to its last active day (reference weekly_scheduler.py
     * month-chunk iteration renders continuous ranges; dashboards need

@@ -98,5 +98,42 @@ object TemporalQueries {
       FROM spine s LEFT JOIN d USING (user_id, day)
       ORDER BY user_id, day"""))
 
-  val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill)
+  /** J18: interval-OVERLAP join (Temporal.overlapJoin) — per-user daily
+    * activity spans × 2-hour incident windows, the interval×interval
+    * sibling of j11's points-in-intervals. Both sides explode into 2 h
+    * bins and meet in an equi-join; each overlapping pair survives only
+    * in the first shared bin (row-local predicate — no distinct pass),
+    * so the plan has ONE exchange and no nested-loop product where the
+    * naive `ON a.start <= b.end AND b.start <= a.end` join is
+    * Cartesian. overlap_us is the exact integer overlap extent. */
+  val j18Overlap = Q(
+    "j18_interval_overlap",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val spans = e.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"))
+      val inc = e.filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+        .select(col("event_id"), col("ts").as("i_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("i_end"))
+      Temporal.overlapJoin(spans, "a_start", "a_end", inc, "i_start", "i_end",
+        binSeconds = 7200L)
+        .select(col("user_id"), col("day"), col("event_id"),
+          (unix_micros(least(col("a_end"), col("i_end"))) -
+            unix_micros(greatest(col("a_start"), col("i_start"))))
+            .as("overlap_us"))
+    },
+    Some("""WITH spans AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          min(ts) AS a_start, max(ts) AS a_end
+        FROM events GROUP BY 1, 2),
+      inc AS (
+        SELECT event_id, ts AS i_start, ts + INTERVAL 2 HOUR AS i_end
+        FROM events WHERE event_type = 'error' AND event_id % 50 = 0)
+      SELECT s.user_id, s.day, i.event_id,
+        epoch_us(least(s.a_end, i.i_end)) -
+          epoch_us(greatest(s.a_start, i.i_start)) AS overlap_us
+      FROM spans s JOIN inc i
+        ON s.a_start <= i.i_end AND i.i_start <= s.a_end"""))
+
+  val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap)
 }

@@ -370,6 +370,32 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- Temporal -----------------------------------------------------------
 
+  test("Temporal.overlapJoin: exactly-once pairs, closed ends, no distinct pass") {
+    import java.sql.Timestamp
+    import graft.operators.Temporal
+    def t(s: String) = Timestamp.valueOf(s)
+    // left interval spans MANY bins (exactly-once check), pairs touch at
+    // an endpoint (closed-interval check), and a disjoint pair is absent
+    val l = Seq(
+      (1L, t("2024-01-01 00:00:00"), t("2024-01-01 23:00:00")), // wide
+      (2L, t("2024-01-02 10:00:00"), t("2024-01-02 11:00:00"))
+    ).toDF("l_id", "l_s", "l_e")
+    val r = Seq(
+      (10L, t("2024-01-01 22:00:00"), t("2024-01-01 23:59:00")), // overlaps 1
+      (11L, t("2024-01-01 23:00:00"), t("2024-01-02 01:00:00")), // touches 1's end
+      (12L, t("2024-01-02 12:00:00"), t("2024-01-02 13:00:00"))  // disjoint
+    ).toDF("r_id", "r_s", "r_e")
+    val got = Temporal.overlapJoin(l, "l_s", "l_e", r, "r_s", "r_e",
+        binSeconds = 3600L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 10L), (1L, 11L)), s"got ${got.toSeq}")
+    // plan shape: the exactly-once trick means no Distinct/Aggregate node
+    val plan = Temporal.overlapJoin(l, "l_s", "l_e", r, "r_s", "r_e", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("Temporal.asofJoin attaches the latest right row at or before ts") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)

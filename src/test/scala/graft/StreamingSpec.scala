@@ -168,6 +168,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainBatchMinMax keeps base+view consistent; retracting an extremum recomputes") {
+    import graft.operators.MatView
+    val root = java.nio.file.Files.createTempDirectory("graft_mvmm").toString
+    val (baseDir, viewDir) = (root + "/base", root + "/view")
+    implicit val sqlCtx = spark.sqlContext
+    // signed keyed rows: (row_id, event_type, value, sign)
+    val mem = MemoryStream[(Long, String, Double, Int)]
+    val q = mem.toDF().toDF("row_id", "event_type", "value", "sign").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        MatView.maintainBatchMinMax(spark, df, baseDir, viewDir, "row_id",
+          Seq("event_type"), "value", "sign")
+      }.start()
+    try {
+      mem.addData((1L, "click", 5.0, 1), (2L, "click", 9.0, 1), (3L, "click", 7.0, 1))
+      q.processAllAvailable()
+      mem.addData((2L, "click", 9.0, -1)) // retract the MAX — forces recompute
+      q.processAllAvailable()
+      mem.addData((4L, "click", 1.0, 1)) // new min folds in monotonically
+      q.processAllAvailable()
+      val view = spark.read.parquet(viewDir)
+        .select("event_type", "cnt", "vmin", "vmax")
+        .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+        .collect().map(t => (t._1, t._2, t._3.doubleValue, t._4.doubleValue))
+      assert(view.toSeq == Seq(("click", 3L, 1.0, 7.0)), s"view was ${view.toSeq}")
+      // the maintained view must equal a rebuild from the maintained base
+      val rebuilt = MatView.buildMinMax(spark.read.parquet(baseDir),
+        Seq("event_type"), "value")
+        .select("event_type", "cnt", "vmin", "vmax")
+        .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+        .collect().map(t => (t._1, t._2, t._3.doubleValue, t._4.doubleValue))
+      assert(view.toSeq == rebuilt.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
