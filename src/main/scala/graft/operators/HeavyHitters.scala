@@ -102,4 +102,25 @@ object HeavyHitters {
       .filter(col("cnt") * lit(k.toLong) > col("n"))
       .select(col("item"), col("cnt"))
   }
+
+  /** Per-GROUP heavy hitters: items above 1/k of each group's own mass
+    * (heavy tokens per language, hot URLs per domain). One MG summary
+    * per group — the partial-aggregate property is per (partition,
+    * group), so the shuffle carries groups × k entries — then the same
+    * broadcast recount, keyed by (group, item). The candidate frame is
+    * groups × k rows; with a very large group domain drop the broadcast
+    * hint and let the join shuffle. Output: (group, item, cnt). */
+  def exactHeavyHittersPerGroup(df: DataFrame, groupCol: String,
+      itemCol: String, k: Int): DataFrame = {
+    val items = df.select(col(groupCol).as("__g"),
+      col(itemCol).cast("string").as("item"))
+    val cands = items.groupBy("__g")
+      .agg(mg(k)(col("item")).as("cands"), count(lit(1)).as("n"))
+      .select(col("__g"), explode(col("cands")).as("c"), col("n"))
+      .select(col("__g"), col("c.item").as("item"), col("n"))
+    items.join(broadcast(cands), Seq("__g", "item"))
+      .groupBy("__g", "item", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > col("n"))
+      .select(col("__g").as(groupCol), col("item"), col("cnt"))
+  }
 }

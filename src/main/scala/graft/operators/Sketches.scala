@@ -255,4 +255,42 @@ object Sketches {
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }
+
+  /** Oracle-EXACT approximate QUANTILES — the KMV idea applied to
+    * percentiles, and the deterministic sibling of a18's t-digest
+    * (whose centroid state is engine-private, so its oracle can only be
+    * a tolerance contract). Per group, keep the values of the k rows
+    * with the SMALLEST hash56(id) — a uniform sample because the hash
+    * is uniform on ids and independent of the values — then take exact
+    * interpolated percentiles OF THE SAMPLE. Every step is replayable:
+    * both engines compute the same hashes, pick the same k rows (ties
+    * by id), and interpolate identically (percentile vs quantile_cont,
+    * the a17-proven bit-exact pair) — so the sketch's OUTPUT hashes
+    * exactly, not merely within tolerance. Error vs the true quantile
+    * is the standard sampling error (~1/√k quantile deviation).
+    *
+    * Scale/merge shape: the bottom-k-by-hash sample is a mergeable
+    * summary (merge = union, keep k smallest — exactly KMV), computed
+    * here with the TopKW partial aggregate (score = −u, value in the
+    * payload slot): map-side combine caps shuffle at groups × k rows;
+    * no per-group sort of the full data ever happens (the exact twin
+    * a17 pays it). */
+  def hashSampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+    val u = Dedup.hash56(col(idCol).cast("string")).cast("double") /
+      lit(Dedup.M56.toDouble)
+    val topk = TopK.topKW(k)
+    val sampled = df
+      .select(col(groupCol).as("__g"), (-u).as("score"),
+        col(idCol).cast("long").as("id"), col(valueCol).cast("double").as("w"))
+      .groupBy("__g")
+      .agg(topk(col("score"), col("id"), col("w")).as("top"),
+        count(lit(1)).as("n"))
+      .select(col("__g"), col("n"), explode(col("top")).as("c"))
+    val aggs = qs.map(q => expr(s"percentile(c.w, ${q}D)")
+      .as(s"p${(q * 100).round}_est"))
+    sampled.groupBy("__g", "n")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__g", groupCol)
+  }
 }

@@ -321,6 +321,28 @@ object Corpus {
       SELECT item, CAST(count(*) AS BIGINT) AS cnt
       FROM tok, tot GROUP BY item, n HAVING count(*) * 200 > n"""))
 
+  /** Per-language heavy tokens — the per-GROUP form: items above 1/100
+    * of each language's own token mass (per-language stopword lists; a
+    * global threshold would drown low-resource languages under the
+    * high-resource head). One MG summary per group, shuffle capped at
+    * langs × k, same exact-recount contract. */
+  val txtHeavyByLang = Q(
+    "txt_heavy_by_lang",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+      graft.operators.HeavyHitters.exactHeavyHittersPerGroup(
+        toks, "lang", "item", k = 100)
+    },
+    Some("""WITH tok AS (
+        SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS item
+        FROM documents),
+      n AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1)
+      SELECT t.lang, t.item, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok t JOIN n USING (lang)
+      GROUP BY t.lang, t.item, n.n HAVING count(*) * 100 > n.n"""))
+
   /** Deterministic stratified sample: ~10% of documents, selected by
     * content-independent stable hash of the id — reproducible across
     * runs, engines, and partitionings (no rand()), and joinable back to
@@ -1254,5 +1276,5 @@ object Corpus {
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank,
-    txtWeightedSample, txtWeightedStratified, txtHeavyTokens)
+    txtWeightedSample, txtWeightedStratified, txtHeavyTokens, txtHeavyByLang)
 }

@@ -529,6 +529,40 @@ object Coverage {
       WHERE ((md5_number_lower(CAST(event_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) % 100 < 10
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** A39: bottom-k-by-hash quantile SKETCH (Sketches.hashSampleQuantiles)
+    * — a27's fixed-memory sibling. a27's 10% hash gate keeps state
+    * ∝ data (fine for a one-shot query, wrong for a serving summary);
+    * this keeps exactly k=64 values per group — the KMV idea applied to
+    * percentiles: bottom-k rows by hash56(id) are a uniform sample,
+    * merge = union-keep-k-smallest, shuffle = groups × k via the TopKW
+    * partial aggregate. Every step replays in DuckDB (same hashes, same
+    * k rows, same a17-proven interpolation), so the sketch OUTPUT is
+    * oracle-EXACT — unlike t-digest, whose engine-private state pins
+    * a18 to a tolerance contract forever. */
+  val a39SampledQuantiles = Q(
+    "a39_sampled_quantiles",
+    (s, dir) => graft.operators.Sketches.hashSampleQuantiles(
+        Tables.load(s, dir, "events"), "event_type", "event_id", "value",
+        k = 64, qs = Seq(0.5, 0.9))
+      .orderBy("event_type"),
+    Some(s"""WITH s AS (
+        SELECT event_type, event_id, value,
+          (CAST(((md5_number_lower(CAST(event_id AS VARCHAR))
+                  % ${graft.operators.Dedup.M56})::BIGINT) AS DOUBLE)
+            / CAST(${graft.operators.Dedup.M56} AS DOUBLE)) AS u
+        FROM events),
+      r AS (
+        SELECT event_type, event_id, value, u,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY u ASC, event_id ASC) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n
+        FROM s)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        quantile_cont(value, 0.5) AS p50_est,
+        quantile_cont(value, 0.9) AS p90_est
+      FROM r WHERE rn <= 64
+      GROUP BY event_type, n ORDER BY event_type"""))
+
   /** A28: count-min frequency sketch — the "how often" sibling of a26's
     * "how many distinct" (reference per-term dashboard counters at
     * cardinalities where the exact groupBy stops fitting). The 4×256
@@ -1151,7 +1185,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a39SampledQuantiles, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

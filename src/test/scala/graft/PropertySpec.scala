@@ -307,6 +307,18 @@ class PropertySpec extends AnyFunSuite {
           .filter { case (_, c) => c * k > n }.toMap
         assert(got == want, s"k=$k n=$n got=$got want=$want")
       }
+      // per-group twin: thresholds are per-group masses, not global
+      val grouped = items.zipWithIndex.map { case (it, i) => (s"g${i % 3}", it) }
+      val gdf = grouped.toDF("grp", "item").repartition(7)
+      val gotG = HeavyHitters.exactHeavyHittersPerGroup(gdf, "grp", "item", 5)
+        .as[(String, String, Long)].collect().toSet
+      val wantG = grouped.groupBy(_._1).flatMap { case (g, rows) =>
+        val gn = rows.size
+        rows.groupBy(_._2).view.mapValues(_.size.toLong)
+          .filter { case (_, c) => c * 5 > gn }
+          .map { case (it, c) => (g, it, c) }
+      }.toSet
+      assert(gotG == wantG, s"per-group: got=$gotG want=$wantG")
     }
   }
 
