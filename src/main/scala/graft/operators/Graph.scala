@@ -193,6 +193,46 @@ object Graph {
     out
   }
 
+  /** Common-neighbor LINK PREDICTION: for each node, the top-k
+    * non-neighbors ranked by shared-neighbor count — "customers who
+    * bought these parts together also bought" / co-appointment
+    * introduction candidates. Wedge enumeration joins the undirected
+    * adjacency with itself on the MIDDLE node, so the cost is
+    * Σ deg(m)² over middles; middles above `maxMiddleDeg` are EXCLUDED
+    * — the standard heavy-middle cut (a hub co-purchased with
+    * everything contributes no signal per pair and owns the whole
+    * quadratic cost; the same reasoning as prefix-filter's stopword
+    * drop). The cut is part of the operator's semantics, replayed by
+    * the oracle, not a silent truncation. Existing edges anti-join
+    * away; the per-node top-k uses the skew-proof TopK partial
+    * aggregate (shuffle ≤ nodes × k).
+    * Output: (node, rec, cn, rank), rank by (cn DESC, rec ASC). */
+  def commonNeighbors(edges: DataFrame, k: Int,
+      maxMiddleDeg: Long): DataFrame = {
+    val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val mid = und.join(deg.filter(col("deg") <= maxMiddleDeg), "src")
+    val wedges = mid.select(col("src").as("m"), col("dst").as("a"))
+      .join(mid.select(col("src").as("m"), col("dst").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      // sharedKeyEdges emits canonical item_a < item_b pairs — anti-join
+      // drops pairs already connected
+      .join(edges.select(col("item_a").as("a"), col("item_b").as("b")),
+        Seq("a", "b"), "left_anti")
+    val perNode = cn.select(col("a").as("node"), col("b").as("rec"), col("cn"))
+      .unionByName(cn.select(col("b").as("node"), col("a").as("rec"), col("cn")))
+    val topk = TopK.topKW(k)
+    perNode.groupBy("node")
+      .agg(topk(col("cn").cast("double"), col("rec").cast("long"),
+        col("cn").cast("double")).as("top"))
+      .select(col("node"), posexplode(col("top")))
+      .select(col("node"), col("col.id").as("rec"),
+        col("col.w").cast("long").as("cn"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** PageRank over an undirected edge list, in 64-bit fixed point.
     *
     * Ranks are integers in units of 10⁻¹² (node starts at `Unit12` =

@@ -563,6 +563,41 @@ object Coverage {
       FROM r WHERE rn <= 64
       GROUP BY event_type, n ORDER BY event_type"""))
 
+  /** A40: WINSORIZED aggregation — clip values to each group's exact
+    * [p05, p95] band before summing, the robust-statistics cleaning
+    * step (a31 FLAGS outliers; this BOUNDS their influence — the tail
+    * event no longer owns the mean). Two-phase: exact per-group
+    * percentiles (the a17-proven pair), broadcast back, row-local
+    * clamp, DECIMAL-contract sum. At 100 TB swap phase 1 for
+    * a39's bottom-k sketch — the clamp phase is unchanged. */
+  val a40Winsorize = Q(
+    "a40_winsorize",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val pct = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05D)").as("p05"),
+          expr("percentile(value, 0.95D)").as("p95"))
+      e.join(broadcast(pct), Seq("event_type"))
+        .select(col("event_type"), col("p05"), col("p95"),
+          greatest(least(col("value"), col("p95")), col("p05")).as("v"))
+        .groupBy("event_type", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .cast("double").as("sum_clipped"))
+        .orderBy("event_type")
+    },
+    Some("""WITH pct AS (
+        SELECT event_type,
+          quantile_cont(value, 0.05) AS p05,
+          quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1)
+      SELECT e.event_type, p.p05, p.p95, count(*) AS n,
+        CAST(CAST(sum(CAST(greatest(least(e.value, p.p95), p.p05)
+          AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_clipped
+      FROM events e JOIN pct p USING (event_type)
+      GROUP BY 1, 2, 3 ORDER BY e.event_type"""))
+
   /** A28: count-min frequency sketch — the "how often" sibling of a26's
     * "how many distinct" (reference per-term dashboard counters at
     * cardinalities where the exact groupBy stops fitting). The 4×256
@@ -774,6 +809,52 @@ object Coverage {
       FROM oriented e1
       JOIN oriented e2 ON e1.b = e2.a
       JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+
+  /** G: common-neighbor link prediction (Graph.commonNeighbors) — top-3
+    * introduction candidates per product, ranked by shared co-purchase
+    * neighbors, existing edges excluded. Wedge cost is Σ deg(middle)²;
+    * middles above degree 50 are cut (the heavy-middle rule — part of
+    * the semantics, replayed by the oracle). Per-node top-k through the
+    * skew-proof TopK aggregate. */
+  val gLinkpred = Q(
+    "g_linkpred",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      Graph.commonNeighbors(
+        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue),
+        k = 3, maxMiddleDeg = 50L)
+    },
+    Some("""WITH ld AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS (
+        SELECT x AS src, y AS dst FROM edges
+        UNION ALL SELECT y, x FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+      mid AS (
+        SELECT u.src, u.dst FROM und u JOIN deg d USING (src)
+        WHERE d.deg <= 50),
+      wed AS (
+        SELECT l.dst AS a, r.dst AS b
+        FROM mid l JOIN mid r ON l.src = r.src AND l.dst < r.dst),
+      cn AS (SELECT a, b, count(*) AS cn FROM wed GROUP BY 1, 2),
+      cand AS (
+        SELECT c.a, c.b, c.cn FROM cn c
+        LEFT JOIN edges e ON e.x = c.a AND e.y = c.b
+        WHERE e.x IS NULL),
+      pn AS (
+        SELECT a AS node, b AS rec, cn FROM cand
+        UNION ALL SELECT b, a, cn FROM cand)
+      SELECT node, rec, cn, rank FROM (
+        SELECT node, rec, cn,
+          row_number() OVER (PARTITION BY node
+            ORDER BY cn DESC, rec ASC) AS rank
+        FROM pn) WHERE rank <= 3"""))
 
   /** Local clustering coefficient per node (Graph.localClustering) —
     * triangleCount's per-node refinement: how interconnected each
@@ -1183,9 +1264,9 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gLinkpred, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a39SampledQuantiles, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

@@ -135,5 +135,41 @@ object TemporalQueries {
       FROM spans s JOIN inc i
         ON s.a_start <= i.i_end AND i.i_start <= s.a_end"""))
 
-  val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap)
+  /** T17: LAST-TOUCH ATTRIBUTION — each purchase credited to the user's
+    * latest preceding click within a 1-day window (null if none): the
+    * marketing-analytics classic, and the second consumer of
+    * [[Temporal.asofJoin]] (t9 is the rates shape). Clicks dedupe to
+    * one per (user, ts) keeping the max event_id — asof requires a
+    * unique right key, and the oracle's ORDER BY ts DESC, event_id DESC
+    * picks the same row. The window bound is a post-filter on the
+    * carried payload: asof attaches the latest click ≤ ts, and "latest
+    * ≤ ts but older than the window" implies NO click is in the window
+    * (the window is a suffix constraint), so the filter is exact. */
+  val t17Attribution = Q(
+    "t17_attribution",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("c_event_id"))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "c_ts", payload = Seq("c_ts", "c_event_id"))
+        .select(col("event_id"),
+          when(col("c_ts").isNotNull &&
+              col("c_ts") >= col("ts") - expr("INTERVAL 1 DAY"),
+            col("c_event_id")).as("click_id"),
+          col("value"))
+    },
+    Some("""SELECT p.event_id,
+        (SELECT c.event_id FROM events c
+         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id,
+        p.value
+      FROM events p WHERE p.event_type = 'purchase'"""))
+
+  val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
+    t17Attribution)
 }
