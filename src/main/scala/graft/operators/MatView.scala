@@ -224,6 +224,39 @@ object MatView {
     swapWrite(spark, applyDelta(mv, batch, keys, valueCol, signCol), viewDir)
   }
 
+  /** [[maintainBatch]] made IDEMPOTENT under at-least-once redelivery:
+    * a Z-set delta applied twice double-counts, so the applied batchId
+    * is recorded in a marker file INSIDE the view directory — the
+    * swapWrite rename installs view-and-marker atomically, and a
+    * redelivered batchId is a no-op. This closes the crash window the
+    * plain form documents (foreachBatch CAN redeliver the last batch
+    * after a crash between the sink write and the checkpoint commit;
+    * sinks must be idempotent by batchId — the Structured Streaming
+    * fault-tolerance contract). */
+  def maintainBatchIdempotent(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, viewDir: String, keys: Seq[String],
+      valueCol: String, signCol: String): Unit = {
+    val marker = new java.io.File(viewDir, "_applied_batch")
+    val applied =
+      if (marker.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+      else -1L
+    if (batchId > applied) {
+      val mv = readOr(spark, viewDir, build(batch.limit(0), keys, valueCol))
+      val updated = applyDelta(mv, batch, keys, valueCol, signCol)
+      // stage view + marker together, then one rename installs both
+      val tmp = viewDir + ".tmp"
+      updated.write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "_applied_batch"),
+        batchId.toString.getBytes)
+      val dst = new org.apache.hadoop.fs.Path(viewDir)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    }
+  }
+
   /** foreachBatch body maintaining the BASE TABLE and its min/max view
     * TOGETHER — the composition m15 runs in batch, under live ingest.
     * Batch rows carry a unique `rowId`: sign +1 inserts the row into

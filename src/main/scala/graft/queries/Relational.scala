@@ -45,6 +45,95 @@ object Relational {
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus"""))
 
+  /** Q3 (TPC-H shipping priority): the classic 3-way
+    * customer⋈orders⋈lineitem with opposed date predicates and a
+    * top-10 by revenue — the canonical "join then rank" OLAP shape.
+    * Both date filters push into the parquet scans; the customer
+    * segment filter prunes before its join; revenue goes through the
+    * DECIMAL contract and the ORDER BY carries l_orderkey as the
+    * deterministic tiebreak. Dates shifted to this corpus's 1995–2001
+    * range. */
+  val q3Shipping = Q(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val cut = lit("1997-03-15").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "revenue")
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+          AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1997-03-15'
+        AND l_shipdate > TIMESTAMP '1997-03-15'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** Q5 (TPC-H local supplier volume): the 6-way
+    * customer⋈orders⋈lineitem⋈supplier⋈nation⋈region star join with
+    * the c_nationkey = s_nationkey locality constraint — the widest
+    * join shape in the registry. region and nation are broadcast
+    * (5/25 rows at any scale); the three fact-side joins shuffle on
+    * their keys once each; AQE is free to broadcast supplier when its
+    * post-scan size permits. */
+  val q5LocalSupplier = Q(
+    "q5_local_supplier",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+          AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
   /** P1: multi-column case-insensitive contains OR-filter
     * (reference database.py:298-307 — ILIKE on name/number/address). */
   val p1IlikeOr = Q(
@@ -177,6 +266,6 @@ object Relational {
         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
       FROM events GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(q1Agg, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
+  val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5LocalSupplier, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
     j4SharedEdges, w1TopkPerGroup, a9GroupConcat, t7DailyWindow)
 }

@@ -168,6 +168,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainBatchIdempotent: a redelivered batchId is a no-op") {
+    import graft.operators.MatView
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvi").toString + "/v"
+    val b0 = Seq(("click", 1.0, 1), ("click", 2.0, 1))
+      .toDF("event_type", "value", "sign")
+    val b1 = Seq(("click", 2.0, -1), ("view", 4.0, 1))
+      .toDF("event_type", "value", "sign")
+    def state() = spark.read.parquet(dir)
+      .select("event_type", "cnt", "total")
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .map(t => t._1 -> (t._2, t._3.doubleValue)).toMap
+    MatView.maintainBatchIdempotent(spark, b0, 0L, dir, Seq("event_type"), "value", "sign")
+    MatView.maintainBatchIdempotent(spark, b1, 1L, dir, Seq("event_type"), "value", "sign")
+    val after = state()
+    assert(after == Map("click" -> (1L, 1.0), "view" -> (1L, 4.0)), s"$after")
+    // the crash-redelivery path: same batchId arrives again — no double count
+    MatView.maintainBatchIdempotent(spark, b1, 1L, dir, Seq("event_type"), "value", "sign")
+    assert(state() == after, "redelivered batch must not re-apply")
+    // and a NEW batch still applies
+    MatView.maintainBatchIdempotent(spark,
+      Seq(("view", 4.0, -1)).toDF("event_type", "value", "sign"),
+      2L, dir, Seq("event_type"), "value", "sign")
+    assert(state() == Map("click" -> (1L, 1.0)))
+  }
+
   test("maintainBatchMinMax keeps base+view consistent; retracting an extremum recomputes") {
     import graft.operators.MatView
     val root = java.nio.file.Files.createTempDirectory("graft_mvmm").toString
