@@ -446,6 +446,89 @@ object Dedup {
     labels.select("id", "component")
   }
 
+  /** INCREMENTAL connected-components maintenance: fold a batch of new
+    * pairs into stored labels without re-running CC over the corpus.
+    *
+    * The classical supernode contraction (Shiloach–Vishkin style): each
+    * stored component is already a single label, so the only structure a
+    * new batch can add lives in the CONTRACTED graph whose nodes are
+    * stored labels (or raw ids for endpoints the store has never seen)
+    * and whose edges are the new pairs with endpoints replaced by those
+    * labels. That graph is ∝ batch size, never corpus size — CC runs on
+    * it via [[connectedComponents]] (its local path, in practice), and
+    * the result is a label→label remap applied to the stored table with
+    * one broadcast join (map-side only; the corpus never shuffles).
+    *
+    * Label semantics are preserved exactly: stored labels are min-id per
+    * component, a merge takes the min over member labels = min over all
+    * member ids — so applyComponentDelta(cc(base), delta) ==
+    * cc(base ∪ delta) row-for-row (property-tested over random
+    * interleavings, and oracle-checked end-to-end by dd_components_inc).
+    * `newPairs` may overlap pairs already reflected in `stored`: such
+    * edges contract to self-loops and drop out.
+    *
+    * 100 TB shape: batch cost is signatures + LSH join on the batch
+    * (see [[incrementalNearDupsStored]] for the pair side), contraction
+    * CC on a frame ∝ batch, then one broadcast-joined pass over stored
+    * labels. Nothing scales with corpus except the final relabel scan —
+    * and [[componentDeltaChanges]] narrows even that to the rows whose
+    * label actually changed, the natural TableStore.upsert payload. */
+  def applyComponentDelta(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    val remap = broadcast(componentRemap(stored, newPairs))
+    val updated = stored
+      .join(remap.select(col("old_label").as("component"), col("new_label")),
+        Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("new_label"), col("component")).as("component"))
+    updated.union(newNodeRows(stored, newPairs, remap))
+  }
+
+  /** Only the rows [[applyComponentDelta]] would change or add — the
+    * upsert payload for a stored (id, component) table: relabeled
+    * members of merged components plus first-seen endpoints. */
+  def componentDeltaChanges(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    val remap = broadcast(componentRemap(stored, newPairs))
+    val relabeled = stored
+      .join(remap.select(col("old_label").as("component"), col("new_label")),
+        Seq("component"))
+      .filter(col("new_label") =!= col("component"))
+      .select(col("id"), col("new_label").as("component"))
+    relabeled.union(newNodeRows(stored, newPairs, remap))
+  }
+
+  /** The contracted-graph label remap: (old_label, new_label) for every
+    * label or new id touched by the batch. Tiny by construction. */
+  private def componentRemap(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    val lbl = stored.select(col("id"), col("component"))
+    val e = newPairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val contracted = e
+      .join(lbl.select(col("id").as("id_a"), col("component").as("ca")),
+        Seq("id_a"), "left")
+      .join(lbl.select(col("id").as("id_b"), col("component").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    connectedComponents(contracted)
+      .select(col("id").as("old_label"), col("component").as("new_label"))
+  }
+
+  /** Labels for batch endpoints absent from the store: their contracted
+    * node IS their id, so the remap row (when an edge touched them)
+    * carries their final label; isolated-in-contraction endpoints (only
+    * same-component duplicate edges) keep themselves as label. */
+  private def newNodeRows(stored: DataFrame, newPairs: DataFrame,
+      remap: DataFrame): DataFrame =
+    newPairs.select(col("id_a").cast("long").as("id"))
+      .union(newPairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+      .join(stored.select("id"), Seq("id"), "left_anti")
+      .join(remap.select(col("old_label").as("id"), col("new_label")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("id")).as("component"))
+
   /** Canonical-survivor view of a clustering: one row per component with
     * the kept doc (= the min-id component label), member count, and the
     * sorted member list. The "keep one per cluster" step of a dedup

@@ -274,6 +274,41 @@ object Pipeline {
       FROM best b JOIN sizes s USING (component)
       WHERE b.rn = 1"""))
 
+  /** INCREMENTAL component maintenance (Dedup.applyComponentDelta): the
+    * stored labels are built from pairs wholly inside the existing
+    * corpus (doc_id % 10 ≠ 0); the batch's pairs (≥1 new endpoint) fold
+    * in via supernode contraction — CC runs only on the ∝-batch
+    * contracted graph, then one broadcast remap pass over stored labels.
+    * The oracle is the FULL from-scratch clustering over all pairs, so
+    * every merge path (new↔new island, new doc bridging two old
+    * components, redundant old↔old pair) is hash-checked against
+    * rebuild — the maintained store is never allowed to drift. */
+  val ddComponentsInc = Q(
+    "dd_components_inc",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")
+      val isNew = (c: String) => col(c) % 10 === 0
+      val stored = Dedup.connectedComponents(
+        pairs.filter(!isNew("id_a") && !isNew("id_b")))
+      val delta = pairs.filter(isNew("id_a") || isNew("id_b"))
+      Dedup.canonicalClusters(Dedup.applyComponentDelta(stored, delta))
+    },
+    Some(s"""WITH RECURSIVE $minhashCtes,
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+      SELECT component, count(*) AS n_docs,
+        string_agg(id, ',' ORDER BY id) AS members
+      FROM comp GROUP BY 1"""))
+
   /** Incremental near-dup: the incoming batch (doc_id % 10 = 0) checked
     * against the already-ingested corpus (the rest) — candidates share a
     * band bucket ACROSS sides only, so per-batch cost scales with the
@@ -1896,7 +1931,8 @@ object Pipeline {
     })
 
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
-    ddSemantic, ddComponents, ddComponentsBest, ddIncremental, ddIncStored,
+    ddSemantic, ddComponents, ddComponentsBest, ddComponentsInc,
+    ddIncremental, ddIncStored,
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,

@@ -93,6 +93,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applyComponentDelta(cc(base), delta) == cc(base ∪ delta) on random splits") {
+    // random graphs on 14 nodes, random base/delta edge split — covers
+    // new↔new islands, batch edges bridging two stored components,
+    // redundant edges already inside one, and endpoints the store has
+    // never seen. componentDeltaChanges must be exactly the row diff.
+    val edgeGen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(1L, 14L), Gen.choose(1L, 14L))),
+      Gen.listOfN(6, Gen.zip(Gen.choose(1L, 14L), Gen.choose(1L, 14L))))
+    samples(edgeGen, 8).foreach { case (baseE, deltaE) =>
+      val base = baseE.filter(e => e._1 != e._2)
+      val delta = deltaE.filter(e => e._1 != e._2)
+      if (base.nonEmpty && delta.nonEmpty) {
+        val stored = Dedup.connectedComponents(base.toDF("id_a", "id_b"))
+        val deltaDf = delta.toDF("id_a", "id_b")
+        val got = Dedup.applyComponentDelta(stored, deltaDf)
+          .as[(Long, Long)].collect().toMap
+        val want = Dedup.connectedComponents(
+          (base ++ delta).toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+        assert(got == want, s"base=$base delta=$delta")
+        val storedMap = stored.as[(Long, Long)].collect().toMap
+        val changes = Dedup.componentDeltaChanges(stored, deltaDf)
+          .as[(Long, Long)].collect().toMap
+        val wantChanges = want.filter { case (id, c) =>
+          storedMap.get(id) match {
+            case Some(old) => old != c // relabeled member
+            case None => true          // first-seen endpoint
+          }
+        }
+        assert(changes == wantChanges, s"base=$base delta=$delta")
+      }
+    }
+  }
+
   test("TopKAgg equals sort-take on random data with score ties") {
     import org.apache.spark.sql.functions._
     val rowGen = Gen.listOfN(60,
