@@ -134,6 +134,83 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1997-01-01'
       GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
+  /** Q17 (TPC-H small-quantity revenue): the correlated-scalar-subquery
+    * classic — lineitems of one brand whose quantity falls below 20% of
+    * that part's average quantity. Spark-first decorrelation: prune
+    * lineitem to the brand's parts, groupBy partkey for the per-part
+    * average, join the threshold back on the SAME key — so the pruned
+    * fact frame shuffles on partkey once and both the aggregate and the
+    * threshold join reuse that partitioning (the naive correlated form
+    * re-scans lineitem per row; this reads it once). No broadcast hints:
+    * the brand side is |part|/25 — tiny here, but a frame that grows
+    * with the catalog — so AQE picks broadcast when the runtime size
+    * permits and falls back to the shuffle-reusing join when it
+    * doesn't. l_quantity is integral at the source, so double sums/avgs
+    * are order-independent and the 0.2×avg comparison evaluates
+    * identical IEEE operands on both engines; revenue goes through the
+    * DECIMAL contract. */
+  val q17SmallQty = Q(
+    "q17_small_qty_revenue",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4").select("p_partkey")
+      val l = t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thresh = l.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+      l.join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg((dsum("l_extendedprice") / 7.0).as("avg_yearly"))
+    },
+    Some("""WITH sel AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'),
+      thresh AS (
+        SELECT l_partkey, 0.2 * (sum(l_quantity) / count(l_quantity)) AS qty_cut
+        FROM sel GROUP BY l_partkey)
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          AS avg_yearly
+      FROM sel JOIN thresh USING (l_partkey)
+      WHERE l_quantity < qty_cut"""))
+
+  /** Q18 (TPC-H large-volume customers): groupBy-HAVING on the fact
+    * table feeding a join back to orders/customer, top-100 by order
+    * value. The HAVING side aggregates lineitem FIRST (partial agg
+    * map-side, one shuffle on l_orderkey), so the expensive join sees
+    * only qualifying orders (~0.1% of keys); customer attaches last,
+    * after AQE has seen how small the qualifying side is. TakeOrdered
+    * caps the result without a global sort. Integral quantities keep
+    * the double HAVING sum exact; o_orderkey breaks ties for a total
+    * order. */
+  val q18LargeOrders = Q(
+    "q18_large_orders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200.0)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        total_qty
+      FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 200) big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
   /** P1: multi-column case-insensitive contains OR-filter
     * (reference database.py:298-307 — ILIKE on name/number/address). */
   val p1IlikeOr = Q(
@@ -266,6 +343,7 @@ object Relational {
         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
       FROM events GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5LocalSupplier, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
+  val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5LocalSupplier, q17SmallQty,
+    q18LargeOrders, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
     j4SharedEdges, w1TopkPerGroup, a9GroupConcat, t7DailyWindow)
 }
