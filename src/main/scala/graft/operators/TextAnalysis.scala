@@ -233,4 +233,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p6) DIV count(1)").as("lm_score"))
   }
+
+  /** Per-slice token-distribution divergence against the whole corpus —
+    * the mixture-QA instrument behind "which source is distributionally
+    * off": KL(slice‖corpus) and KL(corpus‖slice) per slice, add-one
+    * smoothed over the corpus vocabulary (Kullback & Leibler 1951; the
+    * asymmetry is the point — slice‖corpus punishes tokens the slice
+    * over-uses, corpus‖slice punishes corpus mass the slice lacks).
+    *
+    * Cross-engine exactness (the drift-monitor discipline from
+    * operators.Profile): every probability is one exactly-rounded IEEE
+    * division of exact integer counts, the log is [[graft.functions.PortableLn]]
+    * (bit-identical in Spark and DuckDB), both KL directions share ONE
+    * ln evaluation (ln(q/p) = −ln(p/q) — sign flips are exact), and the
+    * per-term contributions are summed as 1e-12 fixed-point BIGINTs so
+    * partition order can't wiggle a double sum. |Σterm| < 31 per slice
+    * (Σp·|ln| ≤ 2·lnmax), so the scaled sum stays < 2^53 with room.
+    *
+    * Scale shape: tokenize+count is map-side partial agg; the smoothing
+    * grid is vocab × slices — enumerated with the ≤|slices|-row totals
+    * frame broadcast, so the "product" is exactly the output size, never
+    * corpus². One shuffle on term for the counts, one on slice for the
+    * final rollup. */
+  def mixDivergence(docs: DataFrame, sliceCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(sliceCol).as("slice"),
+      explode(rawTokens(col(textCol))).as("term"))
+    val sliceCnt = toks.groupBy("slice", "term").agg(count(lit(1)).as("cs"))
+    val corpusCnt = sliceCnt.groupBy("term").agg(sum("cs").as("cc"))
+    val sliceTotals = sliceCnt.groupBy("slice")
+      .agg(sum("cs").as("ns"), count(lit(1)).as("vs"))
+    val corpusTotals = corpusCnt.agg(sum("cc").as("nc"), count(lit(1)).as("v"))
+    val grid = corpusCnt
+      .crossJoin(broadcast(sliceTotals))
+      .join(sliceCnt, Seq("slice", "term"), "left")
+      .na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(corpusTotals))
+      .withColumn("r",
+        ((col("cs") + 1).cast("double") * (col("nc") + col("v")).cast("double")) /
+          ((col("cc") + 1).cast("double") * (col("ns") + col("v")).cast("double")))
+    graft.functions.PortableLn.withLn(grid, "r", "lnr")
+      .withColumn("ps",
+        (col("cs") + 1).cast("double") / (col("ns") + col("v")).cast("double"))
+      .withColumn("pc",
+        (col("cc") + 1).cast("double") / (col("nc") + col("v")).cast("double"))
+      .withColumn("t_sc",
+        floor((col("ps") * col("lnr")) * lit(1.0e12)).cast("long"))
+      .withColumn("t_cs",
+        floor((-(col("pc") * col("lnr"))) * lit(1.0e12)).cast("long"))
+      .groupBy("slice")
+      .agg(max("ns").as("n_tokens"), max("vs").as("n_terms"),
+        (sum("t_sc").cast("double") / lit(1.0e12)).as("kl_slice_corpus"),
+        (sum("t_cs").cast("double") / lit(1.0e12)).as("kl_corpus_slice"))
+      .orderBy("slice")
+  }
 }

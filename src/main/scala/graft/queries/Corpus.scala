@@ -728,6 +728,52 @@ object Corpus {
       FROM k GROUP BY lang, target_rate"""
     })
 
+  /** Token-distribution divergence per SOURCE against the corpus mix
+    * (TextAnalysis.mixDivergence): both KL directions, add-one smoothed,
+    * through the bit-portable ln and 1e-12 fixed-point sums — so the
+    * whole instrument (not just its inputs) is hash-checked against
+    * DuckDB computing the identical arithmetic. The mixture-QA
+    * companion to txt_mix: mix declares sampling rates, this measures
+    * whether a slice's LANGUAGE-LEVEL distribution actually matches
+    * what it feeds the blend. */
+  val txtMixDivergence = Q(
+    "txt_mix_divergence",
+    (s, dir) => TextAnalysis.mixDivergence(
+      Tables.load(s, dir, "documents"), "source", "text"),
+    Some {
+      import graft.functions.PortableLn
+      s"""WITH toks AS (
+        SELECT source AS slice,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents),
+      sc AS (SELECT slice, term, count(*) AS cs FROM toks GROUP BY 1, 2),
+      ccc AS (SELECT term, CAST(sum(cs) AS BIGINT) AS cc FROM sc GROUP BY 1),
+      st AS (SELECT slice, CAST(sum(cs) AS BIGINT) AS ns, count(*) AS vs
+        FROM sc GROUP BY 1),
+      ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc, count(*) AS v FROM ccc),
+      grid AS (
+        SELECT s.slice, c.term, COALESCE(x.cs, 0) AS cs, c.cc,
+          s.ns, s.vs, t.nc, t.v
+        FROM ccc c CROSS JOIN st s
+        LEFT JOIN sc x ON x.slice = s.slice AND x.term = c.term
+        CROSS JOIN ct t),
+      g0 AS (SELECT *,
+          (CAST(cs + 1 AS DOUBLE) * CAST(nc + v AS DOUBLE)) /
+          (CAST(cc + 1 AS DOUBLE) * CAST(ns + v AS DOUBLE)) AS r
+        FROM grid),
+      ${PortableLn.cteChainSql("g0", "r", "lnr", "g")},
+      terms AS (SELECT slice, ns, vs,
+          CAST(floor(((CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+            * lnr) * 1.0e12) AS BIGINT) AS t_sc,
+          CAST(floor((-((CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE))
+            * lnr)) * 1.0e12) AS BIGINT) AS t_cs
+        FROM ${PortableLn.cteChainOut("g")})
+      SELECT slice, max(ns) AS n_tokens, max(vs) AS n_terms,
+        CAST(sum(t_sc) AS DOUBLE) / 1.0e12 AS kl_slice_corpus,
+        CAST(sum(t_cs) AS DOUBLE) / 1.0e12 AS kl_corpus_slice
+      FROM terms GROUP BY slice ORDER BY slice"""
+    })
+
   /** BPE tokenizer: train 6 greedy merges on the whole corpus (argmax
     * pair by count DESC, pair ASC — total order, so the oracle replays
     * training as one pair-count/argmax/replace CTE triple per iteration,
@@ -1271,7 +1317,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
-    txtMix, txtSplit,
+    txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,

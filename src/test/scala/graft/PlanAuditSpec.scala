@@ -104,6 +104,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_bm25_upsert",     // same 1-row stats product over the tombstone-adjusted store
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
+    "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
+
     "a33_sketch_rollup",   // triangular day≤day merge of |days| k-long sketch arrays
     "a34_skew_report"      // 1-row stats × 1-row top10 sum
   )
