@@ -426,8 +426,60 @@ object SetMerge {
           0.0) AS var_pop
       FROM g"""))
 
+  /** M17: TIME-TRAVEL reads over versioned snapshots
+    * (sources.VersionedStore): three table versions — base orders, a
+    * keyed price update, a predicate delete — each committed as a full
+    * snapshot directory with a marker-file atomic commit, then every
+    * HISTORICAL version read back and aggregated from its stored bytes.
+    * The reproducibility primitive a training pipeline needs ("the
+    * corpus as of the v1 training run"), and the m13 CDC diff's storage
+    * half: m13 diffs two live frames, this keeps every version
+    * readable. The oracle recomputes each version's stats from the base
+    * table, so a commit that corrupted or mixed versions hash-fails.
+    * Build is once per (JVM, sfDir); re-runs only read. */
+  val m17TimeTravel = Q(
+    "m17_time_travel",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/tt_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        VersionedStore.commit(s, base, orders)
+        val v1 = orders.withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+        VersionedStore.commit(s, base, v1)
+        VersionedStore.commit(s, base, v1.filter(col("o_orderstatus") =!= "F"))
+      }
+      graft.sources.VersionedStore.versions(s, base).map { v =>
+        VersionedStore.read(s, base, v)
+          .agg(count(lit(1)).as("n_rows"), dsum("o_totalprice").as("sum_total"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_total"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+    Some("""WITH v1 AS (
+        SELECT CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders)
+      SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM orders
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), count(*),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM v1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*),
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM v1 WHERE o_orderstatus <> 'F'
+      ORDER BY version"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
-    m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv)
+    m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
+    m17TimeTravel)
 }

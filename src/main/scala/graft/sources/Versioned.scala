@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table snapshots with time-travel reads — the "read the
+  * EXACT corpus this model trained on" primitive a training-data
+  * pipeline needs for reproducibility (and the reference approximates by
+  * re-exporting dated CSV copies of its tables, e.g. its timestamped
+  * export paths in file_processors.py).
+  *
+  * The storage discipline is [[graft.operators.IndexStore]]'s era
+  * pattern generalized to whole tables: every commit stages a complete
+  * snapshot directory `base/v_N`, then creates ONE marker file
+  * `base/ver/c_N` — the atomic commit point. A crash mid-stage leaves no
+  * marker, so readers never see a partial snapshot; the previous version
+  * remains latest. Marker files — not directory listings of data — are
+  * the only source of truth, so an orphaned staged directory is garbage,
+  * never a servable version.
+  *
+  * Scale notes: a commit is one full write of the frame (no read-modify
+  * cycle), `read` of any version is an ordinary parquet scan with full
+  * pushdown/pruning, and nothing here ever lists data files at plan
+  * time — only the tiny marker directory. Retention is explicit and
+  * crash-ordered ([[retainFrom]] deletes markers before directories, so
+  * an interrupted cleanup can only leave unreferenced bytes, never a
+  * marker pointing at deleted data). Single writer per `base` assumed —
+  * the same contract TableStore documents for its lock files.
+  */
+object VersionedStore {
+
+  def verDir(base: String, v: Long): String = s"$base/v_$v"
+
+  private def markerDir(base: String) = new Path(s"$base/ver")
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending; empty before the first commit. */
+  def versions(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val dir = markerDir(base)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("c_") => n.drop(2).toLong }
+      .sorted
+  }
+
+  def latest(spark: SparkSession, base: String): Option[Long] =
+    versions(spark, base).lastOption
+
+  /** Commit `df` as the next version: stage the full snapshot, then the
+    * one-file-create commit point. Returns the new version number. */
+  def commit(spark: SparkSession, base: String, df: DataFrame): Long = {
+    val v = latest(spark, base).map(_ + 1L).getOrElse(0L)
+    df.write.mode("overwrite").parquet(verDir(base, v))
+    val f = fs(spark, base)
+    f.mkdirs(markerDir(base))
+    f.create(new Path(s"$base/ver/c_$v"), true).close()
+    v
+  }
+
+  /** Time-travel read: the table exactly as committed at version `v`. */
+  def read(spark: SparkSession, base: String, v: Long): DataFrame = {
+    require(versions(spark, base).contains(v),
+      s"version $v is not committed at $base")
+    spark.read.parquet(verDir(base, v))
+  }
+
+  def readLatest(spark: SparkSession, base: String): DataFrame = {
+    val v = latest(spark, base).getOrElse(
+      sys.error(s"no committed versions at $base"))
+    read(spark, base, v)
+  }
+
+  /** Drop versions strictly older than `keep` — markers first, then
+    * data, so a crash mid-cleanup leaves garbage, not dangling refs. */
+  def retainFrom(spark: SparkSession, base: String, keep: Long): Unit = {
+    val f = fs(spark, base)
+    versions(spark, base).filter(_ < keep).foreach { v =>
+      f.delete(new Path(s"$base/ver/c_$v"), false)
+      f.delete(new Path(verDir(base, v)), true)
+    }
+  }
+}

@@ -213,4 +213,35 @@ class CatalogSpec extends AnyFunSuite {
     val wrong = Seq((1L, "X1")).toDF("id", "company_number")
     intercept[Exception] { store.overwrite("companies", wrong) }
   }
+
+  test("VersionedStore: time travel, crash-invisible staging, retention") {
+    import graft.sources.VersionedStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    assert(VersionedStore.versions(spark, base).isEmpty)
+    val v0 = VersionedStore.commit(spark, base, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v1 = VersionedStore.commit(spark, base, Seq((1L, "a2"), (3L, "c")).toDF("k", "s"))
+    assert((v0, v1) == (0L, 1L))
+    // time travel: v0 unchanged after v1's commit
+    assert(VersionedStore.read(spark, base, 0L).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(VersionedStore.readLatest(spark, base).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (3L, "c")))
+    // crash sim: a fully staged directory WITHOUT its marker is invisible
+    Seq((9L, "zz")).toDF("k", "s").write.parquet(VersionedStore.verDir(base, 2L))
+    assert(VersionedStore.latest(spark, base).contains(1L))
+    intercept[Exception] { VersionedStore.read(spark, base, 2L) }
+    // retention: markers and data of dropped versions go; survivors serve
+    VersionedStore.retainFrom(spark, base, 1L)
+    assert(VersionedStore.versions(spark, base) == Seq(1L))
+    intercept[Exception] { VersionedStore.read(spark, base, 0L) }
+    assert(VersionedStore.readLatest(spark, base).count() == 2)
+    // the diff between two surviving reads is the CDC view (m13's other half)
+    val again = VersionedStore.commit(spark, base, Seq((1L, "a3")).toDF("k", "s"))
+    assert(again == 2L, "commit after a crash-orphaned staging dir reuses its slot")
+    val diff = graft.operators.Merge.snapshotDiff(
+      VersionedStore.read(spark, base, 1L), VersionedStore.read(spark, base, 2L),
+      Seq("k"), Seq("s"))
+    assert(diff.count() == 2) // k=1 updated, k=3 deleted
+  }
 }
