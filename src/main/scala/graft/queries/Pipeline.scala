@@ -1752,6 +1752,47 @@ object Pipeline {
       Tables.load(s, dir, "documents"), lang = "en", minQuality = 80.0),
     Some(s"WITH RECURSIVE $curateCtes $curateStages"))
 
+  /** CORPUS FREEZE: the round-trip that makes a training run
+    * reproducible — run the curation funnel, COMMIT the surviving
+    * corpus as an immutable VersionedStore snapshot (marker-file atomic
+    * commit, m17's machinery), then read the frozen version back FROM
+    * ITS STORED BYTES and fingerprint it: doc/word counts plus modular
+    * id- and content-checksums over every frozen document. The oracle
+    * recomputes the funnel from the raw table and fingerprints what the
+    * snapshot SHOULD contain — so a freeze that dropped, duplicated, or
+    * altered one document's text hash-fails, which is exactly the
+    * guarantee "train on the corpus as of freeze F" needs. Build runs
+    * once per (JVM, sfDir); re-runs only read the snapshot. */
+  val corpusFreeze = Q(
+    "corpus_freeze",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/freeze_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val st = graft.operators.Curation.stages(
+          Tables.load(s, dir, "documents"), "en", 80.0)
+        VersionedStore.commit(s, base,
+          st.nearDup.select("doc_id", "text", "words"))
+        st.unpersist()
+      }
+      VersionedStore.readLatest(s, base)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("words")), lit(0L)).as("n_words"),
+          coalesce(sum(col("doc_id") % 1000000007L), lit(0L)).as("id_sum"),
+          coalesce(sum(Dedup.hash56(col("text")) % 1000000007L), lit(0L))
+            .as("content_sum"))
+        .select(lit(0L).as("version"), col("n_docs"), col("n_words"),
+          col("id_sum"), col("content_sum"))
+    },
+    Some(s"""WITH RECURSIVE $curateCtes
+      SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_docs,
+        CAST(coalesce(sum(words), 0) AS BIGINT) AS n_words,
+        CAST(coalesce(sum(doc_id % 1000000007), 0) AS BIGINT) AS id_sum,
+        CAST(coalesce(sum(((md5_number_lower(text) % ${Dedup.M56})::BIGINT)
+          % 1000000007), 0) AS BIGINT) AS content_sum
+      FROM near"""))
+
   /** corpus_curate with the exact-substring CUT appended as stage 5 —
     * the complete curation tail a pretraining pipeline runs: after
     * whole-doc near-dup clusters collapse, verbatim spans embedded in
@@ -1941,5 +1982,5 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, corpusCurate, corpusCurateCut)
+    mmFrames, mmResize, corpusCurate, corpusCurateCut, corpusFreeze)
 }
