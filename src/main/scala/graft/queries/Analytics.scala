@@ -238,6 +238,51 @@ object Analytics {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
 
+  /** T18: EWMA smoothing per user — exponential weights α=1/2 over the
+    * trailing 16 events, the time-series denoising primitive (w9 is the
+    * uniform-weight frame; this decays). EXACT arithmetic end to end:
+    * value → cents (DECIMAL→BIGINT), weight 2^position as a shifted
+    * integer, so the weighted sum is one exact BIGINT fold over the
+    * ordered frame — |terms| ≤ 16·10⁶·2¹⁵ ≈ 5·10¹¹, no overflow, no
+    * float-order drift — and the single rounding is the final
+    * int/int → DOUBLE division with the (2ⁿ−1)-normalizer (weights
+    * renormalize exactly when fewer than 16 events exist). The frame is
+    * ROWS over a (ts, event_id) total order; collect_list over an
+    * ordered frame is deterministic in frame order on both engines.
+    * Scale: one hash shuffle on user_id, then per-row narrow work on a
+    * ≤16-element array. */
+  val t18Ewma = Q(
+    "t18_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(-15, 0)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          (Q.dec("value") * 100).cast("long").as("v100"))
+        .withColumn("arr", collect_list(col("v100")).over(w))
+        .select(col("event_id"), col("user_id"),
+          size(col("arr")).cast("long").as("n_window"),
+          (expr("aggregate(transform(arr, (x, i) -> x * shiftleft(1L, i)), 0L, (a, b) -> a + b)").cast("double") /
+            expr("100L * (shiftleft(1L, size(arr)) - 1L)").cast("double"))
+            .as("ewma"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        FROM events WHERE event_type = 'purchase'),
+      framed AS (
+        SELECT event_id, user_id,
+          array_agg(v100) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        FROM p)
+      SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n_window,
+        CAST(list_sum(list_transform(arr,
+            (x, i) -> x * ((1::BIGINT) << (i - 1)))) AS DOUBLE) /
+          CAST(100 * (((1::BIGINT) << len(arr)) - 1) AS DOUBLE) AS ewma
+      FROM framed"""))
+
   /** A25: weekly cohort retention — users grouped by the Monday week of
     * their first event; n_users counts who was active k weeks later.
     * Both week columns are Monday-truncated (Spark and DuckDB agree on
@@ -489,5 +534,5 @@ object Analytics {
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
-    w9MovingAgg)
+    w9MovingAgg, t18Ewma)
 }
