@@ -136,31 +136,29 @@ object Relational {
 
   /** Q17 (TPC-H small-quantity revenue): the correlated-scalar-subquery
     * classic — lineitems of one brand whose quantity falls below 20% of
-    * that part's average quantity. Spark-first decorrelation: prune
-    * lineitem to the brand's parts, groupBy partkey for the per-part
-    * average, join the threshold back on the SAME key — so the pruned
-    * fact frame shuffles on partkey once and both the aggregate and the
-    * threshold join reuse that partitioning (the naive correlated form
-    * re-scans lineitem per row; this reads it once). No broadcast hints:
-    * the brand side is |part|/25 — tiny here, but a frame that grows
-    * with the catalog — so AQE picks broadcast when the runtime size
-    * permits and falls back to the shuffle-reusing join when it
-    * doesn't. l_quantity is integral at the source, so double sums/avgs
-    * are order-independent and the 0.2×avg comparison evaluates
-    * identical IEEE operands on both engines; revenue goes through the
-    * DECIMAL contract. */
+    * that part's average quantity. Spark-first decorrelation: the
+    * per-part average is a WINDOW over l_partkey on the brand-pruned
+    * frame, so the fact table is scanned ONCE and shuffled ONCE (the
+    * groupBy-then-join-back form plans two lineitem scans here —
+    * column pruning makes the two exchange subtrees non-identical, so
+    * ReuseExchange can't merge them; the naive correlated form re-scans
+    * per row). The window is partitioned on a high-cardinality key —
+    * no single-partition sort — and PlanSpec pins the one-scan/
+    * one-exchange shape. l_quantity is integral at the source, so
+    * double sums/avgs are order-independent and the avg×0.2 comparison
+    * evaluates identical IEEE operands on both engines; revenue goes
+    * through the DECIMAL contract. */
   val q17SmallQty = Q(
     "q17_small_qty_revenue",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val p = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#4").select("p_partkey")
-      val l = t(s, dir, "lineitem")
+      val w = Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
         .join(p, col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val thresh = l.groupBy("l_partkey")
-        .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
-        .withColumnRenamed("l_partkey", "t_partkey")
-      l.join(thresh, col("l_partkey") === col("t_partkey"))
+        .withColumn("qty_cut", avg(col("l_quantity")).over(w) * 0.2)
         .filter(col("l_quantity") < col("qty_cut"))
         .agg((dsum("l_extendedprice") / 7.0).as("avg_yearly"))
     },

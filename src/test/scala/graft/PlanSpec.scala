@@ -81,6 +81,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q17: decorrelated subquery scans lineitem once, shuffles it once") {
+    val p = plan(Relational.q17SmallQty)
+    // the window form: one fact scan feeds both the per-part average and
+    // the threshold comparison — the groupBy-join-back form pays two
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"expected exactly one lineitem scan\n$p")
+    val factExchanges = p.split("hashpartitioning\\(l_partkey").length - 1
+    assert(factExchanges == 1,
+      s"expected exactly one partkey exchange, got $factExchanges\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#4)"),
+      "brand filter must push to the part scan")
+  }
+
+  test("q18: lineitem aggregates before any join; top-100 is TakeOrdered") {
+    val p = plan(Relational.q18LargeOrders)
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    assert(p.contains("partial_sum"), "HAVING side must combine map-side")
+    // the qualifying-orders filter must sit on the aggregate, upstream of
+    // the orders/customer joins (joins see only qualifying keys)
+    val aggIdx = p.indexOf("(total_qty")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(aggIdx >= 0, s"threshold filter missing\n$p")
+    assert(joinIdx < 0 || aggIdx < joinIdx || p.indexOf("BroadcastHashJoin") > aggIdx,
+      "lineitem must aggregate+filter before joining")
+  }
+
+  test("dd_components_inc: the stored-label remap is broadcast, corpus never reshuffles") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "component")
+    val delta = Seq((2L, 5L), (9L, 1L)).toDF("id_a", "id_b")
+    val p = graft.operators.Dedup.applyComponentDelta(stored, delta)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"remap must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stored labels must not shuffle for the remap\n$p")
+  }
+
   test("dd_minhash: candidate generation is a bucket equi-join, never a product") {
     val p = plan(Pipeline.ddMinhash)
     assert(!p.contains("CartesianProduct"), p)
