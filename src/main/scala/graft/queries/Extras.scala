@@ -255,7 +255,85 @@ object Extras {
       FROM j GROUP BY 1 ORDER BY 1"""
     })
 
+  /** DQ: declarative expectations audit (operators.Expectations) — the
+    * ingest gate: four row-local rules folded into ONE scan, plus key
+    * uniqueness (key-only shuffle) and referential integrity
+    * (anti-join). The corpus is clean, so violations are synthesized
+    * deterministically (the dd_exact pattern): every %1000==7 order is
+    * re-appended with a duplicate key, an orphaned-or-null custkey, a
+    * rejected status, a negated price, and a malformed priority — each
+    * rule's count is therefore a non-trivial, oracle-checked value, and
+    * a rule that stops firing is a hash mismatch, not a silent pass. */
+  val dqExpectations = Q(
+    "dq_expectations",
+    (s, dir) => {
+      import graft.operators.Expectations._
+      val orders = Tables.load(s, dir, "orders")
+      val bad = orders.filter(col("o_orderkey") % 1000 === 7)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey") + 1000000000L).as("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * lit(-1.0)).as("o_totalprice"),
+          col("o_orderdate"), lit("9-BOGUS").as("o_orderpriority"))
+      val t = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority").unionByName(bad)
+      val cust = Tables.load(s, dir, "customer")
+      audit(
+        Some(t -> Seq(
+          notNull("custkey_not_null", col("o_custkey")),
+          inRange("totalprice_range", col("o_totalprice"), 0.0, 10000000.0),
+          accepted("status_accepted", col("o_orderstatus"), Seq("F", "O", "P")),
+          matches("priority_format", col("o_orderpriority"), "^[1-5]-"))),
+        Seq(
+          checkUnique(t, "orderkey_unique", Seq("o_orderkey")),
+          checkRef(t, "custkey_refs_customer", "o_custkey",
+            cust, "c_custkey")))
+        .orderBy("rule")
+    },
+    Some("""WITH bad AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_custkey + 1000000000 END AS o_custkey,
+          'X' AS o_orderstatus,
+          o_totalprice * -1.0 AS o_totalprice,
+          '9-BOGUS' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 1000 = 7),
+      t AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderpriority FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderpriority FROM bad)
+      SELECT 'custkey_not_null' AS rule,
+        CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS violations FROM t
+      UNION ALL
+      SELECT 'totalprice_range',
+        CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL
+          OR o_totalprice < 0.0 OR o_totalprice > 10000000.0
+          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'status_accepted',
+        CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL
+          OR o_orderstatus NOT IN ('F', 'O', 'P')
+          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'priority_format',
+        CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL
+          OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'orderkey_unique',
+        CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM
+        (SELECT count(*) AS n FROM t GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'custkey_refs_customer', CAST(count(*) AS BIGINT) FROM t
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+      ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(jsonExtract, u5ArrayMerge, a4Cube, s7EsBool,
     f19EmailPatterns, d5MonthChunks, a1TableCounts, f17DisplayString,
-    f20Confidence, d2UkRoundtrip, d8Busdays)
+    f20Confidence, d2UkRoundtrip, d8Busdays, dqExpectations)
 }
