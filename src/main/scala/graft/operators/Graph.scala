@@ -320,6 +320,40 @@ object Graph {
     ranks
   }
 
+  /** WARM-START PageRank maintenance — the graph half of the
+    * incremental story that [[Dedup.applyComponentDelta]] opened for
+    * clustering: after edges arrive, re-converge from the STORED ranks
+    * instead of from the uniform vector (the power-method restart;
+    * Langville & Meyer 2006 treat updated-graph restarts — the old
+    * vector is close to the new fixed point when the update is small,
+    * so far fewer iterations re-converge than a cold run needs).
+    *
+    * Nodes the store has never seen enter at the uniform unit; stored
+    * nodes keep their rank. The recurrence is bit-for-bit
+    * [[pagerankFixed]]'s integer step on the NEW graph, so the oracle
+    * replays warm-start exactly: base unrolled, extend, warm iterations
+    * unrolled. Cost per maintenance: `iters` joins over the updated
+    * adjacency — with iters chosen smaller than a cold run's, which is
+    * the entire point. */
+  def pagerankWarm(stored: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = directed.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"))
+      .join(stored.select(col("node"), col("pr").as("pr0")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("pr0"), lit(Unit12)).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("pr DIV deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(Unit12 * 15 / 100) + expr("(85 * s) DIV 100")).as("pr"))
+    }
+    ranks
+  }
+
   def pagerankFixed(edges: DataFrame, iters: Int): DataFrame = {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
