@@ -179,9 +179,15 @@ object Analytics {
     * from the stored vector — new nodes enter at the uniform unit. The
     * oracle replays the whole lifecycle (cold unroll → extend → warm
     * unroll) in the same 10⁻¹² integer units, so the maintenance path
-    * is hash-checked, not just the final formula. The measured claim is
-    * structural: maintenance cost = warm-iters × (join+agg) on the new
-    * graph, independent of how many cold iterations built the store. */
+    * is hash-checked, not just the final formula. The cost claim is
+    * structural: maintenance = warm-iters × (join+agg) on the new
+    * graph, independent of how many cold iterations built the store.
+    * The CONVERGENCE claim is measured in OperatorsSpec, with its
+    * honest precondition: the restart beats an equal-iteration cold
+    * start when the store is near its own fixed point and the update
+    * is small (simulated ~3× closer); a half-converged store barely
+    * helps. This query uses a 3-iter store to keep the oracle unroll
+    * bounded — it verifies the MECHANICS; the spec verifies the win. */
   val gPagerankInc = Q(
     "g_pagerank_inc",
     (s, dir) => {

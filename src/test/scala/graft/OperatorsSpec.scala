@@ -1536,4 +1536,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), "symmetric leaves tie")
     assert(pr(5L) == pr(6L), "isolated pair ties")
   }
+
+  test("pagerankWarm: warm restart converges faster than a cold start (measured)") {
+    // base: an IRREGULAR graph (star + tail chain — a regular graph's
+    // ranks are uniform and warm==cold trivially), store CONVERGED with 6
+    // iterations; update: one new leaf on the tail. Warm(2) from the
+    // store must be strictly closer (L1 vs a 12-iter reference) than
+    // cold(2) — the restart only wins when the store is near ITS fixed
+    // point and the update is small, which is exactly the maintenance
+    // regime g_pagerank_inc targets (simulated: ~3× closer here; a
+    // 3-iter half-converged store barely beats cold at all).
+    val star = (2L to 10L).map(i => (1L, i)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val update = star ++ Seq((13L, 14L))
+    val baseDf = star.toDF("item_a", "item_b")
+    val updDf = update.toDF("item_a", "item_b")
+    val stored = Graph.pagerankFixed(baseDf, iters = 6)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val ref = m(Graph.pagerankFixed(updDf, iters = 12))
+    val warm = m(Graph.pagerankWarm(stored, updDf, iters = 2))
+    val cold = m(Graph.pagerankFixed(updDf, iters = 2))
+    def l1(x: Map[Long, Long]) =
+      ref.keys.map(k => math.abs(ref(k) - x.getOrElse(k, 0L))).sum
+    assert(warm.keySet == ref.keySet, "warm must cover the updated node set")
+    assert(l1(warm) < l1(cold),
+      s"warm restart (${l1(warm)}) must beat cold (${l1(cold)}) at equal iterations")
+  }
 }
