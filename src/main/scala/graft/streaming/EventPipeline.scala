@@ -194,8 +194,16 @@ object EventPipeline {
     * the oracle-checkable twin (t13_interval_join): an equi-join on
     * user_id with a range predicate, never a cartesian.
     */
+  /** `joinType` "left_outer" keeps unmatched left rows: in streaming
+    * they emit (with null right) only once the watermark passes
+    * left_ts + interval — i.e. when a match is provably impossible —
+    * which is the attribution pipeline's "click never converted" row.
+    * State on both sides stays bounded by watermark + interval either
+    * way; the outer form costs nothing extra, it just reports the
+    * evictions instead of discarding them. */
   def correlateWithin(left: DataFrame, right: DataFrame, withinMinutes: Int,
-      watermark: Option[String] = None): DataFrame = {
+      watermark: Option[String] = None,
+      joinType: String = "inner"): DataFrame = {
     val l0 = left.select(col("user_id"), col("event_id").as("left_id"),
       col("ts").as("left_ts"))
     val r0 = right.select(col("user_id").as("__ru"),
@@ -205,7 +213,8 @@ object EventPipeline {
     l.join(r,
         col("user_id") === col("__ru") &&
           col("right_ts") >= col("left_ts") &&
-          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .select("user_id", "left_id", "left_ts", "right_id", "right_ts")
   }
 

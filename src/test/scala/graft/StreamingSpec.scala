@@ -316,6 +316,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: non-converting clicks emit on eviction") {
+    // the outer twin of the attribution join: a click with no purchase
+    // inside the hour must surface as (click, null) — but only AFTER the
+    // watermark proves no match can still arrive; until then it stays in
+    // state, emitted exactly once.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventPipeline.correlateWithin(
+      clicks.toDS().toDF(), buys.toDS().toDF(),
+      withinMinutes = 60, watermark = Some("2 hours"), joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+        Event(2, ts("2024-01-01 10:30:00"), 2, "click", 0))
+      buys.addData(Event(10, ts("2024-01-01 10:45:00"), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      def rows() = spark.table("attrib_outer")
+        .select("left_id", "right_id").as[(Long, Option[Long])].collect().toSet
+      assert(rows() == Set((1L, Some(10L))),
+        "before the watermark passes, the unmatched click must stay in state")
+      // advance both watermarks well past click#2's eviction horizon
+      clicks.addData(Event(3, ts("2024-01-01 18:00:00"), 7, "click", 0))
+      buys.addData(Event(11, ts("2024-01-01 18:00:00"), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(rows().contains((2L, None)),
+        "the never-converting click must emit with a null match on eviction")
+      assert(rows().count(_._1 == 2L) == 1, "evicted row emits exactly once")
+    } finally q.stop()
+  }
+
   test("streaming dedup: watermarked dropDuplicates suppresses redelivery") {
     // U1's streaming twin: exactly-once per event_id within the watermark
     // horizon, with state GC'd for ids older than the watermark.
