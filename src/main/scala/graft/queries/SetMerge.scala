@@ -477,9 +477,58 @@ object SetMerge {
       FROM v1 WHERE o_orderstatus <> 'F'
       ORDER BY version"""))
 
+  /** M18: incremental SKETCH maintenance — the non-linear member of the
+    * view-maintenance family (m14 count/sum, m15 min/max, m16 moments):
+    * a per-group KMV distinct-user sketch maintained by MERGING the
+    * batch's own sketch into the stored state (kmvUnion = k smallest of
+    * the combined hash sets), so batch cost is sketch-the-batch +
+    * a groups-sized merge — the corpus is never re-scanned. The oracle
+    * is the full REBUILD over all events (a26's formula), which is
+    * exact because kmv(A) ⊎ kmv(B) == kmv(A ∪ B) identically — the
+    * mergeability that makes sketches warehouse state. Honest limit:
+    * sketch state is INSERT-ONLY — there is no Z-set retraction for a
+    * k-min set (you can't know what the k-th value would have been);
+    * deletion needs windowed sketch rotation (the a33 rollup pattern)
+    * or a rebuild. */
+  val m18SketchMv = Q(
+    "m18_sketch_mv",
+    (s, dir) => {
+      import graft.operators.{Dedup, Sketches}
+      val k = 64
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          Dedup.hash56(col("user_id").cast("string")).as("h"))
+      def sketchOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(Sketches.kmv(k)(col("h")).as("kmv"))
+      val stored = sketchOf(e.filter(col("event_id") % 10 < 8))
+      val batch = sketchOf(e.filter(col("event_id") % 10 >= 8))
+      val empty = array().cast("array<bigint>")
+      stored.select(col("event_type"), col("kmv").as("a"))
+        .join(batch.select(col("event_type"), col("kmv").as("b")),
+          Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          Sketches.kmvUnion(coalesce(col("a"), empty),
+            coalesce(col("b"), empty), k).as("kmv"))
+        .select(col("event_type"), Sketches.estimate("kmv", k).as("kmv_users"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH h AS (
+        SELECT DISTINCT event_type,
+          ((md5_number_lower(CAST(user_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) AS hv
+        FROM events),
+      r AS (
+        SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h)
+      SELECT event_type,
+        CASE WHEN count(*) < 64 THEN count(*)
+             ELSE ${63L * graft.operators.Dedup.M56} // max(hv) END AS kmv_users
+      FROM r WHERE rn <= 64
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
     m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
-    m17TimeTravel)
+    m17TimeTravel, m18SketchMv)
 }
