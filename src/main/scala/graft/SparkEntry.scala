@@ -43,7 +43,9 @@ object SparkEntry {
       "dd_semantic_kmeans", "dd_substring_cut", "dd_inc_stored",
       "sim_lsh_multi", "sim_pq_recall", "txt_bm25", "txt_bm25_stored",
       "txt_phrase", "txt_phrase_stored", "txt_phrase_rank",
-      "sim_ivf_multiprobe", "txt_heavy_tokens")
+      "sim_ivf_multiprobe", "txt_heavy_tokens",
+      "dd_components_inc", "g_pagerank_inc", "txt_mix_divergence",
+      "dq_expectations", "t18_ewma")
     preferred.filter(queries.contains)
   }
 }
