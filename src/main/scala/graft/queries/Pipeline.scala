@@ -1003,6 +1003,92 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         FROM scored) WHERE rank <= 5"""))
 
+  /** The sim_ivf_multiprobe computation as DuckDB SQL over a
+    * parameterized candidate set — shared by the stored-index queries,
+    * whose serve must equal the from-scratch computation over whatever
+    * corpus the index currently holds. */
+  private def ivfMultiprobeOracleSql(candWhere: String): String =
+    s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT * FROM v WHERE vec_id < 10),
+      c AS (SELECT * FROM v WHERE $candWhere),
+      cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 16 = 0),
+      cand_cell AS (
+        SELECT cand_id, cv, cell FROM (
+          SELECT c.vec_id AS cand_id, c.e AS cv, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM c CROSS JOIN cents) WHERE r <= 2),
+      q_cell AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.e AS qv, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM q CROSS JOIN cents) WHERE r <= 8),
+      scored AS (
+        SELECT DISTINCT query_id, cand_id, ${cosSql("qv", "cv")} AS cos
+        FROM cand_cell JOIN q_cell USING (cell)
+        WHERE query_id != cand_id)
+      SELECT query_id, cand_id, rank, cos FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM scored) WHERE rank <= 5"""
+
+  /** STORED ANN serving (operators.AnnIndex): the IVF layout
+    * materialized once — spill-replicated postings bucketed by cell,
+    * broadcast centroid table — and served by bucket probe; the corpus
+    * is never re-assigned per query batch (sim_ivf_multiprobe pays that
+    * per-batch pass; this is its bm25TopKStored twin). Serve must equal
+    * the from-scratch multiprobe computation with the same geometry —
+    * the oracle IS that computation. */
+  val simIvfStored = Q(
+    "sim_ivf_stored",
+    (s, dir) => {
+      import graft.operators.AnnIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_ivfb"
+      def e = Tables.load(s, dir, "embeddings")
+      AnnIndex.buildIndex(s, e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", tag, seedStride = 16, spill = 2)
+      AnnIndex.serveTopK(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, tag = tag)
+    },
+    Some(ivfMultiprobeOracleSql("vec_id >= 10")))
+
+  /** Stored-ANN maintenance cycle: build WITHOUT the %10==3 vectors,
+    * APPEND them against the frozen stored centroids, DELETE %100==23,
+    * COMPACT (atomic era swap), delete %100==47 post-compaction, serve.
+    * Geometry note that makes this oracle-able: the build set contains
+    * every centroid id (%16==0 ids are even; the excluded/deleted ids
+    * end in odd digits), so frozen-centroid assignment equals
+    * from-scratch assignment and serve == the multiprobe computation
+    * over exactly the surviving corpus. */
+  val simIvfUpsert = Q(
+    "sim_ivf_upsert",
+    (s, dir) => {
+      import graft.operators.AnnIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_ivfu"
+      def e = Tables.load(s, dir, "embeddings")
+      graft.sources.Bucketing.ensureOnce(s"annupsert@$tag") {
+        AnnIndex.buildIndex(s,
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 10 =!= 3),
+          "vec_id", "embedding", tag, seedStride = 16, spill = 2)
+        AnnIndex.appendToIndex(s,
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 10 === 3),
+          "vec_id", "embedding", tag, spill = 2)
+        AnnIndex.deleteFromIndex(s,
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 100 === 23)
+            .select("vec_id"), "vec_id", tag)
+        AnnIndex.compactIndex(s, tag)
+        AnnIndex.deleteFromIndex(s,
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 100 === 47)
+            .select("vec_id"), "vec_id", tag)
+      }
+      AnnIndex.serveTopK(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, tag = tag)
+    },
+    Some(ivfMultiprobeOracleSql(
+      "vec_id >= 10 AND vec_id % 100 NOT IN (23, 47)")))
+
   /** Fixed-point Lloyd k-means over the embedding table: 2 refinement
     * iterations from the ivf seed set, per-cluster member counts and
     * exact within-cluster squared distance. The oracle replays both
@@ -1977,7 +2063,8 @@ object Pipeline {
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
-    simTopk, simLsh, simLshMulti, simIvf, simIvfMultiprobe, simRecall, simPqRecall,
+    simTopk, simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
+    simIvfUpsert, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
     ddSemanticKmeans,
     txtLangid,

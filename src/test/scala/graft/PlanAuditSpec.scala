@@ -89,6 +89,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
+    "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
+    "sim_ivf_upsert",      // same serve plan over the mutated store
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
     "sim_recall",          // composes bruteforce truth + ivf (both above)
     "sim_hybrid_rrf",      // dense leg is the broadcast brute-force ranker
