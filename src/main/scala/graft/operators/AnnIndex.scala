@@ -54,6 +54,17 @@ object AnnIndex {
     IndexStore.registerParquet(spark, metaTable(tag), metaDir(base, era))
   }
 
+  /** Recover an index built by a previous session (or after a crash):
+    * re-derive the catalog entries from the newest COMMITTED era's
+    * directories — markers are the only truth, so a crash mid-compaction
+    * (era N+1 staged, no marker) recovers to the complete era N. */
+  def openIndex(spark: org.apache.spark.sql.SparkSession, tag: String,
+      buckets: Int = 8): Unit = {
+    val era = IndexStore.readEra(spark, indexBase(tag)).getOrElse(
+      sys.error(s"ANN index '$tag' has no committed era"))
+    registerTables(spark, tag, era, buckets)
+  }
+
   /** Cell assignment against a given centroid table: each row of `df`
     * lands in its `keep` highest-cosine cells (ties to the smaller
     * cell id — total order, oracle-replayable). */

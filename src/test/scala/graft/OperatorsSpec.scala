@@ -1537,6 +1537,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pr(5L) == pr(6L), "isolated pair ties")
   }
 
+  test("AnnIndex: delete/re-add/compact lifecycle, recovery, enforced tombstone bound") {
+    def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
+    val cands = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val qs = (100L to 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tag = "annunit"
+    def serve() = AnnIndex.serveTopK(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    AnnIndex.buildIndex(spark, cands, "vec_id", "embedding", tag,
+      seedStride = 8, spill = 2, buckets = 2)
+    val before = serve()
+    assert(before.nonEmpty)
+    // delete suppresses at serve without touching the postings layout
+    AnnIndex.deleteFromIndex(spark, Seq(5L).toDF("vec_id"), "vec_id", tag)
+    assert(!serve().exists(_._2 == 5L), "tombstoned vector must not serve")
+    // re-add: the new generation out-ranks the tombstone
+    AnnIndex.appendToIndex(spark, cands.filter($"vec_id" === 5L),
+      "vec_id", "embedding", tag, spill = 2, buckets = 2)
+    assert(serve() == before, "re-added identical vector restores the result")
+    // compaction drops the suppressed rows; serve unchanged
+    AnnIndex.compactIndex(spark, tag, buckets = 2)
+    assert(serve() == before)
+    // recovery path: markers alone re-derive the catalog entries
+    spark.sql(s"DROP TABLE IF EXISTS g_ann_post_$tag")
+    AnnIndex.openIndex(spark, tag, buckets = 2)
+    assert(serve() == before, "openIndex must recover the committed era")
+    // bound enforcement: a tiny maxTombstones forces auto-compaction
+    AnnIndex.deleteFromIndex(spark, Seq(6L, 7L).toDF("vec_id"), "vec_id",
+      tag, maxTombstones = 1L, buckets = 2)
+    assert(spark.table(s"g_ann_tomb_$tag").count() == 0,
+      "delete past the bound must auto-compact the tombstones away")
+    assert(!serve().exists(r => r._2 == 6L || r._2 == 7L))
+  }
+
   test("pagerankWarm: warm restart converges faster than a cold start (measured)") {
     // base: an IRREGULAR graph (star + tail chain — a regular graph's
     // ranks are uniform and warm==cold trivially), store CONVERGED with 6
