@@ -141,7 +141,9 @@ object Similarity {
     * each row of `df` keeps its `keep` max-cosine cells from the
     * broadcast centroid table (ties to the smaller cell id, the order
     * every oracle replays). Returns (id, v, cell). */
-  private def nearestCells(cents: DataFrame, df: DataFrame, id: String,
+  /** Public: also the bucketizer for embedding-distribution drift
+    * (sim_embed_drift feeds these assignments to Profile.driftReport). */
+  def nearestCells(cents: DataFrame, df: DataFrame, id: String,
       v: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(id).orderBy(col("cos_c").desc, col("cent_id"))

@@ -1003,6 +1003,65 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         FROM scored) WHERE rank <= 5"""))
 
+  /** EMBEDDING-DISTRIBUTION drift (composition, no new operator): both
+    * corpus generations assign to the SAME fixed coarse quantizer
+    * (centroids from the baseline generation — drift must be measured
+    * in a frozen geometry or the ruler moves with the data), and the
+    * per-cell populations feed Profile.driftReport's integer-permille
+    * comparison. Catches "the new crawl's embedding mass shifted
+    * toward cluster X" the way a35 catches categorical drift — the
+    * semantic-space monitor a training pipeline runs between corpus
+    * versions. All-integer output; one broadcast-centroid assignment
+    * pass per side, counts are cell-cardinality, never corpus. */
+  val simEmbedDrift = Q(
+    "sim_embed_drift",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = a.filter(col("vec_id") % 16 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_v"))
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        Similarity.nearestCells(cents,
+            df.select(col("vec_id").as("did"), col("embedding").as("dv")),
+            "did", "dv", keep = 1)
+          .select(lit("cell").as("dim"), col("cell").cast("string").as("bucket"))
+      graft.operators.Profile.driftReport(cells(a), cells(e))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      a AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+      cents AS (SELECT vec_id AS cent_id, e AS ce FROM a WHERE vec_id % 16 = 0),
+      ca AS (SELECT did, cell FROM (
+          SELECT a.vec_id AS did, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${cosSql("a.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM a CROSS JOIN cents) WHERE r = 1),
+      cb AS (SELECT did, cell FROM (
+          SELECT v.vec_id AS did, cents.cent_id AS cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${cosSql("v.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM v CROSS JOIN cents) WHERE r = 1),
+      no_ AS (SELECT CAST(cell AS VARCHAR) AS bucket, count(*) AS n_old
+        FROM ca GROUP BY 1),
+      nn AS (SELECT CAST(cell AS VARCHAR) AS bucket, count(*) AS n_new
+        FROM cb GROUP BY 1),
+      j AS (SELECT bucket,
+          CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+          CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+        FROM no_ FULL OUTER JOIN nn USING (bucket)),
+      t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+          CAST(sum(n_new) AS BIGINT) AS tot_new FROM j)
+      SELECT 'cell' AS dim, bucket, n_old, n_new,
+        CASE WHEN tot_old = 0 THEN 0 ELSE (1000 * n_old) // tot_old END
+          AS share_old_pm,
+        CASE WHEN tot_new = 0 THEN 0 ELSE (1000 * n_new) // tot_new END
+          AS share_new_pm,
+        abs(CASE WHEN tot_old = 0 THEN 0 ELSE (1000 * n_old) // tot_old END -
+            CASE WHEN tot_new = 0 THEN 0 ELSE (1000 * n_new) // tot_new END)
+          AS delta_pm
+      FROM j, t ORDER BY bucket"""))
+
   /** The sim_ivf_multiprobe computation as DuckDB SQL over a
     * parameterized candidate set — shared by the stored-index queries,
     * whose serve must equal the from-scratch computation over whatever
@@ -2064,7 +2123,7 @@ object Pipeline {
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
-    simIvfUpsert, simRecall, simPqRecall,
+    simIvfUpsert, simEmbedDrift, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
     ddSemanticKmeans,
     txtLangid,

@@ -91,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
     "sim_ivf_upsert",      // same serve plan over the mutated store
+    "sim_embed_drift",     // both sides assign against the broadcast frozen quantizer
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
     "sim_recall",          // composes bruteforce truth + ivf (both above)
     "sim_hybrid_rrf",      // dense leg is the broadcast brute-force ranker
