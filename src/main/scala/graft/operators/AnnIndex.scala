@@ -169,6 +169,26 @@ object AnnIndex {
     spark.catalog.refreshTable(metaTable(tag))
   }
 
+  /** Streaming-ingest guard (the foreachBatch body, mirroring
+    * Retrieval.ingestNewDocs): drop vectors the index already holds —
+    * at-least-once redelivery — and intra-batch duplicates, then append
+    * the remainder. The known-ids anti-join reads the table the append
+    * mutates, so the fresh set is pinned with a localCheckpoint (the
+    * lazily-cached variant re-reads the post-append listing and eats
+    * the batch — the bug Retrieval documents). Tombstoned ids count as
+    * known: an intentional re-add is an upsert decision, not an ingest
+    * side-effect. */
+  def ingestNewVectors(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String, tag: String,
+      spill: Int, buckets: Int = 8): Unit = {
+    val known = spark.table(postTable(tag))
+      .select(col("cand_id").as(idCol)).distinct()
+    val fresh = batch.dropDuplicates(Seq(idCol))
+      .join(known, Seq(idCol), "left_anti").localCheckpoint()
+    if (fresh.limit(1).count() > 0)
+      appendToIndex(spark, fresh, idCol, vecCol, tag, spill, buckets)
+  }
+
   /** Retract ids: tombstone each doomed vector at its CURRENT live
     * generation (computed from the pre-delete snapshot, pinned with a
     * localCheckpoint because the tombstone table is about to grow).

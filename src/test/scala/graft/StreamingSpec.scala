@@ -554,6 +554,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
   }
 
+  test("live ANN indexing stream: vectors ingest per micro-batch, redelivery is a no-op") {
+    import graft.operators.AnnIndex
+    def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
+    // streamed ids avoid %8==0 so the from-scratch comparison index has
+    // the identical centroid set (frozen geometry on both sides)
+    val streamed = (20L to 34L).filter(_ % 8 != 0)
+    val base = (0L until 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tag = "annstream"
+    AnnIndex.buildIndex(spark, base, "vec_id", "embedding", tag,
+      seedStride = 8, spill = 2, buckets = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val toVec = expr(
+      "transform(sequence(0, 3), i -> CAST((vec_id * 31 + i * 7) % 10 AS FLOAT))")
+    val query = mem.toDS().toDF("vec_id")
+      .withColumn("embedding", toVec)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.ingestNewVectors(spark, b, "vec_id", "embedding", tag,
+          spill = 2, buckets = 2); ()
+      }.start()
+    val (s1, s2) = streamed.splitAt(streamed.length / 2)
+    try {
+      mem.addData(s1: _*); query.processAllAvailable()
+      mem.addData(s2: _*); query.processAllAvailable()
+      mem.addData(s1: _*); query.processAllAvailable() // wholesale redelivery
+    } finally query.stop()
+    // no duplicate postings despite redelivery
+    val post = spark.table(s"g_ann_post_$tag")
+    assert(post.count() ==
+      post.select("cell", "cand_id").distinct().count(),
+      "redelivered vectors must not re-append")
+    // served top-k equals a from-scratch index over base ∪ streamed
+    val all = (base.as[(Long, Seq[Float])].collect().toSeq ++
+      streamed.map(i => (i, vec(i)))).toDF("vec_id", "embedding")
+    AnnIndex.buildIndex(spark, all, "vec_id", "embedding", s"${tag}_ref",
+      seedStride = 8, spill = 2, buckets = 2)
+    val qs = (100L to 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def serve(t: String) = AnnIndex.serveTopK(spark, qs, "vec_id", "embedding",
+        k = 3, nprobe = 4, tag = t)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(serve(tag) == serve(s"${tag}_ref"),
+      "streamed index must equal a full rebuild despite redelivery")
+  }
+
   test("live BM25 indexing stream: ingest per micro-batch, redelivery is a no-op") {
     import graft.operators.Retrieval
     val sf = "/root/testdata/sf0.001"
