@@ -1537,6 +1537,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pr(5L) == pr(6L), "isolated pair ties")
   }
 
+  test("stored incremental dedup loop: maintained components equal full rebuild") {
+    // the production loop end to end: batch arrives → cross pairs vs the
+    // STORED signatures (batch-sized cost) + the batch's internal pairs
+    // → applyComponentDelta folds both into the stored labels → batch
+    // signatures append to the store. After two batches the maintained
+    // labels must equal connectedComponents over the whole corpus's
+    // pairs — LSH pairs decompose exactly across any batch partition
+    // (signatures are per-doc pure functions), so any drift here is a
+    // maintenance bug, not an approximation.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").cache()
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val tag = "ddloop"
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairs(df, "doc_id", "text", 5, 16, 4, 0.5)
+        .select("id_a", "id_b")
+    var labels = Dedup.connectedComponents(pairsOf(b0)).localCheckpoint()
+    for (m <- Seq(1, 2)) {
+      val batch = docs.filter(col("doc_id") % 3 === m)
+      val cross = Dedup.incrementalNearDupsStored(spark, b0, batch,
+          "doc_id", "text", tag = tag)
+        .select(col("new_id").as("id_a"), col("dup_of").as("id_b"))
+      val delta = cross.unionByName(pairsOf(batch))
+      labels = Dedup.applyComponentDelta(labels, delta).localCheckpoint()
+      Dedup.appendBatchToStore(spark, batch, "doc_id", "text", tag)
+    }
+    val got = labels.as[(Long, Long)].collect().toMap
+    val want = Dedup.connectedComponents(pairsOf(docs))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "maintained labels diverged from full rebuild")
+    docs.unpersist(); ()
+  }
+
   test("AnnIndex: delete/re-add/compact lifecycle, recovery, enforced tombstone bound") {
     def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
     val cands = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
