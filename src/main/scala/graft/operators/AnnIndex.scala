@@ -149,7 +149,16 @@ object AnnIndex {
   /** Ingest a batch: assign against the STORED centroids (frozen
     * geometry — see object doc), append postings at the next
     * generation. Re-added ids out-generation their tombstones, so a
-    * delete→re-add cycle serves the new vector. */
+    * delete→re-add cycle serves the new vector.
+    *
+    * Crash window, stated honestly: the meta generation is written
+    * in-place AFTER the postings append (the BM25 stats shape). A crash
+    * between the two leaves gen stale, so the NEXT append reuses the
+    * generation number for a different batch — results stay correct
+    * (serving filters on gen STRICTLY greater than a tombstone's
+    * upto_gen, and tombstones are cut from live rows), but the
+    * generation audit trail blurs; unlike BM25 there is no restateable
+    * stats row to repair, because the index keeps no corpus stats. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String, tag: String,
       spill: Int, buckets: Int = 8): Unit = {
