@@ -287,8 +287,11 @@ object Pipeline {
     "dd_components_inc",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // one eager materialization: the base filter and the delta filter
+      // below would otherwise each re-run the whole shingle/LSH chain
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         n = 5, k = 16, bands = 4, threshold = 0.5).select("id_a", "id_b")
+        .localCheckpoint()
       val isNew = (c: String) => col(c) % 10 === 0
       val stored = Dedup.connectedComponents(
         pairs.filter(!isNew("id_a") && !isNew("id_b")))
