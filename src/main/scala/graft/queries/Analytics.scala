@@ -191,6 +191,9 @@ object Analytics {
   val gPagerankInc = Q(
     "g_pagerank_inc",
     (s, dir) => {
+      // the base and full graphs each scan lineitem once — measured
+      // CHEAPER than sharing a materialized distinct projection (the
+      // pre-distinct adds a full shuffle; two pruned-column scans don't)
       val li = Tables.load(s, dir, "lineitem")
       def edgesOf(df: org.apache.spark.sql.DataFrame) =
         Graph.sharedKeyEdges(df, "l_orderkey", "l_partkey",
