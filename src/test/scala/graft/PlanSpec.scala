@@ -107,6 +107,16 @@ class PlanSpec extends AnyFunSuite {
       "lineitem must aggregate+filter before joining")
   }
 
+  test("t18: EWMA is one user_id exchange + a partitioned window, no join") {
+    val p = plan(Analytics.t18Ewma)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one exchange\n$p")
+    assert(p.contains("Window"), "frame must plan as a window")
+    assert(!p.contains("Join"), s"EWMA must not plan a join\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      "type filter must push to the scan")
+  }
+
   test("dd_components_inc: the stored-label remap is broadcast, corpus never reshuffles") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
