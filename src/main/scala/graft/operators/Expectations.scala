@@ -47,15 +47,22 @@ object Expectations {
     RowRule(name, c.isNull || !c.rlike(regex))
 
   /** All row-local rules in one scan: each rule is a conditional sum in
-    * the same aggregate. */
+    * the same aggregate, and the long format comes from EXPLODING a
+    * struct array built over that single 1-row frame — the plan holds
+    * exactly one Aggregate over one scan of `df`, no matter how many
+    * rules. (The first cut selected one row per rule from the same
+    * aggregate and unionAll'd them, which put N copies of the aggregate
+    * subtree in the plan and left "one scan" to ReuseExchange's
+    * discretion — PlanSpec now pins the single-scan shape instead.) */
   def checkRowRules(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
     val aggs = rules.map(r =>
       sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    rules.map(r => one.select(lit(r.name).as("rule"),
-      coalesce(col(r.name), lit(0L)).as("violations")))
-      .reduce(_ unionAll _)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map(r =>
+        struct(lit(r.name).as("rule"),
+          coalesce(col(r.name), lit(0L)).as("violations"))): _*)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.violations").as("violations"))
   }
 
   /** Key-uniqueness: violations = number of EXTRA rows beyond one per

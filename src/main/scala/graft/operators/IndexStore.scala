@@ -45,6 +45,11 @@ object IndexStore {
   def statsDir(base: String, era: Long): String = s"$base/stats_e$era"
   def tombDir(base: String, era: Long): String = s"$base/tomb_e$era"
 
+  /** Compact known-ids table — the ∝-index-cardinality id list ingest
+    * guards anti-join against, so a per-micro-batch redelivery check
+    * never scans the full postings (round-9 verdict item 3). */
+  def idsDir(base: String, era: Long): String = s"$base/ids_e$era"
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -70,13 +75,21 @@ object IndexStore {
 
   /** Drop eras strictly older than `keep`: their markers first (so a
     * crash mid-cleanup can only leave unreferenced directories, never a
-    * marker pointing at deleted data), then their directories. */
+    * marker pointing at deleted data), then EVERY table directory of
+    * that era — matched by the `_e<N>` suffix, so index families with
+    * extra per-era tables (ANN's centroids/meta, the known-ids lists)
+    * are cleaned without each family maintaining its own deletion
+    * list. The underscore in the suffix keeps `_e1` from matching
+    * `_e12`. */
   def dropOldEras(spark: SparkSession, base: String, keep: Long): Unit = {
     val f = fs(spark, base)
+    val baseP = new Path(base)
     (0L until keep).foreach { e =>
       f.delete(new Path(s"$base/era/e_$e"), false)
-      Seq(postDir(base, e), statsDir(base, e), tombDir(base, e))
-        .foreach(d => f.delete(new Path(d), true))
+      if (f.exists(baseP))
+        f.listStatus(baseP).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.endsWith(s"_e$e"))
+          .foreach(s => f.delete(s.getPath, true))
     }
   }
 

@@ -1136,7 +1136,7 @@ object Pipeline {
           "vec_id", "embedding", tag, seedStride = 16, spill = 2)
         AnnIndex.appendToIndex(s,
           e.filter(col("vec_id") >= 10 && col("vec_id") % 10 === 3),
-          "vec_id", "embedding", tag, spill = 2)
+          "vec_id", "embedding", tag)
         AnnIndex.deleteFromIndex(s,
           e.filter(col("vec_id") >= 10 && col("vec_id") % 100 === 23)
             .select("vec_id"), "vec_id", tag)

@@ -1589,21 +1589,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!serve().exists(_._2 == 5L), "tombstoned vector must not serve")
     // re-add: the new generation out-ranks the tombstone
     AnnIndex.appendToIndex(spark, cands.filter($"vec_id" === 5L),
-      "vec_id", "embedding", tag, spill = 2, buckets = 2)
+      "vec_id", "embedding", tag)
     assert(serve() == before, "re-added identical vector restores the result")
     // compaction drops the suppressed rows; serve unchanged
-    AnnIndex.compactIndex(spark, tag, buckets = 2)
+    AnnIndex.compactIndex(spark, tag)
     assert(serve() == before)
-    // recovery path: markers alone re-derive the catalog entries
+    // recovery path: markers alone re-derive the catalog entries —
+    // geometry (bucket count) comes from the persisted meta, not the
+    // caller (round-9 ADVICE)
     spark.sql(s"DROP TABLE IF EXISTS g_ann_post_$tag")
-    AnnIndex.openIndex(spark, tag, buckets = 2)
+    AnnIndex.openIndex(spark, tag)
     assert(serve() == before, "openIndex must recover the committed era")
     // bound enforcement: a tiny maxTombstones forces auto-compaction
     AnnIndex.deleteFromIndex(spark, Seq(6L, 7L).toDF("vec_id"), "vec_id",
-      tag, maxTombstones = 1L, buckets = 2)
+      tag, maxTombstones = 1L)
     assert(spark.table(s"g_ann_tomb_$tag").count() == 0,
       "delete past the bound must auto-compact the tombstones away")
     assert(!serve().exists(r => r._2 == 6L || r._2 == 7L))
+  }
+
+  test("AnnIndex: data-derived gens survive a meta-write crash; ids repair; max-gen serve; retention") {
+    def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
+    val cands = (0L until 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tag = "anncrash"
+    AnnIndex.buildIndex(spark, cands, "vec_id", "embedding", tag,
+      seedStride = 8, spill = 2, buckets = 2)
+    // delete id 5, then CRASH mid-re-add: postings landed at gen 1, the
+    // meta counter never advanced (the round-9 ADVICE scenario — the old
+    // meta-read scheme would hand the NEXT append gen 1 again, and a
+    // tombstone at upto_gen 1 would suppress this re-add)
+    AnnIndex.deleteFromIndex(spark, Seq(5L).toDF("vec_id"), "vec_id", tag)
+    val (_, g1, b1) = AnnIndex.appendPostingsOnly(spark,
+      cands.filter($"vec_id" === 5L), "vec_id", "embedding", tag)
+    b1.unpersist()
+    assert(g1 == 1L)
+    // next append derives gen 2 FROM THE DATA despite the stale meta
+    AnnIndex.appendToIndex(spark, Seq((40L, vec(40L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tag)
+    val gens = spark.table(s"g_ann_post_$tag").select("gen").distinct()
+      .as[Long].collect().toSet
+    assert(gens == Set(0L, 1L, 2L), s"generations must never reuse: $gens")
+    // crash-append a NEW id: postings hold it, the known-ids list does
+    // not — repairKnownIds restates (and is a no-op when clean)
+    val (_, _, b2) = AnnIndex.appendPostingsOnly(spark,
+      Seq((41L, vec(41L))).toDF("vec_id", "embedding"), "vec_id", "embedding", tag)
+    b2.unpersist()
+    assert(AnnIndex.repairKnownIds(spark, tag), "stale ids must repair")
+    assert(!AnnIndex.repairKnownIds(spark, tag), "clean ids must not rewrite")
+    // redelivery of the repaired id is a no-op, and the guard's plan
+    // reads the COMPACT id list, never the postings store
+    val nPost = spark.table(s"g_ann_post_$tag").count()
+    AnnIndex.ingestNewVectors(spark,
+      Seq((41L, vec(41L))).toDF("vec_id", "embedding"), "vec_id", "embedding", tag)
+    assert(spark.table(s"g_ann_post_$tag").count() == nPost,
+      "known id must be skipped without touching the postings")
+    val knownPlan = AnnIndex.knownIds(spark, tag)
+      .queryExecution.executedPlan.toString
+    assert(knownPlan.contains("ids_e") && !knownPlan.contains("post_e"),
+      s"ingest guard must scan the id list, not the postings:\n$knownPlan")
+    // deterministic serve: re-appending a STILL-LIVE id with a changed
+    // vector serves the newest generation (max-gen, not an arbitrary
+    // replica — round-9 ADVICE)
+    val q = Seq((100L, vec(100L))).toDF("vec_id", "embedding")
+    AnnIndex.appendToIndex(spark, Seq((7L, vec(100L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tag)
+    def cos7() = AnnIndex.serveTopK(spark, q, "vec_id", "embedding",
+        k = 10, nprobe = 4, tag = tag)
+      .filter($"cand_id" === 7L).select("cos").as[Double].collect().head
+    assert(cos7() > 0.999, "newest generation's vector must score")
+    // compaction retains ONLY the new era: markers first, then every
+    // _e0 table directory (post/cent/tomb/meta/ids) — and serve holds
+    AnnIndex.compactIndex(spark, tag)
+    val baseDir = new java.io.File(
+      s"${graft.sources.Bucketing.processRoot}/ann_$tag")
+    Seq("post_e0", "cent_e0", "tomb_e0", "meta_e0", "ids_e0", "era/e_0")
+      .foreach(d => assert(!new java.io.File(baseDir, d).exists, s"$d must be dropped"))
+    assert(new java.io.File(baseDir, "era/e_1").exists)
+    assert(cos7() > 0.999, "serve must hold across retention cleanup")
   }
 
   test("pagerankWarm: warm restart converges faster than a cold start (measured)") {

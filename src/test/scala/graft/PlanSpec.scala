@@ -421,6 +421,27 @@ class PlanSpec extends AnyFunSuite {
       s"postings must combine map-side:\n$p")
   }
 
+  test("dq: row-local rules fold into ONE scan — explode of one aggregate, not N subtree copies") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Expectations._
+    val orders = Tables.load(spark, sf, "orders")
+    val audit = checkRowRules(orders, Seq(
+      notNull("a", col("o_custkey")),
+      inRange("b", col("o_totalprice"), 0.0, 1e7),
+      accepted("c", col("o_orderstatus"), Seq("F", "O", "P")),
+      matches("d", col("o_orderpriority"), "^[1-5]-")))
+    val p = audit.queryExecution.explainString(FormattedMode)
+    // one physical scan of the fact table, however many rules — the
+    // unionAll-of-selects form held N copies of the aggregate subtree
+    // and relied on ReuseExchange to dedup them (ADVICE round 9).
+    // FormattedMode prints each scan twice (tree line + detail block),
+    // so one scan == exactly two occurrences of the node name.
+    assert(p.split("Scan parquet").length - 1 == 2,
+      s"expected exactly one scan for 4 row rules:\n$p")
+    assert(!p.contains("Union"), s"no per-rule aggregate copies:\n$p")
+    assert(p.contains("partial_sum"), s"rule sums must combine map-side:\n$p")
+  }
+
   test("t16: OHLC bars are one partial+final aggregate — no window, no distinct pass") {
     val p = plan(Analytics.t16OhlcBars)
     // min_by/max_by over the ordering key replace the old

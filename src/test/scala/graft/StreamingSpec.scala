@@ -572,8 +572,7 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("embedding", toVec)
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        AnnIndex.ingestNewVectors(spark, b, "vec_id", "embedding", tag,
-          spill = 2, buckets = 2); ()
+        AnnIndex.ingestNewVectors(spark, b, "vec_id", "embedding", tag); ()
       }.start()
     val (s1, s2) = streamed.splitAt(streamed.length / 2)
     try {
