@@ -222,6 +222,7 @@ object Retrieval {
   private def postTable(tag: String) = s"g_bm25_post_$tag"
   private def statsTable(tag: String) = s"g_bm25_stats_$tag"
   private def tombTable(tag: String) = s"g_bm25_tomb_$tag"
+  private def idsTable(tag: String) = s"g_bm25_ids_$tag"
   private def indexBase(tag: String) =
     s"${graft.sources.Bucketing.processRoot}/bm25_$tag"
 
@@ -247,6 +248,8 @@ object Retrieval {
       IndexStore.statsDir(base, era))
     IndexStore.registerParquet(spark, tombTable(tag),
       IndexStore.tombDir(base, era))
+    IndexStore.registerParquet(spark, idsTable(tag),
+      IndexStore.idsDir(base, era))
   }
 
   /** Open an index built by a PREVIOUS session (or recover after a
@@ -259,6 +262,7 @@ object Retrieval {
     val era = IndexStore.readEra(spark, indexBase(tag)).getOrElse(
       sys.error(s"index '$tag' has no committed era at ${indexBase(tag)}"))
     registerTables(spark, tag, era, buckets)
+    repairKnownIds(spark, tag)
   }
 
   /** Build the stored index once per (tag, geometry): term-bucketed
@@ -283,6 +287,8 @@ object Retrieval {
         post.select(col(idCol), col("dl"), col("gen").as("upto_gen"))
           .limit(0),
         IndexStore.tombDir(base, 0L))
+      IndexStore.stagePlain(d.select(col(idCol)).distinct(),
+        IndexStore.idsDir(base, 0L))
       d.unpersist()
       IndexStore.commitEra(spark, base, 0L)
       registerTables(spark, tag, 0L, buckets)
@@ -439,6 +445,8 @@ object Retrieval {
       IndexStore.statsDir(base, next))
     IndexStore.stagePlain(spark.table(tombTable(tag)).limit(0),
       IndexStore.tombDir(base, next))
+    IndexStore.stagePlain(postSnap.select(col(idCol)).distinct(),
+      IndexStore.idsDir(base, next))
     next
   }
 
@@ -540,6 +548,12 @@ object Retrieval {
     val gen = cur.getLong(2) + 1
     appendPostings(spark, postings(b, idCol, textCol)
       .withColumn("gen", lit(gen)), tag, buckets)
+    // the compact known-ids list rides along (between postings and
+    // stats — a crash before this write leaves ids MISSING entries
+    // only, which [[repairKnownIds]] restates on recovery)
+    b.select(col(idCol)).distinct().write.mode("append").format("parquet")
+      .saveAsTable(idsTable(tag))
+    spark.catalog.refreshTable(idsTable(tag))
     b.unpersist()
     writeStats(spark, tag, cur.getLong(0) + add.getLong(0),
       cur.getLong(1) + add.getLong(1), gen)
@@ -756,7 +770,10 @@ object Retrieval {
   def ingestNewDocs(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String, tag: String,
       buckets: Int = 8): Unit = {
-    val known = spark.table(postTable(tag)).select(col(idCol)).distinct()
+    // the known set is the COMPACT id list maintained alongside the
+    // postings — the guard costs ∝ corpus CARDINALITY per batch, never
+    // a (doc × term) postings scan (round-9 verdict item 3)
+    val known = knownIds(spark, tag).select(col(idCol)).distinct()
     // localCheckpoint (eager), NOT cache: the anti-join reads the very
     // table the append below mutates, and a lazily-cached plan re-reads
     // the POST-append file listing for any partition the guard didn't
@@ -767,6 +784,36 @@ object Retrieval {
       .join(known, Seq(idCol), "left_anti").localCheckpoint()
     if (fresh.limit(1).count() > 0)
       appendToIndex(spark, fresh, idCol, textCol, tag, buckets)
+  }
+
+  /** The known-ids frame the ingest guard anti-joins against — the
+    * compact id list, never the postings (package-private so the plan
+    * test can pin that property). */
+  private[graft] def knownIds(spark: org.apache.spark.sql.SparkSession,
+      tag: String): DataFrame = spark.table(idsTable(tag))
+
+  /** Restate the known-ids list from the postings if an append crashed
+    * between the postings write and the ids write (ids can only be
+    * MISSING entries — every other path stages them together). One
+    * distinct over the postings, run on recovery ([[openIndex]] calls
+    * it). The id column is recovered from the postings schema (the one
+    * column that isn't term/tf/dl/gen). Returns true when a repair was
+    * needed. */
+  def repairKnownIds(spark: org.apache.spark.sql.SparkSession,
+      tag: String): Boolean = {
+    val post = spark.table(postTable(tag))
+    val idCol = post.columns
+      .filterNot(Set("term", "tf", "dl", "gen")).head
+    val truth = post.select(col(idCol)).distinct().localCheckpoint()
+    val drifted = truth.count() >
+      knownIds(spark, tag).select(col(idCol)).distinct().count()
+    if (drifted) {
+      val base = indexBase(tag)
+      val era = IndexStore.readEra(spark, base).get
+      IndexStore.stagePlain(truth, IndexStore.idsDir(base, era))
+      spark.catalog.refreshTable(idsTable(tag))
+    }
+    drifted
   }
 
   /** The [[bm25TopK]] oracle as a reusable CTE chain (final CTE

@@ -1250,6 +1250,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) ==
       canon(Retrieval.bm25TopK(docs, "doc_id", "text", q, 5)),
       "repaired index must serve exactly as a rebuild over the grown corpus")
+    // the same crash left the known-ids list stale (the ids write sits
+    // between postings and stats) — restate it, then prove the
+    // redelivery guard skips the batch via the COMPACT id list, whose
+    // plan never touches the postings store
+    assert(Retrieval.repairKnownIds(spark, tag), "stale ids must repair")
+    assert(!Retrieval.repairKnownIds(spark, tag), "clean ids must not rewrite")
+    val nPost = spark.table(s"g_bm25_post_$tag").count()
+    Retrieval.ingestNewDocs(spark, batch, "doc_id", "text", tag)
+    assert(spark.table(s"g_bm25_post_$tag").count() == nPost,
+      "redelivered batch must be skipped without re-appending")
+    val knownPlan = Retrieval.knownIds(spark, tag)
+      .queryExecution.executedPlan.toString
+    assert(knownPlan.contains("ids_e") && !knownPlan.contains("post_e"),
+      s"ingest guard must scan the id list, not the postings:\n$knownPlan")
   }
 
   test("Retrieval atomic compaction: crash between stage and commit serves the OLD index") {
