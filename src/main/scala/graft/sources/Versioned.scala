@@ -51,14 +51,58 @@ object VersionedStore {
     versions(spark, base).lastOption
 
   /** Commit `df` as the next version: stage the full snapshot, then the
-    * one-file-create commit point. Returns the new version number. */
-  def commit(spark: SparkSession, base: String, df: DataFrame): Long = {
+    * one-file-create commit point. Returns the new version number.
+    * `extras` are small marker files written INSIDE the staged snapshot
+    * directory (underscore-prefixed names are invisible to parquet
+    * readers), so payload + metadata install atomically with the one
+    * marker create — this is how a batchId rides along with a
+    * maintained view ([[graft.operators.MatView]]'s idempotence). */
+  def commit(spark: SparkSession, base: String, df: DataFrame,
+      extras: Map[String, String] = Map.empty): Long = {
+    val v = stageVersion(spark, base, df, extras)
+    commitVersion(spark, base, v)
+    v
+  }
+
+  /** The STAGE half of [[commit]] alone — everything written, nothing
+    * committed. Package-private so crash-sim tests can stop exactly
+    * here and prove the previous version still serves; a retry
+    * overwrites the orphaned staged directory (latest+1 is re-derived
+    * from the markers, which never advanced). */
+  private[graft] def stageVersion(spark: SparkSession, base: String,
+      df: DataFrame, extras: Map[String, String] = Map.empty): Long = {
     val v = latest(spark, base).map(_ + 1L).getOrElse(0L)
     df.write.mode("overwrite").parquet(verDir(base, v))
     val f = fs(spark, base)
+    extras.foreach { case (name, content) =>
+      val out = f.create(new Path(s"${verDir(base, v)}/$name"), true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    }
+    v
+  }
+
+  /** The COMMIT half: one marker-file create. */
+  private[graft] def commitVersion(spark: SparkSession, base: String,
+      v: Long): Unit = {
+    val f = fs(spark, base)
     f.mkdirs(markerDir(base))
     f.create(new Path(s"$base/ver/c_$v"), true).close()
-    v
+  }
+
+  /** Read an extra marker file staged with version `v` (None if that
+    * commit carried none). */
+  def readExtra(spark: SparkSession, base: String, v: Long,
+      name: String): Option[String] = {
+    val f = fs(spark, base)
+    val p = new Path(s"${verDir(base, v)}/$name")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
   }
 
   /** Time-travel read: the table exactly as committed at version `v`. */

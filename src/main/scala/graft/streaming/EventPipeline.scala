@@ -94,23 +94,25 @@ object EventPipeline {
     (good, bad)
   }
 
-  /** T5/T6: micro-batch upsert into a parquet sink keyed by event_id —
-    * the foreachBatch body. Idempotent per key, so at-least-once batch
-    * delivery still yields exactly-once table contents. */
+  /** T5/T6: micro-batch upsert into a versioned parquet sink keyed by
+    * event_id — the foreachBatch body. Idempotent per key, so
+    * at-least-once batch delivery still yields exactly-once table
+    * contents. The sink is a [[graft.sources.VersionedStore]]: the
+    * merged snapshot stages in full, ONE marker create commits it, and
+    * the previous version is retained — the old delete-then-rename swap
+    * had a window with no servable table at all (and a crash inside it
+    * lost the sink). Read the current table with
+    * `VersionedStore.readLatest(spark, tableDir)`. */
   def mergeIntoTable(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
-    val target = new java.io.File(tableDir)
-    val merged =
-      if (target.exists() && target.list().nonEmpty)
-        Merge.upsert(spark.read.parquet(tableDir), batch, Seq("event_id"))
-      else batch
-    // Write via temp dir then swap: the source of the merge is also the
-    // sink, and overwrite-in-place would truncate before the read runs.
-    val tmp = tableDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val cleaned = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = cleaned.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(cleaned, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), cleaned)
+    import graft.sources.VersionedStore
+    val merged = VersionedStore.latest(spark, tableDir) match {
+      case Some(v) =>
+        Merge.upsert(VersionedStore.read(spark, tableDir, v), batch,
+          Seq("event_id"))
+      case None => batch
+    }
+    val v = VersionedStore.commit(spark, tableDir, merged)
+    VersionedStore.retainFrom(spark, tableDir, v - 1)
   }
 
   /** Stateful per-user tracker (mapGroupsWithState): running count/sum and
