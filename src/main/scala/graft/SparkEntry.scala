@@ -45,7 +45,7 @@ object SparkEntry {
       "txt_phrase", "txt_phrase_stored", "txt_phrase_rank",
       "sim_ivf_multiprobe", "txt_heavy_tokens",
       "dd_components_inc", "g_pagerank_inc", "txt_mix_divergence",
-      "dq_expectations", "t18_ewma", "sim_ivf_stored")
+      "dq_expectations", "t18_ewma", "sim_ivf_stored", "sim_ivf_recluster")
     preferred.filter(queries.contains)
   }
 }

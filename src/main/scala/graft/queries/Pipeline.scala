@@ -1151,6 +1151,39 @@ object Pipeline {
     Some(ivfMultiprobeOracleSql(
       "vec_id >= 10 AND vec_id % 100 NOT IN (23, 47)")))
 
+  /** DRIFT-TRIGGERED RE-CLUSTERING: the remediation path for what
+    * sim_embed_drift measures — frozen centroids degrade recall as the
+    * corpus distribution moves. Deleting every %32==16 id removes HALF
+    * the %16==0 centroid vectors from the corpus; a frozen-geometry
+    * compaction would keep serving their empty cells, so this one
+    * re-clusters: compactIndex(recluster = true) re-derives the coarse
+    * quantizer from the LIVE corpus by the same deterministic id-stride
+    * rule the build used and re-assigns the survivors — one corpus
+    * pass, paid exactly when compaction rewrites the corpus anyway.
+    * Oracle-able because the oracle derives ITS centroids from the same
+    * survivor set (`cents AS (... FROM c WHERE vec_id % 16 = 0)` over
+    * the post-delete corpus = the reclustered %32==0 set): serve after
+    * recluster == the from-scratch multiprobe computation over exactly
+    * the surviving corpus with the re-derived geometry. */
+  val simIvfRecluster = Q(
+    "sim_ivf_recluster",
+    (s, dir) => {
+      import graft.operators.AnnIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_ivfr"
+      def e = Tables.load(s, dir, "embeddings")
+      graft.sources.Bucketing.ensureOnce(s"annrecluster@$tag") {
+        AnnIndex.buildIndex(s, e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", tag, seedStride = 16, spill = 2)
+        AnnIndex.deleteFromIndex(s,
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 32 === 16)
+            .select("vec_id"), "vec_id", tag)
+        AnnIndex.compactIndex(s, tag, recluster = true)
+      }
+      AnnIndex.serveTopK(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, tag = tag)
+    },
+    Some(ivfMultiprobeOracleSql("vec_id >= 10 AND vec_id % 32 <> 16")))
+
   /** Fixed-point Lloyd k-means over the embedding table: 2 refinement
     * iterations from the ivf seed set, per-cluster member counts and
     * exact within-cluster squared distance. The oracle replays both
@@ -2126,7 +2159,7 @@ object Pipeline {
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
-    simIvfUpsert, simEmbedDrift, simRecall, simPqRecall,
+    simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
     ddSemanticKmeans,
     txtLangid,

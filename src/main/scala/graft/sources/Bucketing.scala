@@ -65,18 +65,30 @@ object Bucketing {
     * here. */
   def ensureBucketed(df: => DataFrame, table: String, location: String,
       bucketCol: String, buckets: Int): Unit =
-    materialized.computeIfAbsent(s"$table@$location#$bucketCol/$buckets", { _ =>
+    ensureOnce(s"$table@$location#$bucketCol/$buckets") {
       writeBucketed(df, table, location, bucketCol, buckets)
-      true
-    })
+    }
 
   /** Run `write` exactly once per `key` per JVM — the memoization
     * [[ensureBucketed]] uses, exposed for writers that materialize a
     * FAMILY of tables from one forced input (e.g. Dedup's stored
     * signature + bucket tables, which must force their source exactly
-    * once). */
+    * once). RE-ENTRANT by design: maintenance-cycle queries wrap a
+    * build-then-mutate sequence in ensureOnce while the build inside is
+    * itself an ensureOnce — computeIfAbsent would throw
+    * "Recursive update" whenever the two keys land in one hash bin (a
+    * layout accident: adding an unrelated key elsewhere can start or
+    * stop the collision), so this is double-checked locking on the
+    * object monitor, which nested calls re-enter freely. A write that
+    * throws records nothing and is retried by the next caller. */
   def ensureOnce(key: String)(write: => Unit): Unit =
-    materialized.computeIfAbsent(key, { _ => write; true })
+    if (!materialized.containsKey(key)) synchronized {
+      if (!materialized.containsKey(key)) {
+        write
+        materialized.put(key, true)
+        ()
+      }
+    }
 
   /** The j13 demo shape: lineitem⋈orders on l_orderkey with both sides
     * bucketed — the plan has NO Exchange below the join (assert in

@@ -425,4 +425,31 @@ class PropertySpec extends AnyFunSuite {
     assert(dd._1 >= 0.8, s"near-dup LSH recall ${dd._1} below 0.8 floor")
     assert(dd._2 >= 0.8, s"near-dup LSH precision ${dd._2} below 0.8 floor")
   }
+
+  test("reclustered ANN index holds the spilled-IVF recall floor over the drifted corpus") {
+    // the sim_ivf_recluster lifecycle: delete half the centroid ids
+    // (real drift — their cells would serve empty under frozen
+    // geometry), compact with re-clustering, then pin recall@5 of the
+    // stored serve against brute force over the SURVIVING corpus at the
+    // spill=2/nprobe=8 serving config's 0.5 floor.
+    val sf = "/root/testdata/sf0.01"
+    val served = graft.queries.Pipeline.simIvfRecluster.run(spark, sf)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    val truth = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10 && col("vec_id") % 32 =!= 16),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.map { case (q, want) =>
+      served.get(q).map(got => (got & want).size.toDouble / want.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5,
+      s"reclustered serve mean recall $mean below the 0.5 serving floor")
+  }
 }
