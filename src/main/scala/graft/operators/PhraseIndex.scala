@@ -181,8 +181,13 @@ object PhraseIndex {
     * the per-batch rebuild — that equality is the stored-index
     * contract, hash-checked by the txt_phrase_stored oracle. */
   def servePhrases(spark: SparkSession, idCol: String,
-      phrases: Seq[(Long, String)], k: Int, tag: String): DataFrame = {
-    val hits = phraseMatches(spark, idCol, phrases, tag)
+      phrases: Seq[(Long, String)], k: Int, tag: String): DataFrame =
+    rankHits(phraseMatches(spark, idCol, phrases, tag), idCol, k)
+
+  /** Rank a (query_id, doc, n_hits, first_pos) hit frame: partial TopK
+    * by occurrence count (ties → lower doc id), counts/anchor
+    * re-attached by a k×queries join. */
+  private def rankHits(hits: DataFrame, idCol: String, k: Int): DataFrame = {
     val topk = TopK.topK(k)
     val ranked = hits.groupBy("query_id")
       .agg(topk(col("n_hits").cast("double"), col(idCol)).as("top"))
@@ -194,6 +199,75 @@ object PhraseIndex {
         col("n_hits").cast("long").as("n_hits"),
         col("first_pos").cast("long").as("first_pos"))
   }
+
+  /** [[phraseMatches]] generalized to phrases LONGER than the indexed
+    * lengths — the declared-lengths trade's other half (the object doc
+    * names it; Williams, Zobel & Bahle 2004's combined-index strategy):
+    * a long phrase probes the stored postings of its longest-indexed
+    * PREFIX — a guaranteed-recall candidate set, since any doc
+    * containing the phrase contains the prefix — and the full phrase is
+    * then VERIFIED by re-extracting its length's windows over ONLY the
+    * candidate documents: `docs` pruned by a broadcast semi-join before
+    * any tokenization, so the verify cost is ∝ candidate docs, never
+    * the corpus. Phrases whose length IS indexed stay pure stored
+    * probes and never force `docs`. Candidate superset across queries
+    * is safe: a doc matching one query's full phrase is by construction
+    * a candidate for that query.
+    *
+    * The verify step trusts `docs` to BE the corpus the index serves
+    * (same contract as the oracle): index-deleted docs can't become
+    * candidates (their prefix postings are tombstoned), so the pruned
+    * scan never resurrects them. */
+  def phraseMatchesWithFallback(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, phrases: Seq[(Long, String)],
+      tag: String): DataFrame = {
+    import spark.implicits._
+    val norm = phrases.map { case (qid, p) =>
+      (qid, p, p.toLowerCase.trim.split("\\s+").toSeq) }
+    require(norm.forall(_._3.forall(_.nonEmpty)),
+      "empty or whitespace-only phrase")
+    val (_, lens) = readMeta(spark, tag)
+    val (direct, long) = norm.partition(t => lens.contains(t._3.length))
+    long.foreach { case (_, p, ts) =>
+      require(lens.exists(_ < ts.length),
+        s"phrase '$p' (${ts.length} tokens) is shorter than every indexed " +
+          s"length $lens — no prefix to probe") }
+    val parts = Seq(
+      if (direct.isEmpty) None
+      else Some(phraseMatches(spark, idCol,
+        direct.map { case (q, p, _) => (q, p) }, tag)),
+      if (long.isEmpty) None
+      else {
+        val longDf = long.map { case (q, _, ts) =>
+          val pref = lens.filter(_ < ts.length).max
+          (q, ts.mkString(" "), ts.length,
+            ts.take(pref).mkString(" "), pref)
+        }.toDF("query_id", "phrase", "plen", "prefix", "preflen")
+        val post = livePostings(spark, tag, idCol)
+        val cand = post
+          .join(broadcast(longDf),
+            post("w") === longDf("prefix") && post("wlen") === longDf("preflen"))
+          .select(col(idCol)).distinct()
+        val wins = windowPostings(docs.join(broadcast(cand), Seq(idCol),
+            "left_semi"), idCol, textCol, long.map(_._3.length).distinct)
+        Some(wins
+          .join(broadcast(longDf.select("query_id", "phrase", "plen")),
+            wins("w") === col("phrase") && wins("wlen") === col("plen"))
+          .groupBy(col("query_id"), col(idCol))
+          .agg(sum("n_hits").as("n_hits"), min("first_pos").as("first_pos")))
+      }).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** [[servePhrases]] for mixed batches: indexed lengths serve from the
+    * store alone; longer phrases take the prefix-probe + verify path.
+    * Same output schema and ranking as the from-scratch
+    * [[Retrieval.phraseSearch]] — the txt_phrase_long oracle pins it. */
+  def servePhrasesWithFallback(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, phrases: Seq[(Long, String)],
+      k: Int, tag: String): DataFrame =
+    rankHits(phraseMatchesWithFallback(spark, docs, idCol, textCol,
+      phrases, tag), idCol, k)
 
   /** Build-once / serve-many wrapper (the [[Retrieval.bm25TopKStored]]
     * shape): after the first call the `docs` thunk is never forced

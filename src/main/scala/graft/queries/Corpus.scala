@@ -1128,6 +1128,42 @@ object Corpus {
     },
     Some(graft.operators.Retrieval.phraseOracleSql(PhraseQueriesB, 10)))
 
+  /** Mixed batch for txt_phrase_long: two phrases at indexed lengths
+    * (pure stored probes), two 4-token phrases with real corpus hits
+    * (prefix-probe + verify path), and one 4-token phrase whose 3-token
+    * PREFIX occurs but whose full phrase does not — the query that
+    * proves the verify step actually filters, not just forwards, the
+    * candidate set. */
+  val PhraseQueriesLong: Seq[(Long, String)] = Seq(
+    1L -> "table hash",
+    2L -> "slow hash batch",
+    3L -> "value slow hash data",
+    4L -> "filter value small value",
+    5L -> "filter value small window")
+
+  /** Phrases LONGER than the indexed lengths served from the SAME 2..3
+    * stored index (operators.PhraseIndex.servePhrasesWithFallback): the
+    * length-4 phrases probe their length-3 prefix postings for
+    * candidates, then verify the full phrase by re-extracting windows
+    * over ONLY the candidate docs — a broadcast-semi-pruned text scan,
+    * ∝ candidates, never the corpus (Williams/Zobel/Bahle 2004's
+    * combined-index serve). The oracle replays the phrase search from
+    * scratch at every length — equality proves prefix recall AND verify
+    * precision. */
+  val txtPhraseLong = Q(
+    "txt_phrase_long",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // same tag as txt_phrase_stored: one shared 2..3 index build
+      graft.operators.PhraseIndex.buildPhraseIndex(s,
+        Tables.load(s, dir, "documents"), "doc_id", "text", tag,
+        lengths = Seq(2, 3))
+      graft.operators.PhraseIndex.servePhrasesWithFallback(s,
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        PhraseQueriesLong, 10, tag)
+    },
+    Some(graft.operators.Retrieval.phraseOracleSql(PhraseQueriesLong, 10)))
+
   /** The phrase-index maintenance cycle as one oracle-exact query —
     * the txt_bm25_upsert shape on the window-postings store: build,
     * RETRACT doc_id%10==3, RE-INDEX doc_id%10==7 with changed text,
@@ -1321,6 +1357,6 @@ object Corpus {
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
-    txtPhraseStored, txtPhraseUpsert, txtPhraseRank,
+    txtPhraseStored, txtPhraseUpsert, txtPhraseRank, txtPhraseLong,
     txtWeightedSample, txtWeightedStratified, txtHeavyTokens, txtHeavyByLang)
 }

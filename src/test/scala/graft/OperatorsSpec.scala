@@ -1338,6 +1338,39 @@ class OperatorsSpec extends AnyFunSuite {
       lengths = Seq(2, 3)).collect()
   }
 
+  test("PhraseIndex fallback: long phrases prefix-probe + verify; indexed lengths never touch docs") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_phrlong"
+    PhraseIndex.buildPhraseIndex(spark, docs, "doc_id", "text", tag,
+      lengths = Seq(2, 3))
+    // indexed-length batch: the docs thunk must never be forced
+    val pure = PhraseIndex.servePhrasesWithFallback(spark,
+      sys.error("stored-length phrases must not touch the corpus"),
+      "doc_id", "text", Seq(1L -> "table hash"), 5, tag)
+    assert(pure.count() > 0)
+    // a mixed batch with a 4-token phrase over the 2..3 index equals the
+    // from-scratch search ("sort a value stream" has real sf0.001 hits)
+    val mixed = Seq(1L -> "table hash", 2L -> "sort a value stream")
+    assert(canon(PhraseIndex.servePhrasesWithFallback(spark, docs,
+        "doc_id", "text", mixed, 5, tag)) ==
+      canon(Retrieval.phraseSearch(docs, "doc_id", "text", mixed, 5)),
+      "fallback serve must equal the per-batch rebuild")
+    // prefix-only decoy: "sort a value" occurs, the full 4-gram does not
+    // — the verify step must FILTER the candidates, not forward them
+    val decoy = PhraseIndex.servePhrasesWithFallback(spark, docs,
+      "doc_id", "text", Seq(9L -> "sort a value valuex"), 5, tag)
+    assert(decoy.count() == 0,
+      "a phrase whose prefix matches but whose full text does not must verify to zero")
+    // a phrase shorter than every indexed length has no probe path
+    intercept[IllegalArgumentException] {
+      PhraseIndex.servePhrasesWithFallback(spark, docs, "doc_id", "text",
+        Seq(9L -> "table"), 5, tag).collect()
+    }
+  }
+
   test("PhraseIndex maintenance: delete/upsert/compact == rebuild over mutated corpus") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents")
