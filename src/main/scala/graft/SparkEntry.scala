@@ -29,7 +29,7 @@ object SparkEntry {
   /** Headline subset used by Bench (shuffle/join/agg heavy + pipeline ops). */
   def benchQueries: Seq[String] = {
     val preferred = Seq("q1_agg", "q3_shipping_priority", "q5_local_supplier",
-      "q17_small_qty_revenue", "q18_large_orders",
+      "q17_small_qty_revenue", "q18_large_orders", "q21_waiting_supplier",
       "j1_left_join_agg", "j4_shared_edges",
       "j6_fuzzy_join", "w1_topk_per_group", "t7_daily_window",
       "t8_sessionize", "dd_exact", "dd_minhash_lsh", "dd_components",

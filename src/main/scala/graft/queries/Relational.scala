@@ -209,6 +209,64 @@ object Relational {
       JOIN customer ON c_custkey = o_custkey
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
 
+  /** Q21 (TPC-H waiting-supplier shape): the stacked EXISTS/NOT-EXISTS
+    * classic — per returned line, "some OTHER supplier is also on this
+    * order" (exists) and "NO other supplier's line was returned"
+    * (not exists) — generalizing the reference's J7 existence checks to
+    * multi-condition form. (The testdata carries no receipt/commit
+    * dates, so "kept waiting" is re-expressed over l_returnflag with
+    * the identical correlation structure.) Spark-first decorrelation:
+    * BOTH subqueries collapse into ONE aggregate over lineitem —
+    * per-order distinct-supplier count and distinct-RETURNED-supplier
+    * count — joined back to the returned lines; exists ⟺ n_supp > 1,
+    * not-exists ⟺ n_ret_supp = 1 (the line's own supplier). Two
+    * passes over the fact table total (the correlated form re-scans
+    * per row; a semi+anti chain scans three times), no BNLJ — PlanSpec
+    * pins it. The oracle keeps the textbook EXISTS/NOT EXISTS form, so
+    * equality proves the decorrelation. */
+  val q21WaitingSupplier = Q(
+    "q21_waiting_supplier",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val per = l.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+      val f = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3").select("n_nationkey")
+      l.filter(col("l_returnflag") === "R")
+        .join(f, col("l_orderkey") === col("o_orderkey"))
+        .join(per.filter(col("n_supp") > 1 && col("n_ret_supp") === 1),
+          Seq("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+        AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
+
   /** P1: multi-column case-insensitive contains OR-filter
     * (reference database.py:298-307 — ILIKE on name/number/address). */
   val p1IlikeOr = Q(
@@ -342,6 +400,6 @@ object Relational {
       FROM events GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5LocalSupplier, q17SmallQty,
-    q18LargeOrders, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
+    q18LargeOrders, q21WaitingSupplier, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
     j4SharedEdges, w1TopkPerGroup, a9GroupConcat, t7DailyWindow)
 }

@@ -421,6 +421,22 @@ class PlanSpec extends AnyFunSuite {
       s"postings must combine map-side:\n$p")
   }
 
+  test("q21: stacked exists/not-exists decorrelates to TWO lineitem passes, no BNLJ") {
+    val p = plan(Relational.q21WaitingSupplier)
+    // the correlated form re-scans lineitem per row; a semi+anti chain
+    // scans it three times — the per-order conditional-distinct
+    // aggregate joined back needs exactly two (FormattedMode prints
+    // each scan twice: tree line + detail block)
+    // each scan's detail block prints its Location (the parquet path)
+    // exactly once, so path occurrences == scans of that table
+    val lineitemScans = p.split("lineitem.parquet").length - 1
+    assert(lineitemScans <= 2, s"expected ≤2 lineitem passes, got $lineitemScans:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the nation dim broadcasts; the order-key joins are hash joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), s"per-order counts must combine map-side:\n$p")
+  }
+
   test("dq: row-local rules fold into ONE scan — explode of one aggregate, not N subtree copies") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Expectations._
