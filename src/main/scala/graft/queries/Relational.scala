@@ -267,6 +267,115 @@ object Relational {
         AND n_name = 'NATION_3'
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
 
+  /** Q22 (TPC-H prospective-customer shape): the OTHER classic
+    * correlated pattern — a GLOBAL scalar-subquery threshold
+    * (balance above the average positive balance) combined with
+    * NOT EXISTS (customer has no orders), rolled up per segment.
+    * Spark-first: the scalar is a 1-row aggregate cross-joined as a
+    * broadcast (never a driver round-trip), the not-exists is a
+    * left-anti join on the order keys, and both run before the rollup
+    * so the anti-join sees only above-threshold customers. The
+    * threshold compares identical IEEE operands on both engines
+    * (decimal-exact sum, one double division), so the filter can never
+    * drift by a row. */
+  val q22ProspectCustomers = Q(
+    "q22_prospect_customers",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum("c_acctbal") / count(col("c_acctbal")).cast("double"))
+          .as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum("c_acctbal").as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              / count(c_acctbal)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Q8 (TPC-H market-share shape): one nation's share of ECONOMY-part
+    * revenue into ASIA customers, per order year — the
+    * ratio-of-conditional-sums report every BI tier runs. Exactness
+    * across engines: revenue is the DECIMAL(18,2)×DECIMAL(18,2)
+    * product summed at scale 4 (order-independent), both numerator and
+    * denominator convert to exact BIGINT ten-thousandths, and the
+    * share is integer permille by truncating division — no
+    * floating-point ratio ever crosses the engine boundary. Plan: one
+    * pass over the join tree, the share a conditional sum (no second
+    * scan for the numerator), dims broadcast. */
+  val q8MarketShare = Q(
+    "q8_market_share",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+      val r = t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val supNat = t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey").as("target_natkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNat),
+          col("s_nationkey") === col("target_natkey"), "left_outer")
+        .groupBy("o_year")
+        .agg(
+          expr("CAST(sum(CASE WHEN target_natkey IS NOT NULL THEN rev END) * 10000 AS BIGINT)")
+            .as("nat_rev_e4"),
+          expr("CAST(sum(rev) * 10000 AS BIGINT)").as("tot_rev_e4"))
+        .select(col("o_year"),
+          coalesce(col("nat_rev_e4"), lit(0L)).as("nat_rev_e4"),
+          col("tot_rev_e4"),
+          expr("(1000 * coalesce(nat_rev_e4, 0)) div tot_rev_e4")
+            .as("share_pm"))
+        .orderBy("o_year")
+    },
+    Some("""WITH f AS (
+        SELECT year(o_orderdate) AS o_year,
+          CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS rev,
+          s_nationkey IN (SELECT n_nationkey FROM nation
+            WHERE n_name = 'NATION_3') AS is_target
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON s_suppkey = l_suppkey)
+      SELECT o_year,
+        CAST(coalesce(CAST(sum(CASE WHEN is_target THEN rev END) * 10000
+          AS BIGINT), 0) AS BIGINT) AS nat_rev_e4,
+        CAST(sum(rev) * 10000 AS BIGINT) AS tot_rev_e4,
+        (1000 * coalesce(CAST(sum(CASE WHEN is_target THEN rev END) * 10000
+          AS BIGINT), 0)) // CAST(sum(rev) * 10000 AS BIGINT) AS share_pm
+      FROM f GROUP BY o_year ORDER BY o_year"""))
+
   /** P1: multi-column case-insensitive contains OR-filter
     * (reference database.py:298-307 — ILIKE on name/number/address). */
   val p1IlikeOr = Q(
@@ -400,6 +509,7 @@ object Relational {
       FROM events GROUP BY 1"""))
 
   val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5LocalSupplier, q17SmallQty,
-    q18LargeOrders, q21WaitingSupplier, p1IlikeOr, p4DateRange, j1LeftJoinAgg,
+    q18LargeOrders, q21WaitingSupplier, q22ProspectCustomers, q8MarketShare,
+    p1IlikeOr, p4DateRange, j1LeftJoinAgg,
     j4SharedEdges, w1TopkPerGroup, a9GroupConcat, t7DailyWindow)
 }

@@ -1715,6 +1715,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cos7() > 0.999, "serve must hold across retention cleanup")
   }
 
+  test("IndexStore.dropOldEras: suffix match cannot cross eras; markers deleted before data") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft_eras")
+      .toString + "/idx"
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate eras 1, 10, 11 with assorted per-era table dirs — the
+    // underscore in the `_e<N>` suffix is what keeps era 1's cleanup
+    // away from era 10's directories
+    Seq("post_e1", "cent_e1", "ids_e1", "post_e10", "meta_e11")
+      .foreach(d => fs.mkdirs(new Path(s"$base/$d")))
+    Seq(1L, 10L, 11L).foreach(e =>
+      graft.operators.IndexStore.commitEra(spark, base, e))
+    graft.operators.IndexStore.dropOldEras(spark, base, keep = 10L)
+    assert(!fs.exists(new Path(s"$base/era/e_1")), "old marker must go")
+    Seq("post_e1", "cent_e1", "ids_e1").foreach(d =>
+      assert(!fs.exists(new Path(s"$base/$d")), s"$d must be dropped"))
+    Seq("post_e10", "meta_e11").foreach(d =>
+      assert(fs.exists(new Path(s"$base/$d")), s"$d must survive era-1 cleanup"))
+    assert(graft.operators.IndexStore.readEra(spark, base).contains(11L))
+  }
+
   test("pagerankWarm: warm restart converges faster than a cold start (measured)") {
     // base: an IRREGULAR graph (star + tail chain — a regular graph's
     // ranks are uniform and warm==cold trivially), store CONVERGED with 6

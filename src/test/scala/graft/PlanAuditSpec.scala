@@ -91,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
     "sim_ivf_upsert",      // same serve plan over the mutated store
+    "sim_ivf_recluster",   // same serve plan over the reclustered store
     "sim_embed_drift",     // both sides assign against the broadcast frozen quantizer
     "sim_ivf_pq",          // same broadcast-centroid coarse stage as ivf_topk
     "sim_recall",          // composes bruteforce truth + ivf (both above)
@@ -106,6 +107,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_bm25_rankshift",  // both scorer legs share that 1-row stats product
     "txt_bm25_upsert",     // same 1-row stats product over the tombstone-adjusted store
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
+    "q22_prospect_customers", // 1-row global-average threshold broadcast into the filter
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
