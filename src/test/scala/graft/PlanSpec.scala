@@ -437,6 +437,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"per-order counts must combine map-side:\n$p")
   }
 
+  test("q8: share is a conditional sum over ONE lineitem pass; dims broadcast") {
+    val p = plan(Relational.q8MarketShare)
+    // numerator and denominator come from the same aggregate — a
+    // second fact scan for the nation-only sum is the classic mistake
+    assert(p.split("lineitem.parquet").length - 1 == 1,
+      s"expected exactly one lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"part filter must push to the scan:\n$p")
+  }
+
+  test("q22: scalar threshold broadcasts; no-orders check is a single anti-join") {
+    val p = plan(Relational.q22ProspectCustomers)
+    // customer feeds the threshold aggregate and the main pass — two
+    // scans, no more; orders appears once, as the anti-join's build side
+    assert(p.split("customer.parquet").length - 1 <= 2, p)
+    assert(p.split("orders.parquet").length - 1 == 1, p)
+    assert(p.contains("LeftAnti"), s"no-orders must be an anti-join:\n$p")
+  }
+
   test("dq: row-local rules fold into ONE scan — explode of one aggregate, not N subtree copies") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Expectations._
