@@ -292,7 +292,13 @@ object PhraseIndex {
     require(spark.catalog.tableExists(postTable(tag)),
       s"phrase index '$tag' must be initialized by buildPhraseIndex first")
     val (gen, lens) = readMeta(spark, tag)
-    val next = gen + 1
+    // clear the stored counter AND every tombstone — a stale counter
+    // after an append crash must not land a delete→re-add at its own
+    // tombstone's generation (see Retrieval.appendToIndex; tombstones
+    // are bounded by the auto-compact cap, so the max is cheap)
+    val tombMax = spark.table(tombTable(tag))
+      .agg(coalesce(max("upto_gen"), lit(0L))).collect().head.getLong(0)
+    val next = math.max(gen, tombMax) + 1
     windowPostings(batch, idCol, textCol, lens)
       .withColumn("gen", lit(next))
       .write.mode("append").bucketBy(buckets, "w").sortBy("w")

@@ -545,7 +545,21 @@ object Retrieval {
     val b = batch.cache()
     val add = corpusStats(b, textCol).collect().head
     val cur = spark.table(statsTable(tag)).collect().head
-    val gen = cur.getLong(2) + 1
+    // Next generation clears the stored counter AND every tombstone:
+    // after a crash between the postings append and the stats write,
+    // the counter is stale-low — an append trusting it alone would
+    // land a delete→re-add AT its own tombstone's generation and be
+    // suppressed (serving is strictly gen > upto_gen; the AnnIndex
+    // ADVICE scenario, same bug class here). The tombstone table is
+    // bounded by the enforced auto-compact cap, so this max is cheap.
+    // Residual blur: two batches can share a generation across such a
+    // crash (benign — tombstones are per-doc over that doc's own max
+    // live gen); repairStats restores the strict counter on recovery.
+    val tombMax =
+      if (!spark.catalog.tableExists(tombTable(tag))) 0L
+      else spark.table(tombTable(tag))
+        .agg(coalesce(max("upto_gen"), lit(0L))).collect().head.getLong(0)
+    val gen = math.max(cur.getLong(2), tombMax) + 1
     appendPostings(spark, postings(b, idCol, textCol)
       .withColumn("gen", lit(gen)), tag, buckets)
     // the compact known-ids list rides along (between postings and

@@ -1266,6 +1266,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"ingest guard must scan the id list, not the postings:\n$knownPlan")
   }
 
+  test("Retrieval: delete then re-add across a stats-write crash still serves the re-add") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val tag = "opspec_bm25genx"
+    Retrieval.buildIndex(spark, docs, "doc_id", "text", tag)
+    // CRASH SIM: a batch's postings land at gen 1, the stats row (the
+    // generation counter) never advances — the counter is stale-low
+    val upd = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id"), concat(col("text"), lit(" zzzcrash")).as("text"))
+    Retrieval.appendPostings(spark,
+      Retrieval.postings(upd, "doc_id", "text").withColumn("gen", lit(1L)),
+      tag, buckets = 8)
+    spark.catalog.refreshTable(s"g_bm25_post_$tag")
+    // delete doc 7: its tombstone lands at upto_gen 1 (its max live gen)
+    Retrieval.deleteFromIndex(spark, Seq(7L).toDF("doc_id"), "doc_id", tag)
+    // re-add with new text: a counter-trusting append would assign gen
+    // 0+1 = 1 and the re-add would be SUPPRESSED (gen > upto is strict);
+    // the tombstone-clearing max assigns gen 2 and it serves
+    Retrieval.appendToIndex(spark,
+      docs.filter(col("doc_id") === 7L)
+        .select(col("doc_id"), lit("zzzreadd only tokens").as("text")),
+      "doc_id", "text", tag)
+    val hits = Retrieval.serveIndex(spark, "doc_id",
+      Seq(1L -> Seq("zzzreadd")), 5, tag)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(7L),
+      s"re-added doc must out-generation its tombstone, got $hits")
+  }
+
   test("Retrieval atomic compaction: crash between stage and commit serves the OLD index") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents")
