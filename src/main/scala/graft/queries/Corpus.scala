@@ -383,6 +383,61 @@ object Corpus {
     Some(graft.operators.Sampling.weightedSampleOracleSql(
       "documents", "doc_id", "n_chars", k = 20, strataCol = Some("lang"))))
 
+  /** TEMPERATURE-weighted mixture sampling (α = 0.5): the multilingual
+    * training-mix knob — per-source sampling budgets ∝ (source
+    * character mass)^α, flattening the head so low-resource sources are
+    * over-represented relative to proportional sampling (the mT5/XLM-R
+    * recipe). Exactness: mass is an exact BIGINT sum; sqrt is IEEE
+    * correctly-rounded on both engines; the root is floored into 1e6
+    * fixed point BEFORE the budget division, so shares are pure integer
+    * arithmetic ((1000·sq6) div Σsq6). Member selection is bottom-k per
+    * source by deterministic hash order through the partial TopK
+    * aggregator (shuffle caps at sources × maxK — never a full-corpus
+    * window); the hash is compared AS DOUBLE on both engines, so the
+    * 2^56 → 2^53 rounding ties break identically (doc_id asc). The
+    * driver-side collect is one row per source — bounded. */
+  val txtMixTemperature = Q(
+    "txt_mix_temperature",
+    (s, dir) => {
+      import graft.operators.TopK
+      val d = Tables.load(s, dir, "documents")
+      val per = d.groupBy("source")
+        .agg(sum(col("n_chars").cast("long")).as("mass"))
+        .withColumn("sq6",
+          expr("CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val tot = per.agg(sum("sq6").as("tot6"))
+      val kTab = per.crossJoin(broadcast(tot))
+        .select(col("source"), expr("(1000 * sq6) div tot6").as("k_target"))
+      val maxK = kTab.agg(max("k_target")).collect().head.getLong(0).toInt
+      val topk = TopK.topK(maxK)
+      val key = Dedup.hash56(concat(lit("t:"), col("doc_id").cast("string")))
+      d.select(col("source"), col("doc_id"), key.as("hk"))
+        .groupBy("source")
+        .agg(topk((-col("hk")).cast("double"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"))
+        .join(broadcast(kTab), Seq("source"))
+        .filter(col("rank") <= col("k_target"))
+        .select("source", "rank", "doc_id", "k_target")
+    },
+    Some(s"""WITH per AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY source),
+      sq AS (SELECT source,
+          CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT) AS sq6
+        FROM per),
+      tot AS (SELECT CAST(sum(sq6) AS BIGINT) AS tot6 FROM sq),
+      k AS (SELECT source, (1000 * sq6) // tot6 AS k_target FROM sq, tot),
+      r AS (SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY CAST(${h56("CONCAT('t:', CAST(doc_id AS VARCHAR))")}
+              AS DOUBLE) ASC, doc_id) AS rank
+        FROM documents)
+      SELECT r.source, CAST(rank AS BIGINT) AS rank, doc_id,
+        CAST(k_target AS BIGINT) AS k_target
+      FROM r JOIN k USING (source) WHERE rank <= k_target"""))
+
   /** Deterministic stratified train/val/test split: assignment is a pure
     * function of doc_id (hash56 % 100 → 90/5/5), so the split is
     * reproducible on any engine, stable under re-partitioning, and adding
@@ -1358,5 +1413,6 @@ object Corpus {
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank, txtPhraseLong,
+    txtMixTemperature,
     txtWeightedSample, txtWeightedStratified, txtHeavyTokens, txtHeavyByLang)
 }

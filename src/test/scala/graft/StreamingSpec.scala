@@ -294,6 +294,26 @@ class StreamingSpec extends AnyFunSuite {
       "retry must not inherit the orphaned stage's marker files")
   }
 
+  test("streaming dedup within watermark: in-window duplicates collapse to one emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.dedupWithinWatermark(mem.toDF(), delayMinutes = 60)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // at-least-once producer: the whole batch redelivers, plus an
+      // intra-batch duplicate of event 2 — all within the 60 min window
+      mem.addData(batch1 :+ batch1(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSeq
+      assert(got.sorted == batch1.map(_.event_id).sorted,
+        s"each event_id must emit exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
