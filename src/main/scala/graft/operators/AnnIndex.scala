@@ -115,6 +115,9 @@ object AnnIndex {
       spark.read.parquet(metaDir(base, era)).collect().head)
     registerTables(spark, tag, era, m.buckets)
     repairKnownIds(spark, tag)
+    // reclaim any era a crashed compaction staged but never committed
+    IndexStore.gcStagedEras(spark, base)
+    ()
   }
 
   /** Cell assignment against a given centroid table: each row of `df`

@@ -93,6 +93,31 @@ object IndexStore {
     }
   }
 
+  /** Delete STAGED-BUT-UNCOMMITTED era directories — the leftovers of a
+    * compaction that crashed between stage and commit. The marker
+    * discipline makes them unreachable garbage (never servable), but
+    * each failed compaction would otherwise leak a full staged copy of
+    * the index. A `*_e<N>` directory is garbage exactly when marker
+    * `era/e_N` does not exist. Call ONLY from a recovery path
+    * (openIndex): the single-writer contract guarantees no compaction
+    * is staging concurrently. Returns the deleted directory names. */
+  def gcStagedEras(spark: SparkSession, base: String): Seq[String] = {
+    val f = fs(spark, base)
+    val baseP = new Path(base)
+    if (!f.exists(baseP)) Seq.empty
+    else {
+      val suffix = "_e(\\d+)$".r
+      f.listStatus(baseP).toSeq
+        .filter(_.isDirectory)
+        .flatMap { s =>
+          val name = s.getPath.getName
+          suffix.findFirstMatchIn(name).map(m => (s.getPath, name, m.group(1).toLong))
+        }
+        .filter { case (_, _, e) => !f.exists(new Path(s"$base/era/e_$e")) }
+        .map { case (p, name, _) => f.delete(p, true); name }
+    }
+  }
+
   /** Register `table` over an existing parquet directory, schema
     * inferred from the footers. Replaces any prior entry (external
     * data is never touched by DROP). */

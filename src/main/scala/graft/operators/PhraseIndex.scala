@@ -93,6 +93,9 @@ object PhraseIndex {
     val era = IndexStore.readEra(spark, indexBase(tag)).getOrElse(
       sys.error(s"phrase index '$tag' has no committed era"))
     registerTables(spark, tag, era, buckets)
+    // reclaim any era a crashed compaction staged but never committed
+    IndexStore.gcStagedEras(spark, indexBase(tag))
+    ()
   }
 
   private def writeMeta(spark: SparkSession, tag: String, gen: Long,

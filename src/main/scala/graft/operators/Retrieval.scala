@@ -263,6 +263,9 @@ object Retrieval {
       sys.error(s"index '$tag' has no committed era at ${indexBase(tag)}"))
     registerTables(spark, tag, era, buckets)
     repairKnownIds(spark, tag)
+    // reclaim any era a crashed compaction staged but never committed
+    IndexStore.gcStagedEras(spark, indexBase(tag))
+    ()
   }
 
   /** Build the stored index once per (tag, geometry): term-bucketed

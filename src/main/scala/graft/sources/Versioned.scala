@@ -118,6 +118,31 @@ object VersionedStore {
     read(spark, base, v)
   }
 
+  /** Delete staged-but-uncommitted version directories — a `v_N` with
+    * no `ver/c_N` marker is unreachable garbage (a commit that crashed
+    * between stage and marker, or a retention pass that got the marker
+    * but died before the data). Call only from a recovery/maintenance
+    * path; the single-writer contract guarantees no commit is staging
+    * concurrently. Returns the versions whose directories were
+    * deleted. */
+  def gcStaged(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val baseP = new Path(base)
+    if (!f.exists(baseP)) Seq.empty
+    else {
+      val committed = versions(spark, base).toSet
+      f.listStatus(baseP).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap { p =>
+          val n = p.getName
+          if (n.startsWith("v_")) n.drop(2).toLongOption.map(p -> _) else None
+        }
+        .collect { case (p, v) if !committed(v) => f.delete(p, true); v }
+        .sorted
+    }
+  }
+
   /** Drop versions strictly older than `keep` — markers first, then
     * data, so a crash mid-cleanup leaves garbage, not dangling refs. */
   def retainFrom(spark: SparkSession, base: String, keep: Long): Unit = {

@@ -1318,8 +1318,14 @@ class OperatorsSpec extends AnyFunSuite {
         "tombstones still applied")
     assert(spark.table(s"g_bm25_tomb_$tag").count() > 0,
       "the old era's tombstones must still be live after the aborted swap")
-    // now the commit lands: one marker create flips the index to era 1
-    Retrieval.compactCommit(spark, tag, staged, buckets = 8)
+    // recovery also RECLAIMS the orphaned stage — a crashed compaction
+    // must not leak a full staged copy of the index
+    val stagedDir = new java.io.File(
+      s"${graft.sources.Bucketing.processRoot}/bm25_$tag/post_e$staged")
+    assert(!stagedDir.exists, s"staged era dir must be GC'd: $stagedDir")
+    // a RE-RUN compaction (not a resumed commit — its stage is gone)
+    // completes the swap: serve identical, tombstones folded away
+    Retrieval.compactIndex(spark, tag, "doc_id")
     assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before,
       "the committed compaction must serve identically")
     assert(spark.table(s"g_bm25_tomb_$tag").count() == 0,

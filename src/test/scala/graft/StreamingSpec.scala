@@ -285,7 +285,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedStore.latest(spark, dir).contains(0L),
       "uncommitted stage must not become latest")
     assert(latestRows() == before, "old version must keep serving")
-    // the retry overwrites the orphaned staged directory and commits
+    // recovery-time GC reclaims the orphan (v_1 has no marker) and
+    // never touches committed versions
+    assert(VersionedStore.gcStaged(spark, dir) == Seq(1L))
+    assert(latestRows() == before, "GC must not touch committed versions")
+    // the retry re-stages v_1 from scratch and commits
     val v = VersionedStore.commit(spark, dir, Seq((3L, "c")).toDF("id", "v"))
     assert(v == 1L)
     assert(latestRows() == Set((3L, "c")))
