@@ -281,6 +281,37 @@ object Graph {
     dist
   }
 
+  /** Bounded-horizon weighted shortest paths (Bellman–Ford): after k
+    * relaxation rounds, `dist` is EXACTLY the cheapest path of at most
+    * k edges from any seed — the fixed-iteration contract every other
+    * iterative operator here uses ([[pagerankFixed]], [[bfsHops]]),
+    * which is also what makes it oracle-able (the oracle unrolls the
+    * same k rounds). [[bfsHops]] is the w≡1 special case, but hop
+    * count is not cost: a 2-hop route through strong ties beats a
+    * 1-hop weak tie under a strength-derived weight, which is the
+    * point of running weighted.
+    *
+    * Scale shape: each round is one equi-join of the directed edges
+    * against the current distance frame plus one min-combine groupBy —
+    * both partial-aggregated map-side, no frontier state on the
+    * driver; the edge relation is reused across rounds (lazy — one
+    * materialization under ReuseExchange). Integer weights, so min is
+    * exact on any engine. Edges are undirected (item_a, item_b, w). */
+  def ssspFixed(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val directed = edges
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("w"))
+      .unionByName(edges
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("w")))
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = directed.join(dist, directed("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
   /** Personalized PageRank — [[pagerankFixed]] with the teleport mass
     * pinned to a SEED set ("entities similar to THESE", the
     * recommendation/expansion primitive; global PageRank answers

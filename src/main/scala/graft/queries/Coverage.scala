@@ -297,6 +297,62 @@ object Coverage {
       SELECT node, CAST(min(hop) AS BIGINT) AS hop
       FROM bfs GROUP BY node ORDER BY node"""))
 
+  /** G6: bounded-horizon WEIGHTED shortest paths (Graph.ssspFixed) over
+    * the co-purchase graph, edge cost = tie WEAKNESS
+    * (9 − min(n_shared, 8) ∈ [1,7]): a 2-hop route through strong ties
+    * can beat a direct weak tie, which is what separates this from
+    * g_bfs's hop count. Seeds are the mod-97 partkeys; 3 relaxation
+    * rounds = exact cheapest cost over paths of ≤3 edges. All-integer,
+    * and the oracle unrolls the same three rounds as chained
+    * min-combine CTEs. */
+  val gSssp = Q(
+    "g_sssp",
+    (s, dir) => {
+      val ld = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val edges = ld.as("a")
+        .join(ld.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("item_a"),
+          col("b.l_partkey").as("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select(col("item_a"), col("item_b"),
+          (lit(9L) - least(col("n_shared"), lit(8L))).as("w"))
+      val nodes = edges.select(col("item_a").as("node"))
+        .unionByName(edges.select(col("item_b").as("node"))).distinct()
+      Graph.ssspFixed(edges, nodes.filter(col("node") % 97 === 0),
+        iters = 3).orderBy("node")
+    },
+    Some {
+      def relax(prev: String) =
+        s"""SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+          SELECT node, dist FROM $prev
+          UNION ALL
+          SELECT u.dst AS node, r.dist + u.w AS dist
+          FROM $prev r JOIN und u ON u.src = r.node) GROUP BY node"""
+      s"""WITH ld AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+          9 - least(count(*), 8) AS w
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS (
+        SELECT item_a AS src, item_b AS dst, w FROM edges
+        UNION ALL SELECT item_b, item_a, w FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM und),
+      d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+        WHERE node % 97 = 0),
+      d1 AS (${relax("d0")}),
+      d2 AS (${relax("d1")}),
+      d3 AS (${relax("d2")})
+      SELECT node, dist FROM d3 ORDER BY node"""
+    })
+
   /** G5: personalized PageRank from the mod-97 seed set over the
     * co-purchase graph (Graph.personalizedPagerankFixed) — "parts that
     * matter to THIS portfolio", vs g_pagerank's global importance.
@@ -1264,7 +1320,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gLinkpred, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,

@@ -1772,6 +1772,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.IndexStore.readEra(spark, base).contains(11L))
   }
 
+  test("ssspFixed: unit weights reduce to BFS hops; strong 2-hop route beats a weak direct edge") {
+    val seeds = Seq(1L).toDF("node")
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("item_a", "item_b", "w")
+    val hops = Graph.ssspFixed(chain, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // the reason weighted ≠ BFS: a direct weak tie (w=5) loses to the
+    // two-hop strong route (1+1)
+    val mixed = Seq((1L, 4L, 5L), (1L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("item_a", "item_b", "w")
+    val d = Graph.ssspFixed(mixed, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d(4L) == 2L, s"2-hop strong route must win: $d")
+    // bounded horizon stated honestly: with ONE round the weak direct
+    // edge is all that's reachable at node 4
+    val d1 = Graph.ssspFixed(mixed, seeds, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1(4L) == 5L)
+  }
+
   test("pagerankWarm: warm restart converges faster than a cold start (measured)") {
     // base: an IRREGULAR graph (star + tail chain — a regular graph's
     // ranks are uniform and warm==cold trivially), store CONVERGED with 6
