@@ -319,6 +319,50 @@ object MatView {
         marker)
   }
 
+  /** [[maintainBatchMinMaxIdempotent]] with the base and view committed
+    * ATOMICALLY: both tables stage under ONE VersionedStore version and
+    * a single marker create installs them together
+    * (VersionedStore.commitAll), so no reader — and no crash — can ever
+    * observe the base ahead of its view; the half-applied completion
+    * dance the two-store variant needs does not exist here. The applied
+    * batchId rides in the version's extras. The trade, stated in
+    * commitAll's doc: coupled write cadence — both tables rewrite every
+    * commit, right for a base+derived-view pair, wrong for tables that
+    * evolve independently (keep the two-store variant for those). */
+  def maintainBatchMinMaxTx(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, storeDir: String, rowId: String,
+      keys: Seq[String], valueCol: String, signCol: String): Unit = {
+    val cur = VersionedStore.latest(spark, storeDir)
+    val applied = cur
+      .flatMap(v => VersionedStore.readTableExtra(spark, storeDir, "base",
+        v, AppliedMarker))
+      .map(_.trim.toLong).getOrElse(-1L)
+    if (batchId > applied) {
+      val rows = batch.drop(signCol)
+      val inserts = batch.filter(col(signCol) > 0).drop(signCol)
+      val deletes = batch.filter(col(signCol) < 0).select(col(rowId))
+      val base0 = cur
+        .map(v => VersionedStore.readTable(spark, storeDir, "base", v))
+        .getOrElse(rows.limit(0))
+      // pinned with a localCheckpoint: the frame is both a committed
+      // member and the view leg's updated base — one evaluation
+      val newBase = base0
+        .join(deletes.unionByName(inserts.select(col(rowId))).distinct(),
+          Seq(rowId), "left_anti")
+        .unionByName(inserts)
+        .localCheckpoint()
+      val mv = cur
+        .map(v => VersionedStore.readTable(spark, storeDir, "view", v))
+        .getOrElse(buildMinMax(rows.limit(0), keys, valueCol))
+      val newView =
+        applyDeltaMinMax(mv, batch, newBase, keys, valueCol, signCol)
+      val v = VersionedStore.commitAll(spark, storeDir,
+        Seq("base" -> newBase, "view" -> newView),
+        Map(AppliedMarker -> batchId.toString))
+      VersionedStore.retainFrom(spark, storeDir, v - 1)
+    }
+  }
+
   /** Upsert the batch's rows into the versioned base table:
     * delete-then-insert on rowId serves insert, update, and retraction
     * in one shape. Package-private so the crash-sim test can apply the

@@ -93,9 +93,18 @@ object VersionedStore {
   /** Read an extra marker file staged with version `v` (None if that
     * commit carried none). */
   def readExtra(spark: SparkSession, base: String, v: Long,
-      name: String): Option[String] = {
-    val f = fs(spark, base)
-    val p = new Path(s"${verDir(base, v)}/$name")
+      name: String): Option[String] =
+    readFileOpt(spark, s"${verDir(base, v)}/$name")
+
+  /** [[readExtra]] for a multi-table commit: extras live in the FIRST
+    * committed table's directory — pass that table's name. */
+  def readTableExtra(spark: SparkSession, base: String, table: String,
+      v: Long, name: String): Option[String] =
+    readFileOpt(spark, s"${tableDir(base, table, v)}/$name")
+
+  private def readFileOpt(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -118,6 +127,75 @@ object VersionedStore {
     read(spark, base, v)
   }
 
+  // ---- multi-table atomic commits -----------------------------------
+  //
+  // A base table and a view DERIVED from it form one logical unit: with
+  // per-table stores, a crash between the two commits leaves them
+  // observably apart (the idempotent maintainers repair it on retry,
+  // but the window exists). Committing them under ONE marker removes
+  // the window altogether: every named frame stages a full snapshot
+  // under `<base>/<name>_v_N`, then a single `ver/c_N` create commits
+  // them all. The trade is coupled write cadence (all members rewrite
+  // every commit) — right for base+view pairs, wrong for tables that
+  // evolve independently.
+
+  private def tableDir(base: String, name: String, v: Long): String =
+    s"$base/${name}_v_$v"
+
+  /** Stage every table of version v, then one marker create. `extras`
+    * land inside the FIRST table's directory (atomic with the marker
+    * like the single-table form). Returns the committed version. */
+  def commitAll(spark: SparkSession, base: String,
+      tables: Seq[(String, DataFrame)],
+      extras: Map[String, String] = Map.empty): Long = {
+    require(tables.nonEmpty, "commitAll of nothing")
+    val v = latest(spark, base).map(_ + 1L).getOrElse(0L)
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(tableDir(base, n, v)) }
+    val f = fs(spark, base)
+    extras.foreach { case (name, content) =>
+      val out = f.create(
+        new Path(s"${tableDir(base, tables.head._1, v)}/$name"), true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    }
+    commitVersion(spark, base, v)
+    v
+  }
+
+  /** Read one member table of a committed version. */
+  def readTable(spark: SparkSession, base: String, name: String,
+      v: Long): DataFrame = {
+    require(versions(spark, base).contains(v),
+      s"version $v is not committed at $base")
+    spark.read.parquet(tableDir(base, name, v))
+  }
+
+  def readLatestTable(spark: SparkSession, base: String,
+      name: String): DataFrame = {
+    val v = latest(spark, base).getOrElse(
+      sys.error(s"no committed versions at $base"))
+    readTable(spark, base, name, v)
+  }
+
+  /** Every version-suffixed directory under `base` with its parsed
+    * version — matches both the single-table `v_N` layout and the
+    * multi-table `<name>_v_N` one. Exact numeric parse, so `v_13`
+    * can never be confused with version 3. */
+  private def versionDirs(spark: SparkSession,
+      base: String): Seq[(Path, Long)] = {
+    val f = fs(spark, base)
+    val baseP = new Path(base)
+    if (!f.exists(baseP)) Seq.empty
+    else {
+      val pat = "^(?:.*_)?v_(\\d+)$".r
+      f.listStatus(baseP).toSeq
+        .filter(_.isDirectory)
+        .flatMap(s => pat.findFirstMatchIn(s.getPath.getName)
+          .map(m => (s.getPath, m.group(1).toLong)))
+    }
+  }
+
   /** Delete staged-but-uncommitted version directories — a `v_N` with
     * no `ver/c_N` marker is unreachable garbage (a commit that crashed
     * between stage and marker, or a retention pass that got the marker
@@ -127,29 +205,20 @@ object VersionedStore {
     * deleted. */
   def gcStaged(spark: SparkSession, base: String): Seq[Long] = {
     val f = fs(spark, base)
-    val baseP = new Path(base)
-    if (!f.exists(baseP)) Seq.empty
-    else {
-      val committed = versions(spark, base).toSet
-      f.listStatus(baseP).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .flatMap { p =>
-          val n = p.getName
-          if (n.startsWith("v_")) n.drop(2).toLongOption.map(p -> _) else None
-        }
-        .collect { case (p, v) if !committed(v) => f.delete(p, true); v }
-        .sorted
-    }
+    val committed = versions(spark, base).toSet
+    versionDirs(spark, base)
+      .collect { case (p, v) if !committed(v) => f.delete(p, true); v }
+      .distinct.sorted
   }
 
   /** Drop versions strictly older than `keep` — markers first, then
-    * data, so a crash mid-cleanup leaves garbage, not dangling refs. */
+    * data (every member directory of that version, both layouts), so a
+    * crash mid-cleanup leaves garbage, not dangling refs. */
   def retainFrom(spark: SparkSession, base: String, keep: Long): Unit = {
     val f = fs(spark, base)
-    versions(spark, base).filter(_ < keep).foreach { v =>
-      f.delete(new Path(s"$base/ver/c_$v"), false)
-      f.delete(new Path(verDir(base, v)), true)
-    }
+    val doomed = versions(spark, base).filter(_ < keep).toSet
+    doomed.foreach(v => f.delete(new Path(s"$base/ver/c_$v"), false))
+    versionDirs(spark, base)
+      .foreach { case (p, v) => if (doomed(v)) f.delete(p, true) }
   }
 }

@@ -271,6 +271,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(completed == rebuilt)
   }
 
+  test("maintainBatchMinMaxTx: base and view install under ONE marker; redelivery no-ops") {
+    import graft.operators.MatView
+    import graft.sources.VersionedStore
+    val store = java.nio.file.Files.createTempDirectory("graft_mvtx")
+      .toString + "/s"
+    def df(rows: (Long, String, Double, Int)*) =
+      rows.toDF("row_id", "event_type", "value", "sign")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      MatView.maintainBatchMinMaxTx(spark, b, id, store, "row_id",
+        Seq("event_type"), "value", "sign")
+    def view() = VersionedStore.readLatestTable(spark, store, "view")
+      .select("event_type", "cnt", "vmin", "vmax")
+      .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(t => (t._1, t._2, t._3.doubleValue, t._4.doubleValue)).toSeq
+    run(df((1L, "click", 5.0, 1), (2L, "click", 9.0, 1)), 0L)
+    run(df((2L, "click", 9.0, -1), (3L, "click", 1.0, 1)), 1L)
+    val after = view()
+    assert(after == Seq(("click", 2L, 1.0, 5.0)), s"$after")
+    // wholesale redelivery: ONE marker governs both tables, so there is
+    // no per-store skew to repair — the batch is simply a no-op
+    val verBefore = VersionedStore.latest(spark, store)
+    run(df((2L, "click", 9.0, -1), (3L, "click", 1.0, 1)), 1L)
+    assert(VersionedStore.latest(spark, store) == verBefore)
+    assert(view() == after)
+    // every committed version carries BOTH members (co-versioned by
+    // construction), and the maintained view equals a rebuild from the
+    // co-committed base
+    VersionedStore.versions(spark, store).foreach { v =>
+      assert(VersionedStore.readTable(spark, store, "base", v).count() >= 0)
+      assert(VersionedStore.readTable(spark, store, "view", v).count() >= 0)
+    }
+    val rebuilt = MatView.buildMinMax(
+      VersionedStore.readLatestTable(spark, store, "base"),
+      Seq("event_type"), "value")
+      .select("event_type", "cnt", "vmin", "vmax")
+      .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(t => (t._1, t._2, t._3.doubleValue, t._4.doubleValue)).toSeq
+    assert(view() == rebuilt)
+  }
+
   test("VersionedStore: crash between stage and commit leaves the old version servable") {
     import graft.sources.VersionedStore
     val dir = java.nio.file.Files.createTempDirectory("graft_vscrash").toString + "/t"
