@@ -47,6 +47,7 @@ object PhraseIndex {
   private def postTable(tag: String) = s"g_phr_post_$tag"
   private def metaTable(tag: String) = s"g_phr_meta_$tag"
   private def tombTable(tag: String) = s"g_phr_tomb_$tag"
+  private def idsTable(tag: String) = s"g_phr_ids_$tag"
   private def indexBase(tag: String) =
     s"${graft.sources.Bucketing.processRoot}/phrase_$tag"
 
@@ -84,6 +85,8 @@ object PhraseIndex {
       IndexStore.statsDir(base, era))
     IndexStore.registerParquet(spark, tombTable(tag),
       IndexStore.tombDir(base, era))
+    IndexStore.registerParquet(spark, idsTable(tag),
+      IndexStore.idsDir(base, era))
   }
 
   /** Recover the catalog entries from the newest committed era — the
@@ -93,6 +96,7 @@ object PhraseIndex {
     val era = IndexStore.readEra(spark, indexBase(tag)).getOrElse(
       sys.error(s"phrase index '$tag' has no committed era"))
     registerTables(spark, tag, era, buckets)
+    repairKnownIds(spark, tag)
     // reclaim any era a crashed compaction staged but never committed
     IndexStore.gcStagedEras(spark, indexBase(tag))
     ()
@@ -122,7 +126,8 @@ object PhraseIndex {
       buckets: Int = 8): Unit =
     graft.sources.Bucketing.ensureOnce(s"phrase@$tag#$buckets") {
       val base = indexBase(tag)
-      val post = windowPostings(docs, idCol, textCol, lengths)
+      val d = docs.cache()
+      val post = windowPostings(d, idCol, textCol, lengths)
         .withColumn("gen", lit(0L))
       IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
         "w", buckets)
@@ -130,6 +135,9 @@ object PhraseIndex {
       IndexStore.stagePlain(
         post.select(col(idCol), col("gen").as("upto_gen")).limit(0),
         IndexStore.tombDir(base, 0L))
+      IndexStore.stagePlain(d.select(col(idCol)).distinct(),
+        IndexStore.idsDir(base, 0L))
+      d.unpersist()
       IndexStore.commitEra(spark, base, 0L)
       registerTables(spark, tag, 0L, buckets)
     }
@@ -302,14 +310,62 @@ object PhraseIndex {
     val tombMax = spark.table(tombTable(tag))
       .agg(coalesce(max("upto_gen"), lit(0L))).collect().head.getLong(0)
     val next = math.max(gen, tombMax) + 1
-    windowPostings(batch, idCol, textCol, lens)
+    val b = batch.cache()
+    windowPostings(b, idCol, textCol, lens)
       .withColumn("gen", lit(next))
       .write.mode("append").bucketBy(buckets, "w").sortBy("w")
       .format("parquet").saveAsTable(postTable(tag))
+    // compact known-ids ride along (postings → ids → meta; a crash
+    // before this write only leaves ids MISSING entries, restated by
+    // [[repairKnownIds]] on recovery)
+    b.select(col(idCol)).distinct().write.mode("append").format("parquet")
+      .saveAsTable(idsTable(tag))
+    b.unpersist()
     val era = IndexStore.readEra(spark, indexBase(tag)).get
     writeMeta(spark, tag, next, lens, era)
     spark.catalog.refreshTable(postTable(tag))
+    spark.catalog.refreshTable(idsTable(tag))
     spark.catalog.refreshTable(metaTable(tag))
+  }
+
+  /** The known-ids frame the ingest guard anti-joins against — the
+    * compact id list, never the (doc × window) postings. */
+  private[graft] def knownIds(spark: SparkSession, tag: String): DataFrame =
+    spark.table(idsTable(tag))
+
+  /** Restate the known-ids list from the postings after an append crash
+    * (ids can only be MISSING entries). One distinct over the postings,
+    * run on recovery ([[openIndex]] calls it). */
+  def repairKnownIds(spark: SparkSession, tag: String): Boolean = {
+    val post = spark.table(postTable(tag))
+    val idCol = post.columns
+      .filterNot(Set("w", "wlen", "n_hits", "first_pos", "gen")).head
+    val truth = post.select(col(idCol)).distinct().localCheckpoint()
+    val drifted = truth.count() >
+      knownIds(spark, tag).select(col(idCol)).distinct().count()
+    if (drifted) {
+      val base = indexBase(tag)
+      val era = IndexStore.readEra(spark, base).get
+      IndexStore.stagePlain(truth, IndexStore.idsDir(base, era))
+      spark.catalog.refreshTable(idsTable(tag))
+    }
+    drifted
+  }
+
+  /** [[appendToPhraseIndex]] made REDELIVERY-PROOF — the foreachBatch
+    * body for a live phrase-indexing stream, mirroring
+    * Retrieval.ingestNewDocs: drop intra-batch duplicates, drop docs
+    * the index has EVER held (anti-join against the COMPACT id list —
+    * ∝ corpus cardinality, never a window-postings scan; tombstoned
+    * ids stay known until compaction, so a redelivered insert can't
+    * resurrect a deleted doc), append the rest. */
+  def ingestNewDocs(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, tag: String, buckets: Int = 8): Unit = {
+    val known = knownIds(spark, tag).select(col(idCol)).distinct()
+    val fresh = batch.dropDuplicates(Seq(idCol))
+      .join(known, Seq(idCol), "left_anti").localCheckpoint()
+    if (fresh.limit(1).count() > 0)
+      appendToPhraseIndex(spark, fresh, idCol, textCol, tag, buckets)
   }
 
   /** Restate the meta generation counter from the stored truth (max
@@ -407,6 +463,8 @@ object PhraseIndex {
     writeMeta(spark, tag, gen, lens, era = next)
     IndexStore.stagePlain(spark.table(tombTable(tag)).limit(0),
       IndexStore.tombDir(base, next))
+    IndexStore.stagePlain(postSnap.select(col(idCol)).distinct(),
+      IndexStore.idsDir(base, next))
     next
   }
 

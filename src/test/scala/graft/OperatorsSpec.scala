@@ -1406,6 +1406,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PhraseIndex.ingestNewDocs: redelivery no-ops via the compact id list; serve == rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val ph = Seq(1L -> "table hash", 2L -> "customer join")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_phringest"
+    PhraseIndex.buildPhraseIndex(spark, docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", tag, lengths = Seq(2, 3))
+    // an at-least-once producer retried inside the micro-batch
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    PhraseIndex.ingestNewDocs(spark, batch.union(batch), "doc_id", "text", tag)
+    val nPost = spark.table(s"g_phr_post_$tag").count()
+    // wholesale redelivery of the whole batch — a no-op
+    PhraseIndex.ingestNewDocs(spark, batch, "doc_id", "text", tag)
+    assert(spark.table(s"g_phr_post_$tag").count() == nPost,
+      "redelivered docs must not re-append window postings")
+    assert(canon(PhraseIndex.servePhrases(spark, "doc_id", ph, 5, tag)) ==
+      canon(Retrieval.phraseSearch(docs, "doc_id", "text", ph, 5)),
+      "ingested index must serve exactly as a from-scratch search")
+    // the guard's plan reads the compact id list, never the postings
+    val knownPlan = PhraseIndex.knownIds(spark, tag)
+      .queryExecution.executedPlan.toString
+    assert(knownPlan.contains("ids_e") && !knownPlan.contains("post_e"),
+      s"ingest guard must scan the id list, not the postings:\n$knownPlan")
+  }
+
   test("PhraseIndex maintenance: delete/upsert/compact == rebuild over mutated corpus") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, sf, "documents")

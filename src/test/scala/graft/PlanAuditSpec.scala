@@ -109,6 +109,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
     "q22_prospect_customers", // 1-row global-average threshold broadcast into the filter
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
+    "txt_mix_temperature", // 1-row Σsq6 budget denominator broadcast into the shares
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
     "a33_sketch_rollup",   // triangular day≤day merge of |days| k-long sketch arrays
