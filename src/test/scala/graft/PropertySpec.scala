@@ -426,6 +426,41 @@ class PropertySpec extends AnyFunSuite {
     assert(dd._2 >= 0.8, s"near-dup LSH precision ${dd._2} below 0.8 floor")
   }
 
+  test("ssspFixed equals brute-force k-round Bellman-Ford on random weighted graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(7)
+    val inf = Long.MaxValue / 4
+    (1 to 5).foreach { trial =>
+      val n = 8 + rnd.nextInt(5)
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong, 1L + rnd.nextInt(9))).toSeq
+      if (edges.nonEmpty) {
+        val seeds = Seq(0L, 3L)
+        val k = 3
+        // reference: simultaneous relaxation from the PREVIOUS round's
+        // distances — the same contract the operator declares
+        var dist = (0 until n).map(i =>
+          i.toLong -> (if (seeds.contains(i.toLong)) 0L else inf)).toMap
+        (1 to k).foreach { _ =>
+          dist = dist.map { case (v, d) =>
+            val best = edges.foldLeft(d) { case (acc, (a, b, w)) =>
+              if (b == v) math.min(acc, dist(a) + w)
+              else if (a == v) math.min(acc, dist(b) + w)
+              else acc
+            }
+            v -> best
+          }
+        }
+        val want = dist.filter(_._2 < inf)
+        val got = Graph.ssspFixed(edges.toDF("item_a", "item_b", "w"),
+            seeds.toDF("node"), iters = k)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial: got $got want $want ($edges)")
+      }
+    }
+  }
+
   test("reclustered ANN index holds the spilled-IVF recall floor over the drifted corpus") {
     // the sim_ivf_recluster lifecycle: delete half the centroid ids
     // (real drift — their cells would serve empty under frozen
