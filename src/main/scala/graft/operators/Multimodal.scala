@@ -13,6 +13,10 @@ final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
 /** One sampled frame of a media payload. */
 final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+/** Metadata decoded from a REAL RIFF/WAVE PCM payload. */
+final case class WavMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
+    bits: Long, n_samples: Long, duration_ms: Long, abs_sum: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded per-partition through a typed
   * Dataset.
@@ -95,6 +99,106 @@ object Multimodal {
       Resized(r.doc_id, r.media_type, r.payload.length.toLong,
         targetBytes.toLong, r.payload.length > targetBytes, out)
     })
+  }
+
+  // ---- REAL codec: RIFF/WAVE PCM ------------------------------------
+  //
+  // PCM WAV needs no external library — the container is a RIFF header
+  // plus little-endian integer samples — so unlike the image/video
+  // stubs above, the audio path can be REAL end to end: a writer that
+  // emits spec-conformant bytes, a parser that walks the chunk list of
+  // ANY PCM WAV (not just ours), and exact integer statistics off the
+  // decoded samples. The synthetic corpus payload is deterministic from
+  // doc_id, which is what lets the DuckDB oracle verify the whole
+  // encode→decode round trip arithmetically, byte-level parser
+  // included.
+
+  /** Encode mono 16-bit PCM samples as a spec-conformant WAV payload:
+    * RIFF size header, `fmt ` chunk (PCM=1, channels, rate, byte rate,
+    * block align, bits), `data` chunk, all little-endian. */
+  def pcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate×block
+    bb.putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL RIFF parser: walk the chunk list (any chunk order, unknown
+    * chunks skipped — per spec), read the PCM format fields from
+    * `fmt `, decode the 16-bit little-endian samples from `data`, and
+    * return exact integer metadata (duration in truncated ms, Σ|sample|
+    * as the energy statistic — integers, so the oracle can reproduce
+    * them bit-for-bit). Rejects non-RIFF/non-PCM payloads loudly. */
+  def decodeWav(docId: Long, payload: Array[Byte]): WavMeta = {
+    def ascii(from: Int) = new String(payload, from, 4, "US-ASCII")
+    require(payload.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataFrom = -1; var dataLen = -1
+    while (pos + 8 <= payload.length) {
+      val id = ascii(pos)
+      val len = bb.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          require(bb.getShort(pos + 8) == 1,
+            s"doc $docId: not PCM (fmt ${bb.getShort(pos + 8)})")
+          channels = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" => dataFrom = pos + 8; dataLen = len
+        case _ => // unknown chunk: skip (spec-conformant readers must)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && dataFrom >= 0, s"doc $docId: missing fmt/data chunk")
+    require(bits == 16 && channels == 1,
+      s"doc $docId: this decoder handles mono PCM-16, got $bits/$channels")
+    val n = dataLen / 2
+    var absSum = 0L
+    var i = 0
+    while (i < n) {
+      absSum += math.abs(bb.getShort(dataFrom + 2 * i).toLong)
+      i += 1
+    }
+    WavMeta(docId, rate.toLong, channels.toLong, bits.toLong, n.toLong,
+      n.toLong * 1000L / rate, absSum)
+  }
+
+  /** Deterministic synthetic waveform for doc_id — the formula the
+    * oracle replays: n = 40 + doc_id%57 samples of
+    * ((doc_id·31 + i·7) mod 2001) − 1000, all integer. */
+  def synthSamples(docId: Long): Array[Short] = {
+    val n = (40 + docId % 57).toInt
+    Array.tabulate(n)(i => (((docId * 31 + i * 7) % 2001) - 1000).toShort)
+  }
+
+  /** A media table of REAL WAV payloads, one per document. */
+  def toWavTable(spark: SparkSession, documents: DataFrame,
+      sampleRate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "wav", pcm16Wav(sampleRate, synthSamples(id)))))
+      .toDF()
+  }
+
+  /** Decode a WAV table per partition — the same typed-Dataset batch
+    * shape as [[extractMetadata]], but through the REAL parser. */
+  def extractWavMetadata(spark: SparkSession,
+      media: DataFrame): Dataset[WavMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
   }
 
   /** Fixed-width feature vector per frame (STUB standing in for a real

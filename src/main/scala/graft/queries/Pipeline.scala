@@ -1846,6 +1846,29 @@ object Pipeline {
       FROM n, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i)
       WHERE i % 4 = 0"""))
 
+  /** REAL audio decode (Multimodal.pcm16Wav/decodeWav): unlike the
+    * stubbed image/video codecs (no libraries in this container), PCM
+    * WAV is a RIFF container over little-endian integers, so the audio
+    * path is real end to end — a spec-conformant writer, a chunk-walking
+    * parser that handles any PCM WAV, and exact integer statistics
+    * (truncated-ms duration, Σ|sample| energy) off the decoded samples.
+    * The payloads are synthesized deterministically from doc_id, so the
+    * oracle verifies the whole encode→decode round trip — byte-level
+    * parser included — arithmetically. */
+  val mmWav = Q(
+    "mm_wav_decode",
+    (s, dir) => Multimodal.extractWavMetadata(s,
+      Multimodal.toWavTable(s, Tables.load(s, dir, "documents"))).toDF(),
+    Some("""WITH n AS (SELECT doc_id, 40 + doc_id % 57 AS ns FROM documents),
+      sm AS (SELECT doc_id, ns, abs(((doc_id * 31 + i * 7) % 2001) - 1000) AS a
+            FROM n, LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i))
+      SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(1 AS BIGINT) AS n_channels, CAST(16 AS BIGINT) AS bits,
+        CAST(ns AS BIGINT) AS n_samples,
+        CAST(ns * 1000 // 8000 AS BIGINT) AS duration_ms,
+        CAST(sum(a) AS BIGINT) AS abs_sum
+      FROM sm GROUP BY doc_id, ns"""))
+
   /** The composed corpus-curation funnel (operators.Curation): lang →
     * quality → exact-fingerprint dedup → near-dup cluster collapse, with
     * long-format per-stage survivor stats. Every stage reuses the SQL of
@@ -2164,5 +2187,5 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, corpusCurate, corpusCurateCut, corpusFreeze)
+    mmFrames, mmResize, mmWav, corpusCurate, corpusCurateCut, corpusFreeze)
 }

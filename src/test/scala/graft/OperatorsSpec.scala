@@ -695,6 +695,29 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- Multimodal ---------------------------------------------------------
 
+  test("WAV codec: encode-decode round trip, unknown chunks skipped, garbage rejected") {
+    import graft.operators.{Multimodal, WavMeta}
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val wav = Multimodal.pcm16Wav(8000, samples)
+    assert(wav.length == 44 + 12)
+    val m = Multimodal.decodeWav(1L, wav)
+    assert(m == WavMeta(1L, 8000L, 1L, 16L, 6L, 0L,
+      0L + 1000 + 1000 + 32767 + 32768 + 7))
+    // a conformant reader SKIPS unknown chunks: splice a LIST chunk
+    // between fmt and data — decode must be unchanged
+    val list = "LIST".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4).array() ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = wav.slice(0, 36) ++ list ++ wav.slice(36, wav.length)
+    assert(Multimodal.decodeWav(1L, spliced) == m,
+      "unknown chunks must be skipped, not break the parse")
+    // loud rejection of non-WAV bytes (no silent garbage metadata)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(2L, "definitely not a riff file".getBytes)
+    }
+  }
+
   test("Multimodal frame sampling and feature extraction") {
     val docs = Seq((1L, "a" * 220)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs))
