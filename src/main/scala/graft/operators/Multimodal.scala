@@ -201,6 +201,133 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(r => decodeWav(r.doc_id, r.payload)))
   }
 
+  // ---- REAL codec: 24-bit BMP ---------------------------------------
+  //
+  // Uncompressed BMP is the image analog of PCM WAV: two fixed headers
+  // plus raw bottom-up BGR rows padded to 4 bytes — no library needed.
+  // So the image path gets a REAL writer, a REAL parser, and a REAL
+  // nearest-neighbor resize that decodes pixels, rescales, and
+  // re-encodes — the operation resizeStub only mimed.
+
+  /** Pixel accessor contract: (x, y) from the TOP-left, returns
+    * (r, g, b) each 0..255. */
+  type PixelFn = (Int, Int) => (Int, Int, Int)
+
+  /** Encode a 24-bit uncompressed BMP: BITMAPFILEHEADER ("BM", size,
+    * pixel offset 54) + BITMAPINFOHEADER (40 bytes) + bottom-up BGR
+    * rows, each padded to a 4-byte boundary. */
+  def bmp24(width: Int, height: Int, px: PixelFn): Array[Byte] = {
+    val rowPad = (4 - (3 * width) % 4) % 4
+    val rowLen = 3 * width + rowPad
+    val dataLen = rowLen * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var yStored = 0
+    while (yStored < height) {
+      val y = height - 1 - yStored // rows are stored bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < rowPad) { bb.put(0.toByte); p += 1 }
+      yStored += 1
+    }
+    bb.array()
+  }
+
+  /** Decoded 24-bit BMP: dimensions + a top-down pixel accessor. */
+  final case class Bmp(width: Int, height: Int, px: PixelFn)
+
+  /** REAL BMP parser: validates the magic, reads the pixel offset and
+    * the BITMAPINFOHEADER dims, requires uncompressed 24-bit, and
+    * returns an accessor that undoes the bottom-up row order and the
+    * row padding. Rejects anything else loudly. */
+  def decodeBmp(docId: Long, payload: Array[Byte]): Bmp = {
+    require(payload.length >= 54 &&
+        payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      s"doc $docId: not a BMP payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    val bpp = bb.getShort(28)
+    val compression = bb.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"doc $docId: this decoder handles uncompressed 24-bit BMP, " +
+        s"got $bpp bpp compression $compression")
+    require(height > 0, s"doc $docId: top-down BMPs not supported")
+    val rowLen = 3 * width + (4 - (3 * width) % 4) % 4
+    Bmp(width, height, (x, y) => {
+      val at = offset + (height - 1 - y) * rowLen + 3 * x
+      ((payload(at + 2) & 0xff), (payload(at + 1) & 0xff),
+        (payload(at) & 0xff))
+    })
+  }
+
+  /** REAL nearest-neighbor resize: decode, map each target pixel to
+    * source (x·w/w2, y·h/h2) by integer division, re-encode. This is
+    * the operation [[resizeStub]] stood in for — actual pixels move. */
+  def resizeBmp(docId: Long, payload: Array[Byte], w2: Int,
+      h2: Int): Array[Byte] = {
+    val src = decodeBmp(docId, payload)
+    bmp24(w2, h2, (x, y) => src.px(x * src.width / w2, y * src.height / h2))
+  }
+
+  /** Per-image exact statistics off decoded pixels. */
+  final case class BmpMeta(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def bmpMeta(docId: Long, payload: Array[Byte]): BmpMeta = {
+    val b = decodeBmp(docId, payload)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < b.height) {
+      var x = 0
+      while (x < b.width) {
+        val (r, g, bl) = b.px(x, y)
+        sr += r; sg += g; sb += bl
+        x += 1
+      }
+      y += 1
+    }
+    BmpMeta(docId, b.width.toLong, b.height.toLong, sr, sg, sb)
+  }
+
+  /** Deterministic synthetic image for doc_id — the formula the oracle
+    * replays. */
+  def synthPixel(docId: Long): PixelFn = (x, y) =>
+    (((docId + 3L * x + 5L * y) % 256L).toInt,
+      ((docId * 7L + x + 2L * y) % 256L).toInt,
+      ((x.toLong * y + docId) % 256L).toInt)
+
+  /** Media table of REAL BMP payloads, one 8×6 image per document. */
+  def toBmpTable(spark: SparkSession, documents: DataFrame,
+      width: Int = 8, height: Int = 6): DataFrame = {
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "bmp", bmp24(width, height, synthPixel(id)))))
+      .toDF()
+  }
+
+  /** Decode-resize-decode per partition: REAL resize on REAL pixels,
+    * metadata of the result — the typed-Dataset batch shape
+    * throughout. */
+  def resizeBmpTable(spark: SparkSession, media: DataFrame, w2: Int,
+      h2: Int): Dataset[BmpMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(r =>
+      bmpMeta(r.doc_id, resizeBmp(r.doc_id, r.payload, w2, h2))))
+  }
+
   /** Fixed-width feature vector per frame (STUB standing in for a real
     * embedding model: mean byte value + normalized length + head bytes).
     * The shape — binary in, Array[Float] out, batched per partition — is

@@ -1869,6 +1869,31 @@ object Pipeline {
         CAST(sum(a) AS BIGINT) AS abs_sum
       FROM sm GROUP BY doc_id, ns"""))
 
+  /** REAL image resize (Multimodal.bmp24/decodeBmp/resizeBmp):
+    * uncompressed 24-bit BMP needs no codec library, so the image path
+    * joins the WAV one as real end to end — write an 8×6 image per
+    * document, decode its pixels, nearest-neighbor resize to 4×3
+    * (target pixel (x,y) reads source (2x,2y) — actual pixels move,
+    * not the resizeStub byte-truncation), re-encode, decode AGAIN, and
+    * emit exact per-channel sums of the result. The oracle replays the
+    * synth-pixel formula at the resampled coordinates — equality proves
+    * writer, parser (bottom-up rows, padding), and resampler all at
+    * once. */
+  val mmBmpResize = Q(
+    "mm_bmp_resize",
+    (s, dir) => Multimodal.resizeBmpTable(s,
+      Multimodal.toBmpTable(s, Tables.load(s, dir, "documents")),
+      w2 = 4, h2 = 3).toDF(),
+    Some("""WITH g AS (
+        SELECT doc_id, x, y FROM documents,
+          LATERAL (SELECT unnest(generate_series(0, 3)) AS x),
+          LATERAL (SELECT unnest(generate_series(0, 2)) AS y))
+      SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        CAST(sum((doc_id + 6 * x + 10 * y) % 256) AS BIGINT) AS sum_r,
+        CAST(sum((doc_id * 7 + 2 * x + 4 * y) % 256) AS BIGINT) AS sum_g,
+        CAST(sum((4 * x * y + doc_id) % 256) AS BIGINT) AS sum_b
+      FROM g GROUP BY doc_id"""))
+
   /** The composed corpus-curation funnel (operators.Curation): lang →
     * quality → exact-fingerprint dedup → near-dup cluster collapse, with
     * long-format per-stage survivor stats. Every stage reuses the SQL of
@@ -2187,5 +2212,6 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, corpusCurate, corpusCurateCut, corpusFreeze)
+    mmFrames, mmResize, mmWav, mmBmpResize, corpusCurate, corpusCurateCut,
+    corpusFreeze)
 }

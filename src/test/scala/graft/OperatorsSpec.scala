@@ -718,6 +718,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP codec: round trip incl. odd-width padding; identity resize; garbage rejected") {
+    import graft.operators.Multimodal
+    // odd width (5): rows are 15 bytes + 1 pad — the case a naive
+    // parser gets wrong
+    val px: Multimodal.PixelFn = (x, y) => (x * 10 + y, 200 - x, x * y % 256)
+    val bytes = Multimodal.bmp24(5, 3, px)
+    val d = Multimodal.decodeBmp(1L, bytes)
+    assert(d.width == 5 && d.height == 3)
+    for (x <- 0 until 5; y <- 0 until 3)
+      assert(d.px(x, y) == px(x, y), s"pixel ($x,$y) mangled")
+    // identity resize preserves every pixel (nearest-neighbor with
+    // scale 1 reads (x, y) itself)
+    val same = Multimodal.decodeBmp(1L, Multimodal.resizeBmp(1L, bytes, 5, 3))
+    for (x <- 0 until 5; y <- 0 until 3) assert(same.px(x, y) == px(x, y))
+    // 2x downscale reads the even source pixels
+    val half = Multimodal.decodeBmp(1L, Multimodal.resizeBmp(1L,
+      Multimodal.bmp24(8, 6, px), 4, 3))
+    for (x <- 0 until 4; y <- 0 until 3)
+      assert(half.px(x, y) == px(2 * x, 2 * y))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(2L, "not an image at all".getBytes)
+    }
+  }
+
   test("Multimodal frame sampling and feature extraction") {
     val docs = Seq((1L, "a" * 220)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs))
