@@ -1894,6 +1894,33 @@ object Pipeline {
         CAST(sum((4 * x * y + doc_id) % 256) AS BIGINT) AS sum_b
       FROM g GROUP BY doc_id"""))
 
+  /** REAL video demux (Multimodal.aviMjpg/demuxAvi): AVI is RIFF, so
+    * the CONTAINER level — headers, stream declaration, frame chunk
+    * boundaries — is real with no codec: write an AVI of 5+doc_id%9
+    * opaque frames per document, demux it by walking the chunk tree,
+    * sample every 2nd frame, and emit each sampled frame's exact byte
+    * length and checksum. Only the per-frame PIXEL decode stays
+    * stubbed (MJPG genuinely needs a library) — the sampled opaque
+    * bytes are exactly what a decoder fleet receives. The oracle
+    * replays the synth formula per frame, so equality proves the
+    * writer and the demuxer byte-for-byte. */
+  val mmAvi = Q(
+    "mm_avi_demux",
+    (s, dir) => Multimodal.sampleAviFrames(s,
+      Multimodal.toAviTable(s, Tables.load(s, dir, "documents")),
+      every = 2).toDF(),
+    Some("""WITH f AS (
+        SELECT doc_id, i, 20 + (doc_id + i) % 13 AS n_bytes
+        FROM documents, LATERAL (SELECT unnest(generate_series(
+          0, CAST(5 + doc_id % 9 AS BIGINT) - 1)) AS i)
+        WHERE i % 2 = 0)
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        CAST(n_bytes AS BIGINT) AS n_bytes,
+        CAST(list_sum(list_transform(generate_series(0, n_bytes - 1),
+          j -> (doc_id * 7 + i * 11 + j * 3) % 256)) % 1000000007
+          AS BIGINT) AS checksum
+      FROM f"""))
+
   /** The composed corpus-curation funnel (operators.Curation): lang →
     * quality → exact-fingerprint dedup → near-dup cluster collapse, with
     * long-format per-stage survivor stats. Every stage reuses the SQL of
@@ -2212,6 +2239,6 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmBmpResize, corpusCurate, corpusCurateCut,
-    corpusFreeze)
+    mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, corpusCurate,
+    corpusCurateCut, corpusFreeze)
 }

@@ -742,6 +742,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI demux: frame boundaries from the container walk; header/movi mismatch rejected") {
+    import graft.operators.Multimodal
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5), // odd len → pad
+      Array[Byte](6, 7, 8, 9))
+    val avi = Multimodal.aviMjpg(100000, 32, 24, frames)
+    val (meta, ranges) = Multimodal.demuxAvi(1L, avi)
+    assert(meta.width == 32 && meta.height == 24 &&
+      meta.us_per_frame == 100000 && meta.n_frames == 3)
+    val decoded = ranges.map { case (from, len) => avi.slice(from, from + len).toSeq }
+    assert(decoded == frames.map(_.toSeq),
+      "demuxed frame bytes must equal what was written (pad excluded)")
+    // a truncated movi (one frame chopped off) contradicts the header
+    val chopped = avi.slice(0, avi.length - 12)
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxAvi(2L, chopped)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxAvi(3L, "not a movie".getBytes)
+    }
+  }
+
   test("Multimodal frame sampling and feature extraction") {
     val docs = Seq((1L, "a" * 220)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs))
