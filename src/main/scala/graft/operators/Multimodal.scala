@@ -472,6 +472,165 @@ object Multimodal {
     })
   }
 
+  // ---- REAL codec: grayscale PNG ------------------------------------
+  //
+  // PNG is the one COMPRESSED format the JDK alone can do honestly:
+  // java.util.zip ships DEFLATE (Inflater/Deflater) and CRC32, and the
+  // rest of the spec is chunk framing plus the five scanline filters.
+  // The writer cycles through ALL five filter types (one per row) so
+  // the decoder's unfiltering — the genuinely tricky part of PNG — is
+  // exercised in full; the decoder verifies every chunk CRC, inflates,
+  // and reconstructs pixels per the spec. 8-bit grayscale keeps the
+  // predictor arithmetic 1 byte per pixel.
+
+  /** Decoded grayscale PNG: dimensions + top-down pixel accessor. */
+  final case class GrayPng(width: Int, height: Int, px: (Int, Int) => Int)
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def be32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array() // PNG ints are BE
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit grayscale PNG. Row y is filtered with type y%5 —
+    * deliberately cycling None/Sub/Up/Average/Paeth so every decoder
+    * path is real data, not dead code. */
+  def pngGray(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Int](width)
+    for (y <- 0 until height) {
+      val row = Array.tabulate(width)(x => px(x, y) & 0xff)
+      val f = y % 5
+      raw.write(f)
+      for (x <- 0 until width) {
+        val left = if (x > 0) row(x - 1) else 0
+        val up = if (y > 0) prev(x) else 0
+        val upLeft = if (x > 0 && y > 0) prev(x - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw.write((row(x) - pred) & 0xff)
+      }
+      prev = row
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 0, 0, 0, 0) // depth 8, gray, deflate, adaptive, none
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  /** REAL PNG decoder for 8-bit grayscale: signature + chunk walk with
+    * CRC VERIFICATION on every chunk, IDAT concatenation, zlib
+    * inflation, and per-row unfiltering of all five filter types.
+    * Anything else — wrong color type, bad CRC, truncation — fails
+    * loudly. */
+  def decodePng(docId: Long, payload: Array[Byte]): GrayPng = {
+    require(payload.length > 8 &&
+        payload.take(8).sameElements(PngSig),
+      s"doc $docId: not a PNG payload")
+    val bb = java.nio.ByteBuffer.wrap(payload) // big-endian by default
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 12 <= payload.length) {
+      val len = bb.getInt(pos)
+      val typ = new String(payload, pos + 4, 4, "US-ASCII")
+      require(pos + 12 + len <= payload.length,
+        s"doc $docId: truncated $typ chunk")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, pos + 4, 4 + len)
+      require(crc.getValue.toInt == bb.getInt(pos + 8 + len),
+        s"doc $docId: CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+          require(payload(pos + 16) == 8 && payload(pos + 17) == 0,
+            s"doc $docId: this decoder handles 8-bit grayscale PNG")
+        case "IDAT" => idat.write(payload, pos + 8, len)
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && h > 0 && idat.size() > 0,
+      s"doc $docId: missing IHDR/IDAT")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val scan = new Array[Byte]((w + 1) * h)
+    var got = 0
+    while (got < scan.length && !inflater.finished())
+      got += inflater.inflate(scan, got, scan.length - got)
+    inflater.end()
+    require(got == scan.length, s"doc $docId: short IDAT stream")
+    val pix = Array.ofDim[Int](h, w)
+    for (y <- 0 until h) {
+      val f = scan(y * (w + 1)) & 0xff
+      for (x <- 0 until w) {
+        val v = scan(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) pix(y)(x - 1) else 0
+        val up = if (y > 0) pix(y - 1)(x) else 0
+        val upLeft = if (x > 0 && y > 0) pix(y - 1)(x - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+          case other => sys.error(s"doc $docId: unknown filter $other")
+        }
+        pix(y)(x) = (v + pred) & 0xff
+      }
+    }
+    GrayPng(w, h, (x, y) => pix(y)(x))
+  }
+
+  /** Media table of REAL PNG payloads: a 16×10 deterministic gradient
+    * per document. */
+  def toPngTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "png",
+        pngGray(16, 10, (x, y) => ((id + 3L * x + 7L * y) % 256L).toInt))))
+      .toDF()
+  }
+
+  /** Per-image exact statistics off DEFLATE-round-tripped pixels. */
+  final case class PngMeta(doc_id: Long, width: Long, height: Long,
+      px_sum: Long)
+
+  def extractPngMetadata(spark: SparkSession,
+      media: DataFrame): Dataset[PngMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val p = decodePng(r.doc_id, r.payload)
+      var s = 0L
+      for (y <- 0 until p.height; x <- 0 until p.width) s += p.px(x, y)
+      PngMeta(r.doc_id, p.width.toLong, p.height.toLong, s)
+    })
+  }
+
   /** Fixed-width feature vector per frame (STUB standing in for a real
     * embedding model: mean byte value + normalized length + head bytes).
     * The shape — binary in, Array[Float] out, batched per partition — is

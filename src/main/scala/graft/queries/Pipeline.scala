@@ -1921,6 +1921,27 @@ object Pipeline {
           AS BIGINT) AS checksum
       FROM f"""))
 
+  /** REAL compressed-image codec (Multimodal.pngGray/decodePng): PNG is
+    * the one compressed format the JDK alone can do honestly —
+    * java.util.zip ships DEFLATE and CRC32; the rest is chunk framing
+    * and the five scanline filters. The writer cycles ALL five filter
+    * types (one per row) so the decoder's unfiltering paths are real
+    * data; the decoder verifies every chunk CRC, inflates, and
+    * reconstructs pixels. The oracle replays the deterministic gradient
+    * arithmetically — equality proves the full
+    * filter→DEFLATE→inflate→unfilter round trip per document. */
+  val mmPng = Q(
+    "mm_png_decode",
+    (s, dir) => Multimodal.extractPngMetadata(s,
+      Multimodal.toPngTable(s, Tables.load(s, dir, "documents"))).toDF(),
+    Some("""WITH g AS (
+        SELECT doc_id, x, y FROM documents,
+          LATERAL (SELECT unnest(generate_series(0, 15)) AS x),
+          LATERAL (SELECT unnest(generate_series(0, 9)) AS y))
+      SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(10 AS BIGINT) AS height,
+        CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS px_sum
+      FROM g GROUP BY doc_id"""))
+
   /** The composed corpus-curation funnel (operators.Curation): lang →
     * quality → exact-fingerprint dedup → near-dup cluster collapse, with
     * long-format per-stage survivor stats. Every stage reuses the SQL of
@@ -2239,6 +2260,6 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, corpusCurate,
+    mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, mmPng, corpusCurate,
     corpusCurateCut, corpusFreeze)
 }

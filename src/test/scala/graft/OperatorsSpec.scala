@@ -763,6 +763,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG codec: all five filters round-trip through DEFLATE; CRC corruption rejected") {
+    import graft.operators.Multimodal
+    // height 10 → rows exercise filter types 0..4 twice each
+    val px = (x: Int, y: Int) => (x * 13 + y * 29 + (x * y) % 7) % 256
+    val png = Multimodal.pngGray(9, 10, px)
+    val d = Multimodal.decodePng(1L, png)
+    assert(d.width == 9 && d.height == 10)
+    for (x <- 0 until 9; y <- 0 until 10)
+      assert(d.px(x, y) == px(x, y), s"pixel ($x,$y) mangled by filter ${y % 5}")
+    // CRC verification is real: flip one IDAT byte, decode must refuse
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 12 + 8) = (corrupt(8 + 25 + 12 + 8) ^ 0x5a).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(2L, corrupt)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(3L, "png? no.".getBytes)
+    }
+  }
+
   test("Multimodal frame sampling and feature extraction") {
     val docs = Seq((1L, "a" * 220)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs))
