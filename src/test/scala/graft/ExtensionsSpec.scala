@@ -8,6 +8,30 @@ class ExtensionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("PlanLint flags the three scale-killers and passes clean plans") {
+    import graft.plans.PlanLint
+    val a = (1L to 50L).toDF("x")
+    val b = (1L to 50L).toDF("y")
+    // cartesian: non-equi cross join without broadcast hint
+    val cart = a.crossJoin(b).filter(col("x") * 2 < col("y"))
+    val cartRules = PlanLint.lint(cart).map(_.rule).toSet
+    assert(cartRules.contains("cartesian-product") ||
+      cartRules.contains("nested-loop-join"),
+      s"cross product must be flagged, got $cartRules")
+    // global window: row_number with no partitioning
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+    val gw = a.withColumn("rn", row_number().over(w))
+    assert(PlanLint.lint(gw).map(_.rule).contains("global-window"))
+    // a healthy partial+final aggregate over a scan lints clean
+    val clean = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .groupBy("o_orderstatus").count()
+    assert(PlanLint.lint(clean).isEmpty,
+      s"clean plan must produce no findings: ${PlanLint.lint(clean)}")
+    // and the DataFrame surface matches
+    assert(PlanLint.lintDf(gw).select("rule").as[String].collect()
+      .contains("global-window"))
+  }
+
   test("graft_hash56 and lev_similarity are SQL-callable via extensions") {
     val r = spark.sql(
       "SELECT graft_hash56('abc') AS h, lev_similarity('kitten', 'sitting') AS s")
