@@ -385,6 +385,118 @@ object Relational {
           AS BIGINT), 0)) // CAST(sum(rev) * 10000 AS BIGINT) AS share_pm
       FROM f GROUP BY o_year ORDER BY o_year"""))
 
+  /** Q13 (TPC-H customer-distribution shape): the histogram-of-counts
+    * classic — how many customers placed exactly k orders, INCLUDING
+    * k = 0 (the reason it's a LEFT outer join from customer, not a
+    * plain groupBy over orders: zero-order customers vanish from any
+    * inner form). Two aggregates: orders-per-customer, then
+    * customers-per-count — both map-side combined, the second over one
+    * row per customer. */
+  val q13CustDist = Q(
+    "q13_cust_dist",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** Q14 (TPC-H promo-revenue shape): one month's share of PROMO-part
+    * revenue — the conditional-sum ratio again (q8's pattern) but with
+    * the numerator condition on a JOINED dimension attribute, so the
+    * dim join must complete before the split. Exact BIGINT
+    * ten-thousandths; share in integer permille. */
+  val q14PromoShare = Q(
+    "q14_promo_share",
+    (s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          expr("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) * 10000 AS BIGINT)")
+            .as("promo_rev_e4"),
+          expr("CAST(sum(rev) * 10000 AS BIGINT)").as("tot_rev_e4"))
+        .select(
+          coalesce(col("promo_rev_e4"), lit(0L)).as("promo_rev_e4"),
+          col("tot_rev_e4"),
+          expr("(1000 * coalesce(promo_rev_e4, 0)) div tot_rev_e4")
+            .as("promo_pm"))
+    },
+    Some("""SELECT
+        CAST(coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) * 10000
+          AS BIGINT), 0) AS BIGINT) AS promo_rev_e4,
+        CAST(sum(rev) * 10000 AS BIGINT) AS tot_rev_e4,
+        (1000 * coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) * 10000
+          AS BIGINT), 0)) // CAST(sum(rev) * 10000 AS BIGINT) AS promo_pm
+      FROM (SELECT l_partkey,
+              CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01') l
+      JOIN part ON p_partkey = l_partkey"""))
+
+  /** Q10 (TPC-H returned-item report): customers ranked by revenue
+    * they returned in a quarter — fact filtered FIRST (returnflag +
+    * date window pushed to the scans), aggregated per customer, then
+    * the customer/nation dims attach to only the aggregated rows,
+    * TakeOrdered top 20. */
+  val q10ReturnedItem = Q(
+    "q10_returned_item",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec("l_extendedprice") *
+            (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("rev"))
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      rev.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+          AS DOUBLE) AS revenue,
+        c_acctbal, n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   /** P1: multi-column case-insensitive contains OR-filter
     * (reference database.py:298-307 — ILIKE on name/number/address). */
   val p1IlikeOr = Q(
@@ -519,6 +631,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5LocalSupplier, q17SmallQty,
     q18LargeOrders, q21WaitingSupplier, q22ProspectCustomers, q8MarketShare,
+    q13CustDist, q14PromoShare, q10ReturnedItem,
     p1IlikeOr, p4DateRange, j1LeftJoinAgg,
     j4SharedEdges, w1TopkPerGroup, a9GroupConcat, t7DailyWindow)
 }
