@@ -45,7 +45,8 @@ object SparkEntry {
       "txt_phrase", "txt_phrase_stored", "txt_phrase_rank",
       "sim_ivf_multiprobe", "txt_heavy_tokens",
       "dd_components_inc", "g_pagerank_inc", "txt_mix_divergence",
-      "dq_expectations", "t18_ewma", "sim_ivf_stored", "sim_ivf_recluster")
+      "dq_expectations", "t18_ewma", "sim_ivf_stored", "sim_ivf_recluster",
+      "q13_cust_dist", "q10_returned_item", "g_sssp")
     preferred.filter(queries.contains)
   }
 }
