@@ -783,6 +783,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("codec property: random PNG images and WAV streams round-trip bit-exactly") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { trial =>
+      // PNG: arbitrary small dims (incl. 1×1) and arbitrary pixels —
+      // every row still cycles a different filter type
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(16)
+      val img = Array.fill(h, w)(rnd.nextInt(256))
+      val d = Multimodal.decodePng(trial.toLong,
+        Multimodal.pngGray(w, h, (x, y) => img(y)(x)))
+      assert(d.width == w && d.height == h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert(d.px(x, y) == img(y)(x), s"trial $trial pixel ($x,$y)")
+      // WAV: arbitrary sample counts (incl. 0) and full 16-bit range
+      val n = rnd.nextInt(50)
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val m = Multimodal.decodeWav(trial.toLong,
+        Multimodal.pcm16Wav(8000 + rnd.nextInt(40000), s))
+      assert(m.n_samples == n &&
+        m.abs_sum == s.map(v => math.abs(v.toLong)).sum,
+        s"trial $trial WAV stats")
+    }
+  }
+
   test("Multimodal frame sampling and feature extraction") {
     val docs = Seq((1L, "a" * 220)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(spark, Multimodal.toMediaTable(docs))
