@@ -41,13 +41,22 @@ import org.apache.spark.sql.functions._
   * serve always equals the from-scratch computation over the surviving
   * corpus with centroids derived by the same rule.
   *
-  * Generations are derived FROM THE DATA: the next append generation is
-  * max(postings.gen, tombstones.upto_gen, meta.gen) + 1, so a crash
-  * between the postings append and the meta write cannot make the next
-  * append reuse a generation (the round-9 ADVICE scenario where a
-  * delete-then-re-add's re-add landed at the tombstoned generation and
-  * was wrongly suppressed — gen > upto_gen is strict). The meta counter
-  * is kept as the audit record and restated lazily by the same max.
+  * Generations are WRITE-AHEAD CLAIMED: an append first creates an
+  * atomic claim marker (`base/gen/g_<n>`, [[IndexStore.claimGen]] — the
+  * era-marker primitive reused) and only then writes postings at that
+  * generation, so non-reuse holds UNCONDITIONALLY — a crash at any
+  * point leaves the marker ≥ every generation on disk, and the next
+  * append (recovered or not) claims strictly above it. This closes the
+  * round-9 ADVICE scenario (a delete-then-re-add's re-add landing at
+  * the tombstoned generation and being wrongly suppressed — serving is
+  * strictly gen > upto_gen) without the round-10 cost of scanning the
+  * postings for their max on every append: the claim floor reads the
+  * era meta (1 row) and the bounded tombstone table, never the corpus.
+  * Compaction folds the watermark into the new era's meta and
+  * truncates the markers, so the claim list is O(appends since the
+  * last compaction). The era meta itself is IMMUTABLE once staged
+  * (geometry + counter floor written exactly once per era) — no
+  * delete-then-rewrite window can leave it empty (round-10 ADVICE).
   *
   * Citations: reference repo has no vector serving at all (its search is
   * the ES bool-query client, api_clients.py:677-728) — this is part of
@@ -157,8 +166,8 @@ object AnnIndex {
       IndexStore.stagePlain(
         post.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
         IndexStore.tombDir(base, 0L))
-      IndexStore.stagePlain(c.select("cand_id").distinct(),
-        IndexStore.idsDir(base, 0L))
+      IndexStore.stageIds(c.select("cand_id").distinct(),
+        IndexStore.idsDir(base, 0L), "cand_id")
       IndexStore.stagePlain(
         metaFrame(spark, Meta(0L, spill, seedStride, buckets)),
         metaDir(base, 0L))
@@ -213,58 +222,62 @@ object AnnIndex {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
-  /** The data-derived next generation: strictly above every generation
-    * the postings, tombstones, OR meta have ever recorded — so neither
-    * an append crash (meta stale-low) nor a compaction that dropped the
-    * max-gen rows (meta remembers) can reuse a number. */
-  private def nextGen(spark: org.apache.spark.sql.SparkSession,
+  /** Claim the next generation (write-ahead — see object doc): the
+    * floor is max(era meta counter, tombstone max) — both bounded
+    * reads (1 row; ∝ deletes since compaction) — and
+    * [[IndexStore.claimGen]] lands the atomic marker strictly above
+    * every prior claim before any data is written at the number. The
+    * POSTINGS ARE NEVER SCANNED (the round-10 verdict's one remaining
+    * per-append-∝-corpus cost); the crash-sim proof is the drop-table
+    * test — this succeeds with the postings table unregistered. */
+  private[graft] def claimNextGen(spark: org.apache.spark.sql.SparkSession,
       tag: String): Long = {
-    val dataMax = spark.table(postTable(tag)).select(col("gen"))
-      .unionByName(spark.table(tombTable(tag))
-        .select(col("upto_gen").as("gen")))
-      .agg(coalesce(max("gen"), lit(0L))).collect().head.getLong(0)
-    math.max(dataMax, readMeta(spark, tag).gen) + 1
+    val tombMax = spark.table(tombTable(tag))
+      .agg(coalesce(max("upto_gen"), lit(0L))).collect().head.getLong(0)
+    val floor = math.max(readMeta(spark, tag).gen, tombMax)
+    IndexStore.claimGen(spark, indexBase(tag), floor)
   }
 
   /** Ingest a batch: assign against the STORED centroids (frozen
     * geometry — see object doc), append postings at the next
     * generation. Re-added ids out-generation their tombstones, so a
     * delete→re-add cycle serves the new vector — the generation is
-    * derived from the data ([[nextGen]]), so this holds across crashes.
+    * write-ahead claimed ([[claimNextGen]]), so this holds across
+    * crashes.
     *
-    * Crash contract: three writes, postings → known-ids → meta. A crash
-    * after the postings append leaves the known-ids list and the meta
-    * counter stale; neither affects serving (ids only guard ingest,
-    * gens derive from data), and [[openIndex]]'s recovery restates the
-    * ids ([[repairKnownIds]]). Caller contract: an id is appended at
-    * most once per live generation — re-adding a STILL-LIVE id makes
-    * the newest generation serve ([[serveTopK]] is max-gen
-    * deterministic), but the intended path for that is
-    * delete-then-append. */
+    * Crash contract: gen claim (atomic marker) → postings → known-ids.
+    * A crash after the postings append leaves only the known-ids list
+    * stale, which never affects serving (ids only guard ingest; gen
+    * non-reuse is carried by the claim marker, which landed FIRST), and
+    * [[openIndex]]'s recovery restates the ids ([[repairKnownIds]]).
+    * The era meta is NOT touched — it is immutable once staged, so no
+    * append can leave it half-written (round-10 ADVICE). Caller
+    * contract: an id is appended at most once per live generation —
+    * re-adding a STILL-LIVE id makes the newest generation serve
+    * ([[serveTopK]] is max-gen deterministic), but the intended path
+    * for that is delete-then-append. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String, tag: String): Unit = {
-    val (m, gen, b) = appendPostingsOnly(spark, batch, idCol, vecCol, tag)
+    val (_, _, b) = appendPostingsOnly(spark, batch, idCol, vecCol, tag)
     b.select("cand_id").distinct().write.mode("append").format("parquet")
       .saveAsTable(idsTable(tag))
     b.unpersist()
     spark.catalog.refreshTable(idsTable(tag))
-    IndexStore.stagePlain(metaFrame(spark, m.copy(gen = gen)),
-      metaDir(indexBase(tag), IndexStore.readEra(spark, indexBase(tag)).get))
-    spark.catalog.refreshTable(metaTable(tag))
   }
 
-  /** The FIRST write of [[appendToIndex]] alone — package-private so the
-    * crash-sim tests can stop exactly at the contract's vulnerable point
-    * (postings landed; known-ids and meta both stale) and prove that
-    * generations stay strictly increasing ([[nextGen]] derives from
-    * data) and that [[repairKnownIds]] restates the id list. */
+  /** The claim + postings write of [[appendToIndex]] alone — package-
+    * private so the crash-sim tests can stop exactly at the contract's
+    * vulnerable point (claim + postings landed; known-ids stale) and
+    * prove that generations stay strictly increasing (the write-ahead
+    * claim landed before the postings) and that [[repairKnownIds]]
+    * restates the id list. */
   private[graft] def appendPostingsOnly(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, tag: String): (Meta, Long, DataFrame) = {
     require(spark.catalog.tableExists(postTable(tag)),
       s"ANN index '$tag' must be built/opened first")
     val m = readMeta(spark, tag)
-    val gen = nextGen(spark, tag)
+    val gen = claimNextGen(spark, tag)
     val cents = spark.table(centTable(tag))
     val b = batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .cache()
@@ -284,19 +297,23 @@ object AnnIndex {
 
   /** Restate the known-ids list from the postings if an append crashed
     * between the postings write and the ids write (ids can only be
-    * MISSING entries — every other path stages them together). One
-    * distinct over the postings, run only on recovery. Returns true
-    * when a repair was needed. */
+    * MISSING entries — every other path stages them together). UNION
+    * with the surviving list, not a replacement — ids may legitimately
+    * be a superset of the postings ids (a batch assigned against an
+    * empty centroid set stages no postings; the sibling index families
+    * have zero-posting docs by construction, and the three repairers
+    * keep one contract). One distinct over the postings, run only on
+    * recovery. Returns true when a repair was needed. */
   def repairKnownIds(spark: org.apache.spark.sql.SparkSession,
       tag: String): Boolean = {
-    val truth = spark.table(postTable(tag)).select("cand_id").distinct()
-      .localCheckpoint()
-    val drifted = truth.count() >
-      knownIds(spark, tag).select("cand_id").distinct().count()
+    val surviving = knownIds(spark, tag).select("cand_id")
+    val truth = spark.table(postTable(tag)).select("cand_id")
+      .unionByName(surviving).distinct().localCheckpoint()
+    val drifted = truth.count() > surviving.distinct().count()
     if (drifted) {
       val base = indexBase(tag)
       val era = IndexStore.readEra(spark, base).get
-      IndexStore.stagePlain(truth, IndexStore.idsDir(base, era))
+      IndexStore.stageIds(truth, IndexStore.idsDir(base, era), "cand_id")
       spark.catalog.refreshTable(idsTable(tag))
     }
     drifted
@@ -365,9 +382,18 @@ object AnnIndex {
     val era = IndexStore.readEra(spark, base).get
     val next = era + 1
     val m = readMeta(spark, tag)
+    // fold the generation watermark into the new era's (immutable)
+    // meta, so the claim markers can be truncated after the commit —
+    // the floor survives in 1 row, and any marker lost to a crash
+    // mid-truncation is harmless (only the max is observable)
+    val tombMax = spark.table(tombTable(tag))
+      .agg(coalesce(max("upto_gen"), lit(0L))).collect().head.getLong(0)
+    val watermark = Seq(m.gen, tombMax,
+      IndexStore.maxClaimedGen(spark, base).getOrElse(0L)).max
     val live = livePostings(spark, tag).localCheckpoint()
+    val frozenCents = spark.table(centTable(tag))
     val (post, cents) =
-      if (!recluster) (live, spark.table(centTable(tag)))
+      if (!recluster) (live, frozenCents)
       else {
         // one row per live id, newest generation wins (same rule as
         // serve) — then the build-time geometry rule over the survivors
@@ -376,7 +402,15 @@ object AnnIndex {
           .localCheckpoint()
         val c = uniq.filter(col("cand_id") % m.seedStride === 0)
           .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
-        (assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
+        // GUARD (round-10 ADVICE, medium): if deletions removed every
+        // seed-stride id, the re-derived quantizer is EMPTY — assigning
+        // against it would stage zero postings and commit an empty
+        // index while retention deletes the old era (silent loss of the
+        // whole live corpus). Fall back to the frozen centroids: the
+        // compaction still physically drops tombstoned rows; only the
+        // re-clustering is declined.
+        if (c.limit(1).count() == 0L) (live, frozenCents)
+        else (assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
           .select(col("cell"), col("cand_id"), col("cv"), col("gen")), c)
       }
     IndexStore.stageBucketed(post, IndexStore.postDir(base, next),
@@ -385,11 +419,13 @@ object AnnIndex {
     IndexStore.stagePlain(
       post.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
       IndexStore.tombDir(base, next))
-    IndexStore.stagePlain(post.select("cand_id").distinct(),
-      IndexStore.idsDir(base, next))
-    IndexStore.stagePlain(metaFrame(spark, m), metaDir(base, next))
+    IndexStore.stageIds(post.select("cand_id").distinct(),
+      IndexStore.idsDir(base, next), "cand_id")
+    IndexStore.stagePlain(metaFrame(spark, m.copy(gen = watermark)),
+      metaDir(base, next))
     IndexStore.commitEra(spark, base, next)
     registerTables(spark, tag, next, m.buckets)
     IndexStore.dropOldEras(spark, base, keep = next)
+    IndexStore.truncateGenClaims(spark, base, upto = watermark)
   }
 }

@@ -333,20 +333,24 @@ object PhraseIndex {
   private[graft] def knownIds(spark: SparkSession, tag: String): DataFrame =
     spark.table(idsTable(tag))
 
-  /** Restate the known-ids list from the postings after an append crash
-    * (ids can only be MISSING entries). One distinct over the postings,
-    * run on recovery ([[openIndex]] calls it). */
+  /** Restate the known-ids list after an append crash (ids can only be
+    * MISSING entries). UNION with the surviving list, not a replacement:
+    * a doc shorter than every indexed window length is in ids with zero
+    * postings rows — legitimately — and a repair that forgot it would
+    * let a redelivery re-ingest it (round-10 ADVICE). One distinct over
+    * the postings, run on recovery ([[openIndex]] calls it). */
   def repairKnownIds(spark: SparkSession, tag: String): Boolean = {
     val post = spark.table(postTable(tag))
     val idCol = post.columns
       .filterNot(Set("w", "wlen", "n_hits", "first_pos", "gen")).head
-    val truth = post.select(col(idCol)).distinct().localCheckpoint()
-    val drifted = truth.count() >
-      knownIds(spark, tag).select(col(idCol)).distinct().count()
+    val surviving = knownIds(spark, tag).select(col(idCol))
+    val truth = post.select(col(idCol)).unionByName(surviving)
+      .distinct().localCheckpoint()
+    val drifted = truth.count() > surviving.distinct().count()
     if (drifted) {
       val base = indexBase(tag)
       val era = IndexStore.readEra(spark, base).get
-      IndexStore.stagePlain(truth, IndexStore.idsDir(base, era))
+      IndexStore.stageIds(truth, IndexStore.idsDir(base, era), idCol)
       spark.catalog.refreshTable(idsTable(tag))
     }
     drifted

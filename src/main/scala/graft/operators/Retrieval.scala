@@ -809,25 +809,31 @@ object Retrieval {
   private[graft] def knownIds(spark: org.apache.spark.sql.SparkSession,
       tag: String): DataFrame = spark.table(idsTable(tag))
 
-  /** Restate the known-ids list from the postings if an append crashed
-    * between the postings write and the ids write (ids can only be
-    * MISSING entries — every other path stages them together). One
-    * distinct over the postings, run on recovery ([[openIndex]] calls
-    * it). The id column is recovered from the postings schema (the one
-    * column that isn't term/tf/dl/gen). Returns true when a repair was
-    * needed. */
+  /** Restate the known-ids list if an append crashed between the
+    * postings write and the ids write (ids can only be MISSING entries
+    * — every other path stages them together). The restated list is
+    * the UNION of the postings-derived ids and the surviving list, not
+    * a replacement: ids is legitimately a SUPERSET of the postings ids
+    * — a doc ingested with empty/whitespace text contributes zero
+    * postings but still counts in n_docs, and a repair that forgot it
+    * would let a later redelivery re-ingest it and double-count its
+    * corpus-stats contribution (round-10 ADVICE). One distinct over
+    * the postings, run on recovery ([[openIndex]] calls it). The id
+    * column is recovered from the postings schema (the one column that
+    * isn't term/tf/dl/gen). Returns true when a repair was needed. */
   def repairKnownIds(spark: org.apache.spark.sql.SparkSession,
       tag: String): Boolean = {
     val post = spark.table(postTable(tag))
     val idCol = post.columns
       .filterNot(Set("term", "tf", "dl", "gen")).head
-    val truth = post.select(col(idCol)).distinct().localCheckpoint()
-    val drifted = truth.count() >
-      knownIds(spark, tag).select(col(idCol)).distinct().count()
+    val surviving = knownIds(spark, tag).select(col(idCol))
+    val truth = post.select(col(idCol)).unionByName(surviving)
+      .distinct().localCheckpoint()
+    val drifted = truth.count() > surviving.distinct().count()
     if (drifted) {
       val base = indexBase(tag)
       val era = IndexStore.readEra(spark, base).get
-      IndexStore.stagePlain(truth, IndexStore.idsDir(base, era))
+      IndexStore.stageIds(truth, IndexStore.idsDir(base, era), idCol)
       spark.catalog.refreshTable(idsTable(tag))
     }
     drifted

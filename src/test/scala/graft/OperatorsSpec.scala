@@ -1377,6 +1377,23 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(knownPlan.contains("ids_e") && !knownPlan.contains("post_e"),
       s"ingest guard must scan the id list, not the postings:\n$knownPlan")
+    // zero-posting docs (empty/whitespace text) live in the ids list
+    // WITHOUT postings rows — legitimately. A crash repair must UNION
+    // the postings-derived ids with the surviving list, not replace it:
+    // forgetting them re-ingests on redelivery and double-counts their
+    // n_docs/dl contribution to the BM25 corpus stats (round-10 ADVICE)
+    val emptyDoc = Seq((900001L, "   ")).toDF("doc_id", "text")
+    Retrieval.ingestNewDocs(spark, emptyDoc, "doc_id", "text", tag)
+    val n0 = spark.table(s"g_bm25_stats_$tag").collect().head.getLong(0)
+    Retrieval.appendPostings(spark,
+      Retrieval.postings(Seq((900002L, "union repair doc")).toDF("doc_id", "text"),
+        "doc_id", "text").withColumn("gen", lit(9L)), tag, buckets = 8)
+    spark.catalog.refreshTable(s"g_bm25_post_$tag")
+    assert(Retrieval.repairKnownIds(spark, tag),
+      "crash-orphaned id must trigger a repair")
+    Retrieval.ingestNewDocs(spark, emptyDoc, "doc_id", "text", tag)
+    assert(spark.table(s"g_bm25_stats_$tag").collect().head.getLong(0) == n0,
+      "zero-posting doc must survive the repair (redelivery = no-op)")
   }
 
   test("Retrieval: delete then re-add across a stats-write crash still serves the re-add") {
@@ -1830,27 +1847,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!serve().exists(r => r._2 == 6L || r._2 == 7L))
   }
 
-  test("AnnIndex: data-derived gens survive a meta-write crash; ids repair; max-gen serve; retention") {
+  test("AnnIndex: write-ahead gen claims survive an append crash; ids repair; max-gen serve; retention") {
     def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
     val cands = (0L until 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     val tag = "anncrash"
     AnnIndex.buildIndex(spark, cands, "vec_id", "embedding", tag,
       seedStride = 8, spill = 2, buckets = 2)
-    // delete id 5, then CRASH mid-re-add: postings landed at gen 1, the
-    // meta counter never advanced (the round-9 ADVICE scenario — the old
-    // meta-read scheme would hand the NEXT append gen 1 again, and a
-    // tombstone at upto_gen 1 would suppress this re-add)
+    // delete id 5, then CRASH mid-re-add: claim marker + postings landed
+    // at gen 1, nothing else (the round-9 ADVICE scenario — a scheme
+    // trusting a stale stored counter would hand the NEXT append gen 1
+    // again, and a tombstone at upto_gen 1 would suppress this re-add)
     AnnIndex.deleteFromIndex(spark, Seq(5L).toDF("vec_id"), "vec_id", tag)
     val (_, g1, b1) = AnnIndex.appendPostingsOnly(spark,
       cands.filter($"vec_id" === 5L), "vec_id", "embedding", tag)
     b1.unpersist()
     assert(g1 == 1L)
-    // next append derives gen 2 FROM THE DATA despite the stale meta
+    // next append claims gen 2 — the crashed claim marker is on disk,
+    // so reuse is impossible with NO recovery pass
     AnnIndex.appendToIndex(spark, Seq((40L, vec(40L))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", tag)
     val gens = spark.table(s"g_ann_post_$tag").select("gen").distinct()
       .as[Long].collect().toSet
     assert(gens == Set(0L, 1L, 2L), s"generations must never reuse: $gens")
+    // the claim floor reads the 1-row era meta + the bounded tombstone
+    // table, NEVER the postings (the round-10 verdict's one remaining
+    // per-append-∝-corpus cost): claiming succeeds with the postings
+    // table unregistered, and lands strictly above every prior claim
+    spark.sql(s"DROP TABLE g_ann_post_$tag")
+    val claimed = AnnIndex.claimNextGen(spark, tag)
+    assert(claimed == 3L, s"claim must top every prior claim: $claimed")
+    AnnIndex.openIndex(spark, tag)
+    // a claimed-but-crashed gen (no postings ever landed) is skipped,
+    // never reissued
+    AnnIndex.appendToIndex(spark, Seq((42L, vec(42L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tag)
+    val g42 = spark.table(s"g_ann_post_$tag").filter($"cand_id" === 42L)
+      .select("gen").distinct().as[Long].collect().toSet
+    assert(g42 == Set(4L), s"crashed claim 3 must be skipped: $g42")
+    // appends never rewrite the era meta (immutable once staged —
+    // round-10 ADVICE: the per-append delete-then-write could crash
+    // into an empty metaDir and make the index unopenable)
+    assert(spark.table(s"g_ann_meta_$tag").select("gen")
+      .as[Long].collect().head == 0L,
+      "era meta must stay at its staged value across appends")
     // crash-append a NEW id: postings hold it, the known-ids list does
     // not — repairKnownIds restates (and is a no-op when clean)
     val (_, _, b2) = AnnIndex.appendPostingsOnly(spark,
@@ -1888,6 +1927,49 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(d => assert(!new java.io.File(baseDir, d).exists, s"$d must be dropped"))
     assert(new java.io.File(baseDir, "era/e_1").exists)
     assert(cos7() > 0.999, "serve must hold across retention cleanup")
+    // compaction folds the claim watermark (6: claims 1-6 issued above)
+    // into the new era's meta and truncates the markers — the claim
+    // list stays O(appends since last compaction)
+    assert(IndexStore.maxClaimedGen(spark, baseDir.toString).isEmpty,
+      "claim markers must be truncated after compaction")
+    assert(spark.table(s"g_ann_meta_$tag").select("gen")
+      .as[Long].collect().head == 6L,
+      "new era meta must carry the folded watermark")
+    // and the next claim resumes strictly above the folded floor
+    AnnIndex.appendToIndex(spark, Seq((43L, vec(43L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tag)
+    assert(spark.table(s"g_ann_post_$tag").agg(max($"gen"))
+      .as[Long].collect().head == 7L,
+      "post-compaction claim must start at watermark + 1")
+  }
+
+  test("AnnIndex: recluster with every seed-stride id deleted falls back to frozen centroids (no empty-index commit)") {
+    def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
+    val cands = (0L until 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tag = "annreclusterguard"
+    AnnIndex.buildIndex(spark, cands, "vec_id", "embedding", tag,
+      seedStride = 8, spill = 2, buckets = 2)
+    // kill every %8==0 id — the reclustered quantizer's seed set is
+    // empty, which (unguarded) staged ZERO postings and committed an
+    // empty era while retention deleted the old one: silent loss of
+    // the whole live corpus (round-10 ADVICE, medium)
+    AnnIndex.deleteFromIndex(spark,
+      Seq(0L, 8L, 16L).toDF("vec_id"), "vec_id", tag)
+    AnnIndex.compactIndex(spark, tag, recluster = true)
+    val n = spark.table(s"g_ann_post_$tag").count()
+    assert(n > 0, "guard must refuse to commit an empty reclustered index")
+    val liveIds = spark.table(s"g_ann_post_$tag").select("cand_id")
+      .distinct().as[Long].collect().toSet
+    assert(liveIds == (0L until 24L).toSet -- Set(0L, 8L, 16L),
+      "fallback compaction must still drop the tombstoned rows")
+    // centroids are the FROZEN ones (re-clustering declined, not empty)
+    val cents = spark.table(s"g_ann_cent_$tag").select("cent_id")
+      .as[Long].collect().toSet
+    assert(cents == Set(0L, 8L, 16L),
+      s"frozen centroid set must survive: $cents")
+    val q = (100L to 101L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    assert(AnnIndex.serveTopK(spark, q, "vec_id", "embedding",
+      k = 3, nprobe = 3, tag = tag).count() > 0, "index must still serve")
   }
 
   test("IndexStore.dropOldEras: suffix match cannot cross eras; markers deleted before data") {
