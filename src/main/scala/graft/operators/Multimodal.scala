@@ -149,6 +149,10 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val id = ascii(pos)
       val len = bb.getInt(pos + 4)
+      // len is an untrusted little-endian int: a negative value would
+      // make the word-aligned step zero or negative and spin the walk
+      // forever — reject loudly instead
+      require(len >= 0, s"doc $docId: corrupt chunk length $len at $pos")
       id match {
         case "fmt " =>
           require(bb.getShort(pos + 8) == 1,
@@ -407,6 +411,9 @@ object Multimodal {
       while (pos + 8 <= end) {
         val id = ascii(pos)
         val len = bb.getInt(pos + 4)
+        // untrusted length: negative would step backwards/zero and
+        // loop forever (same hazard as the WAV walker)
+        require(len >= 0, s"doc $docId: corrupt chunk length $len at $pos")
         id match {
           case "LIST" => walk(pos + 12, pos + 8 + len) // skip the list type
           case "avih" =>
@@ -580,8 +587,15 @@ object Multimodal {
     inflater.setInput(idat.toByteArray)
     val scan = new Array[Byte]((w + 1) * h)
     var got = 0
-    while (got < scan.length && !inflater.finished())
-      got += inflater.inflate(scan, got, scan.length - got)
+    var stalled = false
+    while (got < scan.length && !inflater.finished() && !stalled) {
+      val n = inflater.inflate(scan, got, scan.length - got)
+      got += n
+      // a short-but-CRC-valid IDAT (e.g. IHDR height larger than the
+      // encoded rows) exhausts the zlib stream with finished() still
+      // false; inflate then returns 0 forever — break and fail below
+      stalled = n == 0 && inflater.needsInput()
+    }
     inflater.end()
     require(got == scan.length, s"doc $docId: short IDAT stream")
     val pix = Array.ofDim[Int](h, w)

@@ -783,6 +783,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("codec hardening: corrupt chunk lengths and short IDAT fail loudly, never loop") {
+    import graft.operators.Multimodal
+    // WAV: a negative chunk length makes the word-aligned step 0/negative
+    // — an unguarded walker spins forever instead of rejecting
+    val wav = Multimodal.pcm16Wav(8000, Array[Short](1, 2, 3))
+    val badWav = wav.clone()
+    java.nio.ByteBuffer.wrap(badWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, -9) // the data chunk's length field
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(1L, badWav) }
+    // AVI: same hazard in the RIFF list walk
+    val avi = Multimodal.aviMjpg(100000, 32, 24, Seq(Array[Byte](1, 2)))
+    val badAvi = avi.clone()
+    java.nio.ByteBuffer.wrap(badAvi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -9) // first LIST chunk's length field
+    intercept[IllegalArgumentException] { Multimodal.demuxAvi(2L, badAvi) }
+    // PNG: IHDR claims more rows than the IDAT encodes, with every chunk
+    // CRC recomputed valid — the zlib stream exhausts with finished()
+    // still false; an unguarded inflate loop spins on 0-byte returns
+    val png = Multimodal.pngGray(4, 3, (x, y) => x + y)
+    val tall = png.clone()
+    java.nio.ByteBuffer.wrap(tall).putInt(20, 8) // IHDR height 3 → 8 (BE)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tall, 12, 4 + 13) // chunk type + IHDR data
+    java.nio.ByteBuffer.wrap(tall).putInt(29, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException] { Multimodal.decodePng(3L, tall) }
+    assert(e.getMessage.contains("short IDAT"), e.getMessage)
+  }
+
   test("codec property: random PNG images and WAV streams round-trip bit-exactly") {
     import graft.operators.Multimodal
     val rnd = new scala.util.Random(11)
