@@ -46,7 +46,8 @@ object SparkEntry {
       "sim_ivf_multiprobe", "txt_heavy_tokens",
       "dd_components_inc", "g_pagerank_inc", "txt_mix_divergence",
       "dq_expectations", "t18_ewma", "sim_ivf_stored", "sim_ivf_recluster",
-      "q13_cust_dist", "q10_returned_item", "g_sssp")
+      "q13_cust_dist", "q10_returned_item", "g_sssp",
+      "q2_min_cost_supplier", "q20_potential_promotion")
     preferred.filter(queries.contains)
   }
 }

@@ -437,6 +437,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"per-order counts must combine map-side:\n$p")
   }
 
+  test("q2: min-cost decorrelation — one semi-pruned lineitem pass, dims broadcast, no BNLJ") {
+    val p = plan(Relational.q2MinCostSupplier)
+    // the correlated scalar subquery re-scans the pair relation per
+    // part; the decorrelated form derives pairs from ONE lineitem scan
+    // and feeds both the pair min and the per-part min off it
+    val lineitemScans = p.split("lineitem.parquet").length - 1
+    assert(lineitemScans == 1, s"expected one lineitem scan, got $lineitemScans:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the part filter prunes the fact BEFORE the aggregates (semi join
+    // on the broadcast part list, not a post-aggregate filter)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"part filter must push to the part scan:\n$p")
+    assert(p.contains("partial_min"), s"pair min must combine map-side:\n$p")
+  }
+
+  test("q20: nested semi-joins — one lineitem pass, both IN-lists as semi joins, no BNLJ") {
+    val p = plan(Relational.q20PotentialPromotion)
+    val lineitemScans = p.split("lineitem.parquet").length - 1
+    assert(lineitemScans == 1, s"expected one lineitem scan, got $lineitemScans:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), s"the IN-lists must plan as semi joins:\n$p")
+    // the 1997 window is a conditional sum inside the one grouped pass,
+    // not a second scan; quantity sums combine map-side
+    assert(p.contains("partial_sum"), s"pair sums must combine map-side:\n$p")
+  }
+
   test("q8: share is a conditional sum over ONE lineitem pass; dims broadcast") {
     val p = plan(Relational.q8MarketShare)
     // numerator and denominator come from the same aggregate — a
