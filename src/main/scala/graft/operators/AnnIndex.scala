@@ -379,6 +379,14 @@ object AnnIndex {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, tag: String,
       recluster: Boolean = false): Unit = {
     val base = indexBase(tag)
+    IndexStore.withWriterLock(spark, base) {
+      compactIndexLocked(spark, tag, recluster)
+    }
+  }
+
+  private def compactIndexLocked(spark: org.apache.spark.sql.SparkSession,
+      tag: String, recluster: Boolean): Unit = {
+    val base = indexBase(tag)
     val era = IndexStore.readEra(spark, base).get
     val next = era + 1
     val m = readMeta(spark, tag)

@@ -401,8 +401,12 @@ object Retrieval {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, tag: String,
       idCol: String, buckets: Int = 8): (Int, Int) = {
     val before = parquetFileCount(spark, tag)
-    val next = compactStage(spark, tag, idCol, buckets)
-    compactCommit(spark, tag, next, buckets)
+    // create-exclusive base/__lock: two concurrent compactions would
+    // race the same staged era directory — the second fails fast
+    IndexStore.withWriterLock(spark, indexBase(tag)) {
+      val next = compactStage(spark, tag, idCol, buckets)
+      compactCommit(spark, tag, next, buckets)
+    }
     (before, parquetFileCount(spark, tag))
   }
 

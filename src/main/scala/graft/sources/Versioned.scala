@@ -24,8 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * time — only the tiny marker directory. Retention is explicit and
   * crash-ordered ([[retainFrom]] deletes markers before directories, so
   * an interrupted cleanup can only leave unreferenced bytes, never a
-  * marker pointing at deleted data). Single writer per `base` assumed —
-  * the same contract TableStore documents for its lock files.
+  * marker pointing at deleted data). Single writer per `base` is
+  * ENFORCED, not just assumed: [[commit]]/[[commitAll]] hold the
+  * create-exclusive `base/__lock` ([[graft.operators.IndexStore
+  * .withWriterLock]]) for the stage+commit cycle, so a racing second
+  * committer fails fast instead of staging into the same version
+  * directory.
   */
 object VersionedStore {
 
@@ -58,11 +62,15 @@ object VersionedStore {
     * marker create — this is how a batchId rides along with a
     * maintained view ([[graft.operators.MatView]]'s idempotence). */
   def commit(spark: SparkSession, base: String, df: DataFrame,
-      extras: Map[String, String] = Map.empty): Long = {
-    val v = stageVersion(spark, base, df, extras)
-    commitVersion(spark, base, v)
-    v
-  }
+      extras: Map[String, String] = Map.empty): Long =
+    // create-exclusive base/__lock for the stage+commit cycle: two
+    // concurrent committers would both derive latest+1 and race the
+    // same staged version directory — the second fails fast instead
+    graft.operators.IndexStore.withWriterLock(spark, base) {
+      val v = stageVersion(spark, base, df, extras)
+      commitVersion(spark, base, v)
+      v
+    }
 
   /** The STAGE half of [[commit]] alone — everything written, nothing
     * committed. Package-private so crash-sim tests can stop exactly
@@ -149,18 +157,20 @@ object VersionedStore {
       tables: Seq[(String, DataFrame)],
       extras: Map[String, String] = Map.empty): Long = {
     require(tables.nonEmpty, "commitAll of nothing")
-    val v = latest(spark, base).map(_ + 1L).getOrElse(0L)
-    tables.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(tableDir(base, n, v)) }
-    val f = fs(spark, base)
-    extras.foreach { case (name, content) =>
-      val out = f.create(
-        new Path(s"${tableDir(base, tables.head._1, v)}/$name"), true)
-      out.write(content.getBytes("UTF-8"))
-      out.close()
+    graft.operators.IndexStore.withWriterLock(spark, base) {
+      val v = latest(spark, base).map(_ + 1L).getOrElse(0L)
+      tables.foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(tableDir(base, n, v)) }
+      val f = fs(spark, base)
+      extras.foreach { case (name, content) =>
+        val out = f.create(
+          new Path(s"${tableDir(base, tables.head._1, v)}/$name"), true)
+        out.write(content.getBytes("UTF-8"))
+        out.close()
+      }
+      commitVersion(spark, base, v)
+      v
     }
-    commitVersion(spark, base, v)
-    v
   }
 
   /** Read one member table of a committed version. */
