@@ -22,11 +22,16 @@ final case class WavMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
   * Dataset.
   *
   * The Spark-side plumbing is real — schema, encoders, partition-iterator
-  * batch shape (the Scala analog of mapInPandas batches). The decode step
-  * is a clearly-marked DETERMINISTIC STUB: this container has no codec
-  * libraries, so `decodeStub` derives metadata arithmetically from the
-  * payload; a production build swaps in the real codec per media_type
-  * without touching the surrounding plan.
+  * batch shape (the Scala analog of mapInPandas batches). Real codecs,
+  * all zero-dependency: PCM WAV (byte-level RIFF), 24-bit BMP with
+  * pixel resize, AVI container demux, grayscale PNG through the JDK's
+  * DEFLATE, and baseline JPEG through the JDK's ImageIO. What remains a
+  * clearly-marked DETERMINISTIC STUB is only the genuinely
+  * library-bound video PIXEL decode (plus the generic `decodeStub`
+  * used by the oracle-facing pipeline-shape queries): `decodeStub`
+  * derives metadata arithmetically from the payload; a production
+  * build swaps in the real codec per media_type without touching the
+  * surrounding plan.
   */
 object Multimodal {
 
@@ -642,6 +647,83 @@ object Multimodal {
       var s = 0L
       for (y <- 0 until p.height; x <- 0 until p.width) s += p.px(x, y)
       PngMeta(r.doc_id, p.width.toLong, p.height.toLong, s)
+    })
+  }
+
+  // ---- REAL pixel codec: baseline JPEG via the JDK's ImageIO --------
+  //
+  // The zero-dependency constraint rules out third-party codec
+  // libraries, but the JDK itself ships a baseline JPEG reader/writer
+  // (javax.imageio) — so the JPEG path can be REAL end to end with no
+  // external jar. The determinism caveat, documented honestly: JPEG
+  // decode output is implementation-dependent (IDCT rounding differs
+  // across JDK builds), so this path is property-tested with a pixel
+  // tolerance rather than DuckDB-oracled — unlike the bit-exact
+  // WAV/BMP/PNG trio above. Only video PIXEL decode (H.264 etc.)
+  // remains a genuinely library-bound stub.
+
+  /** Encode an 8-bit grayscale image as baseline JPEG at the given
+    * quality through the JDK writer. */
+  def jpegGray(w: Int, h: Int, px: (Int, Int) => Int,
+      quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, px(x, y) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  final case class Jpeg(width: Int, height: Int, px: (Int, Int) => Int)
+
+  /** Decode ANY JPEG the JDK reader handles (baseline + progressive)
+    * to grayscale pixels (luma for color inputs). Rejects non-JPEG
+    * payloads loudly — ImageIO returns null rather than throwing. */
+  def decodeJpeg(docId: Long, payload: Array[Byte]): Jpeg = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: not a decodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics()
+        gr.drawImage(img, 0, 0, null)
+        gr.dispose()
+        g
+      }
+    val raster = gray.getRaster
+    Jpeg(w, h, (x, y) => raster.getSample(x, y, 0))
+  }
+
+  /** Per-image statistics off ImageIO-decoded pixels. px_sum is exact
+    * FOR A GIVEN JDK but not across JDK builds (IDCT rounding) — keep
+    * this out of the DuckDB-oracled registry; assert with tolerance. */
+  final case class JpegMeta(doc_id: Long, width: Long, height: Long,
+      px_sum: Long)
+
+  def extractJpegMetadata(spark: SparkSession,
+      media: DataFrame): Dataset[JpegMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val j = decodeJpeg(r.doc_id, r.payload)
+      var s = 0L
+      for (y <- 0 until j.height; x <- 0 until j.width) s += j.px(x, y)
+      JpegMeta(r.doc_id, j.width.toLong, j.height.toLong, s)
     })
   }
 

@@ -811,6 +811,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("short IDAT"), e.getMessage)
   }
 
+  test("JPEG codec (JDK ImageIO): encode-decode within quality tolerance; garbage rejected; distributed metadata") {
+    import graft.operators.Multimodal
+    // smooth gradient — JPEG is built for these; quality 0.95 keeps
+    // per-pixel error small. Tolerance, not equality: decode output is
+    // JDK-implementation-dependent (IDCT rounding), which is why this
+    // path is property-tested and NOT DuckDB-oracled.
+    val w = 48; val h = 32
+    val px = (x: Int, y: Int) => math.min(255, 40 + 3 * x + 2 * y)
+    val bytes = Multimodal.jpegGray(w, h, px)
+    assert(bytes.length > 2 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "output must carry the JPEG SOI marker")
+    val d = Multimodal.decodeJpeg(1L, bytes)
+    assert(d.width == w && d.height == h)
+    var maxErr = 0
+    for (x <- 0 until w; y <- 0 until h)
+      maxErr = math.max(maxErr, math.abs(d.px(x, y) - px(x, y)))
+    assert(maxErr <= 8, s"round-trip per-pixel error $maxErr exceeds tolerance")
+    // lower quality degrades but still decodes to the right geometry
+    val lo = Multimodal.decodeJpeg(2L, Multimodal.jpegGray(w, h, px, 0.3f))
+    assert(lo.width == w && lo.height == h)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpeg(3L, "not a jpeg at all".getBytes)
+    }
+    // distributed metadata extraction: per-partition iterator decode,
+    // px_sum within tolerance of the ideal sum
+    val media = (0L until 6L).map { id =>
+      (id, "img", Multimodal.jpegGray(w, h, (x, y) => px(x, y)))
+    }.toDF("doc_id", "media_type", "payload")
+    val metas = Multimodal.extractJpegMetadata(spark, media).collect()
+    assert(metas.length == 6)
+    val ideal = (for (x <- 0 until w; y <- 0 until h) yield px(x, y).toLong).sum
+    metas.foreach { m =>
+      assert(m.width == w && m.height == h)
+      assert(math.abs(m.px_sum - ideal) <= 2L * w * h,
+        s"doc ${m.doc_id}: px_sum ${m.px_sum} too far from ideal $ideal")
+    }
+  }
+
   test("codec property: random PNG images and WAV streams round-trip bit-exactly") {
     import graft.operators.Multimodal
     val rnd = new scala.util.Random(11)
@@ -1488,6 +1527,46 @@ class OperatorsSpec extends AnyFunSuite {
       "the committed compaction must serve identically")
     assert(spark.table(s"g_bm25_tomb_$tag").count() == 0,
       "the new era starts with no tombstones")
+  }
+
+  test("IndexStore.withWriterLock: concurrent compaction fails fast, era state stays consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val q = Seq(1L -> Seq("spark", "join"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val tag = "opspec_bm25lock"
+    Retrieval.buildIndex(spark, docs, "doc_id", "text", tag)
+    val before = canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag))
+    val base = s"${graft.sources.Bucketing.processRoot}/bm25_$tag"
+    // writer A holds the lock (an in-flight compaction); writer B's
+    // compaction must fail FAST — not interleave into the same staged
+    // era directory — and leave the served index untouched
+    IndexStore.withWriterLock(spark, base) {
+      val e = intercept[IllegalStateException] {
+        Retrieval.compactIndex(spark, tag, "doc_id")
+      }
+      assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+    }
+    assert(IndexStore.readEra(spark, base).get == 0L,
+      "blocked writer must not have advanced the era")
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before)
+    // the lock releases on exit (even via the throw above): a retry
+    // succeeds and the era advances exactly once
+    Retrieval.compactIndex(spark, tag, "doc_id")
+    assert(IndexStore.readEra(spark, base).get == 1L)
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before)
+    // the versioned store enforces the same contract on commit/commitAll
+    val vbase = s"${graft.sources.Bucketing.processRoot}/vlock_test"
+    IndexStore.withWriterLock(spark, vbase) {
+      intercept[IllegalStateException] {
+        graft.sources.VersionedStore.commit(spark, vbase, Seq(1L).toDF("x"))
+      }
+    }
+    assert(graft.sources.VersionedStore.latest(spark, vbase).isEmpty,
+      "blocked commit must not have published a version")
+    assert(graft.sources.VersionedStore.commit(spark, vbase,
+      Seq(1L).toDF("x")) == 0L)
   }
 
   test("Retrieval.deleteFromIndex: tombstone bound auto-compacts") {
