@@ -93,4 +93,24 @@ object Expectations {
     require(parts.nonEmpty, "empty audit")
     parts.reduce(_ unionAll _)
   }
+
+  /** PLAN-quality expectations in the same long audit format — the
+    * [[graft.plans.PlanLint]] scale-killer pre-flight surfaced as
+    * `(rule, violations)` rows so a pipeline gates on plan shape with
+    * the same machinery it gates on data quality (union this into
+    * [[audit]]'s output, alert on violations > 0). One row per lint
+    * rule that fired, with the finding count; a clean plan emits the
+    * single row `plan:<name>:clean` with 0 violations — like the data
+    * rules, "no alert" is a visible row, never a missing one. Cost:
+    * driver-side plan inspection only, the frame is never executed. */
+  def planAudit(name: String, df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val found = graft.plans.PlanLint.lint(df)
+      .groupBy(_.rule).toSeq
+      .map { case (r, xs) => (s"plan:$name:$r", xs.size.toLong) }
+      .sortBy(_._1)
+    val rows = if (found.isEmpty) Seq((s"plan:$name:clean", 0L)) else found
+    rows.toDF("rule", "violations")
+  }
 }

@@ -32,6 +32,50 @@ class ExtensionsSpec extends AnyFunSuite {
       .contains("global-window"))
   }
 
+  test("PlanLint depth: pushdown-failed and filter-after-shuffle; dq planAudit rows") {
+    import graft.plans.PlanLint
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    // a filter on a COMPUTED value pushes nothing useful (IsNotNull
+    // residue only): every row-group is read, predicate runs post-I/O
+    val computed = li.filter(substring(col("l_returnflag"), 1, 1) === "R")
+      .select("l_orderkey")
+    assert(PlanLint.lint(computed).map(_.rule).contains("pushdown-failed"),
+      s"computed-value filter must flag: ${PlanLint.lint(computed)}")
+    // the same predicate on the stored column pushes — no finding
+    val pushed = li.filter(col("l_returnflag") === "R").select("l_orderkey")
+    assert(!PlanLint.lint(pushed).map(_.rule).contains("pushdown-failed"),
+      s"pushed filter must NOT flag: ${PlanLint.lint(pushed)}")
+    // rows discarded after crossing the network. Catalyst pushes
+    // DETERMINISTIC filters below a repartition on its own, so the
+    // lint's catch is exactly the residue the optimizer can't move —
+    // e.g. a non-deterministic sampling predicate placed after the
+    // exchange (sample first, then repartition the survivors)
+    val shuffled = li.select("l_orderkey", "l_quantity")
+      .repartition(8, col("l_orderkey"))
+      .filter(rand(42) < 0.5)
+    assert(PlanLint.lint(shuffled).map(_.rule).contains("filter-after-shuffle"),
+      s"filter over shuffle output must flag: ${PlanLint.lint(shuffled)}")
+    // sample-then-repartition (the fix) lints clean of that rule; so
+    // does the deterministic shape (Catalyst repairs it in planning)
+    val fixed = li.select("l_orderkey", "l_quantity")
+      .filter(rand(42) < 0.5)
+      .repartition(8, col("l_orderkey"))
+    assert(!PlanLint.lint(fixed).map(_.rule).contains("filter-after-shuffle"))
+    val repaired = li.select("l_orderkey", "l_quantity")
+      .repartition(8, col("l_orderkey"))
+      .filter(col("l_quantity") > lit(1000.0))
+    assert(!PlanLint.lint(repaired).map(_.rule).contains("filter-after-shuffle"))
+    // dq integration: findings surface as audit rows; clean plans emit
+    // the visible plan:<name>:clean row with zero violations
+    val bad = graft.operators.Expectations.planAudit("ship", shuffled)
+      .as[(String, Long)].collect().toMap
+    assert(bad.exists { case (r, n) =>
+      r == "plan:ship:filter-after-shuffle" && n >= 1L }, bad.toString)
+    val ok = graft.operators.Expectations.planAudit("ok", pushed)
+      .as[(String, Long)].collect()
+    assert(ok.toSeq == Seq(("plan:ok:clean", 0L)), ok.mkString(","))
+  }
+
   test("graft_hash56 and lev_similarity are SQL-callable via extensions") {
     val r = spark.sql(
       "SELECT graft_hash56('abc') AS h, lev_similarity('kitten', 'sitting') AS s")

@@ -124,4 +124,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins: ${offenders.mkString(", ")}")
   }
+
+  test("extended PlanLint sweep: no registered query filters after a shuffle") {
+    // Catalyst pushes deterministic filters below exchanges itself, so
+    // a firing here means a non-deterministic predicate stranded above
+    // a repartition — rows crossed the network to be discarded. No
+    // registered query does this; keep it that way. (pushdown-failed
+    // is NOT swept to zero — filters on computed values are legitimate
+    // and advisory; this sweep pins only the always-wrong rule.)
+    val offenders = plans.collect {
+      case (n, Right(p)) if graft.plans.PlanLint.lintPlan(p)
+        .exists(_.rule == "filter-after-shuffle") => n
+    }
+    assert(offenders.isEmpty,
+      s"filters applied to shuffle output: ${offenders.mkString(", ")}")
+  }
 }
