@@ -766,4 +766,77 @@ class StreamingSpec extends AnyFunSuite {
       "streamed index must equal a full rebuild despite redelivery")
     docs.unpersist(); ()
   }
+
+  test("E2E exactly-once: source → watermark dedup → tx-maintained view, across redelivery, retry, and restart") {
+    // the full composition the pieces were built for, driven end to
+    // end: a file source (at-least-once producer), evictable-state
+    // streaming dedup (dropDuplicatesWithinWatermark), and the
+    // single-marker transactional min/max view (maintainBatchMinMaxTx
+    // on VersionedStore.commitAll) as the foreachBatch sink
+    import graft.operators.MatView
+    import graft.sources.VersionedStore
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val (src, ckpt, store) = (s"$base/src", s"$base/ckpt", s"$base/store")
+    def startQ() = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(src)
+      .transform(df => EventPipeline.dedupWithinWatermark(df, delayMinutes = 600))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        MatView.maintainBatchMinMaxTx(spark,
+          b.select(col("event_id").as("row_id"), col("event_type"),
+            col("value")).withColumn("sign", lit(1)),
+          id, store, "row_id", Seq("event_type"), "value", "sign")
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def view() = VersionedStore.readLatestTable(spark, store, "view")
+      .select("event_type", "cnt", "vmin", "vmax")
+      .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(t => (t._1, t._2, t._3.doubleValue, t._4.doubleValue))
+      .toSet
+    batch1.toDF().write.mode("append").parquet(src)
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      // at-least-once producer: batch1 redelivers WHOLESALE (inside the
+      // watermark) alongside one genuinely new event — the dedup state
+      // must swallow the three duplicates, the view must gain only id 6
+      (batch1 :+ Event(6, ts("2024-01-01 00:40:00"), 2, "view", 6.0))
+        .toDF().write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterRedelivery = view()
+    assert(afterRedelivery == Set(
+      ("click", 2L, 1.0, 3.0), ("view", 2L, 2.0, 6.0)),
+      s"redelivered duplicates must not reach the view: $afterRedelivery")
+    // foreachBatch RETRY of an already-applied batch (the crash-replay
+    // Structured Streaming actually performs): the one applied-marker
+    // makes it a version-for-version no-op — even with garbage rows
+    val verBefore = VersionedStore.latest(spark, store)
+    MatView.maintainBatchMinMaxTx(spark,
+      Seq((999L, "click", 99.0, 1)).toDF("row_id", "event_type", "value", "sign"),
+      1L, store, "row_id", Seq("event_type"), "value", "sign")
+    assert(VersionedStore.latest(spark, store) == verBefore &&
+      view() == afterRedelivery,
+      "replayed batch must be a transactional no-op")
+    // RESTART: new data lands while the query is down; a fresh query on
+    // the same checkpoint picks up exactly the delta
+    batch2.toDF().write.mode("append").parquet(src)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val fin = view()
+    assert(fin == Set(("click", 3L, 1.0, 5.0), ("view", 2L, 2.0, 6.0),
+      ("error", 1L, 4.0, 4.0)), s"$fin")
+    // and the maintained view still equals a rebuild from the
+    // co-committed base — the invariant every path must preserve
+    val rebuilt = MatView.buildMinMax(
+      VersionedStore.readLatestTable(spark, store, "base"),
+      Seq("event_type"), "value")
+      .select("event_type", "cnt", "vmin", "vmax")
+      .as[(String, Long, java.math.BigDecimal, java.math.BigDecimal)]
+      .collect().map(t => (t._1, t._2, t._3.doubleValue, t._4.doubleValue))
+      .toSet
+    assert(fin == rebuilt, "maintained view must equal rebuild from base")
+  }
 }
