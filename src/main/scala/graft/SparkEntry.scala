@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.all ++ Filters.all ++ Joins.all ++ Aggregates.all ++
       SetMerge.all ++ Scalars.all ++ Pipeline.all ++ Streaming.all ++
       Fuzzy.all ++ Extras.all ++ Windows.all ++ E2E.all ++ Coverage.all ++
-      TemporalQueries.all ++ Corpus.all ++ Analytics.all
+      TemporalQueries.all ++ Corpus.all ++ Analytics.all ++ TpchSuite.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -108,6 +108,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_bm25_upsert",     // same 1-row stats product over the tombstone-adjusted store
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
     "q22_prospect_customers", // 1-row global-average threshold broadcast into the filter
+    "q11_important_stock", // 1-row global value total broadcast into the share filter
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
     "txt_mix_temperature", // 1-row Σsq6 budget denominator broadcast into the shares
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
