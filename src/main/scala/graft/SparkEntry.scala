@@ -47,7 +47,8 @@ object SparkEntry {
       "dd_components_inc", "g_pagerank_inc", "txt_mix_divergence",
       "dq_expectations", "t18_ewma", "sim_ivf_stored", "sim_ivf_recluster",
       "q13_cust_dist", "q10_returned_item", "g_sssp",
-      "q2_min_cost_supplier", "q20_potential_promotion")
+      "q2_min_cost_supplier", "q20_potential_promotion",
+      "q6_forecast_revenue", "q9_product_profit", "q16_parts_supplier")
     preferred.filter(queries.contains)
   }
 }

@@ -526,9 +526,105 @@ object SetMerge {
       FROM r WHERE rn <= 64
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** M19: OPTIMIZE — small-file compaction on the versioned store
+    * (sources.VersionedStore.optimize). The first commit lands as 64
+    * accreted small files (the per-batch-file shape streaming
+    * foreachBatch maintenance produces); optimize rewrites them
+    * SHUFFLE-FREE (coalesce of read splits) into target-sized files as a
+    * NEW committed version — time travel to the pre-compaction snapshot
+    * keeps working, the staged extra rides along, and a crash
+    * mid-rewrite would leave the old version latest. The oracle
+    * aggregates the ORIGINAL table, so the compaction is proven
+    * content-identical through the rewrite; the in-query requires pin
+    * what SQL can't see (file count shrank, extras carried). */
+  val m19Optimize = Q(
+    "m19_optimize",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/opt_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        VersionedStore.commit(s, base, orders.repartition(64),
+          extras = Map("_batch" -> "b42"))
+        val nv = VersionedStore.optimize(s, base, targetBytes = 1L << 30)
+        require(nv.contains(1L), "optimize must commit a new version")
+        require(VersionedStore.fileStats(s, base, 1L)._1 <
+          VersionedStore.fileStats(s, base, 0L)._1,
+          "optimize must reduce the file count")
+        require(
+          VersionedStore.readExtra(s, base, 1L, "_batch").contains("b42"),
+          "staged extras must survive the compaction")
+      }
+      VersionedStore.readLatest(s, base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum("o_totalprice").as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** M20: CDC between committed versions
+    * (sources.VersionedStore.changesBetween) — m13's change feed
+    * computed from STORED snapshots instead of live frames: v0 and v1
+    * are committed through the marker discipline, then diffed from
+    * their bytes. Same mutation recipe and the same oracle as m13, so
+    * "stored-bytes CDC == live-frame CDC" is a hash-checked property —
+    * a commit that corrupted either snapshot fails here. */
+  val m20CdcVersions = Q(
+    "m20_cdc_versions",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/cdc_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val newer = orders
+          .filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(10.0))
+              .otherwise(col("o_totalprice")))
+          .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+            .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+              col("o_totalprice"), lit("N").as("o_orderstatus")))
+        VersionedStore.commit(s, base, orders)
+        VersionedStore.commit(s, base, newer)
+      }
+      VersionedStore.changesBetween(s, base, 0L, 1L,
+          Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH older AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      newer AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, 'N'
+        FROM orders WHERE o_orderkey % 89 = 0)
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN n.o_orderkey IS NULL THEN 'removed'
+          ELSE 'changed' END AS change,
+        o.o_totalprice AS old_o_totalprice,
+        n.o_totalprice AS new_o_totalprice,
+        o.o_orderstatus AS old_o_orderstatus,
+        n.o_orderstatus AS new_o_orderstatus
+      FROM older o FULL OUTER JOIN newer n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
     m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
-    m17TimeTravel, m18SketchMv)
+    m17TimeTravel, m18SketchMv, m19Optimize, m20CdcVersions)
 }

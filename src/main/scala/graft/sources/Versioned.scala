@@ -221,6 +221,101 @@ object VersionedStore {
       .distinct.sorted
   }
 
+  // ---- maintenance: OPTIMIZE (small-file compaction) and CDC ---------
+
+  /** Data files of a committed version: (count, total bytes). Underscore
+    * names (_SUCCESS, staged extras) are metadata, not data. */
+  def fileStats(spark: SparkSession, base: String, v: Long): (Int, Long) = {
+    val f = fs(spark, base)
+    val files = f.listStatus(new Path(verDir(base, v))).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_"))
+    (files.size, files.map(_.getLen).sum)
+  }
+
+  /** OPTIMIZE: rewrite the latest version's many small files into files
+    * sized near `targetBytes`, committed as a NEW version — time travel
+    * to every prior version keeps working, concurrent readers of the old
+    * snapshot are never disturbed, and a crash mid-rewrite leaves the
+    * old version latest (same stage-then-marker discipline as
+    * [[commit]]). This is the versioned complement of the in-place
+    * [[TableStore.compact]]: streaming foreachBatch maintenance accretes
+    * one small file per batch, and at warehouse scale scan cost is
+    * driven by file COUNT (task scheduling + footer reads), so periodic
+    * compaction is table maintenance, not an optimization.
+    *
+    * Without `clusterBy` the rewrite is `coalesce` — a SHUFFLE-FREE
+    * merge of read splits into fewer write tasks (at 100 TB the rewrite
+    * is pure I/O, never a repartition of the corpus). With `clusterBy`
+    * the rewrite is `repartitionByRange + sortWithinPartitions` on those
+    * columns — one range shuffle that buys min/max row-group pruning on
+    * the cluster keys for every scan after (the OPTIMIZE-with-layout
+    * trade; [[Layout.writeZOrdered]] is the multi-dim variant).
+    *
+    * Extras staged with the source version ride along (a maintained
+    * view's batchId marker survives its compaction); `_optimized_from`
+    * records provenance. Returns the new version, or None when the
+    * table is already at or under the target file count (no pointless
+    * rewrite) — a `clusterBy` rewrite always runs, the layout change
+    * being the point. */
+  def optimize(spark: SparkSession, base: String,
+      targetBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Option[Long] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    graft.operators.IndexStore.withWriterLock(spark, base) {
+      val v = latest(spark, base).getOrElse(
+        sys.error(s"no committed versions at $base"))
+      val (nFiles, totalBytes) = fileStats(spark, base, v)
+      val target = math.max(1L,
+        math.ceil(totalBytes.toDouble / targetBytes).toLong).toInt
+      if (clusterBy.isEmpty && nFiles <= target) None
+      else {
+        val df = spark.read.parquet(verDir(base, v))
+        val compacted =
+          if (clusterBy.isEmpty) df.coalesce(target)
+          else df.repartitionByRange(target,
+              clusterBy.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(
+              clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        val carried = carriedExtras(spark, base, v) +
+          ("_optimized_from" -> v.toString)
+        // stage/commit halves directly: withWriterLock is not
+        // re-entrant, and the whole stats-read + rewrite must sit
+        // under ONE lock hold
+        val nv = stageVersion(spark, base, compacted, carried)
+        commitVersion(spark, base, nv)
+        Some(nv)
+      }
+    }
+  }
+
+  /** The user-staged extras of version `v` (every `_`-prefixed file
+    * except Spark's own `_SUCCESS`), re-read as commit extras. */
+  private def carriedExtras(spark: SparkSession, base: String,
+      v: Long): Map[String, String] = {
+    val f = fs(spark, base)
+    f.listStatus(new Path(verDir(base, v))).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_") &&
+        s.getPath.getName != "_SUCCESS")
+      .flatMap(s => readFileOpt(spark, s.getPath.toString)
+        .map(s.getPath.getName -> _))
+      .toMap
+  }
+
+  /** CDC between two COMMITTED versions: the change feed (`added` /
+    * `removed` / `changed` rows with old/new values, unchanged rows
+    * dropped) computed from the stored bytes — one full-outer key join
+    * of the two snapshot scans ([[graft.operators.Merge.snapshotDiff]]'s
+    * classification; that operator diffs two live frames, this one
+    * serves "what changed between the v3 corpus and the v7 corpus" from
+    * the store). Both sides are ordinary parquet scans with full
+    * pushdown, the join shuffles each snapshot once on the key. */
+  def changesBetween(spark: SparkSession, base: String,
+      fromV: Long, toV: Long, keys: Seq[String],
+      compare: Seq[String]): DataFrame =
+    graft.operators.Merge.snapshotDiff(
+      read(spark, base, fromV), read(spark, base, toV), keys, compare)
+
   /** Drop versions strictly older than `keep` — markers first, then
     * data (every member directory of that version, both layouts), so a
     * crash mid-cleanup leaves garbage, not dangling refs. */

@@ -244,4 +244,60 @@ class CatalogSpec extends AnyFunSuite {
       Seq("k"), Seq("s"))
     assert(diff.count() == 2) // k=1 updated, k=3 deleted
   }
+
+  test("VersionedStore.optimize: content-identical compaction as a new version") {
+    import graft.sources.VersionedStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    val rows = (1L to 500L).map(i => (i, s"row_$i"))
+    VersionedStore.commit(spark, base,
+      rows.toDF("k", "s").repartition(32), extras = Map("_batch" -> "b7"))
+    assert(VersionedStore.fileStats(spark, base, 0L)._1 == 32)
+    // compaction: new version, fewer files, identical content, extra carried
+    val nv = VersionedStore.optimize(spark, base, targetBytes = 1L << 30)
+    assert(nv.contains(1L))
+    assert(VersionedStore.fileStats(spark, base, 1L)._1 == 1)
+    assert(VersionedStore.read(spark, base, 1L)
+      .as[(Long, String)].collect().toSet == rows.toSet)
+    assert(VersionedStore.readExtra(spark, base, 1L, "_batch").contains("b7"))
+    assert(VersionedStore.readExtra(spark, base, 1L, "_optimized_from")
+      .contains("0"))
+    // time travel: the pre-compaction snapshot still serves, 32 files intact
+    assert(VersionedStore.fileStats(spark, base, 0L)._1 == 32)
+    assert(VersionedStore.read(spark, base, 0L).count() == 500)
+    // already compact → no pointless rewrite, no new version
+    assert(VersionedStore.optimize(spark, base, targetBytes = 1L << 30).isEmpty)
+    assert(VersionedStore.latest(spark, base).contains(1L))
+    // clusterBy always rewrites: range-partitioned + sorted layout
+    val cv = VersionedStore.optimize(spark, base, targetBytes = 1L << 30,
+      clusterBy = Seq("k"))
+    assert(cv.contains(2L))
+    val clustered = VersionedStore.read(spark, base, 2L)
+    assert(clustered.as[(Long, String)].collect().toSet == rows.toSet)
+    // sortWithinPartitions on k: rows come back ordered within the file
+    assert(clustered.select("k").as[Long].collect().toSeq == (1L to 500L))
+    // a second writer holding the lock makes optimize fail fast
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$base/__lock"))
+    intercept[IllegalStateException] {
+      VersionedStore.optimize(spark, base, clusterBy = Seq("k"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/__lock"), false)
+  }
+
+  test("VersionedStore.changesBetween: CDC from stored snapshots") {
+    import graft.sources.VersionedStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    VersionedStore.commit(spark, base,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    VersionedStore.commit(spark, base,
+      Seq((1L, "a2"), (3L, "c"), (4L, "d")).toDF("k", "s"))
+    val feed = VersionedStore.changesBetween(spark, base, 0L, 1L,
+      Seq("k"), Seq("s")).orderBy("k")
+      .select("k", "change").as[(Long, String)].collect().toSeq
+    // k=1 changed, k=2 removed, k=4 added; unchanged k=3 dropped
+    assert(feed == Seq((1L, "changed"), (2L, "removed"), (4L, "added")))
+  }
 }
