@@ -154,25 +154,30 @@ object AnnIndex {
       seedStride: Int, spill: Int, buckets: Int = 8): Unit =
     graft.sources.Bucketing.ensureOnce(s"ann@$tag#$seedStride#$spill#$buckets") {
       val base = indexBase(tag)
-      val c = candidates.select(col(idCol).as("cand_id"),
-        col(vecCol).as("cv")).cache()
-      val cents = c.filter(col("cand_id") % seedStride === 0)
-        .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
-      IndexStore.stagePlain(cents, centDir(base, 0L))
-      val post = assignCells(cents, c, "cand_id", "cv", keep = spill)
-        .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen"))
-      IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
-        "cell", buckets)
-      IndexStore.stagePlain(
-        post.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
-        IndexStore.tombDir(base, 0L))
-      IndexStore.stageIds(c.select("cand_id").distinct(),
-        IndexStore.idsDir(base, 0L), "cand_id")
-      IndexStore.stagePlain(
-        metaFrame(spark, Meta(0L, spill, seedStride, buckets)),
-        metaDir(base, 0L))
-      c.unpersist()
-      IndexStore.commitEra(spark, base, 0L)
+      // every PUBLIC mutator holds the create-exclusive writer lock:
+      // builds, appends, and tombstone writes all race compaction's
+      // era swap (and each other's gen claims) without it
+      IndexStore.withWriterLock(spark, base) {
+        val c = candidates.select(col(idCol).as("cand_id"),
+          col(vecCol).as("cv")).cache()
+        val cents = c.filter(col("cand_id") % seedStride === 0)
+          .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
+        IndexStore.stagePlain(cents, centDir(base, 0L))
+        val post = assignCells(cents, c, "cand_id", "cv", keep = spill)
+          .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen"))
+        IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
+          "cell", buckets)
+        IndexStore.stagePlain(
+          post.select(col("cand_id"), col("gen").as("upto_gen")).limit(0),
+          IndexStore.tombDir(base, 0L))
+        IndexStore.stageIds(c.select("cand_id").distinct(),
+          IndexStore.idsDir(base, 0L), "cand_id")
+        IndexStore.stagePlain(
+          metaFrame(spark, Meta(0L, spill, seedStride, buckets)),
+          metaDir(base, 0L))
+        c.unpersist()
+        IndexStore.commitEra(spark, base, 0L)
+      }
       registerTables(spark, tag, 0L, buckets)
     }
 
@@ -257,13 +262,19 @@ object AnnIndex {
     * ([[serveTopK]] is max-gen deterministic), but the intended path
     * for that is delete-then-append. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, idCol: String, vecCol: String, tag: String): Unit = {
-    val (_, _, b) = appendPostingsOnly(spark, batch, idCol, vecCol, tag)
-    b.select("cand_id").distinct().write.mode("append").format("parquet")
-      .saveAsTable(idsTable(tag))
-    b.unpersist()
-    spark.catalog.refreshTable(idsTable(tag))
-  }
+      batch: DataFrame, idCol: String, vecCol: String, tag: String): Unit =
+    // writer lock across claim + postings + ids: a racing second
+    // appender would double-claim a generation (the claim marker is an
+    // overwrite-create, not exclusive — the LOCK is the exclusion),
+    // and an append racing a compaction's era swap would write
+    // postings into the era being retired
+    IndexStore.withWriterLock(spark, indexBase(tag)) {
+      val (_, _, b) = appendPostingsOnly(spark, batch, idCol, vecCol, tag)
+      b.select("cand_id").distinct().write.mode("append").format("parquet")
+        .saveAsTable(idsTable(tag))
+      b.unpersist()
+      spark.catalog.refreshTable(idsTable(tag))
+    }
 
   /** The claim + postings write of [[appendToIndex]] alone — package-
     * private so the crash-sim tests can stop exactly at the contract's
@@ -352,13 +363,19 @@ object AnnIndex {
       .join(ids.select(col(idCol).as("cand_id")).distinct(), Seq("cand_id"))
       .groupBy("cand_id").agg(max("gen").as("upto_gen"))
       .localCheckpoint()
-    if (doomed.limit(1).count() > 0) {
-      doomed.write.mode("append").format("parquet")
-        .saveAsTable(tombTable(tag))
-      spark.catalog.refreshTable(tombTable(tag))
-      if (spark.table(tombTable(tag)).count() > maxTombstones)
-        compactIndex(spark, tag)
-    }
+    // tombstone write under the writer lock; the auto-compaction runs
+    // AFTER release (withWriterLock is not re-entrant, and compactIndex
+    // takes its own hold — the gap between the two is safe: the lock
+    // exists to fail fast on true concurrent writers, not to order the
+    // single logical writer's own steps)
+    val needCompact = doomed.limit(1).count() > 0 &&
+      IndexStore.withWriterLock(spark, indexBase(tag)) {
+        doomed.write.mode("append").format("parquet")
+          .saveAsTable(tombTable(tag))
+        spark.catalog.refreshTable(tombTable(tag))
+        spark.table(tombTable(tag)).count() > maxTombstones
+      }
+    if (needCompact) compactIndex(spark, tag)
   }
 
   /** Physically drop tombstoned postings: stage the filtered postings,

@@ -126,19 +126,23 @@ object PhraseIndex {
       buckets: Int = 8): Unit =
     graft.sources.Bucketing.ensureOnce(s"phrase@$tag#$buckets") {
       val base = indexBase(tag)
-      val d = docs.cache()
-      val post = windowPostings(d, idCol, textCol, lengths)
-        .withColumn("gen", lit(0L))
-      IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
-        "w", buckets)
-      writeMeta(spark, tag, 0L, lengths, era = 0L)
-      IndexStore.stagePlain(
-        post.select(col(idCol), col("gen").as("upto_gen")).limit(0),
-        IndexStore.tombDir(base, 0L))
-      IndexStore.stagePlain(d.select(col(idCol)).distinct(),
-        IndexStore.idsDir(base, 0L))
-      d.unpersist()
-      IndexStore.commitEra(spark, base, 0L)
+      // writer lock for the stage+commit cycle — the same single-writer
+      // discipline every other public mutator of this store enforces
+      IndexStore.withWriterLock(spark, base) {
+        val d = docs.cache()
+        val post = windowPostings(d, idCol, textCol, lengths)
+          .withColumn("gen", lit(0L))
+        IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
+          "w", buckets)
+        writeMeta(spark, tag, 0L, lengths, era = 0L)
+        IndexStore.stagePlain(
+          post.select(col(idCol), col("gen").as("upto_gen")).limit(0),
+          IndexStore.tombDir(base, 0L))
+        IndexStore.stagePlain(d.select(col(idCol)).distinct(),
+          IndexStore.idsDir(base, 0L))
+        d.unpersist()
+        IndexStore.commitEra(spark, base, 0L)
+      }
       registerTables(spark, tag, 0L, buckets)
     }
 
@@ -302,6 +306,10 @@ object PhraseIndex {
       buckets: Int = 8): Unit = {
     require(spark.catalog.tableExists(postTable(tag)),
       s"phrase index '$tag' must be initialized by buildPhraseIndex first")
+    // writer lock across the gen derivation + postings/ids/meta writes
+    // (racing appenders would share a generation; an append racing a
+    // compaction's era swap would write into the era being retired)
+    IndexStore.withWriterLock(spark, indexBase(tag)) {
     val (gen, lens) = readMeta(spark, tag)
     // clear the stored counter AND every tombstone — a stale counter
     // after an append crash must not land a delete→re-add at its own
@@ -326,6 +334,7 @@ object PhraseIndex {
     spark.catalog.refreshTable(postTable(tag))
     spark.catalog.refreshTable(idsTable(tag))
     spark.catalog.refreshTable(metaTable(tag))
+    }
   }
 
   /** The known-ids frame the ingest guard anti-joins against — the
@@ -406,13 +415,17 @@ object PhraseIndex {
       .groupBy(col(idCol))
       .agg(max("gen").as("upto_gen"))
       .localCheckpoint()
-    if (doomed.limit(1).count() > 0) {
-      doomed.write.mode("append").format("parquet")
-        .saveAsTable(tombTable(tag))
-      spark.catalog.refreshTable(tombTable(tag))
-      if (spark.table(tombTable(tag)).count() > maxTombstones)
-        compactPhraseIndex(spark, tag, idCol, buckets)
-    }
+    // tombstone write under the writer lock; auto-compaction AFTER
+    // release (withWriterLock is not re-entrant and compactPhraseIndex
+    // takes its own hold)
+    val needCompact = doomed.limit(1).count() > 0 &&
+      IndexStore.withWriterLock(spark, indexBase(tag)) {
+        doomed.write.mode("append").format("parquet")
+          .saveAsTable(tombTable(tag))
+        spark.catalog.refreshTable(tombTable(tag))
+        spark.table(tombTable(tag)).count() > maxTombstones
+      }
+    if (needCompact) compactPhraseIndex(spark, tag, idCol, buckets)
   }
 
   /** Delete-then-append on the doc id — the phrase-index half of an

@@ -279,21 +279,25 @@ object Retrieval {
       buckets: Int = 8): Unit =
     graft.sources.Bucketing.ensureOnce(s"bm25@$tag#$buckets") {
       val base = indexBase(tag)
-      val d = docs.cache()
-      val post = postings(d, idCol, textCol).withColumn("gen", lit(0L))
-      IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
-        "term", buckets)
-      IndexStore.stagePlain(
-        corpusStats(d, textCol).withColumn("gen", lit(0L)),
-        IndexStore.statsDir(base, 0L))
-      IndexStore.stagePlain(
-        post.select(col(idCol), col("dl"), col("gen").as("upto_gen"))
-          .limit(0),
-        IndexStore.tombDir(base, 0L))
-      IndexStore.stagePlain(d.select(col(idCol)).distinct(),
-        IndexStore.idsDir(base, 0L))
-      d.unpersist()
-      IndexStore.commitEra(spark, base, 0L)
+      // writer lock for the stage+commit cycle — the same single-writer
+      // discipline every other public mutator of this store enforces
+      IndexStore.withWriterLock(spark, base) {
+        val d = docs.cache()
+        val post = postings(d, idCol, textCol).withColumn("gen", lit(0L))
+        IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
+          "term", buckets)
+        IndexStore.stagePlain(
+          corpusStats(d, textCol).withColumn("gen", lit(0L)),
+          IndexStore.statsDir(base, 0L))
+        IndexStore.stagePlain(
+          post.select(col(idCol), col("dl"), col("gen").as("upto_gen"))
+            .limit(0),
+          IndexStore.tombDir(base, 0L))
+        IndexStore.stagePlain(d.select(col(idCol)).distinct(),
+          IndexStore.idsDir(base, 0L))
+        d.unpersist()
+        IndexStore.commitEra(spark, base, 0L)
+      }
       registerTables(spark, tag, 0L, buckets)
     }
 
@@ -365,13 +369,17 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(max("dl").as("dl"), max("gen").as("upto_gen"))
       .localCheckpoint()
-    if (doomed.limit(1).count() > 0) {
-      doomed.write.mode("append").format("parquet")
-        .saveAsTable(tombTable(tag))
-      spark.catalog.refreshTable(tombTable(tag))
-      if (spark.table(tombTable(tag)).count() > maxTombstones)
-        compactIndex(spark, tag, idCol, buckets)
-    }
+    // tombstone write under the writer lock; auto-compaction AFTER
+    // release (withWriterLock is not re-entrant and compactIndex takes
+    // its own hold)
+    val needCompact = doomed.limit(1).count() > 0 &&
+      IndexStore.withWriterLock(spark, indexBase(tag)) {
+        doomed.write.mode("append").format("parquet")
+          .saveAsTable(tombTable(tag))
+        spark.catalog.refreshTable(tombTable(tag))
+        spark.table(tombTable(tag)).count() > maxTombstones
+      }
+    if (needCompact) compactIndex(spark, tag, idCol, buckets)
   }
 
   /** Delete-then-append on the business key — the index twin of the
@@ -549,6 +557,11 @@ object Retrieval {
     require(spark.catalog.tableExists(postTable(tag)) &&
         spark.catalog.tableExists(statsTable(tag)),
       s"index '$tag' must be initialized by buildIndex first")
+    // writer lock across the gen derivation + all three writes: a
+    // racing second appender would derive the same generation from the
+    // same stored counter, and an append racing a compaction's era
+    // swap would write postings into the era being retired
+    IndexStore.withWriterLock(spark, indexBase(tag)) {
     val b = batch.cache()
     val add = corpusStats(b, textCol).collect().head
     val cur = spark.table(statsTable(tag)).collect().head
@@ -584,6 +597,7 @@ object Retrieval {
     // pre-append listing (observed: df from a fraction of the corpus)
     spark.catalog.refreshTable(postTable(tag))
     spark.catalog.refreshTable(statsTable(tag))
+    }
   }
 
   /** The postings half of [[appendToIndex]] alone — package-private so

@@ -1556,6 +1556,30 @@ class OperatorsSpec extends AnyFunSuite {
     Retrieval.compactIndex(spark, tag, "doc_id")
     assert(IndexStore.readEra(spark, base).get == 1L)
     assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before)
+    // APPENDS and TOMBSTONE WRITES enforce the same contract (the
+    // mechanism is one shared withWriterLock across all three index
+    // families): blocked mutators fail fast and leave the serve
+    // untouched; both succeed once the lock is free
+    IndexStore.withWriterLock(spark, base) {
+      intercept[IllegalStateException] {
+        Retrieval.appendToIndex(spark,
+          Seq((9901L, "lock probe text")).toDF("doc_id", "text"),
+          "doc_id", "text", tag)
+      }
+      intercept[IllegalStateException] {
+        Retrieval.deleteFromIndex(spark, Seq(1L).toDF("doc_id"),
+          "doc_id", tag)
+      }
+    }
+    assert(canon(Retrieval.serveIndex(spark, "doc_id", q, 5, tag)) == before,
+      "blocked append/delete must not have mutated the index")
+    Retrieval.appendToIndex(spark,
+      Seq((9901L, "lock probe text")).toDF("doc_id", "text"),
+      "doc_id", "text", tag)
+    Retrieval.deleteFromIndex(spark, Seq(9901L).toDF("doc_id"),
+      "doc_id", tag)
+    assert(spark.table(s"g_bm25_tomb_$tag").count() == 1L,
+      "post-release delete lands its tombstone")
     // the versioned store enforces the same contract on commit/commitAll
     val vbase = s"${graft.sources.Bucketing.processRoot}/vlock_test"
     IndexStore.withWriterLock(spark, vbase) {
