@@ -224,13 +224,31 @@ object VersionedStore {
   // ---- maintenance: OPTIMIZE (small-file compaction) and CDC ---------
 
   /** Data files of a committed version: (count, total bytes). Underscore
-    * names (_SUCCESS, staged extras) are metadata, not data. */
+    * names (_SUCCESS, staged extras) are metadata, not data. Fails with
+    * a layout message on a multi-table ([[commitAll]]) store — its
+    * snapshots live under `<name>_v_N`, not `v_N`. */
   def fileStats(spark: SparkSession, base: String, v: Long): (Int, Long) = {
     val f = fs(spark, base)
-    val files = f.listStatus(new Path(verDir(base, v))).toSeq
+    val dir = new Path(verDir(base, v))
+    require(f.exists(dir),
+      s"$base has no $dir — single-table layout required " +
+        "(multi-table commitAll stores keep <name>_v_N directories)")
+    val files = f.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
         !s.getPath.getName.startsWith("_"))
     (files.size, files.map(_.getLen).sum)
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version, ascending —
+    * (version, n_files, total_bytes, optimized_from). Reads only the
+    * marker directory and per-version file listings, never data. */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, base).map { v =>
+      val (n, bytes) = fileStats(spark, base, v)
+      (v, n, bytes,
+        readExtra(spark, base, v, "_optimized_from").map(_.toLong))
+    }.toDF("version", "n_files", "total_bytes", "optimized_from")
   }
 
   /** OPTIMIZE: rewrite the latest version's many small files into files

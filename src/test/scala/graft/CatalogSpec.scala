@@ -299,5 +299,18 @@ class CatalogSpec extends AnyFunSuite {
       .select("k", "change").as[(Long, String)].collect().toSeq
     // k=1 changed, k=2 removed, k=4 added; unchanged k=3 dropped
     assert(feed == Seq((1L, "changed"), (2L, "removed"), (4L, "added")))
+    // history: one row per version with file stats; no optimize lineage
+    val h = VersionedStore.history(spark, base)
+      .select("version", "optimized_from")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(h == Seq((0L, None), (1L, None)))
+    // optimize on a multi-table store fails with the layout message
+    val mbase = java.nio.file.Files.createTempDirectory("graft_multi").toString
+    VersionedStore.commitAll(spark, mbase,
+      Seq(("a", Seq((1L, "x")).toDF("k", "s"))))
+    val err = intercept[IllegalArgumentException] {
+      VersionedStore.optimize(spark, mbase)
+    }
+    assert(err.getMessage.contains("single-table layout"))
   }
 }
