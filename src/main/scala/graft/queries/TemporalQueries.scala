@@ -170,6 +170,81 @@ object TemporalQueries {
         p.value
       FROM events p WHERE p.event_type = 'purchase'"""))
 
+  /** T19: time-RANGE window frame — each sampled user's 7-day TRAILING
+    * purchase total at day grain. RANGE, not ROWS: activity is sparse,
+    * so "the previous 6 rows" silently reaches back months for a
+    * dormant user — the frame must be value-bounded on the day number
+    * (`rangeBetween(-6, 0)` over an integer day index; DuckDB's RANGE 6
+    * PRECEDING is the oracle). Day sums stay DECIMAL through the window
+    * so the frame totals hash identically. One shuffle on user_id does
+    * both the rollup and the window. */
+  val t19RangeFrame = Q(
+    "t19_range_frame",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") % 25 === 0)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(Q.dec("value")).as("day_val"))
+        .withColumn("day_num",
+          datediff(col("day"), lit("1970-01-01").cast("timestamp")))
+      val w = Window.partitionBy("user_id").orderBy("day_num")
+        .rangeBetween(-6, 0)
+      d.select(col("user_id"), col("day"),
+          col("day_val").cast("double").as("day_val"),
+          sum(col("day_val")).over(w).cast("double").as("trailing_7d"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          sum(CAST(value AS DECIMAL(18,2))) AS day_val
+        FROM events WHERE event_type = 'purchase' AND user_id % 25 = 0
+        GROUP BY 1, 2)
+      SELECT user_id, day, CAST(day_val AS DOUBLE) AS day_val,
+        CAST(sum(day_val) OVER (PARTITION BY user_id
+          ORDER BY DATEDIFF('day', DATE '1970-01-01', day)
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS trailing_7d
+      FROM d ORDER BY user_id, day"""))
+
+  /** T20: cumulative distinct users per day — "total audience to date".
+    * The naive COUNT(DISTINCT) OVER (ORDER BY day) is unsupported in
+    * Spark and O(days × users) anywhere; the exact scalable rewrite
+    * counts each user once on their FIRST-ever day (one groupBy), rolls
+    * new users up per day, and runs a cumulative sum over the day
+    * spine. The only window runs over the spine — rows ∝ calendar days,
+    * never ∝ data — which is why the global window is whitelisted in
+    * the plan audit. */
+  val t20CumulativeDistinct = Q(
+    "t20_cumulative_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val newPerDay = e.groupBy("user_id").agg(min("day").as("d0"))
+        .groupBy(col("d0").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select("day").distinct()
+        .join(newPerDay, Seq("day"), "left_outer")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events),
+      f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+      nd AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY 1),
+      spine AS (SELECT DISTINCT day FROM e)
+      SELECT s.day, coalesce(nd.new_users, 0) AS new_users,
+        CAST(sum(coalesce(nd.new_users, 0)) OVER (ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_users
+      FROM spine s LEFT JOIN nd ON s.day = nd.day
+      ORDER BY s.day"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
-    t17Attribution)
+    t17Attribution, t19RangeFrame, t20CumulativeDistinct)
 }

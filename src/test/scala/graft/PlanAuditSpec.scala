@@ -62,7 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * task sees k rows, not the table. */
   private val globalWindowAllowed = Set(
     "a12_trend", "o3_pagination",
-    "txt_vocab", "txt_encode" // rank the LIMIT-1000 vocab slice only
+    "txt_vocab", "txt_encode", // rank the LIMIT-1000 vocab slice only
+    "t20_cumulative_distinct"  // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
   )
 
   test("no registered query windows the full relation on one task") {
