@@ -126,6 +126,31 @@ object Streaming {
         AND c.user_id = e.user_id
         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE"""))
 
+  /** T21: the LEFT-OUTER form of the stream-stream interval correlate
+    * (t13's inner twin) — unmatched clicks survive with a NULL error
+    * side, which is the attribution pipeline's "click never converted"
+    * row (in streaming those emit exactly when the watermark proves a
+    * match impossible; StreamingSpec pins that). Oracle note: the left
+    * side's own filters live in WHERE, not the join's ON — predicates
+    * on the PRESERVED side of an outer join only control matching, they
+    * never drop rows. Plan: equi-join on user_id, range as a
+    * post-condition, never a product. */
+  val t21OuterCorrelate = Q(
+    "t21_outer_correlate",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      EventPipeline.correlateWithin(
+        e.filter(col("event_type") === "click" && col("user_id") % 5 === 0),
+        e.filter(col("event_type") === "error"),
+        withinMinutes = 30, joinType = "left_outer")
+    },
+    Some("""SELECT c.user_id, c.event_id AS left_id, c.ts AS left_ts,
+        e.event_id AS right_id, e.ts AS right_ts
+      FROM events c LEFT JOIN events e
+        ON e.event_type = 'error' AND c.user_id = e.user_id
+        AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND c.user_id % 5 = 0"""))
+
   val all: Seq[Q] = Seq(t8Sessionize, t10SessionWindow, t3NewOnly,
-    t12HoppingWindow, t13IntervalJoin)
+    t12HoppingWindow, t13IntervalJoin, t21OuterCorrelate)
 }
