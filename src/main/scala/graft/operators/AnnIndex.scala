@@ -205,7 +205,32 @@ object AnnIndex {
     * per-candidate shuffle carries four scalars, not two vectors. */
   def serveTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int, tag: String): DataFrame = {
+      nprobe: Int, tag: String): DataFrame =
+    serveImpl(spark, queries, idCol, vecCol, k, nprobe, tag, None)
+
+  /** FILTERED vector search — top-k among only the candidates in
+    * `allowedIds` ("similar docs WHERE lang = 'en'": the caller derives
+    * the id set from metadata however it likes). POST-FILTER semantics,
+    * the standard vector-DB trade: cells are probed with the full
+    * index's geometry, then the filter prunes candidates BEFORE any
+    * cosine is computed — serve cost ∝ surviving probed candidates, and
+    * results equal the unfiltered computation restricted to allowed
+    * ids within the probed cells. A very selective filter thins each
+    * probed cell, so recall against the filtered subset can drop;
+    * raise `nprobe` in step with selectivity (documented, oracled at
+    * nprobe=8 where the probe set covers the fixture). The id set joins
+    * as a semi-join — broadcast when small, shuffle of the
+    * already-probed candidates otherwise; never a corpus pass. */
+  def serveTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, tag: String, allowedIds: DataFrame): DataFrame =
+    serveImpl(spark, queries, idCol, vecCol, k, nprobe, tag,
+      Some(allowedIds.select(col(allowedIds.columns.head).as("cand_id"))
+        .distinct()))
+
+  private def serveImpl(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, tag: String, allowed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(spark.catalog.tableExists(postTable(tag)),
       s"ANN index '$tag' must be built/opened first")
@@ -216,9 +241,11 @@ object AnnIndex {
     // ONE postings pass: the probe join carries cv along; spill replicas
     // of one generation are byte-identical, so max_by(cos, gen) both
     // dedups them and resolves multi-generation candidates newest-wins
-    livePostings(spark, tag)
+    val probed = livePostings(spark, tag)
       .join(broadcast(cellQ.select("cell", "query_id", "qv")), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
+    // the metadata filter prunes BEFORE the cosine math
+    allowed.fold(probed)(a => probed.join(a, Seq("cand_id"), "left_semi"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
       .groupBy("query_id", "cand_id")
       .agg(max_by(col("cos"), col("gen")).as("cos"))

@@ -123,7 +123,8 @@ object Retrieval {
   def bm25Serve(post: DataFrame, stats: DataFrame, idCol: String,
       queries: Seq[(Long, Seq[String])], k: Int,
       idfMode: String = "log",
-      allow: Option[DataFrame] = None): DataFrame = {
+      allow: Option[DataFrame] = None,
+      allowGlobal: Option[DataFrame] = None): DataFrame = {
     val spark = post.sparkSession
     import spark.implicits._
     val qterms = queries
@@ -186,11 +187,20 @@ object Retrieval {
     // narrows candidates, it does not re-weigh terms (idf stays a
     // whole-corpus statistic, matching every deployed bool/must +
     // match_phrase engine).
+    // Query-independent metadata restriction ("search WHERE lang='en'"):
+    // one semi-join on the doc id, same post-filter placement as `allow`
+    // — AFTER df/idf (scores stay whole-corpus statistics), BEFORE the
+    // TopK (ranks are assigned among the allowed docs only).
+    val scored1 = allowGlobal match {
+      case Some(g) => scored0.join(g.select(col(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      case None => scored0
+    }
     val scored = allow match {
       case Some(a) =>
-        scored0.join(a.select(col("query_id"), col(idCol)),
+        scored1.join(a.select(col("query_id"), col(idCol)),
           Seq("query_id", idCol), "left_semi")
-      case None => scored0
+      case None => scored1
     }
     // Partial top-k: shuffle volume is queries×k however skewed the
     // match distribution is. score_fp < ~1e10 « 2^53, so the double
@@ -345,6 +355,22 @@ object Retrieval {
       queries: Seq[(Long, Seq[String])], k: Int, tag: String): DataFrame = {
     val (post, stats) = liveIndex(spark, tag, idCol)
     bm25Serve(post, stats, idCol, queries, k)
+  }
+
+  /** FILTERED sparse search from the stored index — top-k among only
+    * the docs in `allowedIds` (the caller derives the id set from
+    * metadata however it likes). POST-FILTER semantics, matching every
+    * deployed bool/filter + match engine: df/idf stay whole-corpus
+    * statistics, the filter narrows CANDIDATES before the partial TopK
+    * — so a doc's score is identical filtered or not, only the rank
+    * re-assigns among the allowed set. The dense twin is
+    * [[AnnIndex.serveTopKFiltered]]. */
+  def serveIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, queries: Seq[(Long, Seq[String])], k: Int,
+      tag: String, allowedIds: DataFrame): DataFrame = {
+    val (post, stats) = liveIndex(spark, tag, idCol)
+    bm25Serve(post, stats, idCol, queries, k, allowGlobal =
+      Some(allowedIds.select(col(allowedIds.columns.head).as(idCol))))
   }
 
   /** Retract documents from the stored index WITHOUT rewriting it: one
@@ -933,5 +959,18 @@ object Retrieval {
   def bm25OracleSql(queries: Seq[(Long, Seq[String])], k: Int): String =
     s"""WITH ${bm25Ctes(queries)}
       SELECT query_id, rank, doc_id, score_fp FROM bm25_ranked
+      WHERE rank <= $k"""
+
+  /** Oracle for [[serveIndexFiltered]]: the SAME whole-corpus scoring
+    * CTEs, with the doc filter applied between scoring and ranking —
+    * post-filter semantics spelled out in SQL. */
+  def bm25FilteredOracleSql(queries: Seq[(Long, Seq[String])], k: Int,
+      docFilter: String): String =
+    s"""WITH ${bm25Ctes(queries)}
+      SELECT query_id, rank, doc_id, score_fp FROM (
+        SELECT query_id, doc_id, score_fp,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+        FROM bm25_scored WHERE $docFilter)
       WHERE rank <= $k"""
 }

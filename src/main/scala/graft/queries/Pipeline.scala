@@ -1069,7 +1069,8 @@ object Pipeline {
     * parameterized candidate set — shared by the stored-index queries,
     * whose serve must equal the from-scratch computation over whatever
     * corpus the index currently holds. */
-  private def ivfMultiprobeOracleSql(candWhere: String): String =
+  private def ivfMultiprobeOracleSql(candWhere: String,
+      filterWhere: String = "TRUE"): String =
     s"""WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       q AS (SELECT * FROM v WHERE vec_id < 10),
@@ -1090,7 +1091,7 @@ object Pipeline {
       scored AS (
         SELECT DISTINCT query_id, cand_id, ${cosSql("qv", "cv")} AS cos
         FROM cand_cell JOIN q_cell USING (cell)
-        WHERE query_id != cand_id)
+        WHERE query_id != cand_id AND ($filterWhere))
       SELECT query_id, cand_id, rank, cos FROM (
         SELECT query_id, cand_id, cos,
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
@@ -1115,6 +1116,30 @@ object Pipeline {
         "vec_id", "embedding", k = 5, nprobe = 8, tag = tag)
     },
     Some(ivfMultiprobeOracleSql("vec_id >= 10")))
+
+  /** FILTERED vector search over the stored index
+    * (AnnIndex.serveTopKFiltered): top-k among only the candidates in a
+    * metadata-derived id set — "similar docs WHERE …", the vector-DB
+    * feature every RAG stack leans on. POST-FILTER semantics: cells are
+    * probed with the FULL index's geometry, then the id set prunes
+    * candidates before any cosine is computed, so the oracle is the
+    * same multiprobe computation with the predicate applied at the
+    * scoring stage only (centroids and cell assignment untouched).
+    * Reuses sim_ivf_stored's index — build-once, filter at serve. */
+  val simIvfFiltered = Q(
+    "sim_ivf_filtered",
+    (s, dir) => {
+      import graft.operators.AnnIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_ivfb"
+      def e = Tables.load(s, dir, "embeddings")
+      AnnIndex.buildIndex(s, e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", tag, seedStride = 16, spill = 2)
+      AnnIndex.serveTopKFiltered(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, tag = tag,
+        allowedIds = e.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+          .select("vec_id"))
+    },
+    Some(ivfMultiprobeOracleSql("vec_id >= 10", "cand_id % 3 = 0")))
 
   /** Stored-ANN maintenance cycle: build WITHOUT the %10==3 vectors,
     * APPEND them against the frozen stored centroids, DELETE %100==23,
@@ -2255,6 +2280,7 @@ object Pipeline {
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
+    simIvfFiltered,
     simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
     ddSemanticKmeans,
