@@ -108,4 +108,61 @@ object Curation {
           col("n_docs"), col("n_words"))
     }.reduce(_.unionAll(_)).unionAll(cutStage)
   }
+
+  /** Token-budget corpus selection: the maximal quality-descending
+    * prefix whose cumulative token count fits `budget` — "fill a
+    * 10B-token training budget with the best documents". Semantically
+    * this is one cumulative sum over the corpus ordered by (quality
+    * DESC, id), but materializing that ordering is a single-task global
+    * window — the scale-killer. The exact rewrite aggregates per
+    * DISTINCT QUALITY VALUE first (quality is a fixed-point integer by
+    * contract, so this frame is ∝ score granularity, never ∝ corpus),
+    * finds the boundary quality where the running total crosses the
+    * budget on THAT frame, then selects whole quality classes above the
+    * boundary with one broadcast threshold filter and orders ONLY the
+    * boundary class's docs for the residual budget. The two windows in
+    * the plan run over the distinct-quality frame and one quality
+    * class — neither is ∝ corpus.
+    *
+    * `quality` must be a non-negative integer column (fixed-point your
+    * score: `(1000 * score)` etc.); `tokens` a positive integer. Ties
+    * inside a quality class break by ascending id — matching the
+    * oracle's ORDER BY quality DESC, id. */
+  def budgetFill(docs: DataFrame, idCol: String, qualityCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val d = docs.select(col(idCol), col(qualityCol).cast("long").as("__q"),
+      col(tokensCol).cast("long").as("__tok"))
+    // one small frame: (quality class, class token total), running
+    // total in quality-descending order — rows ∝ distinct scores
+    val classes = d.groupBy("__q").agg(sum("__tok").as("class_tok"))
+    val wq = Window.orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = classes.withColumn("cum", sum("class_tok").over(wq))
+    // boundary = the highest quality class whose running total exceeds
+    // the budget; classes strictly above it are selected WHOLE
+    val boundary = running.filter(col("cum") > budget)
+      .agg(max("__q").as("qc"),
+        // residual budget for the boundary class = budget minus the
+        // cumulative of everything ABOVE it; cum − class_tok is that
+        // predecessor total, and it is monotone over the crossing
+        // classes, so the boundary's (first crossing, smallest cum)
+        // is the MIN
+        (lit(budget) -
+          coalesce(min(col("cum") - col("class_tok")), lit(0L)))
+          .as("residual"))
+    // 1 row either way; qc NULL means everything fits
+    val b = broadcast(boundary)
+    val whole = d.crossJoin(b)
+      .filter(col("qc").isNull || col("__q") > col("qc"))
+      .select(col(idCol), col("__q"), col("__tok"))
+    val wb = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromBoundary = d.crossJoin(b)
+      .filter(col("__q") === col("qc"))
+      .withColumn("bcum", sum("__tok").over(wb))
+      .filter(col("bcum") <= col("residual"))
+      .select(col(idCol), col("__q"), col("__tok"))
+    whole.unionByName(fromBoundary)
+      .withColumnsRenamed(Map("__q" -> "quality", "__tok" -> "n_tok"))
+  }
 }

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val globalWindowAllowed = Set(
     "a12_trend", "o3_pagination",
     "txt_vocab", "txt_encode", // rank the LIMIT-1000 vocab slice only
-    "t20_cumulative_distinct"  // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
+    "t20_cumulative_distinct", // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
+    "txt_budget_fill"          // windows the distinct-quality frame + ONE boundary class, never the corpus
   )
 
   test("no registered query windows the full relation on one task") {
@@ -116,7 +117,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
     "a33_sketch_rollup",   // triangular day≤day merge of |days| k-long sketch arrays
-    "a34_skew_report"      // 1-row stats × 1-row top10 sum
+    "a34_skew_report",     // 1-row stats × 1-row top10 sum
+    "txt_budget_fill"      // 1-row boundary-class frame broadcast into the threshold filter
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
