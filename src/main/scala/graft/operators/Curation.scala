@@ -165,4 +165,56 @@ object Curation {
     whole.unionByName(fromBoundary)
       .withColumnsRenamed(Map("__q" -> "quality", "__tok" -> "n_tok"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS): weight each raw-pool document by how much its hashed
+    * n-gram profile resembles a target corpus. Features are unigrams +
+    * adjacent bigrams hashed into `buckets` buckets; both the target
+    * model (docs where `isTarget`) and the source model (the rest) are
+    * add-one-smoothed bucket multinomials, and a doc's importance
+    * log-weight is Σ_b count_doc(b) · ln(p_target(b)/p_source(b)).
+    *
+    * Cross-engine exactness: the per-bucket log-ratio is ONE
+    * [[graft.functions.PortableLn]] evaluation of an exactly-rounded
+    * IEEE division of exact integer counts, floored to 1e-9 fixed
+    * point; the per-doc sum is then pure BIGINT arithmetic (|lr9| ≤
+    * ~2.6e10, so even 10⁶ features per doc stays far under 2^53).
+    *
+    * Scale shape: features are emitted in-row (no window); both models
+    * come from ONE groupBy over the feature stream (map-side combined,
+    * output ∝ buckets, never ∝ corpus); the log-ratio table is a
+    * ≤`buckets`-row broadcast; scoring is one broadcast-hash join plus
+    * a map-side-combined per-doc sum. No driver state, no iteration.
+    *
+    * Returns (doc_id, n_feats, logw9) for SOURCE (non-target) docs —
+    * resampling = take the top-k by logw9, or threshold. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+      TextAnalysis.rawTokens(col(textCol)).as("t"))
+    val uni = base.select(col("doc_id"), col("tgt"), explode(col("t")).as("f"))
+    val bi = base.filter(size(col("t")) >= 2) // sequence(1, 0) runs DESCENDING
+      .select(col("doc_id"), col("tgt"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+        .as("f"))
+    val feats = uni.unionByName(bi)
+      .withColumn("b", Dedup.hash56(col("f")) % buckets)
+      .select("doc_id", "tgt", "b")
+    val cnt = feats.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cs"))
+    val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"))
+    val r = cnt.crossJoin(broadcast(tot))
+      .withColumn("r",
+        ((col("ct") + 1).cast("double") * (col("ns") + buckets).cast("double")) /
+          ((col("cs") + 1).cast("double") * (col("nt") + buckets).cast("double")))
+    val lr9 = graft.functions.PortableLn.withLn(r, "r", "lnr")
+      .withColumn("lr9", floor(col("lnr") * lit(1.0e9)).cast("long"))
+      .select("b", "lr9")
+    feats.filter(!col("tgt"))
+      .join(broadcast(lr9), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr9").as("logw9"))
+  }
 }

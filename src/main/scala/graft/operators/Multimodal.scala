@@ -25,9 +25,11 @@ final case class WavMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
   * batch shape (the Scala analog of mapInPandas batches). Real codecs,
   * all zero-dependency: PCM WAV (byte-level RIFF), 24-bit BMP with
   * pixel resize, AVI container demux, grayscale PNG through the JDK's
-  * DEFLATE, and baseline JPEG through the JDK's ImageIO. What remains a
-  * clearly-marked DETERMINISTIC STUB is only the genuinely
-  * library-bound video PIXEL decode (plus the generic `decodeStub`
+  * DEFLATE, baseline JPEG through the JDK's ImageIO, and MJPEG video
+  * pixel decode (AVI demux + per-frame JPEG — see
+  * [[decodeMjpegFrames]]). What remains a clearly-marked DETERMINISTIC
+  * STUB is only the genuinely library-bound INTER-frame video codecs
+  * (H.264, VP9, …; plus the generic `decodeStub`
   * used by the oracle-facing pipeline-shape queries): `decodeStub`
   * derives metadata arithmetically from the payload; a production
   * build swaps in the real codec per media_type without touching the
@@ -724,6 +726,58 @@ object Multimodal {
       var s = 0L
       for (y <- 0 until j.height; x <- 0 until j.width) s += j.px(x, y)
       JpegMeta(r.doc_id, j.width.toLong, j.height.toLong, s)
+    })
+  }
+
+  /** Deterministic per-frame grayscale pattern — a SMOOTH moving
+    * gradient (no wraparound edges: JPEG's DCT murders step
+    * discontinuities, and the tests assert a small pixel tolerance). */
+  def mjpegPixel(docId: Long, idx: Int): (Int, Int) => Int =
+    (x, y) => math.min(255,
+      40 + x * 3 + y * 2 + (docId % 16).toInt * 2 + idx * 5)
+
+  /** Media table of REAL playable MJPEG AVIs: each '00dc' chunk is a
+    * genuine JDK-encoded baseline JPEG of [[mjpegPixel]] — unlike
+    * [[toAviTable]]'s opaque frames, these files are actual videos any
+    * MJPEG-capable player decodes. */
+  def toMjpegAviTable(spark: SparkSession, documents: DataFrame,
+      w: Int = 32, h: Int = 24): DataFrame = {
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (3 + id % 4).toInt
+        MediaRow(id, "mjpeg",
+          aviMjpg(100000, w, h,
+            (0 until n).map(i => jpegGray(w, h, mjpegPixel(id, i)))))
+      })
+      .toDF()
+  }
+
+  final case class MjpegFrame(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, px_sum: Long)
+
+  /** REAL video pixel decode for MJPEG: [[demuxAvi]]'s container walk
+    * yields each frame's byte range and [[decodeJpeg]] turns the range
+    * into pixels — video file to pixel values end to end with zero
+    * external libraries. px_sum is JDK-build-dependent (IDCT
+    * rounding), so this path is property-tested with a pixel tolerance
+    * and never DuckDB-oracled — the same honesty contract as
+    * [[extractJpegMetadata]]. With this, only INTER-frame video codecs
+    * (H.264, VP9, …) remain library-bound stubs. */
+  def decodeMjpegFrames(spark: SparkSession, media: DataFrame,
+      every: Int = 1): Dataset[MjpegFrame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val (meta, frames) = demuxAvi(r.doc_id, r.payload)
+      frames.zipWithIndex.collect {
+        case ((from, len), i) if i % every == 0 =>
+          val j = decodeJpeg(r.doc_id,
+            java.util.Arrays.copyOfRange(r.payload, from, from + len))
+          var s = 0L
+          for (y <- 0 until j.height; x <- 0 until j.width) s += j.px(x, y)
+          MjpegFrame(meta.doc_id, i.toLong, j.width.toLong,
+            j.height.toLong, s)
+      }
     })
   }
 

@@ -675,6 +675,81 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "adc")
   }
 
+  // ---- binary (sign-bit) quantization -----------------------------------
+
+  /** SQL fragment for sign-bit code word `w` over vector column `vec`:
+    * bit i (i < bits) is set iff vec[32w+i+1] > 0. Words are 32-bit so
+    * the packed value never touches the BIGINT sign bit — DuckDB
+    * refuses `1::BIGINT << 63`, and staying in 32-bit words keeps the
+    * Spark and oracle arithmetic trivially identical. Shared with the
+    * oracle SQL builder (same literals, same order). */
+  def signWordExpr(vec: String, w: Int, bits: Int): String =
+    (0 until bits).map(i =>
+      s"IF(element_at($vec, ${32 * w + i + 1}) > 0, ${1L << i}L, 0L)")
+      .mkString("(", " + ", ")")
+
+  /** (id, b0, b1, …) sign-bit binary codes: ceil(dims/32) BIGINT words
+    * per vector. 64 float dims collapse to 2 longs — a 16× scan-width
+    * cut, which is the whole point: the Hamming pass reads codes, never
+    * vectors. */
+  def binaryCodes(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, dims: Int, pre: String): DataFrame = {
+    val words = (dims + 31) / 32
+    df.select(col(idCol).as(outId) +:
+      (0 until words).map(w => expr(
+        signWordExpr(vecCol, w, math.min(32, dims - 32 * w)))
+        .as(s"$pre$w")): _*)
+  }
+
+  /** Binary-quantized top-k: Hamming distance over sign-bit codes
+    * (Charikar 2002's sign-random-projection view with the identity
+    * basis — the "binary quantization" serving trick of modern vector
+    * stores). The candidate scan reads ceil(dims/32) longs per row
+    * instead of `dims` floats; queries are broadcast. Ties break by
+    * ascending cand_id. */
+  def hammingTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = (dims + 31) / 32
+    val q = binaryCodes(queries, idCol, vecCol, "query_id", dims, "qb")
+    val c = binaryCodes(candidates, idCol, vecCol, "cand_id", dims, "cb")
+    val ham = (0 until words)
+      .map(w => bit_count(col(s"qb$w").bitwiseXOR(col(s"cb$w"))).cast("long"))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("hamming", ham)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "hamming")
+  }
+
+  /** Hamming shortlist → exact cosine rerank: the standard two-stage
+    * binary-quantized serve. Stage 1 scans only the packed codes and
+    * keeps `shortlist` candidates per query (deterministic boundary:
+    * Hamming asc, cand_id asc); stage 2 re-reads the float vectors for
+    * the ≤ Q×shortlist survivors ONLY (equi-join on cand_id) and ranks
+    * by exact cosine. At 100 TB the float table is touched ∝ shortlist,
+    * never ∝ corpus. */
+  def hammingRerankTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = hammingTopK(queries, candidates, idCol, vecCol,
+      k = shortlist, dims = dims).select("query_id", "cand_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    short.join(cv, "cand_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     * Exact all-pairs here; at scale, run through lshTopK-style bucketing
     * first. */

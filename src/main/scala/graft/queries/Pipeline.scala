@@ -845,6 +845,76 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         FROM s) WHERE rank <= 5"""))
 
+  /** DuckDB twin of Similarity.signWordExpr — same power-of-two
+    * literals, same element order, 32-bit words (the sign bit of a
+    * BIGINT is never touched; DuckDB refuses `1::BIGINT << 63`). */
+  private def binWordSql(e: String, w: Int): String =
+    (0 until 32).map(i =>
+      s"(CASE WHEN $e[${32 * w + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Shared oracle CTE prefix for the binary-quantization pair: packed
+    * sign-bit codes and the Hamming-scored query×candidate frame. */
+  private val binHammingCtes =
+    s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (
+        SELECT vec_id, e, CAST(${binWordSql("e", 0)} AS BIGINT) AS b0,
+          CAST(${binWordSql("e", 1)} AS BIGINT) AS b1 FROM v),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          q.e AS qe, c.e AS ce,
+          CAST(bit_count(xor(q.b0, c.b0)) AS BIGINT) +
+            CAST(bit_count(xor(q.b1, c.b1)) AS BIGINT) AS hamming
+        FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id >= 10)"""
+
+  /** Binary-quantized top-5 by Hamming distance over sign-bit codes:
+    * the candidate scan reads 2 BIGINT words per row instead of 64
+    * floats. */
+  val simBinaryHamming = Q(
+    "sim_binary_hamming",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.hammingTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, dims = 64)
+    },
+    Some(s"""$binHammingCtes
+      SELECT query_id, cand_id, rank, hamming FROM (
+        SELECT query_id, cand_id, hamming,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, cand_id) AS rank
+        FROM s) WHERE rank <= 5"""))
+
+  /** Binary shortlist (Hamming top-50) → exact-cosine rerank top-5: the
+    * two-stage binary-quantized serve — float vectors are re-read for
+    * the shortlist only. */
+  val simBinaryRerank = Q(
+    "sim_binary_rerank",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.hammingRerankTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, shortlist = 50, dims = 64)
+    },
+    Some(s"""$binHammingCtes,
+      short AS (
+        SELECT query_id, cand_id, qe, ce FROM (
+          SELECT query_id, cand_id, qe, ce,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, cand_id) AS hrk
+          FROM s) WHERE hrk <= 50),
+      r AS (
+        SELECT query_id, cand_id,
+          ${dotSql("qe", "ce")} /
+            (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})) AS cos
+        FROM short)
+      SELECT query_id, cand_id, rank, cos FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, cand_id) AS rank
+        FROM r) WHERE rank <= 5"""))
+
   /** DuckDB literal for LSH hyperplane j — generated from the same
     * Similarity.planeCoeff constants the Spark plan uses. */
   private def planeSql(j: Int) =
@@ -2279,7 +2349,8 @@ object Pipeline {
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
-    simTopk, simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
+    simTopk, simBinaryHamming, simBinaryRerank,
+    simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
     simIvfFiltered,
     simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,

@@ -850,6 +850,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG: real video pixel decode — demux + per-frame JPEG, tolerance-checked") {
+    import graft.operators.Multimodal
+    val w = 32; val h = 24
+    val docs = (0L until 8L).toDF("doc_id")
+    val media = Multimodal.toMjpegAviTable(spark, docs, w, h)
+    // the files are REAL AVIs: the untouched demuxer sees the same
+    // frame count the MJPEG writer encoded
+    val frames = Multimodal.decodeMjpegFrames(spark, media).collect()
+    assert(frames.length == (0L until 8L).map(id => 3 + id % 4).sum)
+    frames.foreach { f =>
+      assert(f.width == w && f.height == h,
+        s"doc ${f.doc_id} frame ${f.frame_idx}: ${f.width}x${f.height}")
+      val px = Multimodal.mjpegPixel(f.doc_id, f.frame_idx.toInt)
+      val ideal =
+        (for (x <- 0 until w; y <- 0 until h) yield px(x, y).toLong).sum
+      assert(math.abs(f.px_sum - ideal) <= 2L * w * h,
+        s"doc ${f.doc_id} frame ${f.frame_idx}: px_sum ${f.px_sum} " +
+          s"too far from ideal $ideal")
+    }
+    // frames differ (the gradient moves): consecutive px_sums strictly
+    // increase by ~5·w·h per frame index
+    val byDoc = frames.groupBy(_.doc_id).values
+    byDoc.foreach { fs =>
+      val sums = fs.sortBy(_.frame_idx).map(_.px_sum)
+      sums.sliding(2).foreach {
+        case Array(a, b) => assert(b > a, s"expected moving gradient, $sums")
+        case _           => ()
+      }
+    }
+    // every=2 samples half the frames
+    val sampled = Multimodal.decodeMjpegFrames(spark, media, every = 2)
+      .collect()
+    assert(sampled.forall(_.frame_idx % 2 == 0))
+    assert(sampled.length == frames.count(_.frame_idx % 2 == 0))
+  }
+
   test("codec property: random PNG images and WAV streams round-trip bit-exactly") {
     import graft.operators.Multimodal
     val rnd = new scala.util.Random(11)

@@ -89,6 +89,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * (a baseline, or a top-k against a handful of broadcast queries). */
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
+    "sim_binary_hamming",  // Hamming scan of 2-word codes × broadcast packed queries
+    "sim_binary_rerank",   // same Hamming shortlist stage; rerank leg is equi-join
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
@@ -118,7 +120,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
     "a33_sketch_rollup",   // triangular day≤day merge of |days| k-long sketch arrays
     "a34_skew_report",     // 1-row stats × 1-row top10 sum
-    "txt_budget_fill"      // 1-row boundary-class frame broadcast into the threshold filter
+    "txt_budget_fill",     // 1-row boundary-class frame broadcast into the threshold filter
+    "txt_dsir"             // 1-row model-totals frame broadcast into the ≤buckets-row log-ratio table
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
