@@ -10,9 +10,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build("graft-bench", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val names =
+    val all =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just the named queries
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(s) if s.trim.nonEmpty =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        all.filter(want) ++ want.filterNot(all.contains).toSeq.sorted
+          .filter(SparkEntry.queries.contains)
+      case _ => all
+    }
     // Force FULL materialization of every output row: count() would let
     // Catalyst prune the projected expressions, so a projection-heavy
     // query would be timed as a row count. toRdd produces the final

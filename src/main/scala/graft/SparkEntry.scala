@@ -48,7 +48,9 @@ object SparkEntry {
       "dq_expectations", "t18_ewma", "sim_ivf_stored", "sim_ivf_recluster",
       "q13_cust_dist", "q10_returned_item", "g_sssp",
       "q2_min_cost_supplier", "q20_potential_promotion",
-      "q6_forecast_revenue", "q9_product_profit", "q16_parts_supplier")
+      "q6_forecast_revenue", "q9_product_profit", "q16_parts_supplier",
+      "sim_binary_hamming", "sim_binary_rerank", "txt_dsir",
+      "txt_budget_fill", "txt_rag_pack")
     preferred.filter(queries.contains)
   }
 }

@@ -720,13 +720,36 @@ object Dedup {
         TextAnalysis.rawTokens(col(textCol)).as("t"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), expr("array()").cast("array<int>")))
+      // maximal covered spans straight off the SORTED distinct cov via
+      // adjacent-pair diffs — O(|cov|). The previous form probed
+      // array_contains(cov, ·) once per token and once per covered
+      // position, making a heavily-cut doc (the dedup target!)
+      // O(|t|·|cov|) — quadratic exactly where the operator does its
+      // real work.
+      .withColumn("starts", expr(
+        """IF(size(cov) = 0, CAST(array() AS ARRAY<INT>),
+           concat(array(cov[0]),
+             filter(zip_with(slice(cov, 2, size(cov)),
+                             slice(cov, 1, size(cov) - 1),
+                             (c, p) -> IF(c - p > 1, c, CAST(NULL AS INT))),
+                    x -> x IS NOT NULL)))"""))
+      .withColumn("ends", expr( // exclusive ends, aligned with starts
+        """IF(size(cov) = 0, CAST(array() AS ARRAY<INT>),
+           concat(filter(zip_with(slice(cov, 2, size(cov)),
+                                  slice(cov, 1, size(cov) - 1),
+                                  (c, p) -> IF(c - p > 1, p + 1, CAST(NULL AS INT))),
+                         x -> x IS NOT NULL),
+             array(cov[size(cov) - 1] + 1)))"""))
       .select(col("doc_id"),
-        array_join(filter(col("t"),
-          (_, i) => !array_contains(col("cov"), i)), " ").as("text_clean"),
-        // a covered position starts a maximal span iff its predecessor
-        // position is not covered — counts islands without a window fn
-        size(filter(col("cov"),
-          p => !array_contains(col("cov"), p - 1))).cast("long").as("n_spans"),
+        // kept text = the complement segments [0,s1) ∪ [e1,s2) ∪ … ∪
+        // [ek,|t|), each sliced out of the token array — linear in the
+        // doc length
+        expr("""array_join(
+            flatten(zip_with(concat(array(0), ends),
+                             concat(starts, array(size(t))),
+                             (a, b) -> slice(t, a + 1, b - a))), ' ')""")
+          .as("text_clean"),
+        size(col("starts")).cast("long").as("n_spans"),
         size(col("cov")).cast("long").as("n_cut"))
   }
 }

@@ -961,6 +961,53 @@ object Retrieval {
       SELECT query_id, rank, doc_id, score_fp FROM bm25_ranked
       WHERE rank <= $k"""
 
+  /** RAG context assembly: BM25 top-k per query, then fill a per-query
+    * token budget in rank order — the retrieved-context packing step of
+    * a retrieval-augmented pipeline. Packing is PREFIX-STOP (keep ranks
+    * while the running total fits; the first overflow truncates the
+    * context), the deterministic "context window fills in relevance
+    * order" rule — not bin-packing.
+    *
+    * Scale shape: the ranked frame is |queries|·k rows; token counts
+    * attach via one equi-join on doc id (at 100 TB: broadcast the
+    * ranked frame, touch the corpus ∝ matches — or keep `n_tok` as an
+    * index column and never touch text at all); the running sum windows
+    * a ≤k-row partition per query, never the corpus. */
+  def contextPack(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bm25TopK(docs, idCol, textCol, queries, k)
+      .select("query_id", "rank", idCol)
+    val toks = docs.select(col(idCol),
+      size(TextAnalysis.rawTokens(col(textCol))).cast("long").as("n_tok"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    ranked.join(toks, idCol)
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_tok"),
+        col("cum_tok"))
+  }
+
+  /** Oracle for [[contextPack]]: the same scoring CTEs, the same
+    * prefix-stop packing as one windowed running sum. */
+  def contextPackOracleSql(queries: Seq[(Long, Seq[String])], k: Int,
+      budget: Long): String =
+    s"""WITH ${bm25Ctes(queries)},
+      ranked AS (
+        SELECT query_id, rank, doc_id FROM bm25_ranked WHERE rank <= $k),
+      dt AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+            AS n_tok
+        FROM documents),
+      packed AS (
+        SELECT r.query_id, r.rank, r.doc_id, dt.n_tok,
+          CAST(sum(dt.n_tok) OVER (PARTITION BY r.query_id ORDER BY r.rank)
+            AS BIGINT) AS cum_tok
+        FROM ranked r JOIN dt USING (doc_id))
+      SELECT query_id, rank, doc_id, n_tok, cum_tok
+      FROM packed WHERE cum_tok <= $budget"""
+
   /** Oracle for [[serveIndexFiltered]]: the SAME whole-corpus scoring
     * CTEs, with the doc filter applied between scoring and ranking —
     * post-filter semantics spelled out in SQL. */

@@ -1133,6 +1133,18 @@ object Corpus {
       Tables.load(s, dir, "documents"), "doc_id", "text", Bm25Queries, 10),
     Some(graft.operators.Retrieval.bm25OracleSql(Bm25Queries, 10)))
 
+  /** RAG context assembly (Retrieval.contextPack): BM25 top-10 per
+    * query, packed into a 256-token context in rank order with
+    * prefix-stop truncation — retrieval and context-window assembly as
+    * ONE relational plan. */
+  val txtRagPack = Q(
+    "txt_rag_pack",
+    (s, dir) => graft.operators.Retrieval.contextPack(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      Bm25Queries, k = 10, budget = 256L),
+    Some(graft.operators.Retrieval.contextPackOracleSql(
+      Bm25Queries, 10, 256L)))
+
   /** Phrase batch for txt_phrase — mixed 2- and 3-token phrases chosen
     * to have real occurrence spread in the corpus (bigrams ~45 hits,
     * trigrams ~7 at sf0.01). */
@@ -1522,7 +1534,7 @@ object Corpus {
     txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
     txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
-    txtBm25Stored, txtBm25Filtered, txtBudgetFill, txtDsir,
+    txtBm25Stored, txtBm25Filtered, txtBudgetFill, txtDsir, txtRagPack,
     txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank, txtPhraseLong,
     txtMixTemperature,
