@@ -49,7 +49,8 @@ object SparkEntry {
       "q13_cust_dist", "q10_returned_item", "g_sssp",
       "q2_min_cost_supplier", "q20_potential_promotion",
       "q6_forecast_revenue", "q9_product_profit", "q16_parts_supplier",
-      "sim_binary_hamming", "sim_binary_rerank", "txt_dsir",
+      "sim_binary_hamming", "sim_binary_rerank", "sim_ivf_binary",
+      "sim_matryoshka", "txt_dsir",
       "txt_budget_fill", "txt_rag_pack")
     preferred.filter(queries.contains)
   }

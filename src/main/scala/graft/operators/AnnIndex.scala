@@ -144,6 +144,15 @@ object AnnIndex {
       .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
   }
 
+  /** Packed sign-bit code words of `cv` (two 32-bit words — covers
+    * vectors up to 64 dims; see Similarity.signWordExpr for why words
+    * never touch the BIGINT sign bit). Stored WITH the postings so the
+    * binary pre-rank stage ([[serveTopKBinary]]) scans 2 longs per row
+    * with the float vector column pruned away entirely. */
+  private def withCodes(df: DataFrame): DataFrame =
+    df.withColumn("b0", expr(Similarity.signWordExpr("cv", 0, 32)))
+      .withColumn("b1", expr(Similarity.signWordExpr("cv", 1, 32)))
+
   /** Build once per (tag, geometry): centroids = the id-stride coarse
     * quantizer over the build corpus, postings spill-replicated and
     * bucketed by cell, empty tombstones, the known-ids list, and gen-0
@@ -163,8 +172,8 @@ object AnnIndex {
         val cents = c.filter(col("cand_id") % seedStride === 0)
           .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
         IndexStore.stagePlain(cents, centDir(base, 0L))
-        val post = assignCells(cents, c, "cand_id", "cv", keep = spill)
-          .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen"))
+        val post = withCodes(assignCells(cents, c, "cand_id", "cv", keep = spill)
+          .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen")))
         IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
           "cell", buckets)
         IndexStore.stagePlain(
@@ -191,7 +200,7 @@ object AnnIndex {
       .groupBy("cand_id").agg(max("upto_gen").as("upto_gen"))
     post.join(broadcast(tomb), Seq("cand_id"), "left_outer")
       .filter(col("upto_gen").isNull || col("gen") > col("upto_gen"))
-      .select("cell", "cand_id", "cv", "gen")
+      .select("cell", "cand_id", "cv", "gen", "b0", "b1")
   }
 
   /** Serve a query batch from the stored index: queries assign to their
@@ -246,6 +255,64 @@ object AnnIndex {
       .filter(col("query_id") =!= col("cand_id"))
     // the metadata filter prunes BEFORE the cosine math
     allowed.fold(probed)(a => probed.join(a, Seq("cand_id"), "left_semi"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .groupBy("query_id", "cand_id")
+      .agg(max_by(col("cos"), col("gen")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
+  /** Binary pre-ranked serve — the stored-index form of
+    * [[Similarity.hammingRerankTopK]]: probe cells as [[serveTopK]]
+    * does, but stage 1 ranks probed candidates by HAMMING distance over
+    * the sign-bit code words STORED in the postings — the scan reads
+    * (cell, cand_id, gen, b0, b1), 2 longs of code instead of the float
+    * vector (column pruning reaches the parquet scan; plan-pinned in
+    * OperatorsSpec) — and only the `shortlist` best per query are
+    * re-read for exact cosine. With `shortlist` ≥ the probed candidate
+    * count the result EQUALS [[serveTopK]] (tested); smaller shortlists
+    * trade recall for a stage-2 cost ∝ Q×shortlist. Newest-generation
+    * determinism carries through both stages (max_by over gen). */
+  def serveTopKBinary(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, tag: String, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spark.catalog.tableExists(postTable(tag)),
+      s"ANN index '$tag' must be built/opened first")
+    val cents = spark.table(centTable(tag))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cellQ = assignCells(cents, q, "query_id", "qv", keep = nprobe)
+      .withColumn("qb0", expr(Similarity.signWordExpr("qv", 0, 32)))
+      .withColumn("qb1", expr(Similarity.signWordExpr("qv", 1, 32)))
+    // stage 1 — codes only: a live view WITHOUT cv, so pruning drops
+    // the vector column from the postings scan entirely
+    val tomb = spark.table(tombTable(tag))
+      .groupBy("cand_id").agg(max("upto_gen").as("upto_gen"))
+    val codes = spark.table(postTable(tag))
+      .join(broadcast(tomb), Seq("cand_id"), "left_outer")
+      .filter(col("upto_gen").isNull || col("gen") > col("upto_gen"))
+      .select("cell", "cand_id", "gen", "b0", "b1")
+    val wh = Window.partitionBy("query_id").orderBy(col("ham"), col("cand_id"))
+    val short = codes
+      .join(broadcast(cellQ.select("cell", "query_id", "qb0", "qb1")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("ham",
+        bit_count(col("b0").bitwiseXOR(col("qb0"))).cast("long") +
+          bit_count(col("b1").bitwiseXOR(col("qb1"))).cast("long"))
+      .groupBy("query_id", "cand_id")
+      .agg(max_by(col("ham"), col("gen")).as("ham"))
+      .withColumn("hrk", row_number().over(wh))
+      .filter(col("hrk") <= shortlist)
+      .select("query_id", "cand_id")
+    // stage 2 — exact cosine over the shortlist pairs only (the join on
+    // cand_id touches each shortlisted id's replicas; cosine is
+    // cell-independent, so this equals scoring the probed pair)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    livePostings(spark, tag)
+      .join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
       .groupBy("query_id", "cand_id")
       .agg(max_by(col("cos"), col("gen")).as("cos"))
@@ -319,8 +386,8 @@ object AnnIndex {
     val cents = spark.table(centTable(tag))
     val b = batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .cache()
-    val post = assignCells(cents, b, "cand_id", "cv", keep = m.spill)
-      .select(col("cell"), col("cand_id"), col("cv"), lit(gen).as("gen"))
+    val post = withCodes(assignCells(cents, b, "cand_id", "cv", keep = m.spill)
+      .select(col("cell"), col("cand_id"), col("cv"), lit(gen).as("gen")))
     post.write.mode("append").bucketBy(m.buckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(postTable(tag))
     spark.catalog.refreshTable(postTable(tag))
@@ -462,8 +529,8 @@ object AnnIndex {
         // compaction still physically drops tombstoned rows; only the
         // re-clustering is declined.
         if (c.limit(1).count() == 0L) (live, frozenCents)
-        else (assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
-          .select(col("cell"), col("cand_id"), col("cv"), col("gen")), c)
+        else (withCodes(assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
+          .select(col("cell"), col("cand_id"), col("cv"), col("gen"))), c)
       }
     IndexStore.stageBucketed(post, IndexStore.postDir(base, next),
       "cell", m.buckets)

@@ -150,8 +150,10 @@ object Curation {
         (lit(budget) -
           coalesce(min(col("cum") - col("class_tok")), lit(0L)))
           .as("residual"))
-    // 1 row either way; qc NULL means everything fits
-    val b = broadcast(boundary)
+    // 1 row either way; qc NULL means everything fits. localCheckpoint:
+    // the boundary's lineage is a corpus pass, and BOTH selection legs
+    // reference it — truncation halves the corpus scans (plan-audited).
+    val b = broadcast(boundary.localCheckpoint())
     val whole = d.crossJoin(b)
       .filter(col("qc").isNull || col("__q") > col("qc"))
       .select(col(idCol), col("__q"), col("__tok"))
@@ -201,9 +203,15 @@ object Curation {
     val feats = uni.unionByName(bi)
       .withColumn("b", Dedup.hash56(col("f")) % buckets)
       .select("doc_id", "tgt", "b")
+    // localCheckpoint: cnt is ≤`buckets` rows but its lineage is a full
+    // corpus pass — without truncation the `tot` aggregate below
+    // re-runs that pass (plan-audited: 6 corpus scans instead of 4).
+    // Materializing the bounded frame makes the whole fit stage exactly
+    // ONE pass over the feature stream.
     val cnt = feats.groupBy("b").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("tgt"), 0L).otherwise(1L)).as("cs"))
+      .localCheckpoint()
     val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"))
     val r = cnt.crossJoin(broadcast(tot))
       .withColumn("r",

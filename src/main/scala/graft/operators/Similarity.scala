@@ -675,6 +675,19 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "adc")
   }
 
+  /** Matryoshka truncation search (Kusupati et al. 2022's MRL serving
+    * trick): score on the FIRST `dims` dimensions only — cosine
+    * renormalizes by construction, so slicing the array IS
+    * truncate-and-renormalize. A 4× dimension cut is a 4× scan-width
+    * and FLOP cut; recall against the full-dimension truth is the
+    * instrument that prices it (see sim_matryoshka). */
+  def matryoshkaTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    def trunc(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    bruteForceTopK(trunc(queries), trunc(candidates), idCol, vecCol, k)
+  }
+
   // ---- binary (sign-bit) quantization -----------------------------------
 
   /** SQL fragment for sign-bit code word `w` over vector column `vec`:
@@ -684,8 +697,12 @@ object Similarity {
     * Spark and oracle arithmetic trivially identical. Shared with the
     * oracle SQL builder (same literals, same order). */
   def signWordExpr(vec: String, w: Int, bits: Int): String =
+    // try_element_at: out-of-bounds dims read NULL (never throw under
+    // ANSI), and NULL > 0 is NULL → the bit stays 0 — exactly DuckDB's
+    // list[i] OOB semantics, so short vectors pack identically in both
+    // engines
     (0 until bits).map(i =>
-      s"IF(element_at($vec, ${32 * w + i + 1}) > 0, ${1L << i}L, 0L)")
+      s"IF(try_element_at($vec, ${32 * w + i + 1}) > 0, ${1L << i}L, 0L)")
       .mkString("(", " + ", ")")
 
   /** (id, b0, b1, …) sign-bit binary codes: ceil(dims/32) BIGINT words

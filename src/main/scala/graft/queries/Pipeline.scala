@@ -915,6 +915,59 @@ object Pipeline {
                              ORDER BY cos DESC, cand_id) AS rank
         FROM r) WHERE rank <= 5"""))
 
+  /** dims-parameterized cosine — the oracle twin of scoring a SLICED
+    * embedding (matryoshka truncation). */
+  private def cosSqlD(a: String, b: String, dims: Int) =
+    s"(${dotSql(a, b, dims)} / " +
+      s"(sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})))"
+
+  /** Matryoshka truncation with its price tag: truncated top-5 at 32
+    * and 16 dims, each leg's recall measured against the full-64-dim
+    * truth — the dimension/recall trade-off as one frame. */
+  val simMatryoshka = Q(
+    "sim_matryoshka",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      Seq(32, 16).map { d =>
+        Similarity.recallAtK(truth,
+          Similarity.matryoshkaTopK(q, c, "vec_id", "embedding", 5, d), 5)
+          .withColumn("dims", lit(d.toLong))
+      }.reduce(_.unionByName(_))
+        .select("dims", "query_id", "hits", "recall")
+    },
+    Some {
+      def leg(d: Int) = s"""
+        SELECT $d AS dims, t.query_id,
+          CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+          sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0
+            AS recall
+        FROM truth t LEFT JOIN approx$d a
+          ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+        GROUP BY t.query_id"""
+      def approx(d: Int) = s"""approx$d AS (
+        SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSqlD("q.e", "c.e", d)} DESC, c.vec_id) AS rank
+          FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
+        WHERE rank <= 5)"""
+      s"""WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        truth AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSqlD("q.e", "c.e", 64)} DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
+          WHERE rank <= 5),
+        ${approx(32)}, ${approx(16)}
+        ${leg(32)} UNION ALL ${leg(16)}"""
+    })
+
   /** DuckDB literal for LSH hyperplane j — generated from the same
     * Similarity.planeCoeff constants the Spark plan uses. */
   private def planeSql(j: Int) =
@@ -1210,6 +1263,67 @@ object Pipeline {
           .select("vec_id"))
     },
     Some(ivfMultiprobeOracleSql("vec_id >= 10", "cand_id % 3 = 0")))
+
+  /** Binary pre-ranked serve over the stored index
+    * (AnnIndex.serveTopKBinary): stage 1 ranks probed candidates by
+    * Hamming distance over the sign-bit code words STORED in the
+    * postings (the scan reads 2 BIGINTs, the vector column pruned
+    * away); stage 2 re-reads float vectors for the 20-deep shortlist
+    * only. Reuses sim_ivf_stored's index. The oracle replays the probe
+    * + hamming + rerank chain from scratch. */
+  val simIvfBinary = Q(
+    "sim_ivf_binary",
+    (s, dir) => {
+      import graft.operators.AnnIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_ivfb"
+      def e = Tables.load(s, dir, "embeddings")
+      AnnIndex.buildIndex(s, e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", tag, seedStride = 16, spill = 2)
+      AnnIndex.serveTopKBinary(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, tag = tag,
+        shortlist = 20)
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT * FROM v WHERE vec_id < 10),
+      c AS (SELECT * FROM v WHERE vec_id >= 10),
+      cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 16 = 0),
+      cand_cell AS (
+        SELECT cand_id, cell, b0, b1 FROM (
+          SELECT c.vec_id AS cand_id, cents.cent_id AS cell,
+            CAST(${binWordSql("c.e", 0)} AS BIGINT) AS b0,
+            CAST(${binWordSql("c.e", 1)} AS BIGINT) AS b1,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${cosSql("c.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM c CROSS JOIN cents) WHERE r <= 2),
+      q_cell AS (
+        SELECT query_id, cell, qb0, qb1 FROM (
+          SELECT q.vec_id AS query_id, cents.cent_id AS cell,
+            CAST(${binWordSql("q.e", 0)} AS BIGINT) AS qb0,
+            CAST(${binWordSql("q.e", 1)} AS BIGINT) AS qb1,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.e", "cents.ce")} DESC, cents.cent_id) AS r
+          FROM q CROSS JOIN cents) WHERE r <= 8),
+      ham AS (
+        SELECT DISTINCT query_id, cand_id,
+          CAST(bit_count(xor(b0, qb0)) AS BIGINT) +
+            CAST(bit_count(xor(b1, qb1)) AS BIGINT) AS ham
+        FROM cand_cell JOIN q_cell USING (cell) WHERE query_id != cand_id),
+      short AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY ham, cand_id) AS hrk
+          FROM ham) WHERE hrk <= 20),
+      scored AS (
+        SELECT s.query_id, s.cand_id, ${cosSql("qq.e", "cc.e")} AS cos
+        FROM short s JOIN v qq ON qq.vec_id = s.query_id
+          JOIN v cc ON cc.vec_id = s.cand_id)
+      SELECT query_id, cand_id, rank, cos FROM (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, cand_id) AS rank
+        FROM scored) WHERE rank <= 5"""))
 
   /** Stored-ANN maintenance cycle: build WITHOUT the %10==3 vectors,
     * APPEND them against the frozen stored centroids, DELETE %100==23,
@@ -2349,9 +2463,9 @@ object Pipeline {
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
-    simTopk, simBinaryHamming, simBinaryRerank,
+    simTopk, simBinaryHamming, simBinaryRerank, simMatryoshka,
     simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
-    simIvfFiltered,
+    simIvfFiltered, simIvfBinary,
     simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
     ddSemanticKmeans,

@@ -2014,6 +2014,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!serve().exists(r => r._2 == 6L || r._2 == 7L))
   }
 
+  test("AnnIndex: binary pre-ranked serve — full shortlist equals serveTopK; codes-only stage prunes cv") {
+    def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10 - 4).toFloat)
+    val cands = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val qs = (100L to 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tag = "annbin"
+    AnnIndex.buildIndex(spark, cands, "vec_id", "embedding", tag,
+      seedStride = 8, spill = 2, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").as[(Long, Long, Long)]
+        .collect().toSet
+    val exact = rows(AnnIndex.serveTopK(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag))
+    // shortlist ≥ probed candidates ⇒ the binary stage passes everything
+    // through and the result EQUALS the exact stored serve
+    val full = rows(AnnIndex.serveTopKBinary(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag, shortlist = 1000))
+    assert(full == exact, "full-shortlist binary serve must equal serveTopK")
+    // a tight shortlist still returns k ranked rows per query
+    val tight = AnnIndex.serveTopKBinary(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag, shortlist = 5)
+    assert(tight.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 3))
+    // plan pin: stage 1's postings scan reads the CODE WORDS, not the
+    // vector column — the whole point of storing the codes
+    val plan = tight.queryExecution.executedPlan.toString
+    val codeScans = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("b0")).toList
+    assert(codeScans.exists(!_.contains("cv")),
+      s"expected a codes-only postings scan without cv; scans: $codeScans")
+  }
+
   test("AnnIndex: write-ahead gen claims survive an append crash; ids repair; max-gen serve; retention") {
     def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
     val cands = (0L until 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")

@@ -91,6 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
     "sim_binary_hamming",  // Hamming scan of 2-word codes × broadcast packed queries
     "sim_binary_rerank",   // same Hamming shortlist stage; rerank leg is equi-join
+    "sim_ivf_binary",      // broadcast-centroid query assignment (same as sim_ivf_stored)
+    "sim_matryoshka",      // truncated-dim brute-force legs × broadcast queries (baseline instrument)
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
