@@ -51,7 +51,7 @@ object SparkEntry {
       "q6_forecast_revenue", "q9_product_profit", "q16_parts_supplier",
       "sim_binary_hamming", "sim_binary_rerank", "sim_ivf_binary",
       "sim_matryoshka", "txt_dsir",
-      "txt_budget_fill", "txt_rag_pack")
+      "txt_budget_fill", "txt_rag_pack", "g_label_prop")
     preferred.filter(queries.contains)
   }
 }

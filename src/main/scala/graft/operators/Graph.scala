@@ -411,4 +411,32 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007), made DETERMINISTIC for the oracle: every
+    * node starts as its own label; each round every node adopts the
+    * most frequent label among its neighbors, ties to the SMALLEST
+    * label; all nodes update together (synchronous — the classic
+    * oscillation caveat is why `iters` is fixed, not run to
+    * convergence). Each round is one equi-join of the directed edges
+    * against the label frame plus one two-level count/argmax groupBy —
+    * both map-side combined, no driver state, the pagerankFixed
+    * iteration shape (ReuseExchange dedups the adjacency build across
+    * rounds). argmax via max_by over the (count, −label) struct — total
+    * order, so the answer is unique and hash-checkable. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    var labels = directed.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = directed.join(labels, directed("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("n"), (-col("label")).as("nl"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels
+  }
 }

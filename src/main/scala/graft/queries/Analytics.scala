@@ -173,6 +173,42 @@ object Analytics {
       ${step("r2")}"""
     })
 
+  /** Label-propagation communities (Graph.labelPropagation): 3
+    * synchronous rounds over the co-occurrence graph, deterministic
+    * argmax (count DESC, label ASC) — the standard near-linear
+    * community detector, with the oracle replaying the round unroll
+    * exactly. */
+  val gLabelProp = Q(
+    "g_label_prop",
+    (s, dir) => Graph.labelPropagation(
+        Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue),
+        iters = 3)
+      .orderBy("node"),
+    Some {
+      def step(prev: String) =
+        s"""SELECT dst AS node, label FROM (
+          SELECT dst, label,
+            row_number() OVER (PARTITION BY dst
+                               ORDER BY n DESC, label) AS rk
+          FROM (SELECT e.dst, l.label, count(*) AS n
+                FROM d e JOIN $prev l ON l.node = e.src
+                GROUP BY 1, 2)) WHERE rk = 1"""
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        d AS (SELECT item_a AS src, item_b AS dst FROM e
+              UNION ALL SELECT item_b, item_a FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM d),
+        l1 AS (${step("l0")}),
+        l2 AS (${step("l1")})
+      ${step("l2")} ORDER BY node"""
+    })
+
   /** Incremental PageRank (Graph.pagerankWarm): ranks stored from the
     * base co-occurrence graph (orders %10 ≠ 0, 3 cold iterations), then
     * the full graph's edges arrive and TWO warm iterations re-converge
@@ -600,5 +636,5 @@ object Analytics {
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
-    w9MovingAgg, t18Ewma, gPagerankInc)
+    w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp)
 }

@@ -957,6 +957,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("Graph.labelPropagation: disjoint cliques converge to one label each") {
+    val edges = ((for { a <- 0L to 3L; b <- a + 1 to 3L } yield (a, b)) ++
+      (for { a <- 10L to 13L; b <- a + 1 to 13L } yield (a, b)))
+      .toDF("item_a", "item_b")
+    val labels = Graph.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 8)
+    assert((0L to 3L).map(labels).toSet.size == 1,
+      "first clique must share one label")
+    assert((10L to 13L).map(labels).toSet.size == 1,
+      "second clique must share one label")
+    assert(labels(0L) != labels(10L),
+      "disjoint cliques must keep distinct labels")
+  }
+
   test("Graph.localClustering: hand-checked coefficients; corner sum = 3 x global count") {
     val edges = Seq( // K4 over 1-4 (4 triangles), path 4-5-6 (none)
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),

@@ -487,4 +487,29 @@ class PropertySpec extends AnyFunSuite {
     assert(mean >= 0.5,
       s"reclustered serve mean recall $mean below the 0.5 serving floor")
   }
+
+  test("budgetFill equals the naive global cumulative sum on random corpora") {
+    // the banded rewrite (per-quality-class running totals + boundary
+    // class + residual) must match the definition — the maximal
+    // (quality DESC, id ASC)-ordered prefix whose token total fits —
+    // including exact-fit boundaries, ties, single-class corpora, and
+    // budgets beyond the corpus. Narrow quality range forces multi-doc
+    // classes so the residual path is exercised constantly.
+    val docGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(1L, 20L)))
+    samples(Gen.zip(docGen, Gen.choose(1L, 120L)), 60)
+      .foreach { case (docs, budget) =>
+        val rows = docs.zipWithIndex.map { case ((q, t), i) => (i.toLong, q, t) }
+        val df = rows.toDF("id", "q", "tok")
+        val got = graft.operators.Curation
+          .budgetFill(df, "id", "q", "tok", budget)
+          .select("id").as[Long].collect().toSet
+        var cum = 0L
+        val want = rows.sortBy { case (id, q, _) => (-q, id) }
+          .takeWhile { case (_, _, t) => cum += t; cum <= budget }
+          .map(_._1).toSet
+        assert(got == want,
+          s"budget $budget over $rows: got $got want $want")
+      }
+  }
 }
