@@ -424,6 +424,30 @@ object Graph {
     * iteration shape (ReuseExchange dedups the adjacency build across
     * rounds). argmax via max_by over the (count, −label) struct — total
     * order, so the answer is unique and hash-checkable. */
+  /** Bounded k-core peeling (Seidman 1983's coreness, the Batagelj–
+    * Zaveršnik peel expressed as rounds): each round drops every node
+    * whose surviving degree is < k, then every edge touching a dropped
+    * node; `rounds` rounds of simultaneous peeling. Run to a fixpoint
+    * this yields the exact k-core; bounded rounds are the distributed
+    * form (the same trade as [[ssspFixed]]'s bounded horizon) and are
+    * exactly what each synchronous Pregel superstep computes. Each
+    * round is one map-side-combined degree aggregate plus two semi-joins
+    * of the edge list against the survivor set — no driver state, cost
+    * ∝ surviving edges, shrinking monotonically. Returns (node, degree)
+    * over the surviving edge set. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val directed = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))

@@ -209,6 +209,39 @@ object Analytics {
       ${step("l2")} ORDER BY node"""
     })
 
+  /** Bounded k-core peeling (Graph.kcorePeel): 3 simultaneous peel
+    * rounds at k=4 over the co-occurrence graph — each round drops
+    * degree-<4 nodes and their edges (one degree aggregate + two
+    * semi-joins, cost ∝ surviving edges). The oracle unrolls the three
+    * rounds as CTEs. */
+  val gKcore = Q(
+    "g_kcore",
+    (s, dir) => Graph.kcorePeel(
+        Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue),
+        k = 4, rounds = 3)
+      .orderBy("node"),
+    Some {
+      def round(prev: String) =
+        s"""SELECT e.src, e.dst FROM $prev e
+          WHERE e.src IN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 4)
+            AND e.dst IN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 4)"""
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ed AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        e0 AS (SELECT item_a AS src, item_b AS dst FROM ed
+               UNION ALL SELECT item_b, item_a FROM ed),
+        e1 AS (${round("e0")}),
+        e2 AS (${round("e1")}),
+        e3 AS (${round("e2")})
+      SELECT src AS node, count(*) AS degree FROM e3
+      GROUP BY src ORDER BY node"""
+    })
+
   /** Incremental PageRank (Graph.pagerankWarm): ranks stored from the
     * base co-occurrence graph (orders %10 ≠ 0, 3 cold iterations), then
     * the full graph's edges arrive and TWO warm iterations re-converge
@@ -636,5 +669,5 @@ object Analytics {
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
-    w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp)
+    w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore)
 }

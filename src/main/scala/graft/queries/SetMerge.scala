@@ -622,9 +622,49 @@ object SetMerge {
         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
       ORDER BY o_orderkey"""))
 
+  /** M21: zone-map DATA SKIPPING on the versioned store
+    * (sources.VersionedStore.commitWithStats / readSkipping) — the
+    * plan-time file pruning every warehouse table format performs.
+    * The commit range-partitions orders by key into 16 files (each file
+    * a tight key range) and stages per-file min/max stats INSIDE the
+    * snapshot under the same single commit marker; the skipping scan
+    * consults the stats table (∝ file count, never rows) and reads ONLY
+    * the files whose range can intersect the predicate — at 100 TB the
+    * difference between scheduling 16 tasks and 2. The oracle runs the
+    * same range filter over the ORIGINAL table, so "pruned scan ==
+    * full scan + filter" is hash-checked; the in-query requires pin
+    * what SQL can't see (files actually skipped). */
+  val m21DataSkipping = Q(
+    "m21_data_skipping",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/skip_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        VersionedStore.commitWithStats(s, base,
+          orders.repartitionByRange(16, col("o_orderkey")),
+          statsCols = Seq("o_orderkey"))
+      }
+      val (kept, total) =
+        VersionedStore.filesInRange(s, base, 0L, "o_orderkey", 1000L, 2999L)
+      require(kept.nonEmpty && kept.size < total,
+        s"zone map must prune files (kept ${kept.size} of $total)")
+      VersionedStore.readSkipping(s, base, 0L, "o_orderkey", 1000L, 2999L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum("o_totalprice").as("sum_total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
     m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
-    m17TimeTravel, m18SketchMv, m19Optimize, m20CdcVersions)
+    m17TimeTravel, m18SketchMv, m19Optimize, m20CdcVersions,
+    m21DataSkipping)
 }

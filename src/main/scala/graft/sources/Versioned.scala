@@ -320,6 +320,98 @@ object VersionedStore {
       .toMap
   }
 
+  // ---- zone maps: per-file column stats + skipping scans --------------
+  //
+  // Parquet row-group min/max stats prune WITHIN a file the reader has
+  // already opened; at warehouse scale the cost that remains is opening
+  // the files at all — task scheduling plus one footer read per file,
+  // ∝ file count, not ∝ matching data. The fix every modern table
+  // format (Delta, Iceberg, Hudi) ships is a zone map: per-FILE min/max
+  // kept in table metadata, consulted at plan time so non-matching
+  // files are never listed into the scan. Here the zone map is a tiny
+  // parquet table staged INSIDE the snapshot directory under the
+  // underscore name `_zonemap` — invisible to parquet readers of the
+  // snapshot, and committed by the SAME single marker create as the
+  // data, so stats can never refer to an uncommitted snapshot nor a
+  // committed snapshot lack its stats.
+
+  private def zoneMapDir(base: String, v: Long): String =
+    s"${verDir(base, v)}/_zonemap"
+
+  /** [[commit]] plus a per-file zone map over `statsCols`: one
+    * min/max pair per column per data file, derived from the staged
+    * bytes themselves (grouped by `input_file_name`), so the stats are
+    * true of the files as written — repartitioning during the write
+    * cannot desync them. The stats frame is ∝ file count. */
+  def commitWithStats(spark: SparkSession, base: String, df: DataFrame,
+      statsCols: Seq[String],
+      extras: Map[String, String] = Map.empty): Long = {
+    require(statsCols.nonEmpty, "commitWithStats needs stats columns")
+    graft.operators.IndexStore.withWriterLock(spark, base) {
+      val v = stageVersion(spark, base, df, extras)
+      stageZoneMap(spark, base, v, statsCols)
+      commitVersion(spark, base, v)
+      v
+    }
+  }
+
+  /** Stage half of the zone map alone (crash-sim seam: stats staged,
+    * marker never created → the version is invisible, stats and all). */
+  private[graft] def stageZoneMap(spark: SparkSession, base: String,
+      v: Long, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val snap = spark.read.parquet(verDir(base, v))
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      count(col(c)).as(s"nonnull_$c")))
+    snap.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per data file — metadata-sized
+      .write.mode("overwrite").parquet(zoneMapDir(base, v))
+  }
+
+  /** The committed zone map of version `v` (one row per data file). */
+  def zoneMap(spark: SparkSession, base: String, v: Long): DataFrame = {
+    require(versions(spark, base).contains(v),
+      s"version $v is not committed at $base")
+    spark.read.parquet(zoneMapDir(base, v))
+  }
+
+  /** Plan-time file pruning: the data files of version `v` whose
+    * `[min_col, max_col]` range can intersect `[lo, hi]`, plus the
+    * total file count. A file whose stats are all-null for `column`
+    * holds no non-null values and cannot satisfy a range predicate, so
+    * it is skipped too. The collect here is the planning step every
+    * table format performs — it is ∝ the version's FILE count (zone-map
+    * rows), never ∝ rows. */
+  def filesInRange(spark: SparkSession, base: String, v: Long,
+      statCol: String, lo: Any, hi: Any): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val zm = zoneMap(spark, base, v)
+      .select(col("file"), col(s"min_$statCol").as("mn"),
+        col(s"max_$statCol").as("mx"))
+    val rows = zm.collect()
+    val kept = zm
+      .filter(col("mn").isNotNull && col("mx").isNotNull &&
+        col("mx") >= lit(lo) && col("mn") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (kept, rows.length)
+  }
+
+  /** Skipping scan: read ONLY the files [[filesInRange]] keeps, then
+    * apply the exact predicate — row-identical to a full scan with the
+    * same filter (the zone map is an over-approximation; the residual
+    * filter restores exactness). An empty survivor set returns the
+    * empty frame with the snapshot's schema without listing data. */
+  def readSkipping(spark: SparkSession, base: String, v: Long,
+      statCol: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (kept, _) = filesInRange(spark, base, v, statCol, lo, hi)
+    val pred = col(statCol) >= lit(lo) && col(statCol) <= lit(hi)
+    if (kept.isEmpty) read(spark, base, v).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(pred)
+  }
+
   /** CDC between two COMMITTED versions: the change feed (`added` /
     * `removed` / `changed` rows with old/new values, unchanged rows
     * dropped) computed from the stored bytes — one full-outer key join

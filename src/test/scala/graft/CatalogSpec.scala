@@ -286,6 +286,44 @@ class CatalogSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/__lock"), false)
   }
 
+  test("VersionedStore zone maps: skipping scan == full filter, files pruned") {
+    import graft.sources.VersionedStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    // k range-partitioned into 8 files → tight per-file key ranges;
+    // v is NULL for k <= 300, so low-k files are ALL-null on v
+    val rows = (1L to 800L).map(i =>
+      (i, s"r$i", if (i <= 300L) None else Some(i * 2)))
+    VersionedStore.commitWithStats(spark, base,
+      rows.toDF("k", "s", "v").repartitionByRange(8, org.apache.spark.sql.functions.col("k")),
+      statsCols = Seq("k", "v"))
+    val zm = VersionedStore.zoneMap(spark, base, 0L)
+    assert(zm.count() == 8)
+    assert(zm.columns.toSet ==
+      Set("file", "min_k", "max_k", "nonnull_k", "min_v", "max_v", "nonnull_v"))
+    // narrow key range → most files pruned
+    val (kept, total) = VersionedStore.filesInRange(spark, base, 0L, "k", 150L, 250L)
+    assert(total == 8 && kept.nonEmpty && kept.size <= 2,
+      s"expected <=2 of 8 files for a 100-key range, kept ${kept.size}")
+    // skipping scan is row-identical to the full filtered scan
+    val skipped = VersionedStore.readSkipping(spark, base, 0L, "k", 150L, 250L)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(skipped == rows.filter(r => r._1 >= 150L && r._1 <= 250L).toSet)
+    // all-null files are skipped on the nullable column: a v-range that
+    // only non-null rows can satisfy never reads the k<=300 files
+    val (keptV, _) = VersionedStore.filesInRange(spark, base, 0L, "v", 700L, 900L)
+    assert(keptV.size < 8, "all-null-v files must be pruned")
+    val viaV = VersionedStore.readSkipping(spark, base, 0L, "v", 700L, 900L)
+      .select("k").as[Long].collect().toSet
+    assert(viaV == (350L to 450L).toSet)
+    // a range beyond every file returns empty with the snapshot schema
+    val none = VersionedStore.readSkipping(spark, base, 0L, "k", 5000L, 6000L)
+    assert(none.columns.toSeq == Seq("k", "s", "v") && none.count() == 0)
+    // the zone map is invisible to ordinary snapshot readers
+    assert(VersionedStore.read(spark, base, 0L).count() == 800)
+    assert(VersionedStore.fileStats(spark, base, 0L)._1 == 8)
+  }
+
   test("VersionedStore.changesBetween: CDC from stored snapshots") {
     import graft.sources.VersionedStore
     import spark.implicits._

@@ -972,6 +972,21 @@ class OperatorsSpec extends AnyFunSuite {
       "disjoint cliques must keep distinct labels")
   }
 
+  test("Graph.kcorePeel: K5 core survives 4-peel, pendant path peels away") {
+    // K5 over 1-5 (every degree 4) with a pendant path 5-6-7: node 6
+    // has degree 2 and 7 degree 1 — both gone after round 1, and their
+    // removal does NOT drag K5 below k because 5's in-clique degree
+    // stays 4
+    val edges = ((for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)) ++
+      Seq((5L, 6L), (6L, 7L))).toDF("item_a", "item_b")
+    val core = Graph.kcorePeel(edges, k = 4, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == (1L to 5L).map(_ -> 4L).toMap)
+    // k=5 peels everything: first round drops all (max degree is 4+1=5
+    // for node 5 only, whose neighbors all fall)
+    assert(Graph.kcorePeel(edges, k = 6, rounds = 2).count() == 0)
+  }
+
   test("Graph.localClustering: hand-checked coefficients; corner sum = 3 x global count") {
     val edges = Seq( // K4 over 1-4 (4 triangles), path 4-5-6 (none)
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
