@@ -51,7 +51,8 @@ object SparkEntry {
       "q6_forecast_revenue", "q9_product_profit", "q16_parts_supplier",
       "sim_binary_hamming", "sim_binary_rerank", "sim_ivf_binary",
       "sim_matryoshka", "txt_dsir",
-      "txt_budget_fill", "txt_rag_pack", "g_label_prop")
+      "txt_budget_fill", "txt_rag_pack", "g_label_prop", "g_kcore",
+      "txt_collocations", "sim_sq8", "t22_spike_detect")
     preferred.filter(queries.contains)
   }
 }

@@ -47,6 +47,51 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** Symmetric int8 SCALAR quantization (SQ8) top-k — the third member
+    * of the quantized-serve family (PQ = sim_pq_adc, binary =
+    * sim_binary_*): per-dim corpus min/max is the train step, both
+    * sides code as q_i = clamp(⌊(x_i − mn_i)·255 / (mx_i − mn_i)⌋, 0,
+    * 255), candidates rank by the INTEGER code dot product. 4 bytes/dim
+    * becomes 1, the scorer is integer MACs, and — unlike a float
+    * ADC — the whole ranking is exact BIGINT arithmetic after two
+    * exactly-rounded IEEE ops per dim, so the DuckDB oracle replays it
+    * bit-for-bit. Query values outside the corpus range clamp to the
+    * code boundary (the standard SQ contract); degenerate dims
+    * (mx == mn) code to 0 on both sides. The 1-row stats frame is
+    * broadcast; the query side is broadcast into one candidate pass. */
+  def sq8TopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cD = candidates.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val qD = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val stats = cD.agg(
+      array((1 to dims).map(i => min(element_at(col("cv"), i))): _*).as("mn"),
+      array((1 to dims).map(i => max(element_at(col("cv"), i))): _*).as("mx"))
+    def codes(v: String) = expr(
+      s"""transform($v, (x, i) -> CASE
+          WHEN element_at(mx, i + 1) = element_at(mn, i + 1)
+            THEN CAST(0 AS BIGINT)
+          ELSE least(greatest(CAST(floor(
+              (x - element_at(mn, i + 1)) * 255.0D /
+              (element_at(mx, i + 1) - element_at(mn, i + 1))) AS BIGINT),
+            CAST(0 AS BIGINT)), CAST(255 AS BIGINT)) END)""")
+    val qc = qD.crossJoin(broadcast(stats))
+      .select(col("query_id"), codes("qv").as("qcode"))
+    val cc = cD.crossJoin(broadcast(stats))
+      .select(col("cand_id"), codes("cv").as("ccode"))
+    val scored = cc.join(broadcast(qc), col("query_id") =!= col("cand_id"))
+      .withColumn("dotq", expr(
+        """aggregate(zip_with(qcode, ccode, (a, b) -> a * b),
+           CAST(0 AS BIGINT), (s, x) -> s + x)"""))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dotq").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "dotq")
+  }
+
   /** Deterministic integer hyperplane component for plane j, dim i —
     * shared with the oracle SQL builder. Values in [−504, 504]. */
   def planeCoeff(j: Int, i: Int): Long =

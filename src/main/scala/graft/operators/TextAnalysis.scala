@@ -234,6 +234,37 @@ object TextAnalysis {
         expr("sum(p6) DIV count(1)").as("lm_score"))
   }
 
+  /** Top-k PMI collocations (Church & Hanks 1990): pointwise mutual
+    * information over the corpus bigrams, ranked in integer fixed
+    * point. PMI = log(p_xy / (p_x·p_y)) is a monotone transform of
+    * c_xy·N / (c_x·c_y), so ranking by pmi6 = c_xy·N·10⁶ DIV (c_x·c_y)
+    * (ties → (x, y) total order) reproduces the PMI order with zero
+    * cross-engine libm drift — same contract as [[bigramScore]].
+    * `minCount` keeps hapax pairs out (raw PMI is maximized by
+    * singletons — the classic noise filter). Unigram masses are the
+    * position-consistent ones (c_x = bigrams with x first, c_y = with
+    * y second), so probabilities live in one sample space.
+    *
+    * Plan: one bigram explode feeding three map-side-combined
+    * aggregates, the 1-row N frame broadcast into the scorer, partial
+    * top-k. Overflow bound: c_xy·N·10⁶ needs c_xy·N < 9.2e12 —
+    * beyond that scale drop the 10⁶ to 10³ or pre-divide by c_x. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val bi = docBigrams(docs, idCol, textCol)
+    val counts = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val cx = bi.groupBy("x").agg(count(lit(1)).as("c_x"))
+    val cy = bi.groupBy("y").agg(count(lit(1)).as("c_y"))
+    val n = bi.agg(count(lit(1)).as("n_bi"))
+    counts.join(cx, "x").join(cy, "y")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi6", expr("(c_xy * n_bi * 1000000) DIV (c_x * c_y)"))
+      .select("x", "y", "c_xy", "pmi6")
+      .orderBy(col("pmi6").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Per-slice token-distribution divergence against the whole corpus —
     * the mixture-QA instrument behind "which source is distributionally
     * off": KL(slice‖corpus) and KL(corpus‖slice) per slice, add-one

@@ -1112,6 +1112,33 @@ object Corpus {
       FROM scored WHERE doc_id < 100
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Top-40 PMI collocations (TextAnalysis.collocations): pointwise
+    * mutual information in integer fixed point (pmi6 = c_xy·N·10⁶ DIV
+    * (c_x·c_y) — the monotone transform of log PMI, so the ranking is
+    * the textbook one with zero libm drift), bigrams with ≥5
+    * occurrences, ties broken (x, y). */
+  val txtCollocations = Q(
+    "txt_collocations",
+    (s, dir) => graft.operators.TextAnalysis.collocations(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      minCount = 5L, k = 40),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      bi AS (
+        SELECT t[i] AS x, t[i + 1] AS y
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+      cnt AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2
+              HAVING count(*) >= 5),
+      cx AS (SELECT x, count(*) AS c_x FROM bi GROUP BY 1),
+      cy AS (SELECT y, count(*) AS c_y FROM bi GROUP BY 1),
+      n AS (SELECT count(*) AS n_bi FROM bi)
+      SELECT c.x, c.y, c.c_xy,
+        (c.c_xy * n.n_bi * 1000000) // (cx.c_x * cy.c_y) AS pmi6
+      FROM cnt c JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+      ORDER BY pmi6 DESC, x, y LIMIT 40"""))
+
   /** Fixed retrieval batch for txt_bm25 — the oracle SQL is generated
     * from these same constants (operators.Retrieval.bm25OracleSql). */
   val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
@@ -1533,7 +1560,7 @@ object Corpus {
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
-    txtBigramScore, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
+    txtBigramScore, txtCollocations, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Filtered, txtBudgetFill, txtDsir, txtRagPack,
     txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank, txtPhraseLong,

@@ -968,6 +968,47 @@ object Pipeline {
         ${leg(32)} UNION ALL ${leg(16)}"""
     })
 
+  /** Symmetric int8 scalar quantization (Similarity.sq8TopK): corpus
+    * per-dim min/max → 0..255 codes on both sides → integer code-dot
+    * ranking, top-5 per query. The whole ranking is BIGINT-exact after
+    * the quantizer's two IEEE ops per dim, so the oracle replays it
+    * bit-for-bit — the quantization error is IN the ranking, by
+    * design (SQ trades recall for 4× fewer bytes; sim_pq_recall is the
+    * harness that prices such trades). */
+  val simSq8 = Q(
+    "sim_sq8",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.sq8TopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, dims = 64)
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      stats AS (
+        SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+        FROM v CROSS JOIN dims WHERE vec_id >= 10
+        GROUP BY i),
+      codes AS (
+        SELECT v.vec_id, s.i,
+          CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+            ELSE least(greatest(CAST(floor(
+                (v.e[s.i] - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT),
+              CAST(0 AS BIGINT)), CAST(255 AS BIGINT)) END AS code
+        FROM v CROSS JOIN stats s),
+      dots AS (
+        SELECT qc.vec_id AS query_id, cc.vec_id AS cand_id,
+          CAST(sum(qc.code * cc.code) AS BIGINT) AS dotq
+        FROM codes qc JOIN codes cc ON qc.i = cc.i
+        WHERE qc.vec_id < 10 AND cc.vec_id >= 10
+        GROUP BY 1, 2)
+      SELECT query_id, cand_id, rank, dotq FROM (
+        SELECT query_id, cand_id, dotq,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY dotq DESC, cand_id) AS rank
+        FROM dots) WHERE rank <= 5"""))
+
   /** DuckDB literal for LSH hyperplane j — generated from the same
     * Similarity.planeCoeff constants the Spark plan uses. */
   private def planeSql(j: Int) =
@@ -2463,7 +2504,7 @@ object Pipeline {
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
-    simTopk, simBinaryHamming, simBinaryRerank, simMatryoshka,
+    simTopk, simBinaryHamming, simBinaryRerank, simMatryoshka, simSq8,
     simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
     simIvfFiltered, simIvfBinary,
     simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,

@@ -245,6 +245,48 @@ object TemporalQueries {
       FROM spine s LEFT JOIN nd ON s.day = nd.day
       ORDER BY s.day"""))
 
+  /** T22: trailing-baseline SPIKE detection — the ops-monitoring rule
+    * "alert when today's volume is more than 2× the trailing week's
+    * daily average", in pure integers so the oracle replays it exactly:
+    * spike ⇔ cnt · n_prior > 2 · trailing_sum (the cross-multiplied
+    * form of cnt > 2·mean — no division, no doubles). The trailing
+    * frame is value-bounded on the day number (RANGE 7..1 PRECEDING,
+    * t19's sparse-day discipline) and needs ≥3 prior days before it may
+    * fire (cold-start suppression). One shuffle on event_type does the
+    * rollup and the window. */
+  val t22SpikeDetect = Q(
+    "t22_spike_detect",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("day_num",
+          datediff(col("day"), lit("1970-01-01").cast("timestamp")))
+      val w = Window.partitionBy("event_type").orderBy("day_num")
+        .rangeBetween(-7, -1)
+      d.select(col("event_type"), col("day"), col("cnt"),
+          coalesce(sum(col("cnt")).over(w), lit(0L)).as("trailing_sum"),
+          count(col("cnt")).over(w).as("n_prior"))
+        .withColumn("is_spike",
+          col("n_prior") >= 3 && col("cnt") * col("n_prior") > col("trailing_sum") * 2)
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, day, cnt,
+        CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS trailing_sum,
+        count(cnt) OVER w AS n_prior,
+        (count(cnt) OVER w >= 3 AND
+         cnt * count(cnt) OVER w > coalesce(sum(cnt) OVER w, 0) * 2) AS is_spike
+      FROM d
+      WINDOW w AS (PARTITION BY event_type
+        ORDER BY DATEDIFF('day', DATE '1970-01-01', day)
+        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
-    t17Attribution, t19RangeFrame, t20CumulativeDistinct)
+    t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect)
 }

@@ -972,6 +972,24 @@ class OperatorsSpec extends AnyFunSuite {
       "disjoint cliques must keep distinct labels")
   }
 
+  test("Similarity.sq8TopK: integer code ranking; out-of-range queries clamp") {
+    // corpus on a line: codes are monotone in the raw value, so the
+    // int-dot ranking equals the raw dot ranking; the query at 99.0
+    // (beyond corpus max 4.0) clamps to code 255, not beyond
+    val cands = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(2.0f, 0.0f)),
+      (12L, Seq(3.0f, 0.0f)), (13L, Seq(4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((1L, Seq(99.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(qs, cands, "vec_id", "embedding",
+        k = 4, dims = 2)
+      .orderBy("rank").as[(Long, Long, Int, Long)].collect().toSeq
+    // clamped query code = (255, 0); cand codes 0,85,170,255 → dots
+    assert(got.map(r => (r._2, r._4)) ==
+      Seq((13L, 255L * 255L), (12L, 255L * 170L),
+        (11L, 255L * 85L), (10L, 0L)))
+  }
+
   test("Graph.kcorePeel: K5 core survives 4-peel, pendant path peels away") {
     // K5 over 1-5 (every degree 4) with a pendant path 5-6-7: node 6
     // has degree 2 and 7 degree 1 — both gone after round 1, and their

@@ -93,6 +93,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_binary_rerank",   // same Hamming shortlist stage; rerank leg is equi-join
     "sim_ivf_binary",      // broadcast-centroid query assignment (same as sim_ivf_stored)
     "sim_matryoshka",      // truncated-dim brute-force legs × broadcast queries (baseline instrument)
+    "sim_sq8",             // 1-row quantizer stats broadcast + code scan × broadcast query codes
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
@@ -117,6 +118,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_prospect_customers", // 1-row global-average threshold broadcast into the filter
     "q11_important_stock", // 1-row global value total broadcast into the share filter
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
+    "txt_collocations",    // 1-row bigram-total N broadcast into the PMI scorer
     "txt_mix_temperature", // 1-row Σsq6 budget denominator broadcast into the shares
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
