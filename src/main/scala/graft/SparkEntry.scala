@@ -52,7 +52,8 @@ object SparkEntry {
       "sim_binary_hamming", "sim_binary_rerank", "sim_ivf_binary",
       "sim_matryoshka", "txt_dsir",
       "txt_budget_fill", "txt_rag_pack", "g_label_prop", "g_kcore",
-      "txt_collocations", "sim_sq8", "t22_spike_detect")
+      "txt_collocations", "sim_sq8", "t22_spike_detect",
+      "t23_sliding_distinct", "a42_hll")
     preferred.filter(queries.contains)
   }
 }

@@ -472,6 +472,53 @@ object Coverage {
       FROM r WHERE rn <= 64
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** A42: HyperLogLog with EXPLICIT registers — the industry-standard
+    * distinct sketch made oracle-EXACT by keeping the registers as
+    * plain (group, bucket, reg) rows over hash56 (Spark's own
+    * approx_count_distinct is engine-private — a18's limit). Built as
+    * the m18 maintenance recipe: a stored sketch (events %10 < 8) and a
+    * batch sketch (%10 ≥ 8) MERGE by register max, and the oracle
+    * rebuilds registers over ALL events — equal because max-merge is
+    * the sketch's union. The harmonic sum is exact 2^51 fixed point;
+    * the only float ops are one multiply chain and one division of
+    * exact integers, bit-identical cross-engine. */
+  val a42Hll = Q(
+    "a42_hll",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val e = Tables.load(s, dir, "events")
+      val stored = Sketches.hllRegisters(
+        e.filter(col("event_id") % 10 < 8), "event_type", "user_id")
+      val batch = Sketches.hllRegisters(
+        e.filter(col("event_id") % 10 >= 8), "event_type", "user_id")
+      Sketches.hllEstimate(Sketches.hllMerge(stored, batch))
+        .select(col("grp").as("event_type"), col("hll_est"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH h AS (
+        SELECT event_type,
+          ((md5_number_lower(CAST(user_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) AS h
+        FROM events),
+      b AS (
+        SELECT event_type, h // ${graft.operators.Sketches.HllW} AS bucket,
+          h % ${graft.operators.Sketches.HllW} AS w
+        FROM h),
+      regs AS (
+        SELECT event_type, bucket,
+          max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS reg
+        FROM b GROUP BY 1, 2),
+      z AS (
+        SELECT event_type,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(51 - reg AS INT)) AS BIGINT) AS zp,
+          count(*) AS nb
+        FROM regs GROUP BY 1)
+      SELECT event_type,
+        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+          CAST(${graft.operators.Sketches.HllZScale} AS DOUBLE) /
+          CAST(zp + (64 - nb) * ${graft.operators.Sketches.HllZScale} AS DOUBLE)
+          AS hll_est
+      FROM z ORDER BY event_type"""))
+
   /** A29: KMV sketch SET ALGEBRA — the property that makes sketches a
     * warehouse primitive: two independently-built user sketches (click
     * users, purchase users) answer union AND intersection cardinality
@@ -1321,7 +1368,7 @@ object Coverage {
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, a17Percentiles,
-    j12Salted, a18Sketches, a26KmvSketch, a27SampleQuantile, a28CmsHeavy,
+    j12Salted, a18Sketches, a26KmvSketch, a42Hll, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)

@@ -661,10 +661,49 @@ object SetMerge {
       FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
       GROUP BY 1 ORDER BY 1"""))
 
+  /** M22: per-file BLOOM skipping — the point-lookup complement of
+    * m21's zone maps. Hash-partitioned files have useless min/max
+    * ranges (every file spans the whole key domain), but each file's
+    * key-SET bloom prunes a point probe to the one owning file plus
+    * false positives — parquet bloom filters / Delta's bloom index as
+    * an explicit, oracle-checked operator. Three point lookups run
+    * through readPoint; the in-query requires pin that each probe kept
+    * strictly fewer files than the snapshot holds; the oracle is the
+    * plain IN-list filter, so "bloom-pruned scan == full scan" is
+    * hash-checked (false positives only ever ADD files, never rows —
+    * the residual equality filter restores exactness). */
+  val m22BloomSkipping = Q(
+    "m22_bloom_skipping",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/bloom_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        VersionedStore.commitWithStats(s, base,
+          orders.repartition(16, col("o_orderkey")),
+          statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      }
+      val keys = Seq(42L, 4242L, 7777L)
+      keys.map { key =>
+        val (kept, total) =
+          VersionedStore.filesMaybeContaining(s, base, 0L, "o_orderkey", key)
+        // an ABSENT key legally keeps zero files — maximum pruning
+        require(kept.size < total,
+          s"bloom must prune files for key $key (kept ${kept.size} of $total)")
+        VersionedStore.readPoint(s, base, 0L, "o_orderkey", key)
+      }.reduce(_.unionByName(_))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey IN (42, 4242, 7777)
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
     m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
     m17TimeTravel, m18SketchMv, m19Optimize, m20CdcVersions,
-    m21DataSkipping)
+    m21DataSkipping, m22BloomSkipping)
 }

@@ -287,6 +287,50 @@ object TemporalQueries {
         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
       ORDER BY event_type, day"""))
 
+  /** T23: SLIDING distinct — trailing-7-day unique users per day
+    * ("weekly active users at day grain"). COUNT(DISTINCT) OVER a
+    * sliding frame is unsupported in Spark and O(days × users)
+    * anywhere; the exact scalable rewrite inverts the window: each
+    * distinct (user, active day) CONTRIBUTES to the 7 days it covers
+    * (one in-row sequence explode, ≤7× the user-day pairs), a second
+    * distinct collapses overlapping coverage from nearby active days,
+    * and a plain groupBy counts — shuffles ∝ user-days, never days ×
+    * users. Coverage is reported only for OBSERVED days (semi-join on
+    * the day spine), matching the oracle's range join, which emits no
+    * row for an event-less day. */
+  val t23SlidingDistinct = Q(
+    "t23_sliding_distinct",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")),
+            lit("1970-01-01").cast("timestamp")).as("d"))
+        .distinct()
+      val spine = e.select(col("d").as("day_num")).distinct()
+      e.select(col("user_id"),
+          explode(expr("sequence(d, d + 6)")).as("day_num"))
+        .distinct()
+        .join(spine, Seq("day_num"), "left_semi")
+        .groupBy("day_num")
+        .agg(count(lit(1)).as("wau"))
+        .select(
+          to_timestamp(date_add(lit("1970-01-01").cast("date"),
+            col("day_num").cast("int"))).as("day"),
+          col("wau"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (
+        SELECT DISTINCT user_id,
+          DATEDIFF('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS d
+        FROM events),
+      spine AS (SELECT DISTINCT d FROM e)
+      SELECT CAST(DATE '1970-01-01' + INTERVAL (s.d) DAY AS TIMESTAMP) AS day,
+        count(DISTINCT e.user_id) AS wau
+      FROM spine s JOIN e ON e.d BETWEEN s.d - 6 AND s.d
+      GROUP BY s.d ORDER BY day"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
-    t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect)
+    t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
+    t23SlidingDistinct)
 }

@@ -345,11 +345,16 @@ object VersionedStore {
     * cannot desync them. The stats frame is ∝ file count. */
   def commitWithStats(spark: SparkSession, base: String, df: DataFrame,
       statsCols: Seq[String],
-      extras: Map[String, String] = Map.empty): Long = {
-    require(statsCols.nonEmpty, "commitWithStats needs stats columns")
+      extras: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 16, bloomK: Int = 3): Long = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "commitWithStats needs stats or bloom columns")
     graft.operators.IndexStore.withWriterLock(spark, base) {
       val v = stageVersion(spark, base, df, extras)
-      stageZoneMap(spark, base, v, statsCols)
+      if (statsCols.nonEmpty) stageZoneMap(spark, base, v, statsCols)
+      if (bloomCols.nonEmpty)
+        stageBloom(spark, base, v, bloomCols, bloomBits, bloomK)
       commitVersion(spark, base, v)
       v
     }
@@ -368,6 +373,78 @@ object VersionedStore {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1) // one row per data file — metadata-sized
       .write.mode("overwrite").parquet(zoneMapDir(base, v))
+  }
+
+  private def bloomDir(base: String, v: Long): String =
+    s"${verDir(base, v)}/_bloom"
+
+  /** Per-file BLOOM filters — the equality-predicate complement of the
+    * zone map (a point key prunes nothing on min/max when files aren't
+    * range-clustered on it; the per-file key-set bloom prunes to the
+    * files that might hold the key, false positives only — what parquet
+    * bloom filters / Delta's bloom index do, kept here in the same
+    * committed stats metadata). Long layout (file, col_name, words):
+    * the m-bit bitmap per (file, column) packed into long words, built
+    * distributed — per-file distinct bit positions, packed in-row. */
+  private[graft] def stageBloom(spark: SparkSession, base: String,
+      v: Long, bloomCols: Seq[String], m: Int, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(m >= 64 && m % 64 == 0 && m <= (1 << 20),
+      s"bloom bits m=$m must be a multiple of 64 in [64, 2^20]")
+    require(k >= 1 && k <= 8, s"bloom hash count k=$k out of [1, 8]")
+    val snap = spark.read.parquet(verDir(base, v))
+    bloomCols.map { c =>
+      snap.select(input_file_name().as("file"),
+          explode(array((0 until k).map(j =>
+            graft.operators.Sketches.bloomPos(col(c), j, m)): _*)).as("p"))
+        .groupBy("file").agg(collect_set("p").as("ps"))
+        .select(col("file"), lit(c).as("col_name"), expr(
+          s"""transform(sequence(0, ${m / 64 - 1}), w ->
+              aggregate(filter(ps, p -> CAST(p DIV 64 AS INT) = w),
+                CAST(0 AS BIGINT),
+                (s, p) -> s | shiftleft(CAST(1 AS BIGINT),
+                                        CAST(p % 64 AS INT))))""").as("words"))
+    }.reduce(_.unionByName(_))
+      .coalesce(1) // files × columns rows — metadata-sized
+      .write.mode("overwrite").parquet(bloomDir(base, v))
+  }
+
+  /** The committed per-file bloom table of version `v`. */
+  def bloomTable(spark: SparkSession, base: String, v: Long): DataFrame = {
+    require(versions(spark, base).contains(v),
+      s"version $v is not committed at $base")
+    spark.read.parquet(bloomDir(base, v))
+  }
+
+  /** Files of version `v` whose bloom for `statCol` might contain
+    * `value` (never a false negative), plus the total file count. */
+  def filesMaybeContaining(spark: SparkSession, base: String, v: Long,
+      statCol: String, value: Any, bloomK: Int = 3): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val bt = bloomTable(spark, base, v).filter(col("col_name") === statCol)
+    val m = bt.select(size(col("words")) * 64).head().getInt(0)
+    // the probe key's k bit positions — same hash family as the build
+    val positions = spark.range(1).select((0 until bloomK).map(j =>
+        graft.operators.Sketches.bloomPos(lit(value), j, m).as(s"p$j")): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val hit = positions.map { p =>
+      shiftright(element_at(col("words"), (p / 64).toInt + 1),
+        (p % 64).toInt).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val total = bt.count().toInt
+    val kept = bt.filter(hit).select("file")
+      .collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Point-lookup scan: read only the bloom-surviving files, then the
+    * exact equality filter — row-identical to a full scan + filter. */
+  def readPoint(spark: SparkSession, base: String, v: Long,
+      statCol: String, value: Any, bloomK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (kept, _) = filesMaybeContaining(spark, base, v, statCol, value, bloomK)
+    if (kept.isEmpty) read(spark, base, v).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(col(statCol) === lit(value))
   }
 
   /** The committed zone map of version `v` (one row per data file). */

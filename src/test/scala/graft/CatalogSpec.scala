@@ -324,6 +324,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(VersionedStore.fileStats(spark, base, 0L)._1 == 8)
   }
 
+  test("VersionedStore bloom skipping: point probe prunes files, never rows") {
+    import graft.sources.VersionedStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val rows = (1L to 2000L).map(i => (i, s"r$i"))
+    VersionedStore.commitWithStats(spark, base,
+      rows.toDF("k", "s").repartition(8, org.apache.spark.sql.functions.col("k")),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    // hash-partitioned: every file spans ~the whole key range, so the
+    // ZONE MAP cannot prune a point probe...
+    val (zmKept, zmTotal) = VersionedStore.filesInRange(spark, base, 0L, "k", 777L, 777L)
+    assert(zmTotal == 8 && zmKept.size == 8,
+      "hash layout defeats min/max pruning — that's the bloom's job")
+    // ...but the bloom prunes to the owning file + false positives
+    val (kept, total) = VersionedStore.filesMaybeContaining(spark, base, 0L, "k", 777L)
+    assert(total == 8 && kept.nonEmpty && kept.size < 8,
+      s"bloom should prune (kept ${kept.size} of 8)")
+    assert(VersionedStore.readPoint(spark, base, 0L, "k", 777L)
+      .as[(Long, String)].collect().toSeq == Seq((777L, "r777")))
+    // never a false negative: every present key is found
+    (1L to 50L).foreach { key =>
+      assert(VersionedStore.readPoint(spark, base, 0L, "k", key).count() == 1,
+        s"bloom false negative on present key $key")
+    }
+    // an absent key returns zero rows even when a false positive keeps files
+    assert(VersionedStore.readPoint(spark, base, 0L, "k", 999999L).count() == 0)
+  }
+
   test("VersionedStore.changesBetween: CDC from stored snapshots") {
     import graft.sources.VersionedStore
     import spark.implicits._

@@ -972,6 +972,27 @@ class OperatorsSpec extends AnyFunSuite {
       "disjoint cliques must keep distinct labels")
   }
 
+  test("Sketches HLL: estimate within 2 sigma of exact; merge == rebuild") {
+    import graft.operators.Sketches
+    val df = (1L to 5000L).map(i => (if (i <= 4000L) "big" else "small", i))
+      .toDF("grp", "k")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "grp", "k"))
+      .as[(String, Double)].collect().toMap
+    // sigma = 1.04/sqrt(64) = 13%; allow 2 sigma
+    assert(math.abs(est("big") - 4000.0) / 4000.0 < 0.26, s"big=${est("big")}")
+    assert(math.abs(est("small") - 1000.0) / 1000.0 < 0.26,
+      s"small=${est("small")}")
+    // mergeability: sketch(A) max-merged with sketch(B) == sketch(A∪B),
+    // REGISTER-identical (not merely estimate-close)
+    val a = Sketches.hllRegisters(df.filter($"k" % 2 === 0), "grp", "k")
+    val b = Sketches.hllRegisters(df.filter($"k" % 2 =!= 0), "grp", "k")
+    val merged = Sketches.hllMerge(a, b)
+      .as[(String, Long, Long)].collect().toSet
+    val rebuilt = Sketches.hllRegisters(df, "grp", "k")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == rebuilt)
+  }
+
   test("Similarity.sq8TopK: integer code ranking; out-of-range queries clamp") {
     // corpus on a line: codes are monotone in the raw value, so the
     // int-dot ranking equals the raw dot ranking; the query at 99.0

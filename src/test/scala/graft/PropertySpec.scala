@@ -488,6 +488,65 @@ class PropertySpec extends AnyFunSuite {
       s"reclustered serve mean recall $mean below the 0.5 serving floor")
   }
 
+  test("kcorePeel equals brute-force simultaneous peeling on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+      .map(_.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+    samples(Gen.zip(edgeGen, Gen.choose(1, 4), Gen.choose(1, 3)), 25)
+      .foreach { case (edges, k, rounds) =>
+        if (edges.nonEmpty) {
+          val got = graft.operators.Graph
+            .kcorePeel(edges.toDF("item_a", "item_b"), k, rounds)
+            .as[(Long, Long)].collect().toMap
+          // brute force: the same synchronous rounds over scala sets
+          var e = edges.flatMap(p => Seq(p, p.swap)).toSet
+          for (_ <- 1 to rounds) {
+            val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+            val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+            e = e.filter(p => keep(p._1) && keep(p._2))
+          }
+          val want = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+          assert(got == want, s"k=$k rounds=$rounds edges=$edges")
+        }
+      }
+  }
+
+  test("sq8TopK matches a scala replay of the quantizer on random vectors") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-100, 100).map(_ / 10.0f))
+    val corpusGen = Gen.listOfN(24, vecGen)
+    samples(corpusGen, 15).foreach { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.sq8TopK(
+          df.filter($"vec_id" < 3), df.filter($"vec_id" >= 3),
+          "vec_id", "embedding", k = 5, dims = 4)
+        .as[(Long, Long, Int, Long)].collect()
+        .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+      // scala replay with the same double ops
+      val cands = rows.filter(_._1 >= 3)
+      val dims = 4
+      val mn = (0 until dims).map(i => cands.map(_._2(i).toDouble).min)
+      val mx = (0 until dims).map(i => cands.map(_._2(i).toDouble).max)
+      def code(v: Seq[Float]): Seq[Long] = (0 until dims).map { i =>
+        if (mx(i) == mn(i)) 0L
+        else math.min(math.max(math.floor(
+          (v(i).toDouble - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong, 0L), 255L)
+      }
+      rows.filter(_._1 < 3).foreach { case (qid, qv) =>
+        val qc = code(qv)
+        val ranked = cands.filter(_._1 != qid)
+          .map { case (cid, cv) =>
+            (cid, code(cv).zip(qc).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (cid, d) => (-d, cid) }.take(5)
+        ranked.zipWithIndex.foreach { case ((cid, d), r) =>
+          assert(got((qid, r + 1)) == (cid, d),
+            s"query $qid rank ${r + 1}: got ${got((qid, r + 1))} want ($cid, $d)")
+        }
+      }
+    }
+  }
+
   test("budgetFill equals the naive global cumulative sum on random corpora") {
     // the banded rewrite (per-quality-class running totals + boundary
     // class + residual) must match the definition — the maximal
