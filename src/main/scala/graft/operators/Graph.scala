@@ -430,19 +430,29 @@ object Graph {
     * node; `rounds` rounds of simultaneous peeling. Run to a fixpoint
     * this yields the exact k-core; bounded rounds are the distributed
     * form (the same trade as [[ssspFixed]]'s bounded horizon) and are
-    * exactly what each synchronous Pregel superstep computes. Each
-    * round is one map-side-combined degree aggregate plus two semi-joins
-    * of the edge list against the survivor set — no driver state, cost
-    * ∝ surviving edges, shrinking monotonically. Returns (node, degree)
-    * over the surviving edge set. */
+    * exactly what each synchronous Pregel superstep computes.
+    *
+    * Round shape: both endpoint degrees attach as per-partition WINDOW
+    * counts (src-window, then dst-window — the directed view carries
+    * both orientations, so in-degree == out-degree and the dst window
+    * is the dst node's degree), then one filter keeps edges whose BOTH
+    * endpoints survive. Two shuffles per round, and the edge frame is
+    * referenced ONCE per round — the earlier degree-aggregate + two
+    * semi-joins form referenced it three times, nesting two copies of
+    * round r−1 inside round r's plan (measured 3.8 s vs 2.x s at sf0.1:
+    * the exchange shapes differ, so ReuseExchange can't collapse them
+    * the way it does for [[pagerankFixed]]'s identical adjacency legs).
+    * Cost ∝ surviving edges, shrinking monotonically; no driver state.
+    * Returns (node, degree) over the surviving edge set. */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var e = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"), col("item_a").as("dst")))
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("src")
-      e = e.join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      e = e.withColumn("ds", count(lit(1)).over(Window.partitionBy("src")))
+        .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
+        .filter(col("ds") >= k && col("dd") >= k)
+        .select("src", "dst")
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))

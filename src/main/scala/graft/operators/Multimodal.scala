@@ -339,6 +339,112 @@ object Multimodal {
       bmpMeta(r.doc_id, resizeBmp(r.doc_id, r.payload, w2, h2))))
   }
 
+  // ---- Perceptual image dedup (average hash) --------------------------
+  //
+  // The multimodal member of the dedup family: near-duplicate IMAGES
+  // found by a perceptual fingerprint, not byte equality (dd_exact's
+  // territory) — re-encoded/perturbed copies of one image should
+  // collapse. Average hash (aHash, the classical pHash-family baseline):
+  // decode, gray, threshold each pixel against the image's integer mean,
+  // pack the bits. Every step is integer arithmetic off the REAL BMP
+  // decoder, so the oracle replays hash, banding, and Hamming verify
+  // arithmetically from the synth formula.
+
+  /** Near-duplicate image corpus: documents sharing doc_id % groups get
+    * ONE base gray pattern; every 4th doc perturbs a single
+    * doc_id-chosen pixel by +128 — a visually-near copy whose aHash is
+    * within a few bits of its group's. */
+  def synthGroupPixel(docId: Long, groups: Int): PixelFn = (x, y) => {
+    val gid = docId % groups
+    // group-specific SLOPES, not just offsets: a constant offset shifts
+    // every gray equally, leaving the mean-threshold bits — and hence
+    // the hash — identical across groups (observed: 97 groups, ~5
+    // distinct hashes, 33k pairs); varying the x/y multipliers gives
+    // each group its own bit pattern
+    val base = (((gid % 13L + 2L) * 6L * x + (gid % 17L + 3L) * 10L * y +
+      gid * 5L) % 256L).toInt
+    val g =
+      if (docId % 4L == 0L && x == (docId % 8L).toInt &&
+          y == ((docId / 8L) % 6L).toInt) (base + 128) % 256
+      else base
+    (g, g, g)
+  }
+
+  /** BMP table of the near-duplicate image corpus. */
+  def toBmpGroupTable(spark: SparkSession, documents: DataFrame,
+      groups: Int = 97, width: Int = 8, height: Int = 6): DataFrame = {
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map(id =>
+        MediaRow(id, "bmp", bmp24(width, height, synthGroupPixel(id, groups)))))
+      .toDF()
+  }
+
+  /** Average hash of a decoded BMP: gray = (r+g+b) DIV 3, integer mean
+    * over all pixels (sum DIV n), bit (y·width + x) set iff gray >
+    * mean. width·height ≤ 63 bits. */
+  def aHashBmp(docId: Long, payload: Array[Byte]): Long = {
+    val b = decodeBmp(docId, payload)
+    require(b.width * b.height <= 63,
+      s"doc $docId: aHash packs into one long, got ${b.width}x${b.height}")
+    val grays = new Array[Int](b.width * b.height)
+    var sum = 0L
+    var y = 0
+    while (y < b.height) {
+      var x = 0
+      while (x < b.width) {
+        val (r, g, bl) = b.px(x, y)
+        val gr = (r + g + bl) / 3
+        grays(y * b.width + x) = gr
+        sum += gr
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum / grays.length
+    grays.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+      if (g > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** (doc_id, ahash) for a BMP media table — the decode+hash pass. */
+  def aHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .map(r => (r.doc_id, aHashBmp(r.doc_id, r.payload)))
+      .toDF("doc_id", "ahash")
+  }
+
+  /** EXACT Hamming-≤maxDist pairs over the hash table via the pigeonhole
+    * band join (the dd_simhash discipline): split `bits` into maxDist+1
+    * equal bands — any pair within maxDist differs in at most maxDist
+    * bands, so at least one band matches exactly; candidates come from a
+    * band equi-join (never an all-pairs product), the Hamming verify
+    * filters false candidates. Guaranteed recall, shuffles ∝ band
+    * postings. */
+  def perceptualDupPairs(hashes: DataFrame, bits: Int,
+      maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    require(bits % bands == 0,
+      s"bits=$bits must split evenly into ${bands} bands")
+    val w = bits / bands
+    def banded(idCol: String) = hashes.select(
+        col("doc_id").as(idCol), col("ahash").as(s"${idCol}_h"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+              struct(b AS band, (ahash DIV shiftleft(CAST(1 AS BIGINT), b * $w))
+                       % shiftleft(CAST(1 AS BIGINT), $w) AS bv))""")).as("bb"))
+      .select(col(idCol), col(s"${idCol}_h"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded("doc_a").join(banded("doc_b"), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "doc_a_h", "doc_b_h").distinct()
+      .withColumn("hamming",
+        bit_count(col("doc_a_h").bitwiseXOR(col("doc_b_h"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   // ---- REAL demux: AVI container ------------------------------------
   //
   // Video completes the trio at the CONTAINER level: AVI is RIFF (like

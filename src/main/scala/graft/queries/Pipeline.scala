@@ -2144,6 +2144,58 @@ object Pipeline {
         CAST(sum((4 * x * y + doc_id) % 256) AS BIGINT) AS sum_b
       FROM g GROUP BY doc_id"""))
 
+  /** Perceptual image dedup (Multimodal.aHashBmp/perceptualDupPairs):
+    * the multimodal member of the dedup family — near-duplicate images
+    * collapse by AVERAGE HASH (gray, threshold against the image's
+    * integer mean, pack 48 bits) computed off the REAL BMP decoder,
+    * then EXACT Hamming-≤1 pairs via the pigeonhole 2-band equi-join
+    * (dd_simhash's discipline — never an all-pairs product, recall
+    * guaranteed). The corpus groups doc_id % 97 onto shared base
+    * images with every 4th doc perturbing one pixel; the oracle
+    * replays pixels → hash → bands → verify arithmetically. */
+  val mmPhashDedup = Q(
+    "mm_phash_dedup",
+    (s, dir) => Multimodal.perceptualDupPairs(
+        Multimodal.aHashTable(s,
+          Multimodal.toBmpGroupTable(s, Tables.load(s, dir, "documents"))),
+        bits = 48, maxDist = 1)
+      .orderBy("doc_a", "doc_b"),
+    Some("""WITH g AS (
+        SELECT doc_id, x, y,
+          CASE WHEN doc_id % 4 = 0 AND x = doc_id % 8
+                 AND y = (doc_id // 8) % 6
+            THEN (((doc_id % 97) % 13 + 2) * 6 * x
+                  + ((doc_id % 97) % 17 + 3) * 10 * y
+                  + (doc_id % 97) * 5 + 128) % 256
+            ELSE (((doc_id % 97) % 13 + 2) * 6 * x
+                  + ((doc_id % 97) % 17 + 3) * 10 * y
+                  + (doc_id % 97) * 5) % 256 END AS gray
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0, 7)) AS x),
+          LATERAL (SELECT unnest(generate_series(0, 5)) AS y)),
+      m AS (
+        SELECT doc_id, CAST(sum(gray) AS BIGINT) // 48 AS mean
+        FROM g GROUP BY doc_id),
+      h AS (
+        SELECT g.doc_id,
+          CAST(coalesce(sum(CASE WHEN g.gray > m.mean
+            THEN (CAST(1 AS BIGINT) << CAST(g.y * 8 + g.x AS INT)) END), 0)
+            AS BIGINT) AS ahash
+        FROM g JOIN m USING (doc_id) GROUP BY g.doc_id),
+      b AS (
+        SELECT doc_id, ahash, band,
+          (ahash // (CAST(1 AS BIGINT) << CAST(band * 24 AS INT)))
+            % (CAST(1 AS BIGINT) << 24) AS bv
+        FROM h, LATERAL (SELECT unnest(generate_series(0, 1)) AS band)),
+      p AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+          a.ahash AS ha, c.ahash AS hb
+        FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv
+          AND a.doc_id < c.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM p WHERE bit_count(xor(ha, hb)) <= 1
+      ORDER BY doc_a, doc_b"""))
+
   /** REAL video demux (Multimodal.aviMjpg/demuxAvi): AVI is RIFF, so
     * the CONTAINER level — headers, stream declaration, frame chunk
     * boundaries — is real with no codec: write an AVI of 5+doc_id%9
@@ -2512,6 +2564,7 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, mmPng, corpusCurate,
+    mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
+    corpusCurate,
     corpusCurateCut, corpusFreeze)
 }

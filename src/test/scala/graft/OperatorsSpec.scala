@@ -972,6 +972,33 @@ class OperatorsSpec extends AnyFunSuite {
       "disjoint cliques must keep distinct labels")
   }
 
+  test("Multimodal.perceptualDupPairs: pigeonhole recall contract by distance") {
+    import graft.operators.Multimodal
+    // identical, 1-bit-apart, and 2-bit-apart hashes
+    val hashes = Seq(
+      (1L, 0xABCDL), (2L, 0xABCDL),          // hamming 0
+      (3L, 0xABCDL ^ 1L),                    // hamming 1 from 1/2
+      (4L, 0xABCDL ^ (1L | (1L << 40))))     // hamming 2 from 1/2
+      .toDF("doc_id", "ahash")
+    val d1 = Multimodal.perceptualDupPairs(hashes, bits = 48, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // (3,4) differ only in bit 40 — hamming 1, found; (1,4)/(2,4) are
+    // hamming 2, correctly excluded at maxDist=1
+    assert(d1 == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)),
+      s"maxDist=1 must find exactly the <=1 pairs, got $d1")
+    // at maxDist=2 (3 bands of 16) the 2-bit pairs join in too
+    val d2 = Multimodal.perceptualDupPairs(hashes, bits = 48, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d2.contains((1L, 4L, 2L)) && d2.contains((2L, 4L, 2L)))
+    // aHash off a real encode→decode pass: identical images hash equal,
+    // the synthetic perturbation lands within a couple of bits
+    val same = Multimodal.aHashBmp(7L,
+      Multimodal.bmp24(8, 6, Multimodal.synthGroupPixel(7L, 97)))
+    val same2 = Multimodal.aHashBmp(201L, // 201 % 97 == 7, 201 % 4 != 0
+      Multimodal.bmp24(8, 6, Multimodal.synthGroupPixel(201L, 97)))
+    assert(same == same2, "same-group unperturbed images must hash equal")
+  }
+
   test("Sketches HLL: estimate within 2 sigma of exact; merge == rebuild") {
     import graft.operators.Sketches
     val df = (1L to 5000L).map(i => (if (i <= 4000L) "big" else "small", i))
