@@ -53,7 +53,8 @@ object SparkEntry {
       "sim_matryoshka", "txt_dsir",
       "txt_budget_fill", "txt_rag_pack", "g_label_prop", "g_kcore",
       "txt_collocations", "sim_sq8", "t22_spike_detect",
-      "t23_sliding_distinct", "a42_hll", "mm_phash_dedup")
+      "t23_sliding_distinct", "a42_hll", "mm_phash_dedup",
+      "txt_entropy", "t24_nearest_join")
     preferred.filter(queries.contains)
   }
 }

@@ -58,6 +58,44 @@ object Temporal {
       .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
+  /** NEAREST-event join: for each left row, the right row with the same
+    * key minimizing |rightTs − leftTs| — ties go to the BACKWARD (≤)
+    * side. "The sensor reading closest to this event", the symmetric
+    * completion of [[asofJoin]]'s backward-only contract.
+    *
+    * Shape: two asof passes — the backward one as-is, the forward one
+    * on the NEGATED microsecond axis (earliest ≥ left == latest ≤ left
+    * after time reversal) — then an exact integer-micros arbitration
+    * picks the closer side. Both passes are the one-shuffle window
+    * form; the arbitration is row-local. Same precondition as asof:
+    * right unique per (keys, rightTs). */
+  def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    // backward pass, payload renamed b_*
+    val backRenamed = payload.foldLeft(
+      asofJoin(left, right, keys, leftTs, rightTs, payload)) {
+      case (df, p) => df.withColumnRenamed(p, s"b_$p")
+    }
+    // forward pass on the reversed axis, payload renamed f_*
+    val lNeg = backRenamed.withColumn("__lneg", -unix_micros(col(leftTs)))
+    val rNeg = right.withColumn("__rneg", -unix_micros(col(rightTs)))
+    val both = asofJoin(lNeg, rNeg, keys, "__lneg", "__rneg", payload)
+    payload.foldLeft(both) {
+      case (df, p) => df.withColumnRenamed(p, s"f_$p")
+    }.drop("__lneg")
+  }
+
+  /** [[nearestJoin]] arbitration helper: given the b_/f_ payload twins
+    * and the timestamp columns carrying each side's event time, emit
+    * `useBackward` — true when the backward candidate is at least as
+    * close (exact integer micros; null sides lose). */
+  def nearerBackward(leftTs: Column, backTs: Column, fwdTs: Column): Column = {
+    val db = unix_micros(leftTs) - unix_micros(backTs)
+    val df = unix_micros(fwdTs) - unix_micros(leftTs)
+    when(backTs.isNull, lit(false))
+      .otherwise(fwdTs.isNull || db <= df)
+  }
+
   /** RANGE (interval) JOIN: points joined to the intervals containing
     * them, `start <= ts <= end`. A naive non-equi join is a cartesian
     * nested loop; here both sides are bucketed into fixed-width time bins

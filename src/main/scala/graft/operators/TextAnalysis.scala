@@ -286,6 +286,38 @@ object TextAnalysis {
     * frame broadcast, so the "product" is exactly the output size, never
     * corpus². One shuffle on term for the counts, one on slice for the
     * final rollup. */
+  /** Per-document Shannon entropy of the CHARACTER distribution — the
+    * classic gibberish/quality signal (repetitive spam scores low,
+    * random noise scores near ln|alphabet|, natural text sits in
+    * between; Shannon 1948). Exactness contract = [[mixDivergence]]'s:
+    * p_c = c/n is one IEEE division of exact integer counts, ln(1/p_c)
+    * = ln(n/c) goes through the bit-portable
+    * [[graft.functions.PortableLn]], each class's p·ln(1/p) term is
+    * floored to 1e-12 fixed point, and the per-doc sum is BIGINT — so
+    * partition order can't wiggle a double sum and DuckDB replays the
+    * value bit-for-bit. Character explode is in-row (sequence +
+    * substring); one shuffle on (doc, char) to count, one on doc to
+    * roll up. */
+  def docEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t)), i -> substring(t, i, 1))")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"))
+    val g = cnt.join(tot, "doc_id")
+      .withColumn("r", col("n").cast("double") / col("c").cast("double"))
+    graft.functions.PortableLn.withLn(g, "r", "lnr")
+      .withColumn("term", floor(
+        (col("c").cast("double") / col("n").cast("double")) * col("lnr") *
+          lit(1.0e12)).cast("long"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_chars"), max("k").as("n_classes"),
+        (sum("term").cast("double") / lit(1.0e12)).as("entropy"))
+  }
+
   def mixDivergence(docs: DataFrame, sliceCol: String,
       textCol: String): DataFrame = {
     val toks = docs.select(col(sliceCol).as("slice"),

@@ -1112,6 +1112,40 @@ object Corpus {
       FROM scored WHERE doc_id < 100
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Per-document character-distribution Shannon entropy
+    * (TextAnalysis.docEntropy) — the gibberish/quality signal, exact in
+    * 1e-12 fixed point through PortableLn (mixDivergence's contract:
+    * one IEEE division of exact counts per class, floored terms, BIGINT
+    * sum). */
+  val txtEntropy = Q(
+    "txt_entropy",
+    (s, dir) => graft.operators.TextAnalysis.docEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      import graft.functions.PortableLn
+      s"""WITH ch AS (
+        SELECT doc_id, substring(text, i, 1) AS ch
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+        WHERE length(text) > 0),
+      cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS k
+        FROM cnt GROUP BY 1),
+      g0 AS (
+        SELECT cnt.doc_id, c, n, k,
+          CAST(n AS DOUBLE) / CAST(c AS DOUBLE) AS r
+        FROM cnt JOIN tot USING (doc_id)),
+      ${PortableLn.cteChainSql("g0", "r", "lnr", "g")},
+      terms AS (SELECT doc_id, n, k,
+          CAST(floor(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            * lnr) * 1.0e12) AS BIGINT) AS term
+        FROM ${PortableLn.cteChainOut("g")})
+      SELECT doc_id, max(n) AS n_chars, max(k) AS n_classes,
+        CAST(sum(term) AS DOUBLE) / 1.0e12 AS entropy
+      FROM terms GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   /** Top-40 PMI collocations (TextAnalysis.collocations): pointwise
     * mutual information in integer fixed point (pmi6 = c_xy·N·10⁶ DIV
     * (c_x·c_y) — the monotone transform of log PMI, so the ranking is
@@ -1560,7 +1594,7 @@ object Corpus {
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
-    txtBigramScore, txtCollocations, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
+    txtBigramScore, txtCollocations, txtEntropy, txtShuffle, txtDecontamRatio, txtGroupCap, txtBm25,
     txtBm25Stored, txtBm25Filtered, txtBudgetFill, txtDsir, txtRagPack,
     txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank, txtPhraseLong,

@@ -330,7 +330,47 @@ object TemporalQueries {
       FROM spine s JOIN e ON e.d BETWEEN s.d - 6 AND s.d
       GROUP BY s.d ORDER BY day"""))
 
+  /** T24: NEAREST-event join (Temporal.nearestJoin) — each purchase
+    * attached to the temporally CLOSEST click of the same user, either
+    * side of it (t9's asof is backward-only), ties to the backward
+    * side, among same-timestamp clicks the max event id. Two one-shuffle
+    * asof window passes (the forward one on the negated micros axis) +
+    * a row-local integer arbitration; the oracle is the textbook
+    * correlated LATERAL ORDER BY |Δt| LIMIT 1. */
+  val t24NearestJoin = Q(
+    "t24_nearest_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("c_event_id"))
+      val nn = Temporal.nearestJoin(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts", Seq("c_ts", "c_event_id"))
+      val backNearer =
+        Temporal.nearerBackward(col("ts"), col("b_c_ts"), col("f_c_ts"))
+      nn.select(col("event_id"),
+          when(backNearer, col("b_c_event_id"))
+            .otherwise(col("f_c_event_id")).as("nearest_click"),
+          when(backNearer, unix_micros(col("ts")) - unix_micros(col("b_c_ts")))
+            .otherwise(unix_micros(col("f_c_ts")) - unix_micros(col("ts")))
+            .as("delta_us"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, n.c_event_id AS nearest_click, n.delta_us
+      FROM events p LEFT JOIN LATERAL (
+        SELECT c.event_id AS c_event_id,
+          abs(epoch_us(c.ts) - epoch_us(p.ts)) AS delta_us
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+          CASE WHEN c.ts > p.ts THEN 1 ELSE 0 END, c.event_id DESC
+        LIMIT 1) n ON TRUE
+      WHERE p.event_type = 'purchase'
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
-    t23SlidingDistinct)
+    t23SlidingDistinct, t24NearestJoin)
 }

@@ -972,6 +972,34 @@ class OperatorsSpec extends AnyFunSuite {
       "disjoint cliques must keep distinct labels")
   }
 
+  test("Temporal.nearestJoin: closest either side, ties to backward, null edges") {
+    import graft.operators.Temporal
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(205)), (3L, 20L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    // user 10 has readings at 90 and 210: left@100 → 90 (|10| < |110|),
+    // left@205 → 210 (|5| < |115|); user 20 has none → nulls
+    val right = Seq((10L, ts(90), 7L), (10L, ts(210), 8L))
+      .toDF("user_id", "c_ts", "c_event_id")
+    val nn = Temporal.nearestJoin(left, right, Seq("user_id"),
+      "ts", "c_ts", Seq("c_ts", "c_event_id"))
+    val backNearer = Temporal.nearerBackward($"ts", $"b_c_ts", $"f_c_ts")
+    val got = nn.select($"event_id",
+        when(backNearer, $"b_c_event_id").otherwise($"f_c_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(7L), 2L -> Some(8L), 3L -> None))
+    // exact tie: left@150 is 60 from both readings → backward (7) wins
+    val tie = Temporal.nearestJoin(
+      Seq((9L, 10L, ts(150))).toDF("event_id", "user_id", "ts"),
+      right, Seq("user_id"), "ts", "c_ts", Seq("c_ts", "c_event_id"))
+    val tieGot = tie.select(
+        when(Temporal.nearerBackward($"ts", $"b_c_ts", $"f_c_ts"),
+          $"b_c_event_id").otherwise($"f_c_event_id"))
+      .as[Long].collect().toSeq
+    assert(tieGot == Seq(7L), "equidistant must resolve backward")
+  }
+
   test("Multimodal.perceptualDupPairs: pigeonhole recall contract by distance") {
     import graft.operators.Multimodal
     // identical, 1-bit-apart, and 2-bit-apart hashes
