@@ -301,6 +301,27 @@ object VersionedStore {
         // re-entrant, and the whole stats-read + rewrite must sit
         // under ONE lock hold
         val nv = stageVersion(spark, base, compacted, carried)
+        // skipping metadata follows the table through maintenance:
+        // per-file stats are true of a LAYOUT, so the rewrite re-derives
+        // them for the new files (geometry read from the stored tables —
+        // an OPTIMIZE must never silently downgrade a skipping table to
+        // full scans)
+        val f2 = fs(spark, base)
+        if (f2.exists(new Path(zoneMapDir(base, v)))) {
+          val statsCols = spark.read.parquet(zoneMapDir(base, v)).columns
+            .collect { case c if c.startsWith("min_") => c.drop(4) }.toSeq
+          stageZoneMap(spark, base, nv, statsCols)
+        }
+        if (f2.exists(new Path(bloomDir(base, v)))) {
+          val bt = spark.read.parquet(bloomDir(base, v))
+          val geo = bt.select(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col("words")) * 64,
+            org.apache.spark.sql.functions.col("k")).head()
+          val cols = bt.select("col_name").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          stageBloom(spark, base, nv, cols, geo.getInt(0), geo.getInt(1))
+        }
         commitVersion(spark, base, nv)
         Some(nv)
       }
@@ -398,7 +419,7 @@ object VersionedStore {
           explode(array((0 until k).map(j =>
             graft.operators.Sketches.bloomPos(col(c), j, m)): _*)).as("p"))
         .groupBy("file").agg(collect_set("p").as("ps"))
-        .select(col("file"), lit(c).as("col_name"), expr(
+        .select(col("file"), lit(c).as("col_name"), lit(k).as("k"), expr(
           s"""transform(sequence(0, ${m / 64 - 1}), w ->
               aggregate(filter(ps, p -> CAST(p DIV 64 AS INT) = w),
                 CAST(0 AS BIGINT),
@@ -417,12 +438,15 @@ object VersionedStore {
   }
 
   /** Files of version `v` whose bloom for `statCol` might contain
-    * `value` (never a false negative), plus the total file count. */
+    * `value` (never a false negative), plus the total file count. The
+    * hash count k and bit width m are read from the stored table — the
+    * probe always uses the geometry the filter was built with. */
   def filesMaybeContaining(spark: SparkSession, base: String, v: Long,
-      statCol: String, value: Any, bloomK: Int = 3): (Seq[String], Int) = {
+      statCol: String, value: Any): (Seq[String], Int) = {
     import org.apache.spark.sql.functions._
     val bt = bloomTable(spark, base, v).filter(col("col_name") === statCol)
-    val m = bt.select(size(col("words")) * 64).head().getInt(0)
+    val geo = bt.select(size(col("words")) * 64, col("k")).head()
+    val (m, bloomK) = (geo.getInt(0), geo.getInt(1))
     // the probe key's k bit positions — same hash family as the build
     val positions = spark.range(1).select((0 until bloomK).map(j =>
         graft.operators.Sketches.bloomPos(lit(value), j, m).as(s"p$j")): _*)
@@ -440,9 +464,9 @@ object VersionedStore {
   /** Point-lookup scan: read only the bloom-surviving files, then the
     * exact equality filter — row-identical to a full scan + filter. */
   def readPoint(spark: SparkSession, base: String, v: Long,
-      statCol: String, value: Any, bloomK: Int = 3): DataFrame = {
+      statCol: String, value: Any): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (kept, _) = filesMaybeContaining(spark, base, v, statCol, value, bloomK)
+    val (kept, _) = filesMaybeContaining(spark, base, v, statCol, value)
     if (kept.isEmpty) read(spark, base, v).filter(lit(false))
     else spark.read.parquet(kept: _*).filter(col(statCol) === lit(value))
   }

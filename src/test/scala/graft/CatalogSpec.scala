@@ -350,6 +350,20 @@ class CatalogSpec extends AnyFunSuite {
     }
     // an absent key returns zero rows even when a false positive keeps files
     assert(VersionedStore.readPoint(spark, base, 0L, "k", 999999L).count() == 0)
+    // OPTIMIZE re-derives BOTH skipping tables for the rewritten layout
+    // (clusterBy k: the new files are range-clustered, so now the ZONE
+    // MAP prunes the point probe too)
+    val nv = VersionedStore.optimize(spark, base, targetBytes = 4096L,
+      clusterBy = Seq("k"))
+    assert(nv.contains(1L))
+    assert(VersionedStore.readPoint(spark, base, 1L, "k", 777L)
+      .as[(Long, String)].collect().toSeq == Seq((777L, "r777")))
+    val (zmKept2, zmTotal2) =
+      VersionedStore.filesInRange(spark, base, 1L, "k", 777L, 777L)
+    assert(zmTotal2 > 1 && zmKept2.size == 1,
+      s"clustered layout must zone-prune to 1 file, kept ${zmKept2.size} of $zmTotal2")
+    assert(VersionedStore.readSkipping(spark, base, 1L, "k", 150L, 250L)
+      .count() == 101)
   }
 
   test("VersionedStore.changesBetween: CDC from stored snapshots") {
