@@ -425,6 +425,8 @@ object Multimodal {
   def perceptualDupPairs(hashes: DataFrame, bits: Int,
       maxDist: Int): DataFrame = {
     val bands = maxDist + 1
+    require(bits >= bands && bits <= 62,
+      s"bits=$bits out of [$bands, 62] (hashes live in a signed long)")
     require(bits % bands == 0,
       s"bits=$bits must split evenly into ${bands} bands")
     val w = bits / bands

@@ -445,8 +445,10 @@ object VersionedStore {
       statCol: String, value: Any): (Seq[String], Int) = {
     import org.apache.spark.sql.functions._
     val bt = bloomTable(spark, base, v).filter(col("col_name") === statCol)
-    val geo = bt.select(size(col("words")) * 64, col("k")).head()
-    val (m, bloomK) = (geo.getInt(0), geo.getInt(1))
+    val geoRows = bt.select(size(col("words")) * 64, col("k")).limit(1).collect()
+    require(geoRows.nonEmpty,
+      s"version $v at $base has no bloom filter for column '$statCol'")
+    val (m, bloomK) = (geoRows.head.getInt(0), geoRows.head.getInt(1))
     // the probe key's k bit positions — same hash family as the build
     val positions = spark.range(1).select((0 until bloomK).map(j =>
         graft.operators.Sketches.bloomPos(lit(value), j, m).as(s"p$j")): _*)
