@@ -1132,15 +1132,17 @@ object Corpus {
       cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
       tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS k
         FROM cnt GROUP BY 1),
-      g0 AS (
-        SELECT cnt.doc_id, c, n, k,
-          CAST(n AS DOUBLE) / CAST(c AS DOUBLE) AS r
-        FROM cnt JOIN tot USING (doc_id)),
-      ${PortableLn.cteChainSql("g0", "r", "lnr", "g")},
-      terms AS (SELECT doc_id, n, k,
+      vals AS (
+        SELECT v, CAST(v AS DOUBLE) AS r FROM (
+          SELECT c AS v FROM cnt UNION SELECT n FROM tot)),
+      ${PortableLn.cteChainSql("vals", "r", "lnv", "g")},
+      lnv AS (SELECT v, lnv FROM ${PortableLn.cteChainOut("g")}),
+      terms AS (SELECT cnt.doc_id, n, k,
           CAST(floor(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-            * lnr) * 1.0e12) AS BIGINT) AS term
-        FROM ${PortableLn.cteChainOut("g")})
+            * (ln_n.lnv - ln_c.lnv)) * 1.0e12) AS BIGINT) AS term
+        FROM cnt JOIN tot USING (doc_id)
+        JOIN lnv ln_c ON ln_c.v = cnt.c
+        JOIN lnv ln_n ON ln_n.v = tot.n)
       SELECT doc_id, max(n) AS n_chars, max(k) AS n_classes,
         CAST(sum(term) AS DOUBLE) / 1.0e12 AS entropy
       FROM terms GROUP BY doc_id ORDER BY doc_id"""
