@@ -54,7 +54,8 @@ object SparkEntry {
       "txt_budget_fill", "txt_rag_pack", "g_label_prop", "g_kcore",
       "txt_collocations", "sim_sq8", "t22_spike_detect",
       "t23_sliding_distinct", "a42_hll", "mm_phash_dedup",
-      "txt_entropy", "t24_nearest_join")
+      "txt_entropy", "t24_nearest_join", "a43_basket_rules",
+      "t25_transitions")
     preferred.filter(queries.contains)
   }
 }

@@ -227,7 +227,66 @@ object Aggregates {
       UNION ALL
       SELECT o_orderstatus, 'n_orders', n_orders FROM a"""))
 
+  /** A43: market-basket ASSOCIATION RULES (Agrawal & Srikant 1994's
+    * support/confidence/lift over order baskets) in integer fixed
+    * point: support6 = n_ab·10⁶ DIV N, conf6(a→b) = n_ab·10⁶ DIV n_a,
+    * lift6 = n_ab·N·10⁶ DIV (n_a·n_b) — the retail-analytics classic,
+    * exactly replayable (txt_collocations is its textual sibling; the
+    * basket pair counts reuse the j4 collect-and-explode rewrite via
+    * Graph.sharedKeyEdges — one shuffle to group, no self-join). Rules
+    * emit BOTH directions of each pair (confidence is asymmetric);
+    * min co-occurrence 3, top-40 by (lift, a, b). */
+  val a43BasketRules = Q(
+    "a43_basket_rules",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pairs = graft.operators.Graph.sharedKeyEdges(li,
+        "l_orderkey", "l_partkey", minShared = 3,
+        maxGroupSize = Int.MaxValue)
+      val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_i"))
+      val totalN = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+      val directed = pairs
+        .select(col("item_a").as("a"), col("item_b").as("b"),
+          col("weight").as("n_ab"))
+        .unionByName(pairs.select(col("item_b").as("a"),
+          col("item_a").as("b"), col("weight").as("n_ab")))
+      directed
+        .join(itemN.withColumnRenamed("item", "a")
+          .withColumnRenamed("n_i", "n_a"), "a")
+        .join(itemN.withColumnRenamed("item", "b")
+          .withColumnRenamed("n_i", "n_b"), "b")
+        .crossJoin(broadcast(totalN))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("(n_ab * 1000000) DIV n_baskets").as("support6"),
+          expr("(n_ab * 1000000) DIV n_a").as("conf6"),
+          expr("(n_ab * n_baskets * 1000000) DIV (n_a * n_b)").as("lift6"))
+        .orderBy(col("lift6").desc, col("a"), col("b"))
+        .limit(40)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+          count(*) AS n_ab
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      directed AS (
+        SELECT item_a AS a, item_b AS b, n_ab FROM pairs
+        UNION ALL SELECT item_b, item_a, n_ab FROM pairs),
+      items AS (SELECT l_partkey AS item, count(*) AS n_i FROM li GROUP BY 1),
+      total AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
+      SELECT a, b, n_ab,
+        (n_ab * 1000000) // n_baskets AS support6,
+        (n_ab * 1000000) // ia.n_i AS conf6,
+        (n_ab * n_baskets * 1000000) // (ia.n_i * ib.n_i) AS lift6
+      FROM directed
+      JOIN items ia ON ia.item = a
+      JOIN items ib ON ib.item = b
+      CROSS JOIN total
+      ORDER BY lift6 DESC, a, b LIMIT 40"""))
+
   val all: Seq[Q] = Seq(a3CountByType, a5MultiAgg, a6DistinctPerGroup,
     a8Having, a11CategorizeTop, a12Trend, a15QualityScore, d4WeeklyRollup,
-    d7Duration, a7MaxScalar, a13Facets, a19Pivot, a20Unpivot)
+    d7Duration, a7MaxScalar, a13Facets, a19Pivot, a20Unpivot, a43BasketRules)
 }

@@ -370,7 +370,46 @@ object TemporalQueries {
       WHERE p.event_type = 'purchase'
       ORDER BY event_id"""))
 
+  /** T25: event TRANSITION matrix (first-order Markov over each user's
+    * journey): next event via lead() ordered by (ts, event_id) — the
+    * deterministic tie rule — transition counts per (from, to) plus the
+    * row-conditional probability in 1e-6 fixed point (cnt·10⁶ DIV
+    * row total, exact both engines). One shuffle on user for the lead,
+    * one map-side-combined count — the "where do users go next"
+    * product-analytics staple. */
+  val t25Transitions = Q(
+    "t25_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cnt = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+      cnt.join(fromTot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 1000000) DIV n_from").as("p6"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH nx AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS next_type
+        FROM events),
+      cnt AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM cnt GROUP BY 1)
+      SELECT from_type, to_type, n, (n * 1000000) // n_from AS p6
+      FROM cnt JOIN tot USING (from_type)
+      ORDER BY from_type, to_type"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
-    t23SlidingDistinct, t24NearestJoin)
+    t23SlidingDistinct, t24NearestJoin, t25Transitions)
 }
