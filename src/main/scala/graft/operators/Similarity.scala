@@ -733,6 +733,26 @@ object Similarity {
     bruteForceTopK(trunc(queries), trunc(candidates), idCol, vecCol, k)
   }
 
+  /** Johnson–Lindenstrauss RANDOM-PROJECTION top-k — the
+    * data-INDEPENDENT member of the dimension-reduction family
+    * ([[matryoshkaTopK]] is the learned-prefix member): both sides
+    * project to `outDims` through the deterministic integer hyperplane
+    * matrix ([[planeCoeff]] — the same family the LSH buckets use, JL
+    * 1984's distance-preserving map), then exact cosine in the
+    * projected space. Integer planes keep every projection one
+    * exactly-rounded fold, so the oracle replays the ranking
+    * bit-for-bit; recall vs the full-dim truth is the price tag the
+    * sim_rp harness measures. */
+  def rpTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, outDims: Int, dims: Int): DataFrame = {
+    def proj(df: DataFrame) = df.withColumn(vecCol,
+      array((0 until outDims).map(j =>
+        dot(asDouble(col(vecCol)),
+          array((0 until dims).map(i =>
+            lit(planeCoeff(j, i).toDouble)): _*))): _*))
+    bruteForceTopK(proj(queries), proj(candidates), idCol, vecCol, k)
+  }
+
   // ---- binary (sign-bit) quantization -----------------------------------
 
   /** SQL fragment for sign-bit code word `w` over vector column `vec`:

@@ -968,6 +968,61 @@ object Pipeline {
         ${leg(32)} UNION ALL ${leg(16)}"""
     })
 
+  /** Johnson–Lindenstrauss random projection with its price tag
+    * (Similarity.rpTopK): the data-INDEPENDENT dimension reducer —
+    * deterministic integer hyperplanes (the LSH plane family) project
+    * 64 → 16/8 dims, exact cosine in the projected space, each leg's
+    * recall measured against the full-dim truth in one frame (the
+    * sim_matryoshka harness; matryoshka is the learned-prefix sibling). */
+  val simRp = Q(
+    "sim_rp",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      Seq(16, 8).map { d =>
+        Similarity.recallAtK(truth,
+          Similarity.rpTopK(q, c, "vec_id", "embedding", 5, d, 64), 5)
+          .withColumn("dims", lit(d.toLong))
+      }.reduce(_.unionByName(_))
+        .select("dims", "query_id", "hits", "recall")
+    },
+    Some {
+      def projList(d: Int) =
+        (0 until d).map(j => dotSql("e", s"(${planeSql(j)})"))
+          .mkString("[", ", ", "]")
+      def leg(d: Int) = s"""
+        SELECT $d AS dims, t.query_id,
+          CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+          sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0
+            AS recall
+        FROM truth t LEFT JOIN approx$d a
+          ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+        GROUP BY t.query_id"""
+      def approx(d: Int) = s"""approx$d AS (
+        SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSqlD("q.e", "c.e", d)} DESC, c.vec_id) AS rank
+          FROM vp$d q JOIN vp$d c ON q.vec_id < 10 AND c.vec_id >= 10)
+        WHERE rank <= 5)"""
+      s"""WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        vp16 AS (SELECT vec_id, ${projList(16)} AS e FROM v),
+        vp8 AS (SELECT vec_id, ${projList(8)} AS e FROM v),
+        truth AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSqlD("q.e", "c.e", 64)} DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10)
+          WHERE rank <= 5),
+        ${approx(16)}, ${approx(8)}
+        ${leg(16)} UNION ALL ${leg(8)}"""
+    })
+
   /** Symmetric int8 scalar quantization (Similarity.sq8TopK): corpus
     * per-dim min/max → 0..255 codes on both sides → integer code-dot
     * ranking, top-5 per query. The whole ranking is BIGINT-exact after
@@ -2557,6 +2612,7 @@ object Pipeline {
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simBinaryHamming, simBinaryRerank, simMatryoshka, simSq8,
+    simRp,
     simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
     simIvfFiltered, simIvfBinary,
     simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,

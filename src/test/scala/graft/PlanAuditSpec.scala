@@ -94,6 +94,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_binary",      // broadcast-centroid query assignment (same as sim_ivf_stored)
     "sim_matryoshka",      // truncated-dim brute-force legs × broadcast queries (baseline instrument)
     "sim_sq8",             // 1-row quantizer stats broadcast + code scan × broadcast query codes
+    "sim_rp",              // projected brute-force legs × broadcast queries (JL price-tag instrument)
     "sim_ivf_topk",        // probe rows × broadcast centroid cells
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket

@@ -488,6 +488,37 @@ class PropertySpec extends AnyFunSuite {
       s"reclustered serve mean recall $mean below the 0.5 serving floor")
   }
 
+  test("skipping scans equal full filters on random frames, ranges, and probes") {
+    import graft.sources.VersionedStore
+    // few frames (each commit writes parquet), many probes per frame
+    val frameGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 400L), Gen.choose(0L, 50L)))
+    samples(frameGen, 4).zipWithIndex.foreach { case (kvs, fi) =>
+      val rows = kvs.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_skip_prop$fi").toString
+      VersionedStore.commitWithStats(spark, base,
+        rows.toDF("id", "k", "v")
+          .repartitionByRange(5, org.apache.spark.sql.functions.col("k")),
+        statsCols = Seq("k"), bloomCols = Seq("k"),
+        bloomBits = 1024, bloomK = 3)
+      samples(Gen.zip(Gen.choose(-50L, 450L), Gen.choose(0L, 200L)), 12)
+        .foreach { case (lo, span) =>
+          val hi = lo + span
+          val got = VersionedStore.readSkipping(spark, base, 0L, "k", lo, hi)
+            .as[(Long, Long, Long)].collect().toSet
+          val want = rows.filter(r => r._2 >= lo && r._2 <= hi).toSet
+          assert(got == want, s"range [$lo,$hi] on frame $fi")
+        }
+      samples(Gen.choose(-20L, 420L), 15).foreach { key =>
+        val got = VersionedStore.readPoint(spark, base, 0L, "k", key)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == rows.filter(_._2 == key).toSet,
+          s"point $key on frame $fi (false negative = bug)")
+      }
+    }
+  }
+
   test("kcorePeel equals brute-force simultaneous peeling on random graphs") {
     val edgeGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
