@@ -222,7 +222,11 @@ object Sketches {
   def hllRegisters(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
     df.select(col(grpCol).as("grp"),
         Dedup.hash56(col(keyCol).cast("string")).as("h"))
-      .select(col("grp"), (col("h") / HllW).cast("long").as("bucket"),
+      // INTEGER division: `/` is double division, and h reaches 2^56 —
+      // beyond 2^53 the double rounds, so a near-boundary hash could
+      // land in the wrong bucket (even a phantom bucket 64), silently
+      // diverging from the oracle's exact `//`
+      .select(col("grp"), expr(s"h DIV $HllW").as("bucket"),
         (col("h") % HllW).as("w"))
       .select(col("grp"), col("bucket"),
         when(col("w") === 0, lit(51L))
