@@ -151,6 +151,68 @@ object Streaming {
         AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
       WHERE c.event_type = 'click' AND c.user_id % 5 = 0"""))
 
+  /** T26: top session PATHS — "the most common user journeys": t8's
+    * session assignment (gap 4h, (ts, event_id) tie order), each
+    * session's first-5 event types joined into a path string, top-20
+    * paths by frequency (count DESC, path ASC). Deterministic
+    * everywhere a parallel engine could wobble: in-session order comes
+    * from sort_array over (rn, type) structs — collect_list alone has
+    * no order — and the 5-event cap bounds the carried payload. One
+    * user-keyed shuffle drives both windows and the session collapse;
+    * the path count is map-side combined; top-20 via TakeOrdered. */
+  val t26SessionPaths = Q(
+    "t26_session_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 240L * 60L * 1000000L
+      val inSession = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "session_seq")
+            .orderBy("ts", "event_id")))
+        .filter(col("rn") <= 5)
+      inSession.groupBy("user_id", "session_seq")
+        .agg(expr(
+          """array_join(transform(
+               sort_array(collect_list(struct(rn, event_type))),
+               p -> p.event_type), '>')""").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 14400000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      x AS (
+        SELECT user_id, ts, event_id, event_type,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM m),
+      r AS (
+        SELECT user_id, session_seq, event_type,
+          row_number() OVER (PARTITION BY user_id, session_seq
+                             ORDER BY ts, event_id) AS rn
+        FROM x QUALIFY rn <= 5),
+      paths AS (
+        SELECT user_id, session_seq,
+          string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r GROUP BY 1, 2)
+      SELECT path, count(*) AS n FROM paths
+      GROUP BY path ORDER BY n DESC, path LIMIT 20"""))
+
   val all: Seq[Q] = Seq(t8Sessionize, t10SessionWindow, t3NewOnly,
-    t12HoppingWindow, t13IntervalJoin, t21OuterCorrelate)
+    t12HoppingWindow, t13IntervalJoin, t21OuterCorrelate, t26SessionPaths)
 }

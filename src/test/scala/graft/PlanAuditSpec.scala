@@ -120,6 +120,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_important_stock", // 1-row global value total broadcast into the share filter
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
     "txt_collocations",    // 1-row bigram-total N broadcast into the PMI scorer
+    "a43_basket_rules",    // 1-row basket-total N broadcast into the lift scorer
     "txt_mix_temperature", // 1-row Σsq6 budget denominator broadcast into the shares
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
