@@ -286,7 +286,74 @@ object Aggregates {
       CROSS JOIN total
       ORDER BY lift6 DESC, a, b LIMIT 40"""))
 
+  /** A44: RFM SEGMENTATION — the marketing-analytics classic: per user
+    * Recency (latest purchase), Frequency (purchase count), Monetary
+    * (decimal-exact spend), each cut into quintiles over a TOTAL order
+    * (metric, user_id — ties can't wobble between engines), composed
+    * into a 3-digit segment code, segment population counts out.
+    *
+    * The quintile is NOT a global ntile window (that moves every user
+    * through one task — the j9/PlanAudit scale-killer): each metric's
+    * exact global rank comes from Align.zipWithGlobalIndex
+    * (range-partition + per-partition offsets), and the rank folds into
+    * ntile's exact bucket formula (first n%5 buckets one row bigger)
+    * against the 1-row user-count broadcast — so the Spark plan is
+    * distributed end to end while the oracle keeps the textbook
+    * ntile() OVER windows. */
+  val a44Rfm = Q(
+    "a44_rfm",
+    (s, dir) => {
+      val rfm = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(unix_micros(max(col("ts"))).as("recency_us"),
+          count(lit(1)).as("freq"),
+          sum(Q.dec("value")).as("monetary"))
+      def rankBy(metric: String, out: String) =
+        graft.operators.Align.zipWithGlobalIndex(
+            rfm.select(col("user_id"), col(metric)), out,
+            col(metric), col("user_id"))
+          .select(col("user_id"), col(out))
+      // ntile(5)'s exact bucket from (rank, n): q = n DIV 5 rows per
+      // bucket, the first n % 5 buckets carry one extra
+      def tile(rk: String) = expr(
+        s"""CASE WHEN $rk <= (n_u % 5) * (n_u DIV 5 + 1)
+            THEN ($rk - 1) DIV (n_u DIV 5 + 1) + 1
+            ELSE (n_u % 5) +
+              ($rk - (n_u % 5) * (n_u DIV 5 + 1) - 1) DIV (n_u DIV 5) + 1
+            END""")
+      val seg = rfm
+        .join(rankBy("recency_us", "rk_r"), "user_id")
+        .join(rankBy("freq", "rk_f"), "user_id")
+        .join(rankBy("monetary", "rk_m"), "user_id")
+        .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n_u"))))
+        .withColumn("r", tile("rk_r"))
+        .withColumn("f", tile("rk_f"))
+        .withColumn("m", tile("rk_m"))
+      seg.groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary")).cast("double").as("segment_value"))
+        .orderBy("segment")
+    },
+    Some("""WITH rfm AS (
+        SELECT user_id, epoch_us(max(ts)) AS recency_us,
+          count(*) AS freq,
+          sum(CAST(value AS DECIMAL(18,2))) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      seg AS (
+        SELECT monetary,
+          ntile(5) OVER (ORDER BY recency_us, user_id) AS r,
+          ntile(5) OVER (ORDER BY freq, user_id) AS f,
+          ntile(5) OVER (ORDER BY monetary, user_id) AS m
+        FROM rfm)
+      SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+          AS segment,
+        count(*) AS n_users,
+        CAST(sum(monetary) AS DOUBLE) AS segment_value
+      FROM seg GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(a3CountByType, a5MultiAgg, a6DistinctPerGroup,
     a8Having, a11CategorizeTop, a12Trend, a15QualityScore, d4WeeklyRollup,
-    d7Duration, a7MaxScalar, a13Facets, a19Pivot, a20Unpivot, a43BasketRules)
+    d7Duration, a7MaxScalar, a13Facets, a19Pivot, a20Unpivot, a43BasketRules,
+    a44Rfm)
 }

@@ -121,6 +121,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_heavy_tokens",    // 1-row corpus-total frame broadcast into the threshold
     "txt_collocations",    // 1-row bigram-total N broadcast into the PMI scorer
     "a43_basket_rules",    // 1-row basket-total N broadcast into the lift scorer
+    "a44_rfm",             // 1-row user-count broadcast into the ntile bucket formula
     "txt_mix_temperature", // 1-row Σsq6 budget denominator broadcast into the shares
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
