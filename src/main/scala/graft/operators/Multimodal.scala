@@ -421,7 +421,10 @@ object Multimodal {
     * bands, so at least one band matches exactly; candidates come from a
     * band equi-join (never an all-pairs product), the Hamming verify
     * filters false candidates. Guaranteed recall, shuffles ∝ band
-    * postings. */
+    * postings. Hashes must be NON-NEGATIVE (bits ≤ 62 enforced;
+    * [[aHashBmp]] guarantees it) — integer DIV on a negative hash
+    * rounds toward zero, so the band split would no longer partition
+    * the bit positions and the pigeonhole recall argument breaks. */
   def perceptualDupPairs(hashes: DataFrame, bits: Int,
       maxDist: Int): DataFrame = {
     val bands = maxDist + 1

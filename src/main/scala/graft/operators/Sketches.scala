@@ -222,6 +222,10 @@ object Sketches {
   def hllRegisters(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
     df.select(col(grpCol).as("grp"),
         Dedup.hash56(col(keyCol).cast("string")).as("h"))
+      // null keys hash to null → a phantom (grp, null-bucket) register
+      // row that inflates nb in the estimate's (64 − nb) missing-bucket
+      // term; a null key is no observation, drop it at the source
+      .filter(col("h").isNotNull)
       // INTEGER division: `/` is double division, and h reaches 2^56 —
       // beyond 2^53 the double rounds, so a near-boundary hash could
       // land in the wrong bucket (even a phantom bucket 64), silently
