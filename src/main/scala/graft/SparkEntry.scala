@@ -55,7 +55,8 @@ object SparkEntry {
       "txt_collocations", "sim_sq8", "t22_spike_detect",
       "t23_sliding_distinct", "a42_hll", "mm_phash_dedup",
       "txt_entropy", "t24_nearest_join", "a43_basket_rules",
-      "t25_transitions", "sim_rp", "t26_session_paths", "a44_rfm")
+      "t25_transitions", "sim_rp", "t26_session_paths", "a44_rfm",
+      "a45_chi_square")
     preferred.filter(queries.contains)
   }
 }

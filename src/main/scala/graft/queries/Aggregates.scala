@@ -352,8 +352,64 @@ object Aggregates {
         CAST(sum(monetary) AS DOUBLE) AS segment_value
       FROM seg GROUP BY 1 ORDER BY 1"""))
 
+  /** A45: CHI-SQUARE independence test (Pearson 1900 — the A/B-testing
+    * staple): is event_type independent of the user cohort? One
+    * contingency aggregate (cells ∝ types × cohorts, map-side
+    * combined), marginals derived FROM the cells (never a second
+    * scan), each cell's (O−E)²/E evaluated in doubles from exact
+    * integer counts — deterministic IEEE both engines — then floored to
+    * 1e-9 fixed point and BIGINT-summed so partition order can't wiggle
+    * the statistic (the mixDivergence discipline). Emits the statistic
+    * and the degrees of freedom; the p-value lookup is a client-side
+    * table, not an engine op. */
+  val a45ChiSquare = Q(
+    "a45_chi_square",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), (col("user_id") % 5).as("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("cohort").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"),
+        countDistinct("event_type").as("n_rows"),
+        countDistinct("cohort").as("n_cols"))
+      cells.join(rowT, "event_type").join(colT, "cohort")
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+        .withColumn("cell9", floor(
+          ((col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e")) *
+            lit(1.0e9)).cast("long"))
+        .groupBy()
+        .agg((sum("cell9").cast("double") / lit(1.0e9)).as("chi2"),
+          ((max("n_rows") - 1) * (max("n_cols") - 1)).as("dof"))
+    },
+    Some("""WITH cells AS (
+        SELECT event_type, user_id % 5 AS cohort, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        FROM cells GROUP BY 1),
+      ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct
+        FROM cells GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        count(DISTINCT event_type) AS n_rows,
+        count(DISTINCT cohort) AS n_cols FROM cells),
+      terms AS (
+        SELECT CAST(floor(
+            ((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))) * 1.0e9)
+            AS BIGINT) AS cell9,
+          n_rows, n_cols
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort)
+        CROSS JOIN n)
+      SELECT CAST(sum(cell9) AS DOUBLE) / 1.0e9 AS chi2,
+        CAST((max(n_rows) - 1) * (max(n_cols) - 1) AS BIGINT) AS dof
+      FROM terms"""))
+
   val all: Seq[Q] = Seq(a3CountByType, a5MultiAgg, a6DistinctPerGroup,
     a8Having, a11CategorizeTop, a12Trend, a15QualityScore, d4WeeklyRollup,
     d7Duration, a7MaxScalar, a13Facets, a19Pivot, a20Unpivot, a43BasketRules,
-    a44Rfm)
+    a44Rfm, a45ChiSquare)
 }

@@ -122,6 +122,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_collocations",    // 1-row bigram-total N broadcast into the PMI scorer
     "a43_basket_rules",    // 1-row basket-total N broadcast into the lift scorer
     "a44_rfm",             // 1-row user-count broadcast into the ntile bucket formula
+    "a45_chi_square",      // 1-row grand-total broadcast into the expected-count formula
     "txt_mix_temperature", // 1-row Σsq6 budget denominator broadcast into the shares
     "txt_mix_divergence",  // vocab × ≤|slices|-row broadcast totals: the smoothing grid IS the output
 
