@@ -170,6 +170,41 @@ object TemporalQueries {
         p.value
       FROM events p WHERE p.event_type = 'purchase'"""))
 
+  /** T27: FIRST-touch attribution — t17's complement: credit the
+    * EARLIEST click inside the 1-day lookback, not the latest. Same
+    * one-shuffle asof window machinery, run on the shifted-and-negated
+    * micros axis ("latest −c_ts ≤ −(ts−1d)" IS "earliest c_ts ≥
+    * ts−1d"), then the in-window upper-bound check row-locally; among
+    * same-instant clicks the max event id (the clicks are
+    * pre-aggregated unique per (user, ts), t17's precondition). */
+  val t27FirstTouch = Q(
+    "t27_first_touch",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("__lneg",
+          -(unix_micros(col("ts")) - lit(86400000000L)))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("c_event_id"))
+        .withColumn("__rneg", -unix_micros(col("c_ts")))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "__lneg", rightTs = "__rneg",
+          payload = Seq("c_ts", "c_event_id"))
+        .select(col("event_id"),
+          when(col("c_ts").isNotNull && col("c_ts") <= col("ts"),
+            col("c_event_id")).as("first_click_id"),
+          col("value"))
+    },
+    Some("""SELECT p.event_id,
+        (SELECT c.event_id FROM events c
+         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+         ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS first_click_id,
+        p.value
+      FROM events p WHERE p.event_type = 'purchase'"""))
+
   /** T19: time-RANGE window frame — each sampled user's 7-day TRAILING
     * purchase total at day grain. RANGE, not ROWS: activity is sparse,
     * so "the previous 6 rows" silently reaches back months for a
@@ -411,5 +446,5 @@ object TemporalQueries {
 
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
-    t23SlidingDistinct, t24NearestJoin, t25Transitions)
+    t23SlidingDistinct, t24NearestJoin, t25Transitions, t27FirstTouch)
 }
