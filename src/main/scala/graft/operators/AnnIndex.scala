@@ -153,6 +153,21 @@ object AnnIndex {
     df.withColumn("b0", expr(Similarity.signWordExpr("cv", 0, 32)))
       .withColumn("b1", expr(Similarity.signWordExpr("cv", 1, 32)))
 
+  /** Ingest guard for the binary pre-rank: the stored codes pack sign
+    * bits into exactly two 32-bit words, so a >64-dim vector would
+    * silently lose every bit above 64 from the Hamming shortlist —
+    * recall degrades with no error (round-11 ADVICE). Fail loudly at
+    * build/append instead; the check is one bounded max-size aggregate
+    * over the already-cached batch. [[Similarity.binaryCodes]] is the
+    * arbitrary-dim geometry when wider codes are needed. */
+  private def requireCodeableDims(df: DataFrame): Unit = {
+    val maxDims = df.agg(coalesce(max(size(col("cv"))), lit(0)))
+      .collect().head.getInt(0)
+    require(maxDims <= 64,
+      s"stored binary codes cover <=64 dims, got a $maxDims-dim vector; " +
+        "use Similarity.binaryCodes for wider geometries")
+  }
+
   /** Build once per (tag, geometry): centroids = the id-stride coarse
     * quantizer over the build corpus, postings spill-replicated and
     * bucketed by cell, empty tombstones, the known-ids list, and gen-0
@@ -169,6 +184,7 @@ object AnnIndex {
       IndexStore.withWriterLock(spark, base) {
         val c = candidates.select(col(idCol).as("cand_id"),
           col(vecCol).as("cv")).cache()
+        requireCodeableDims(c)
         val cents = c.filter(col("cand_id") % seedStride === 0)
           .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
         IndexStore.stagePlain(cents, centDir(base, 0L))
@@ -386,6 +402,7 @@ object AnnIndex {
     val cents = spark.table(centTable(tag))
     val b = batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .cache()
+    requireCodeableDims(b)
     val post = withCodes(assignCells(cents, b, "cand_id", "cv", keep = m.spill)
       .select(col("cell"), col("cand_id"), col("cv"), lit(gen).as("gen")))
     post.write.mode("append").bucketBy(m.buckets, "cell").sortBy("cell")

@@ -28,12 +28,27 @@ import org.apache.spark.sql.functions._
   * k-th value — the overwhelming majority once the buffer warms. */
 object Sketches {
 
-  /** Largest k for which (k-1)·2^56 fits a signed long (see [[estimate]]). */
-  val MaxK = 128
+  /** Largest k for which (k-1)·2^56 fits a signed long; beyond it the
+    * estimate arithmetic routes through DECIMAL(38,0) (Spark) /
+    * HUGEINT (the oracle) — identical integer values, so exactness is
+    * unchanged, at a slightly costlier per-group division. */
+  val MaxLongK = 128
+
+  /** Hard k ceiling: sketches cost groups×k memory and the union/
+    * intersect helpers materialize k-long arrays per row — 2^16 is far
+    * above any sensible production k (error ∝ 1/√k is already 0.4%). */
+  val MaxK = 1 << 16
+
+  /** `scale div h` for scale = (k−1)·2^56, overflow-free at any
+    * allowed k: long literals below [[MaxLongK]], an exact
+    * DECIMAL(38,0) literal above (div on decimals is Spark's
+    * IntegralDivide — exact integral result, LongType out). */
+  private def scaleDivSql(k: Int, h: String): String =
+    if (k <= MaxLongK) s"${(k - 1).toLong * Dedup.M56} div $h"
+    else s"CAST('${BigInt(k - 1) * Dedup.M56}' AS DECIMAL(38,0)) div $h"
 
   final class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
-    require(k >= 2 && k <= MaxK,
-      s"KMV k must be in [2, $MaxK] — (k-1)*2^56 overflows Long beyond that; got $k")
+    require(k >= 2 && k <= MaxK, s"KMV k must be in [2, $MaxK]; got $k")
     override def zero: Seq[Long] = Vector.empty
     override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
       if (buf.size == k && h >= buf.last) buf // covers duplicates of buf.last
@@ -59,12 +74,10 @@ object Sketches {
     * size when the group never filled the sketch, else (k-1)·2^56 div
     * h_k. All-integer — bit-identical on any engine. */
   def estimate(kmvName: String, k: Int): Column = {
-    require(k >= 2 && k <= MaxK,
-      s"KMV k must be in [2, $MaxK] — (k-1)*2^56 overflows Long beyond that; got $k")
-    val scale = (k - 1).toLong * Dedup.M56 // fits a long: k ≤ MaxK enforced
+    require(k >= 2 && k <= MaxK, s"KMV k must be in [2, $MaxK]; got $k")
     org.apache.spark.sql.functions.expr(
       s"""CASE WHEN size($kmvName) < $k THEN CAST(size($kmvName) AS BIGINT)
-          ELSE $scale div element_at($kmvName, $k) END""")
+          ELSE ${scaleDivSql(k, s"element_at($kmvName, $k)")} END""")
   }
 
   /** The UNION sketch of two k-min arrays: k smallest of the combined
@@ -87,12 +100,11 @@ object Sketches {
   def kmvIntersectEstimate(mergedName: String, aName: String,
       bName: String, k: Int): Column = {
     require(k >= 2 && k <= MaxK, s"KMV k must be in [2, $MaxK], got $k")
-    val scale = (k - 1).toLong * Dedup.M56
     val common = s"CAST(size(filter($mergedName, " +
       s"x -> array_contains($aName, x) AND array_contains($bName, x))) AS BIGINT)"
     org.apache.spark.sql.functions.expr(
       s"""CASE WHEN size($mergedName) < $k THEN $common
-          ELSE ($common * ($scale div element_at($mergedName, $k))) div $k END""")
+          ELSE ($common * (${scaleDivSql(k, s"element_at($mergedName, $k)")})) div $k END""")
   }
 
   // ---- count-min sketch ----------------------------------------------------
@@ -243,16 +255,39 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("grp", "bucket").agg(max("reg").as("reg"))
 
+  /** Small-range (linear counting) branch as a flat CASE over the 64
+    * possible empty-bucket counts: E = m·ln(m/V), V = m − nb empty
+    * buckets. V is an INTEGER in 1..64, so every possible ln lands in
+    * one of 64 precomputed JVM doubles shipped as round-trip literals —
+    * both engines parse the identical IEEE value and no transcendental
+    * is ever evaluated in-engine (the PortableLn rationale, collapsed
+    * to a finite domain). */
+  def hllLinearCaseSql: String =
+    (1 to 64).map { v =>
+      val e = graft.functions.PortableLn.dbl(64.0 * math.log(64.0 / v))
+      s"WHEN nb = ${64 - v} THEN $e"
+    }.mkString("CASE ", " ", " END")
+
   /** Per-group estimate: α₆₄·m² / Z, Z = Σⱼ 2^(−Mⱼ) with absent buckets
-    * at M = 0, summed exactly at 2^51 scale. */
+    * at M = 0, summed exactly at 2^51 scale — then the standard
+    * small-range correction (Flajolet et al. 2007 §4): when the raw
+    * estimate falls under 2.5·m = 160 and empty buckets remain, switch
+    * to linear counting m·ln(m/V), which is unbiased where the raw
+    * formula reads low. The 13% standard error holds mid-range; the
+    * correction extends it down to single-digit cardinalities. Both
+    * branches are exact-integer inputs into literal-deterministic float
+    * ops, so the whole estimator stays bit-identical cross-engine. */
   def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy("grp").agg(
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - reg AS INT))")).as("zp"),
         count(lit(1)).as("nb"))
-      .select(col("grp"),
-        (lit(0.709) * lit(4096.0) * lit(HllZScale.toDouble) /
+      .withColumn("raw_e",
+        lit(0.709) * lit(4096.0) * lit(HllZScale.toDouble) /
           (col("zp") + (lit(64L) - col("nb")) * lit(HllZScale))
-            .cast("double")).as("hll_est"))
+            .cast("double"))
+      .select(col("grp"),
+        when(col("raw_e") <= lit(160.0) && col("nb") < lit(64L),
+          expr(hllLinearCaseSql)).otherwise(col("raw_e")).as("hll_est"))
 
   // ---- Bloom filter --------------------------------------------------------
   //

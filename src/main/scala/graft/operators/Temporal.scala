@@ -58,17 +58,18 @@ object Temporal {
       .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
-  /** NEAREST-event join: for each left row, the right row with the same
-    * key minimizing |rightTs − leftTs| — ties go to the BACKWARD (≤)
-    * side. "The sensor reading closest to this event", the symmetric
-    * completion of [[asofJoin]]'s backward-only contract.
+  /** NEAREST-event CANDIDATES: for each left row, BOTH the latest ≤
+    * right row (payload as `b_*`) and the earliest ≥ right row
+    * (payload as `f_*`) with the same key. This function does NOT pick
+    * a winner — arbitration is the caller's step via
+    * [[nearerBackward]] (as t24_nearest_join does), or use
+    * [[nearestJoinResolved]] for the folded single-payload form.
     *
     * Shape: two asof passes — the backward one as-is, the forward one
     * on the NEGATED microsecond axis (earliest ≥ left == latest ≤ left
-    * after time reversal) — then an exact integer-micros arbitration
-    * picks the closer side. Both passes are the one-shuffle window
-    * form; the arbitration is row-local. Same precondition as asof:
-    * right unique per (keys, rightTs). */
+    * after time reversal). Both passes are the one-shuffle window
+    * form. Same precondition as asof: right unique per
+    * (keys, rightTs). */
   def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     // backward pass, payload renamed b_*
@@ -83,6 +84,30 @@ object Temporal {
     payload.foldLeft(both) {
       case (df, p) => df.withColumnRenamed(p, s"f_$p")
     }.drop("__lneg")
+  }
+
+  /** [[nearestJoin]] with the arbitration FOLDED IN: one payload set
+    * (the winning side's, plain names), plus `nearest_delta_us` — the
+    * exact |rightTs − leftTs| micros of the chosen row (null when no
+    * candidate exists on either side). `rightTs` is always carried in
+    * the payload: the arbitration needs each side's event time, and
+    * callers almost always want it anyway. Ties go BACKWARD, matching
+    * [[nearerBackward]]. */
+  def nearestJoinResolved(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val pay = if (payload.contains(rightTs)) payload else payload :+ rightTs
+    val both = nearestJoin(left, right, keys, leftTs, rightTs, pay)
+    val useB =
+      nearerBackward(col(leftTs), col(s"b_$rightTs"), col(s"f_$rightTs"))
+    val resolved = pay.foldLeft(both) { case (df, p) =>
+      df.withColumn(p, when(useB, col(s"b_$p")).otherwise(col(s"f_$p")))
+    }
+    resolved
+      .withColumn("nearest_delta_us",
+        when(col(rightTs).isNotNull,
+          abs(unix_micros(col(rightTs)) - unix_micros(col(leftTs)))))
+      .drop(pay.flatMap(p => Seq(s"b_$p", s"f_$p")): _*)
   }
 
   /** [[nearestJoin]] arbitration helper: given the b_/f_ payload twins

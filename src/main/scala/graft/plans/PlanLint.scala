@@ -96,12 +96,30 @@ object PlanLint {
 
   /** A pushed filter list that can actually prune I/O: at least one
     * predicate beyond the IsNotNull residue Catalyst pushes for any
-    * null-intolerant condition. */
-  private def usefulPushdown(scan: FileSourceScanExec): Boolean = {
-    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
-      .stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
-      .filter(_.nonEmpty)
-    pushed.exists(!_.startsWith("IsNotNull"))
+    * null-intolerant condition. Split on TOP-LEVEL commas only —
+    * nested predicates (`In(col, [a,b])`, `Or(EqualTo(..), ..)`)
+    * contain commas of their own, and a bare split would fragment them
+    * into pieces judged independently (round-11 ADVICE). */
+  private def usefulPushdown(scan: FileSourceScanExec): Boolean =
+    topLevelSplit(scan.metadata.getOrElse("PushedFilters", "[]")
+      .stripPrefix("[").stripSuffix("]"))
+      .exists(!_.startsWith("IsNotNull"))
+
+  /** Split a rendered predicate list on commas at bracket depth 0. */
+  private[graft] def topLevelSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 =>
+        val t = cur.result().trim; if (t.nonEmpty) out += t; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
   }
 
   private def isShuffleOutput(p: SparkPlan): Boolean = p match {

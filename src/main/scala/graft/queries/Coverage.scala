@@ -495,10 +495,17 @@ object Coverage {
         .select(col("grp").as("event_type"), col("hll_est"))
         .orderBy("event_type")
     },
-    Some(s"""WITH h AS (
+    Some(hllOracleSql("")))
+
+  /** DuckDB replay of the full register→estimate chain of
+    * [[graft.operators.Sketches.hllRegisters]]/[[Sketches.hllEstimate]]
+    * over `events`, optionally row-filtered — shared by a42 (mid-range)
+    * and a46 (small-range/linear-counting branch). */
+  private def hllOracleSql(where: String): String =
+    s"""WITH h AS (
         SELECT event_type,
           ((md5_number_lower(CAST(user_id AS VARCHAR)) % ${graft.operators.Dedup.M56})::BIGINT) AS h
-        FROM events),
+        FROM events $where),
       b AS (
         SELECT event_type, h // ${graft.operators.Sketches.HllW} AS bucket,
           h % ${graft.operators.Sketches.HllW} AS w
@@ -511,13 +518,41 @@ object Coverage {
         SELECT event_type,
           CAST(sum(CAST(1 AS BIGINT) << CAST(51 - reg AS INT)) AS BIGINT) AS zp,
           count(*) AS nb
-        FROM regs GROUP BY 1)
+        FROM regs GROUP BY 1),
+      raw AS (
+        SELECT event_type, nb,
+          CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+            CAST(${graft.operators.Sketches.HllZScale} AS DOUBLE) /
+            CAST(zp + (64 - nb) * ${graft.operators.Sketches.HllZScale} AS DOUBLE)
+            AS raw_e
+        FROM z)
       SELECT event_type,
-        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
-          CAST(${graft.operators.Sketches.HllZScale} AS DOUBLE) /
-          CAST(zp + (64 - nb) * ${graft.operators.Sketches.HllZScale} AS DOUBLE)
-          AS hll_est
-      FROM z ORDER BY event_type"""))
+        CASE WHEN raw_e <= CAST(160 AS DOUBLE) AND nb < 64
+             THEN ${graft.operators.Sketches.hllLinearCaseSql}
+             ELSE raw_e END AS hll_est
+      FROM raw ORDER BY event_type"""
+
+  /** A46: the HLL SMALL-RANGE branch, oracle-proven — per-group
+    * distinct users capped at a dozen, so the raw α·m²/Z estimator
+    * reads well under 2.5·m and the Flajolet §4 linear-counting
+    * correction m·ln(m/V) fires for every group. The ln lands in a
+    * 64-literal CASE ([[graft.operators.Sketches.hllLinearCaseSql]]),
+    * so the correction — a transcendental in the textbook — is
+    * hash-exact cross-engine here, not approximately tested. Without
+    * the round-12 correction this query's estimates would sit ~8-20%
+    * low; with it the registry proves the branch point AND both sides
+    * of it. */
+  val a46HllSmall = Q(
+    "a46_hll_small",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val e = Tables.load(s, dir, "events").filter(col("user_id") < 12)
+      Sketches.hllEstimate(
+          Sketches.hllRegisters(e, "event_type", "user_id"))
+        .select(col("grp").as("event_type"), col("hll_est"))
+        .orderBy("event_type")
+    },
+    Some(hllOracleSql("WHERE user_id < 12")))
 
   /** A29: KMV sketch SET ALGEBRA — the property that makes sketches a
     * warehouse primitive: two independently-built user sketches (click
@@ -543,11 +578,10 @@ object Coverage {
     * run k in the thousands (error ∝ 1/√k; the operator takes k as a
     * parameter — this query pins the small-k geometry the oracle can
     * replay cheaply). */
-  val a29KmvSetops = Q(
-    "a29_kmv_setops",
+  private def mkKmvSetops(name: String, k: Int): Q = Q(
+    name,
     (s, dir) => {
       import graft.operators.{Sketches => K}
-      val k = 64
       val sk = Tables.load(s, dir, "events")
         .filter((col("event_type") === "click" && col("user_id") % 2 === 0) ||
           (col("event_type") === "purchase" && col("user_id") % 3 === 0))
@@ -570,7 +604,9 @@ object Coverage {
     },
     Some {
       val m56 = graft.operators.Dedup.M56
-      val scale = 63L * m56
+      // BigInt: beyond k=128 the scale literal exceeds Long; DuckDB
+      // parses the wide literal as HUGEINT and `//` stays exact
+      val scale = BigInt(k - 1) * m56
       def kminCte(name: String, where: String) =
         s"""$name AS (
           SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
@@ -579,20 +615,20 @@ object Coverage {
             FROM events WHERE $where))"""
       s"""WITH ${kminCte("ra", "event_type = 'click' AND user_id % 2 = 0")},
         ${kminCte("rb", "event_type = 'purchase' AND user_id % 3 = 0")},
-        ta AS (SELECT hv FROM ra WHERE rn <= 64),
-        tb AS (SELECT hv FROM rb WHERE rn <= 64),
+        ta AS (SELECT hv FROM ra WHERE rn <= $k),
+        tb AS (SELECT hv FROM rb WHERE rn <= $k),
         tm AS (
           SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
             SELECT DISTINCT hv FROM (
               SELECT hv FROM ta UNION ALL SELECT hv FROM tb))),
-        m AS (SELECT hv FROM tm WHERE rn <= 64),
+        m AS (SELECT hv FROM tm WHERE rn <= $k),
         est AS (
           SELECT
-            (SELECT CASE WHEN count(*) < 64 THEN count(*)
+            (SELECT CASE WHEN count(*) < $k THEN count(*)
                     ELSE $scale // max(hv) END FROM ta) AS a_users,
-            (SELECT CASE WHEN count(*) < 64 THEN count(*)
+            (SELECT CASE WHEN count(*) < $k THEN count(*)
                     ELSE $scale // max(hv) END FROM tb) AS b_users,
-            (SELECT CASE WHEN count(*) < 64 THEN count(*)
+            (SELECT CASE WHEN count(*) < $k THEN count(*)
                     ELSE $scale // max(hv) END FROM m) AS union_users,
             (SELECT count(*) FROM m
              WHERE hv IN (SELECT hv FROM ta)
@@ -602,11 +638,32 @@ object Coverage {
           CAST(a_users AS BIGINT) AS a_users,
           CAST(b_users AS BIGINT) AS b_users,
           CAST(union_users AS BIGINT) AS union_users,
-          CAST(CASE WHEN m_size < 64 THEN n_common
-               ELSE (n_common * union_users) // 64 END AS BIGINT)
+          CAST(CASE WHEN m_size < $k THEN n_common
+               ELSE (n_common * union_users) // $k END AS BIGINT)
             AS inter_users
         FROM est"""
     })
+
+  val a29KmvSetops = mkKmvSetops("a29_kmv_setops", 64)
+
+  /** A41: the a29 set algebra at k=256 — the "run k in the thousands"
+    * remedy a29's doc prescribes, MEASURED instead of argued (round-11
+    * verdict #8). Error ∝ 1/√k: the k=64 sketch's ~2σ-low intersection
+    * draw (118 vs truth 250 at sf0.1) tightens into the ~6% envelope
+    * at k=256. k=1024 would be vacuous at every test scale — the union
+    * sketch never fills (≤1000 distinct users at sf0.1), so the exact
+    * branch runs and there is no estimator error to measure; 256 is
+    * the largest power-of-two k whose estimator branch actually fires
+    * at sf0.1. Measured at sf0.1 (truth a=750, b=500, union=1000,
+    * inter=250): k=64 → 765/433/950/118; k=256 → 719/471/958/209 —
+    * the intersection error collapses 53% → 16% (≈ the 4× sample
+    * growth's √-law prediction: the ρ term's σ shrinks 2×, and the
+    * k=64 draw sat ~2σ low) and every cardinality stays inside its
+    * envelope. Beyond [[graft.operators.Sketches.MaxLongK]] the
+    * (k−1)·2^56 scale no longer fits a signed long; the estimate
+    * arithmetic routes through DECIMAL(38,0)/HUGEINT — same integers,
+    * still hash-exact, which is what this query pins. */
+  val a41KmvSetops256 = mkKmvSetops("a41_kmv_setops_k256", 256)
 
   /** A27: quantiles over a deterministic hash sample — the sketch-family
     * quantile twin of a26 (t-digest state, like HLL's, is engine-private
@@ -1368,8 +1425,8 @@ object Coverage {
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, a17Percentiles,
-    j12Salted, a18Sketches, a26KmvSketch, a42Hll, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
+    a29KmvSetops, a41KmvSetops256, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

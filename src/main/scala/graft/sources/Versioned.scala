@@ -493,11 +493,14 @@ object VersionedStore {
     val zm = zoneMap(spark, base, v)
       .select(col("file"), col(s"min_$statCol").as("mn"),
         col(s"max_$statCol").as("mx"))
-    val rows = zm.collect()
-    val kept = zm
-      .filter(col("mn").isNotNull && col("mx").isNotNull &&
-        col("mx") >= lit(lo) && col("mn") <= lit(hi))
-      .select("file").collect().map(_.getString(0)).toSeq
+    // ONE driver job: collect the (bounded, ∝ files) zone map once and
+    // evaluate the interval test locally — a second collect just for
+    // the total count was a wasted job
+    val rows = zm.select(col("file"),
+        (col("mn").isNotNull && col("mx").isNotNull &&
+          col("mx") >= lit(lo) && col("mn") <= lit(hi)).as("keep"))
+      .collect()
+    val kept = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
     (kept, rows.length)
   }
 
