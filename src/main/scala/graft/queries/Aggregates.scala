@@ -235,17 +235,34 @@ object Aggregates {
     * basket pair counts reuse the j4 collect-and-explode rewrite via
     * Graph.sharedKeyEdges — one shuffle to group, no self-join). Rules
     * emit BOTH directions of each pair (confidence is asymmetric);
-    * min co-occurrence 3, top-40 by (lift, a, b). */
+    * min co-occurrence 3, top-40 by (lift, a, b).
+    *
+    * HOT-BASKET CAP: pair emission is quadratic in basket size, so the
+    * query passes sharedKeyEdges an explicit maxGroupSize — the
+    * ingest-side cap the operator's own doc prescribes — instead of
+    * disabling it (round-11 "what's wrong" #1). Baskets over the cap
+    * contribute NO pairs (item/basket totals still count them: the
+    * population is real, the pathological pair explosion isn't), and
+    * the dropped count rides every row as `dropped_baskets`, oracle-
+    * replayed, so a capped run is visibly capped. 10 000 is generous —
+    * a 10k-item basket still emits 5·10⁷ pairs — while a retail feed's
+    * million-item degenerate basket (a default account id, a null key)
+    * no longer owns the stage; TPC-H baskets are ≤7 lines, so the cap
+    * drops zero here and the oracle proves that too. */
   val a43BasketRules = Q(
     "a43_basket_rules",
     (s, dir) => {
+      val cap = 10000
       val li = Tables.load(s, dir, "lineitem")
       val pairs = graft.operators.Graph.sharedKeyEdges(li,
-        "l_orderkey", "l_partkey", minShared = 3,
-        maxGroupSize = Int.MaxValue)
+        "l_orderkey", "l_partkey", minShared = 3, maxGroupSize = cap)
       val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
         .groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("n_i"))
       val totalN = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+      val dropped = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(when(col("sz") > cap, lit(1L))), lit(0L))
+          .as("dropped_baskets"))
       val directed = pairs
         .select(col("item_a").as("a"), col("item_b").as("b"),
           col("weight").as("n_ab"))
@@ -257,19 +274,26 @@ object Aggregates {
         .join(itemN.withColumnRenamed("item", "b")
           .withColumnRenamed("n_i", "n_b"), "b")
         .crossJoin(broadcast(totalN))
+        .crossJoin(broadcast(dropped))
         .select(col("a"), col("b"), col("n_ab"),
           expr("(n_ab * 1000000) DIV n_baskets").as("support6"),
           expr("(n_ab * 1000000) DIV n_a").as("conf6"),
-          expr("(n_ab * n_baskets * 1000000) DIV (n_a * n_b)").as("lift6"))
+          expr("(n_ab * n_baskets * 1000000) DIV (n_a * n_b)").as("lift6"),
+          col("dropped_baskets"))
         .orderBy(col("lift6").desc, col("a"), col("b"))
         .limit(40)
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      sz AS (SELECT l_orderkey, count(*) AS sz FROM li GROUP BY 1),
+      dropped AS (
+        SELECT CAST(coalesce(sum(CASE WHEN sz > 10000 THEN 1 END), 0)
+          AS BIGINT) AS dropped_baskets FROM sz),
       pairs AS (
         SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
           count(*) AS n_ab
         FROM li x JOIN li y
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        JOIN sz ON sz.l_orderkey = x.l_orderkey AND sz.sz <= 10000
         GROUP BY 1, 2 HAVING count(*) >= 3),
       directed AS (
         SELECT item_a AS a, item_b AS b, n_ab FROM pairs
@@ -279,11 +303,13 @@ object Aggregates {
       SELECT a, b, n_ab,
         (n_ab * 1000000) // n_baskets AS support6,
         (n_ab * 1000000) // ia.n_i AS conf6,
-        (n_ab * n_baskets * 1000000) // (ia.n_i * ib.n_i) AS lift6
+        (n_ab * n_baskets * 1000000) // (ia.n_i * ib.n_i) AS lift6,
+        dropped_baskets
       FROM directed
       JOIN items ia ON ia.item = a
       JOIN items ib ON ib.item = b
       CROSS JOIN total
+      CROSS JOIN dropped
       ORDER BY lift6 DESC, a, b LIMIT 40"""))
 
   /** A44: RFM SEGMENTATION — the marketing-analytics classic: per user

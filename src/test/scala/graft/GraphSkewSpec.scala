@@ -31,6 +31,27 @@ class GraphSkewSpec extends AnyFunSuite {
     assert(capped == Set(("c1", "c2", 1L))) // o1's 3-company group dropped
   }
 
+  test("a hot basket over the cap contributes no pairs and is countable") {
+    // the a43_basket_rules shape: one degenerate basket (a default
+    // account id, a null key) holding 500 items would emit ~125k pairs
+    // uncapped; with the cap it contributes ZERO pairs — the pair
+    // explosion stays ∝ Σ capped_size², never ∝ hot_size² — while the
+    // normal baskets' rules are untouched and the dropped count is
+    // exactly recoverable for the query's dropped_baskets column.
+    val cap = 50
+    val hot = (1 to 500).map(i => ("hot", s"i$i"))
+    val normal = Seq(("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"))
+    val df = (hot ++ normal).toDF("basket", "item")
+    val pairs = Graph.sharedKeyEdges(df, "basket", "item",
+      maxGroupSize = cap).as[(String, String, Long)].collect().toSet
+    assert(pairs == Set(("x", "y", 2L)), s"hot pairs leaked: $pairs")
+    val droppedN = df.distinct().groupBy("basket")
+      .agg(count(lit(1)).as("sz"))
+      .agg(coalesce(sum(when(col("sz") > cap, lit(1L))), lit(0L)))
+      .as[Long].head()
+    assert(droppedN == 1L)
+  }
+
   test("Graph.neighborhood and degrees") {
     val edges = Graph.sharedKeyEdges(appointments, "officer", "company")
     val n = Graph.neighborhood(edges, lit("c1"))
