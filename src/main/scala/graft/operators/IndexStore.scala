@@ -227,29 +227,24 @@ object IndexStore {
     * mid-truncation is harmless. */
   /** Single-writer enforcement for a store base directory — the
     * index-store analog of the TableStore mutator lock
-    * (graft.sources.Catalog): one atomic create-exclusive on
-    * `base/__lock` held for the duration of a stage+commit cycle, so
-    * two concurrent compactions (or versioned commits) fail fast
-    * instead of racing the same staged era/version directory. The
-    * reference serializes the equivalent through Postgres row locks +
-    * scheduler max_instances=1 (SURVEY §7.4.2). Stale-lock note: a
-    * writer killed INSIDE the critical section leaves `__lock` behind
-    * (a plain filesystem has no lease to expire); recovery is explicit
-    * — the operator confirms no writer is alive and deletes the file,
-    * exactly the TableStore contract. The staged data itself needs no
-    * repair: the marker discipline means an interrupted holder never
-    * published anything, and openIndex/gc reclaims its orphans. */
-  def withWriterLock[T](spark: SparkSession, base: String)(body: => T): T = {
+    * (graft.sources.Catalog): a LEASE on `base/__lock` held for the
+    * duration of a stage+commit cycle, so two concurrent compactions
+    * (or versioned commits) fail fast instead of racing the same
+    * staged era/version directory. The reference serializes the
+    * equivalent through Postgres row locks + scheduler
+    * max_instances=1 (SURVEY §7.4.2). A writer killed INSIDE the
+    * critical section no longer wedges the store: its lease stops
+    * heartbeating and the next writer steals it after the TTL,
+    * unattended ([[LeaseLock]]; round-11 ADVICE). The staged data
+    * itself needs no repair: the marker discipline means an
+    * interrupted holder never published anything, and openIndex/gc
+    * reclaims its orphans. */
+  def withWriterLock[T](spark: SparkSession, base: String,
+      ttlMs: Long = LeaseLock.DefaultTtlMs)(body: => T): T = {
     val f = fs(spark, base)
     f.mkdirs(new Path(base))
-    val lock = new Path(s"$base/__lock")
-    val acquired = try f.createNewFile(lock) catch {
-      case _: java.io.IOException => false
-    }
-    if (!acquired) throw new IllegalStateException(
-      s"store $base is locked by another writer (single-writer " +
-        s"discipline); remove $lock if it is stale")
-    try body finally f.delete(lock, false)
+    LeaseLock.withLease(f, new Path(s"$base/__lock"),
+      s"store $base", ttlMs)(body)
   }
 
   def truncateGenClaims(spark: SparkSession, base: String,

@@ -293,21 +293,17 @@ final class TableStore(spark: SparkSession, root: String) {
   private def read0(name: String): DataFrame =
     spark.read.schema(defOf(name).schema).parquet(path(name))
 
-  /** Single-writer enforcement: every mutator takes the table's lock file
-    * for the duration of the write. The reference serializes through
-    * Postgres row locks + max_instances=1 (SURVEY §7.4.2); here an atomic
-    * create-exclusive on `<table>__lock` fails fast when a second writer
-    * races, instead of silently interleaving a read-merge-write. */
-  private def withLock[T](name: String)(f: => T): T = {
-    val lock = new org.apache.hadoop.fs.Path(s"$root/${defOf(name).name}__lock")
-    val acquired = try fs.createNewFile(lock) catch {
-      case _: java.io.IOException => false
-    }
-    if (!acquired) throw new IllegalStateException(
-      s"table $name is locked by another writer (single-writer " +
-        s"discipline); remove $lock if it is stale")
-    try f finally fs.delete(lock, false)
-  }
+  /** Single-writer enforcement: every mutator holds the table's lock
+    * LEASE for the duration of the write. The reference serializes
+    * through Postgres row locks + max_instances=1 (SURVEY §7.4.2);
+    * here a create-exclusive lock file with heartbeat + TTL steal
+    * ([[graft.operators.LeaseLock]]) fails fast when a LIVE second
+    * writer races, and recovers unattended when a crashed writer left
+    * its lock behind. */
+  private def withLock[T](name: String)(f: => T): T =
+    graft.operators.LeaseLock.withLease(fs,
+      new org.apache.hadoop.fs.Path(s"$root/${defOf(name).name}__lock"),
+      s"table $name")(f)
 
   /** Schema-checked overwrite (column names+types must match the catalog;
     * nullability is advisory in parquet). Writes to a temp dir then swaps,
