@@ -11,6 +11,23 @@ import graft.sources.{Catalog, TableStore}
 class CatalogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** Files the query ACTUALLY read, from the executed scan's own
+    * numFiles metric — the ground truth the skipping claims must meet
+    * (round-11 verdict #7: assert files-read via scan metrics, not
+    * just row equality with the planner's kept list). */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
   private def freshStore(): TableStore = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     new TableStore(spark, dir)
@@ -316,9 +333,15 @@ class CatalogSpec extends AnyFunSuite {
     val viaV = VersionedStore.readSkipping(spark, base, 0L, "v", 700L, 900L)
       .select("k").as[Long].collect().toSet
     assert(viaV == (350L to 450L).toSet)
+    // the SCAN ITSELF read only the kept files — numFiles is the
+    // executed FileSourceScan's own metric, not the planner's claim
+    assert(filesRead(VersionedStore.readSkipping(
+      spark, base, 0L, "k", 150L, 250L)) == kept.size)
+    assert(filesRead(VersionedStore.read(spark, base, 0L)) == 8L)
     // a range beyond every file returns empty with the snapshot schema
     val none = VersionedStore.readSkipping(spark, base, 0L, "k", 5000L, 6000L)
     assert(none.columns.toSeq == Seq("k", "s", "v") && none.count() == 0)
+    assert(filesRead(none) == 0L)
     // the zone map is invisible to ordinary snapshot readers
     assert(VersionedStore.read(spark, base, 0L).count() == 800)
     assert(VersionedStore.fileStats(spark, base, 0L)._1 == 8)
@@ -343,6 +366,11 @@ class CatalogSpec extends AnyFunSuite {
       s"bloom should prune (kept ${kept.size} of 8)")
     assert(VersionedStore.readPoint(spark, base, 0L, "k", 777L)
       .as[(Long, String)].collect().toSeq == Seq((777L, "r777")))
+    // the executed point-probe scan touched exactly the bloom's kept
+    // files (metric, not planner claim); the full read touches all 8
+    assert(filesRead(VersionedStore.readPoint(
+      spark, base, 0L, "k", 777L)) == kept.size)
+    assert(filesRead(VersionedStore.read(spark, base, 0L)) == 8L)
     // never a false negative: every present key is found
     (1L to 50L).foreach { key =>
       assert(VersionedStore.readPoint(spark, base, 0L, "k", key).count() == 1,
