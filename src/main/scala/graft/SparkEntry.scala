@@ -56,7 +56,8 @@ object SparkEntry {
       "t23_sliding_distinct", "a42_hll", "mm_phash_dedup",
       "txt_entropy", "t24_nearest_join", "a43_basket_rules",
       "t25_transitions", "sim_rp", "t26_session_paths", "a44_rfm",
-      "a45_chi_square", "t27_first_touch")
+      "a45_chi_square", "t27_first_touch",
+      "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum")
     preferred.filter(queries.contains)
   }
 }

@@ -119,6 +119,34 @@ object Windows {
         FROM orders)
       GROUP BY 1, 2"""))
 
+  /** W10: GLOBAL running total — `sum() OVER (ORDER BY …)` with no
+    * partition key, the one window shape this engine refused to
+    * register until round 12 because Spark executes it on a single
+    * task (the PlanAudit scale-killer). The Spark side is
+    * [[graft.operators.Align.prefixSum]]: range-partition + in-
+    * partition running sums + broadcast per-partition offsets — every
+    * task holds only its slice, so the same query runs at 100 TB —
+    * while the oracle keeps the textbook unpartitioned window. Money
+    * rides as exact cents (DECIMAL→BIGINT); order is the total
+    * (o_orderdate, o_orderkey), so ties can't wobble. */
+  val w10GlobalCumsum = Q(
+    "w10_global_cumsum",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (dec("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.Align.prefixSum(o, "cents", "run_cents",
+          col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("run_cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+          OVER (ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS run_cents
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(w2PrimaryPerKey, w3FirstNSlice, a2SuccessRatio,
-    w6TopkAgg, w7Ntile)
+    w6TopkAgg, w7Ntile, w10GlobalCumsum)
 }
