@@ -57,7 +57,8 @@ object SparkEntry {
       "txt_entropy", "t24_nearest_join", "a43_basket_rules",
       "t25_transitions", "sim_rp", "t26_session_paths", "a44_rfm",
       "a45_chi_square", "t27_first_touch",
-      "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum")
+      "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum",
+      "g_hyperball")
     preferred.filter(queries.contains)
   }
 }

@@ -281,6 +281,54 @@ object Graph {
     dist
   }
 
+  /** HYPERBALL (Boldi & Vigna 2013, "In-core computation of geometric
+    * centralities with HyperBall"): the NEIGHBORHOOD FUNCTION N(t) —
+    * how many (node, reached-node) pairs exist within t hops — via one
+    * HLL counter per node, max-merged along edges each round. This is
+    * the algorithm behind the "four degrees of separation" measurement
+    * at web/social scale: exact |ball(v,t)| needs a BFS per node
+    * (|V|·|E| work), while a mergeable sketch per node costs
+    * |E|·registers shuffle per round, independent of ball size.
+    *
+    * Registers are the oracle-exact hash56 HLL geometry
+    * ([[Sketches.hllRegisters]]): counters init to {v} itself, and
+    * round t replaces each counter with the register-max of itself and
+    * its neighbors' counters — max-merge IS the sketch's union, so
+    * after t rounds node v's counter sketches exactly ball(v, t). Per
+    * round the whole state is one equi-join (edges × register rows) +
+    * one max groupBy, localCheckpoint-truncated like the other
+    * iterative operators. Balls at small t sit in the
+    * linear-counting range, so this also exercises the small-range
+    * branch at per-node scale.
+    *
+    * Output: one row per hop 0..rounds — (hop, n_nodes,
+    * ball_milli = Σ_v floor(1000·est|ball(v,hop)|) in exact fixed
+    * point, summed as BIGINT so the cross-node reduction is
+    * order-independent and engine-exact). */
+  def hyperBall(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"),
+        col("item_a").as("dst")))
+    val nodes = und.select(col("src").as("node")).distinct()
+    var regs = Sketches.hllRegisters(nodes, "node", "node")
+      .withColumnRenamed("grp", "node").localCheckpoint()
+    def roundStats(t: Int, r: DataFrame): DataFrame =
+      Sketches.hllEstimate(r.withColumnRenamed("node", "grp"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(floor(col("hll_est") * 1000).cast("long")).as("ball_milli"))
+        .select(lit(t.toLong).as("hop"), col("n_nodes"), col("ball_milli"))
+    var out = roundStats(0, regs)
+    for (t <- 1 to rounds) {
+      val fromNbrs = und.join(regs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("bucket"), col("reg"))
+      regs = regs.unionByName(fromNbrs)
+        .groupBy("node", "bucket").agg(max("reg").as("reg"))
+        .localCheckpoint()
+      out = out.unionByName(roundStats(t, regs))
+    }
+    out
+  }
+
   /** Bounded-horizon weighted shortest paths (Bellman–Ford): after k
     * relaxation rounds, `dist` is EXACTLY the cheapest path of at most
     * k edges from any seed — the fixed-iteration contract every other

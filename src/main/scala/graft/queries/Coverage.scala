@@ -261,6 +261,91 @@ object Coverage {
         UNION ALL SELECT item_b FROM edges)
       GROUP BY 1"""))
 
+  /** G14: HYPERBALL — the neighborhood function N(t) of the
+    * co-purchase graph via per-node HLL counters max-merged along
+    * edges ([[graft.operators.Graph.hyperBall]]; Boldi & Vigna 2013,
+    * the "four degrees of separation" algorithm). Exact per-node balls
+    * need a BFS per node; the sketch costs |E|·registers per round at
+    * ANY ball size — the canonical sketch-for-scale trade, and every
+    * register is the oracle-exact hash56 HLL geometry, so the whole
+    * iteration replays in SQL: same registers, same max-merges, same
+    * 64-literal linear-counting estimates, per-node values summed in
+    * 1e-3 fixed point (BIGINT — order-independent cross-engine). At
+    * t-small the balls sit squarely in the linear-counting range, so
+    * this is also the round-12 small-range branch exercised at
+    * thousands-of-groups scale. */
+  val gHyperball = Q(
+    "g_hyperball",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
+        minShared = 2, maxGroupSize = Int.MaxValue)
+      Graph.hyperBall(edges, rounds = 3).orderBy("hop")
+    },
+    Some(hyperballOracleSql(3)))
+
+  /** DuckDB replay of [[graft.operators.Graph.hyperBall]]: unrolled
+    * register init + `rounds` max-merge rounds + per-round estimates. */
+  private def hyperballOracleSql(rounds: Int): String = {
+    val m56 = graft.operators.Dedup.M56
+    val w = graft.operators.Sketches.HllW
+    val zs = graft.operators.Sketches.HllZScale
+    val lc = graft.operators.Sketches.hllLinearCaseSql
+    val mergeRounds = (1 to rounds).map { t =>
+      s"""r$t AS (
+        SELECT node, bucket, max(reg) AS reg FROM (
+          SELECT node, bucket, reg FROM r${t - 1}
+          UNION ALL
+          SELECT u.src AS node, r.bucket, r.reg
+          FROM und u JOIN r${t - 1} r ON r.node = u.dst)
+        GROUP BY 1, 2)"""
+    }.mkString(",\n      ")
+    val ests = (0 to rounds).map { t =>
+      s"""e$t AS (
+        SELECT CAST($t AS BIGINT) AS hop, count(*) AS n_nodes,
+          CAST(sum(CAST(floor(est * 1000) AS BIGINT)) AS BIGINT)
+            AS ball_milli
+        FROM (
+          SELECT CASE WHEN raw_e <= CAST(160 AS DOUBLE) AND nb < 64
+                 THEN $lc ELSE raw_e END AS est
+          FROM (
+            SELECT node, nb,
+              CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                CAST($zs AS DOUBLE) /
+                CAST(zp + (64 - nb) * $zs AS DOUBLE) AS raw_e
+            FROM (
+              SELECT node,
+                CAST(sum(CAST(1 AS BIGINT) << CAST(51 - reg AS INT))
+                  AS BIGINT) AS zp,
+                count(*) AS nb
+              FROM r$t GROUP BY 1))))"""
+    }.mkString(",\n      ")
+    val unionAll = (0 to rounds).map(t => s"SELECT * FROM e$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS (
+        SELECT item_a AS src, item_b AS dst FROM edges
+        UNION ALL SELECT item_b, item_a FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM und),
+      r0 AS (
+        SELECT node, h // $w AS bucket,
+          max(CASE WHEN h % $w = 0 THEN 51
+              ELSE 51 - length(bin(h % $w)) END) AS reg
+        FROM (
+          SELECT node,
+            ((md5_number_lower(CAST(node AS VARCHAR)) % $m56)::BIGINT) AS h
+          FROM nodes)
+        GROUP BY 1, 2),
+      $mergeRounds,
+      $ests
+      $unionAll ORDER BY hop"""
+  }
+
   /** G4: multi-source BFS hop distance (Graph.bfsHops) over the same
     * co-purchase graph as g_degrees — seeds are partkeys ≡ 0 mod 97,
     * output is every node within 3 hops with its first-discovery (=
@@ -1424,7 +1509,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a41KmvSetops256, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,

@@ -1706,7 +1706,7 @@ class OperatorsSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException] {
         Retrieval.compactIndex(spark, tag, "doc_id")
       }
-      assert(e.getMessage.contains("locked by another writer"), e.getMessage)
+      assert(e.getMessage.contains("locked by a live writer"), e.getMessage)
     }
     assert(IndexStore.readEra(spark, base).get == 0L,
       "blocked writer must not have advanced the era")
