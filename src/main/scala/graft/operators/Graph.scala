@@ -329,6 +329,45 @@ object Graph {
     out
   }
 
+  /** DETERMINISTIC RANDOM WALKS — the corpus generator for graph
+    * embeddings (DeepWalk/node2vec first-order walks, Perozzi et al.
+    * 2014): one length-`steps` walk per seed, where step t moves to
+    * neighbor number hash56(walk ':' t) mod degree under a SORTED
+    * neighbor order. Hash-driven instead of rand(): any engine, any
+    * re-run, any partitioning deals the identical walks (the txt_shuffle
+    * / epochShuffle policy — determinism is what makes a 100 TB walk
+    * corpus resumable and oracle-checkable), while hash56's avalanche
+    * still gives each (walk, step) an independent uniform draw.
+    *
+    * Scale shape: the adjacency position index is one per-src window
+    * (partitioned, never global); each step is one equi-join of the
+    * walk frontier against degree + adjacency — walks × steps total
+    * join rows, never materializing more than the frontier. */
+  def randomWalks(edges: DataFrame, seeds: DataFrame,
+      steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"),
+        col("item_a").as("dst")))
+    val adj = und.withColumn("pos",
+      row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    var cur = seeds.select(col("node").as("walk"), col("node"))
+    var out = cur.withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      cur = cur
+        .join(deg.withColumnRenamed("src", "node"), "node")
+        .withColumn("pick",
+          Dedup.hash56(concat(col("walk").cast("string"), lit(":"),
+            lit(t.toString))) % col("deg"))
+        .join(adj.withColumnRenamed("src", "node"), "node")
+        .filter(col("pos") === col("pick"))
+        .select(col("walk"), col("dst").as("node"))
+      out = out.unionByName(cur.withColumn("step", lit(t.toLong)))
+    }
+    out.select("walk", "step", "node")
+  }
+
   /** Bounded-horizon weighted shortest paths (Bellman–Ford): after k
     * relaxation rounds, `dist` is EXACTLY the cheapest path of at most
     * k edges from any seed — the fixed-iteration contract every other

@@ -346,6 +346,61 @@ object Coverage {
       $unionAll ORDER BY hop"""
   }
 
+  /** G15: DETERMINISTIC RANDOM WALKS ([[graft.operators.Graph
+    * .randomWalks]]) — the DeepWalk/node2vec corpus generator run as a
+    * query: one 4-step walk per mod-97 seed over the co-purchase
+    * graph, step t picking neighbor hash56(walk ':' t) mod degree
+    * under sorted neighbor order. Because the "randomness" is the
+    * engine-portable hash, DuckDB replays every walk EXACTLY — the
+    * same property that makes a production walk corpus resumable
+    * after a failure without re-dealing different walks. */
+  val gRandomWalks = Q(
+    "g_random_walks",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
+        minShared = 2, maxGroupSize = Int.MaxValue)
+      val nodes = edges.select(col("item_a").as("node"))
+        .unionByName(edges.select(col("item_b").as("node"))).distinct()
+      Graph.randomWalks(edges, nodes.filter(col("node") % 97 === 0),
+          steps = 4)
+        .orderBy("walk", "step")
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      def stepCte(t: Int) =
+        s"""w$t AS (
+          SELECT w.walk, a.dst AS node
+          FROM w${t - 1} w
+          JOIN deg d ON d.src = w.node
+          JOIN adj a ON a.src = w.node AND a.pos =
+            ((md5_number_lower(CAST(w.walk AS VARCHAR) || ':$t') % $m56)::BIGINT)
+              % d.deg)"""
+      val steps = (1 to 4).map(stepCte).mkString(",\n      ")
+      val unions = (0 to 4)
+        .map(t => s"SELECT walk, CAST($t AS BIGINT) AS step, node FROM w$t")
+        .mkString(" UNION ALL ")
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (
+          SELECT item_a AS src, item_b AS dst FROM edges
+          UNION ALL SELECT item_b, item_a FROM edges),
+        adj AS (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos
+          FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+        w0 AS (
+          SELECT node AS walk, node FROM (SELECT DISTINCT src AS node FROM und)
+          WHERE node % 97 = 0),
+        $steps
+        $unions ORDER BY walk, step"""
+    })
+
   /** G4: multi-source BFS hop distance (Graph.bfsHops) over the same
     * co-purchase graph as g_degrees — seeds are partkeys ≡ 0 mod 97,
     * output is every node within 3 hops with its first-discovery (=
@@ -1509,7 +1564,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a41KmvSetops256, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
