@@ -401,6 +401,96 @@ object Coverage {
         $unions ORDER BY walk, step"""
     })
 
+  /** G16: WALK-CONTEXT AFFINITY — the skip-gram statistic over the
+    * g_random_walks corpus: every (center, context) node pair within
+    * window 2 along a walk, scored by the integer PMI ratio
+    * c_ab·T·10⁶ div (c_a·c_b) (ln is monotone, so the ratio IS the PMI
+    * order — the txt_collocations trick; no transcendental needed).
+    * This is what a node-embedding trainer consumes: pairs + marginals
+    * are exactly word2vec's positive examples and unigram table, so
+    * the query is the "did the corpus generator produce trainable
+    * structure" check run as ONE plan. Shape: walks re-derived (bounded
+    * iterative joins), then ONE groupBy(walk) collects each ≤5-step
+    * walk to an array and in-row `transform`/`slice` explodes the ≤7
+    * window pairs — no self-join of the walk table, no window function;
+    * marginal counts are two more map-side-combined groupBys over the
+    * pair frame and a 1-row total broadcast. */
+  val gWalkPairs = Q(
+    "g_walk_pairs",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
+        minShared = 2, maxGroupSize = Int.MaxValue)
+      val nodes = edges.select(col("item_a").as("node"))
+        .unionByName(edges.select(col("item_b").as("node"))).distinct()
+      val w = Graph.randomWalks(edges, nodes.filter(col("node") % 97 === 0),
+        steps = 4)
+      val pairs = w.groupBy("walk")
+        .agg(array_sort(collect_list(struct(col("step"), col("node"))))
+          .as("st"))
+        .select(explode(expr(
+          """flatten(transform(st, (x, i) ->
+               transform(slice(st, i + 2, 2),
+                         y -> struct(x.node AS a, y.node AS b))))"""))
+          .as("p"))
+        .select(col("p.a"), col("p.b"))
+      val cnt = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = pairs.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val cb = pairs.groupBy("b").agg(count(lit(1)).as("c_b"))
+      val t = pairs.agg(count(lit(1)).as("t_pairs"))
+      cnt.join(ca, "a").join(cb, "b").crossJoin(broadcast(t))
+        .select(col("a"), col("b"), col("c_ab"),
+          expr("(c_ab * t_pairs * 1000000) div (c_a * c_b)").as("aff6"))
+        .orderBy(desc("aff6"), col("a"), col("b"))
+        .limit(25)
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      def stepCte(t: Int) =
+        s"""w$t AS (
+          SELECT w.walk, a.dst AS node
+          FROM w${t - 1} w
+          JOIN deg d ON d.src = w.node
+          JOIN adj a ON a.src = w.node AND a.pos =
+            ((md5_number_lower(CAST(w.walk AS VARCHAR) || ':$t') % $m56)::BIGINT)
+              % d.deg)"""
+      val steps = (1 to 4).map(stepCte).mkString(",\n      ")
+      val unions = (0 to 4)
+        .map(t => s"SELECT walk, CAST($t AS BIGINT) AS step, node FROM w$t")
+        .mkString(" UNION ALL ")
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (
+          SELECT item_a AS src, item_b AS dst FROM edges
+          UNION ALL SELECT item_b, item_a FROM edges),
+        adj AS (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos
+          FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+        w0 AS (
+          SELECT node AS walk, node FROM (SELECT DISTINCT src AS node FROM und)
+          WHERE node % 97 = 0),
+        $steps,
+        walks AS ($unions),
+        pairs AS (
+          SELECT p1.node AS a, p2.node AS b
+          FROM walks p1 JOIN walks p2 ON p1.walk = p2.walk
+            AND p2.step > p1.step AND p2.step <= p1.step + 2),
+        cnt AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        ca AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY 1),
+        cb AS (SELECT b, count(*) AS c_b FROM pairs GROUP BY 1),
+        t AS (SELECT count(*) AS t_pairs FROM pairs)
+        SELECT a, b, c_ab,
+          (c_ab * t_pairs * 1000000) // (c_a * c_b) AS aff6
+        FROM cnt JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN t
+        ORDER BY aff6 DESC, a, b LIMIT 25"""
+    })
+
   /** G4: multi-source BFS hop distance (Graph.bfsHops) over the same
     * co-purchase graph as g_degrees — seeds are partkeys ≡ 0 mod 97,
     * output is every node within 3 hops with its first-discovery (=
@@ -1564,7 +1654,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a41KmvSetops256, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,

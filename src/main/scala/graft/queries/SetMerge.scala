@@ -700,10 +700,75 @@ object SetMerge {
       FROM orders WHERE o_orderkey IN (42, 4242, 7777)
       ORDER BY o_orderkey"""))
 
+  /** M23: Z-ORDER MULTI-DIMENSIONAL skipping — m21 range-clusters on
+    * ONE column, so only that column's predicates prune; this commit
+    * lays the same table out on the Morton interleave of TWO dimensions
+    * (sources.Layout.zValue over the order-day ordinal and a 128-dollar
+    * price bucket, both scaled to 12-bit domains so neither dominates
+    * the curve) and stages zone maps for BOTH. Each file then covers a
+    * small day×price hyper-rectangle, and the SAME filesInRange call
+    * prunes on EITHER dimension — Delta/Iceberg's `OPTIMIZE ZORDER BY`,
+    * oracle-checked: one day-range arm and one price-range arm, each
+    * required in-query to have skipped files, each hash-equal to the
+    * plain filter over the original table. At 100 TB this is the
+    * difference between one clustered column and every dashboard
+    * filter being a partial scan. */
+  val m23ZorderSkipping = Q(
+    "m23_zorder_skipping",
+    (s, dir) => {
+      import graft.sources.{Layout, VersionedStore}
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/zorder_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)")
+              .as("o_day"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 12800").as("o_price_b"))
+        val cols = o.columns.toSeq
+        val shaped = o
+          .withColumn("__z",
+            Layout.zValue(Seq(col("o_day"), col("o_price_b")), bits = 12))
+          .repartitionByRange(32, col("__z"))
+          .sortWithinPartitions("__z")
+          .select(cols.map(col): _*)
+        VersionedStore.commitWithStats(s, base, shaped,
+          statsCols = Seq("o_day", "o_price_b"))
+      }
+      def arm(label: String, statCol: String, lo: Long, hi: Long) = {
+        val (kept, total) =
+          VersionedStore.filesInRange(s, base, 0L, statCol, lo, hi)
+        require(kept.nonEmpty && kept.size < total,
+          s"z-order zone map must prune on $statCol (kept ${kept.size} of $total)")
+        VersionedStore.readSkipping(s, base, 0L, statCol, lo, hi)
+          .agg(count(lit(1)).as("n_rows"), dsum("o_totalprice").as("sum_total"))
+          .select(lit(label).as("dim"), col("n_rows"), col("sum_total"))
+      }
+      arm("day_slice", "o_day", 365L, 729L)
+        .unionByName(arm("price_slice", "o_price_b", 100L, 300L))
+        .orderBy("dim")
+    },
+    Some("""WITH o AS (
+        SELECT o_totalprice,
+          CAST(date_diff('day', DATE '1995-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS o_day,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 12800
+            AS o_price_b
+        FROM orders)
+      SELECT 'day_slice' AS dim, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM o WHERE o_day BETWEEN 365 AND 729
+      UNION ALL
+      SELECT 'price_slice' AS dim, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM o WHERE o_price_b BETWEEN 100 AND 300
+      ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
     m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
     m17TimeTravel, m18SketchMv, m19Optimize, m20CdcVersions,
-    m21DataSkipping, m22BloomSkipping)
+    m21DataSkipping, m22BloomSkipping, m23ZorderSkipping)
 }

@@ -444,7 +444,74 @@ object TemporalQueries {
       FROM cnt JOIN tot USING (from_type)
       ORDER BY from_type, to_type"""))
 
+  /** T28: SEASONAL-PROFILE outliers — each event judged against the
+    * mean±2σ of ITS OWN (type, weekday, hour) cell, so a Tuesday-3am
+    * value is never compared to the Saturday-noon regime (the
+    * de-seasonalized twin of t22's global spike detector). Calendar
+    * cells come from pure epoch integer arithmetic (micros div day,
+    * +3 mod 7 for a Monday=0 weekday; div hour mod 24) — no dayofweek/
+    * hour builtins whose conventions and timezones differ between
+    * engines (the d8 lesson). The 2σ test never touches a double:
+    * |v − s/n| > 2σ_pop cross-multiplies to (v·n − s)² > 4(n·ssq − s²)
+    * with both sides DECIMAL(38,0)/HUGEINT over exact cent values —
+    * bit-free-of-tolerance by construction. Shape at 100 TB: one
+    * map-side-combined aggregate to ~type·168 cells, cells BROADCAST
+    * back (bounded by the calendar, never by rows), one residual pass
+    * — no window, no second shuffle of the fact. */
+  val t28SeasonalOutliers = Q(
+    "t28_seasonal_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        expr("((unix_micros(ts) div 86400000000) + 3) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        (Q.dec("value") * 100).cast("long").as("v"))
+      val cells = e.groupBy("event_type", "dow", "hr")
+        .agg(count(lit(1)).as("cn"), sum(d(col("v"))).as("cs"),
+          sum(d(col("v")) * d(col("v"))).as("cssq"))
+      e.join(broadcast(cells), Seq("event_type", "dow", "hr"))
+        .withColumn("lhs",
+          (d(col("v")) * col("cn") - col("cs")) *
+            (d(col("v")) * col("cn") - col("cs")))
+        .withColumn("rhs",
+          lit(4) * (col("cn") * col("cssq") - col("cs") * col("cs")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L))
+            .as("n_anomalies"),
+          countDistinct(col("dow") * 100 + col("hr")).as("n_cells"))
+        .withColumn("anomaly_pm",
+          expr("(1000 * n_anomalies) div n"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+          (epoch_us(ts) // 3600000000) % 24 AS hr,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      cells AS (
+        SELECT event_type, dow, hr, count(*) AS cn,
+          sum(CAST(v AS HUGEINT)) AS cs,
+          sum(CAST(v AS HUGEINT) * v) AS cssq
+        FROM e GROUP BY 1, 2, 3),
+      j AS (
+        SELECT e.event_type, e.dow, e.hr, v, cn, cs, cssq,
+          (v*cn - cs) * (v*cn - cs) AS lhs,
+          4 * (cn*cssq - cs*cs) AS rhs
+        FROM e JOIN cells USING (event_type, dow, hr))
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CASE WHEN lhs > rhs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_anomalies,
+        CAST(count(DISTINCT dow * 100 + hr) AS BIGINT) AS n_cells,
+        (1000 * CAST(sum(CASE WHEN lhs > rhs THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*) AS anomaly_pm
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
-    t23SlidingDistinct, t24NearestJoin, t25Transitions, t27FirstTouch)
+    t23SlidingDistinct, t24NearestJoin, t25Transitions, t27FirstTouch,
+    t28SeasonalOutliers)
 }
