@@ -58,7 +58,8 @@ object SparkEntry {
       "t25_transitions", "sim_rp", "t26_session_paths", "a44_rfm",
       "a45_chi_square", "t27_first_touch",
       "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum",
-      "g_hyperball")
+      "g_hyperball", "g_random_walks", "g_walk_pairs", "a47_ols_trend",
+      "a48_mad_outliers", "t28_seasonal_outliers", "m23_zorder_skipping")
     preferred.filter(queries.contains)
   }
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableLn
+
+/** Differentially private releases of grouped aggregates — the Laplace
+  * mechanism (Dwork et al. 2006) run as ordinary Catalyst plans.
+  *
+  * Production DP pipelines draw noise from a KEYED PRF, not an RNG: a
+  * resumable job must re-release the IDENTICAL value on retry (fresh
+  * noise per attempt would average away under repeated observation,
+  * silently spending privacy budget). The PRF here is the stable
+  * 56-bit md5 hash salted with a caller-chosen release label — replay
+  * the label and the release is bit-identical; change the label and
+  * the noise is fresh. That determinism is also what makes the
+  * mechanism ORACLE-CHECKABLE: DuckDB replays the hash, the
+  * bit-portable ln chain, and the same IEEE arithmetic, so the noisy
+  * release hashes exactly.
+  *
+  * Noise: (ln u1 − ln u2) with u1, u2 independent keyed uniforms is
+  * the difference of two Exp(1) draws = a standard Laplace(1) sample —
+  * no |·|/sign branch, and both logs stay in PortableLn's exact
+  * domain because u ∈ [2⁻⁴⁰, 1) by construction.
+  *
+  * Scale shape: everything is one map-side-combined groupBy (dpSum
+  * adds the per-user clamp aggregate first — the sensitivity bound);
+  * the noise is a per-GROUP projection, so its cost is ∝ groups,
+  * never rows.
+  */
+object Privacy {
+
+  /** Low-40-bit uniform modulus: hash56 % 2^40 keeps u away from the
+    * subnormal edge of PortableLn's (2⁻⁵³, 2⁵⁴) exact domain while
+    * leaving 2⁴⁰ distinct noise values — far below the 1e-6 release
+    * grid. */
+  val U40: Long = 1L << 40
+
+  /** Keyed uniform in (0, 1): (hash56(seed‖salt) mod 2⁴⁰ + 1)/(2⁴⁰+1).
+    * The +1 dodges zero (ln's pole); numerator and denominator are
+    * both < 2⁵³ so the int→double casts and the division are exactly
+    * rounded — bit-identical in any IEEE engine. */
+  def keyedUniform(seed: Column, salt: String): Column =
+    (Dedup.hash56(concat(seed, lit(salt))) % lit(U40) + lit(1L))
+      .cast("double") / lit((U40 + 1).toDouble)
+
+  private def withNoise(g: DataFrame, keys: Seq[String],
+      label: String): DataFrame = {
+    val seeded = g
+      .withColumn("__seed", concat_ws("", keys.map(col): _*))
+      .withColumn("u1", keyedUniform(col("__seed"), s":$label:1"))
+      .withColumn("u2", keyedUniform(col("__seed"), s":$label:2"))
+    PortableLn.withLn(PortableLn.withLn(seeded, "u1", "ln1"), "u2", "ln2")
+  }
+
+  /** Release column: floor the noisy value onto a 1e-6 grid so the
+    * cross-engine hash has no last-ulp freedom left. */
+  private def grid(relExpr: String, out: String): Column =
+    expr(s"CAST(floor(($relExpr) * 1.0e6) AS BIGINT)")
+      .cast("double") / lit(1.0e6) as out
+
+  /** ε-DP noisy group counts (sensitivity 1 when each protected unit
+    * contributes one row; for user-level protection count DISTINCT
+    * units per group upstream). Output: keys + `dp_n`. */
+  def dpCount(df: DataFrame, keys: Seq[String], eps: Double,
+      label: String = "dp"): DataFrame = {
+    require(eps > 0, "epsilon must be positive")
+    val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("exact_n"))
+    withNoise(g, keys, label)
+      .select(keys.map(col) :+ grid(
+        s"CAST(exact_n AS DOUBLE) + ((ln1 - ln2) * ${PortableLn.dbl(1.0 / eps)})",
+        "dp_n"): _*)
+  }
+
+  /** ε-DP noisy group sums with USER-LEVEL sensitivity: each user's
+    * per-group total (exact integer cents) is clamped to
+    * [−clampCents, clampCents] BEFORE the group sum, so one user moves
+    * the true sum by at most the clamp and Laplace(clamp/ε) masks
+    * them. Output: keys + `dp_sum` in currency units. */
+  def dpSum(df: DataFrame, keys: Seq[String], userCol: String,
+      valueCents: Column, clampCents: Long, eps: Double,
+      label: String = "dps"): DataFrame = {
+    require(eps > 0, "epsilon must be positive")
+    require(clampCents > 0, "clamp must be positive")
+    val per = df.groupBy((userCol +: keys).map(col): _*)
+      .agg(sum(valueCents).as("uv"))
+      .withColumn("cv",
+        greatest(least(col("uv"), lit(clampCents)), lit(-clampCents)))
+    val g = per.groupBy(keys.map(col): _*).agg(sum("cv").as("exact_c"))
+    withNoise(g, keys, label)
+      .select(keys.map(col) :+ grid(
+        s"(CAST(exact_c AS DOUBLE) * 1.0e-2) + ((ln1 - ln2) * " +
+          s"${PortableLn.dbl(clampCents / 100.0 / eps)})",
+        "dp_sum"): _*)
+  }
+
+  /** DuckDB replay of [[keyedUniform]] over a single VARCHAR key. */
+  private def uniformSql(key: String, salt: String): String =
+    s"CAST(((md5_number_lower($key || '$salt') % ${Dedup.M56}) % $U40) + 1" +
+      s" AS DOUBLE) / ${PortableLn.dbl((U40 + 1).toDouble)}"
+
+  /** Oracle SQL for [[dpCount]] grouped by one VARCHAR key. */
+  def dpCountOracleSql(table: String, key: String, eps: Double,
+      label: String): String =
+    s"""WITH g AS (SELECT $key, count(*) AS exact_n FROM $table GROUP BY 1),
+      s AS (SELECT *,
+        ${uniformSql(key, s":$label:1")} AS u1,
+        ${uniformSql(key, s":$label:2")} AS u2
+      FROM g),
+      ${PortableLn.cteChainSql("s", "u1", "ln1", "c1")},
+      ${PortableLn.cteChainSql(PortableLn.cteChainOut("c1"), "u2", "ln2", "c2")}
+      SELECT $key,
+        CAST(CAST(floor((CAST(exact_n AS DOUBLE) +
+            ((ln1 - ln2) * ${PortableLn.dbl(1.0 / eps)})) * 1.0e6) AS BIGINT)
+          AS DOUBLE) / 1.0e6 AS dp_n
+      FROM ${PortableLn.cteChainOut("c2")} ORDER BY 1"""
+
+  /** Oracle SQL for [[dpSum]] grouped by one VARCHAR key; `valueSql`
+    * must yield the SAME exact integer cents as the Spark-side
+    * `valueCents` column. */
+  def dpSumOracleSql(table: String, key: String, userCol: String,
+      valueSql: String, clampCents: Long, eps: Double,
+      label: String): String =
+    s"""WITH per AS (
+        SELECT $userCol, $key, CAST(sum($valueSql) AS BIGINT) AS uv
+        FROM $table GROUP BY 1, 2),
+      cl AS (SELECT $key,
+        greatest(least(uv, $clampCents), -$clampCents) AS cv FROM per),
+      g AS (SELECT $key, CAST(sum(cv) AS BIGINT) AS exact_c
+        FROM cl GROUP BY 1),
+      s AS (SELECT *,
+        ${uniformSql(key, s":$label:1")} AS u1,
+        ${uniformSql(key, s":$label:2")} AS u2
+      FROM g),
+      ${PortableLn.cteChainSql("s", "u1", "ln1", "c1")},
+      ${PortableLn.cteChainSql(PortableLn.cteChainOut("c1"), "u2", "ln2", "c2")}
+      SELECT $key,
+        CAST(CAST(floor(((CAST(exact_c AS DOUBLE) * 1.0e-2) +
+            ((ln1 - ln2) * ${PortableLn.dbl(clampCents / 100.0 / eps)}))
+            * 1.0e6) AS BIGINT)
+          AS DOUBLE) / 1.0e6 AS dp_sum
+      FROM ${PortableLn.cteChainOut("c2")} ORDER BY 1"""
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Privacy
+
+/** The DP release operator's three contracts: the noise is REAL (and
+  * Laplace-scaled), the keyed PRF makes releases deterministic per
+  * label, and the clamp bounds any single user's influence on a dpSum
+  * by exactly the advertised sensitivity (the noise cancels between
+  * neighboring datasets because the seed is the group key, which is
+  * what lets the bound be asserted as an equality-free inequality with
+  * zero tolerance). */
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def releases(label: String, eps: Double): Map[String, Double] = {
+    val df = (1 to 1000).map(i => (s"g${i % 200}", i)).toDF("k", "v")
+    Privacy.dpCount(df, Seq("k"), eps, label)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("dpCount: same label replays identically; a new label redraws") {
+    val a = releases("lbl_a", 1.0)
+    val b = releases("lbl_a", 1.0)
+    val c = releases("lbl_b", 1.0)
+    assert(a == b, "same label must re-release the identical values")
+    assert(a != c, "a fresh label must draw fresh noise")
+  }
+
+  test("dpCount noise is real and Laplace(1/eps)-scaled") {
+    val eps = 1.0
+    val exact = 1000 / 200 // 5 rows in every group
+    val noise = releases("lbl_scale", eps).values.map(_ - exact).toSeq
+    // no group should (at 2^-40 resolution) land exactly on its count
+    assert(noise.count(_ == 0.0) == 0)
+    // mean |Laplace(b)| = b = 1/eps; over 200 draws the sample mean of
+    // |noise| concentrates well within [b/2, 2b]
+    val meanAbs = noise.map(math.abs).sum / noise.size
+    assert(meanAbs > 0.5 / eps && meanAbs < 2.0 / eps,
+      s"mean |noise| $meanAbs vs scale ${1.0 / eps}")
+    // and it is roughly centered: both signs present in quantity
+    assert(noise.count(_ > 0) > 50 && noise.count(_ < 0) > 50)
+  }
+
+  test("dpSum: one user's influence is capped by the clamp (neighboring datasets)") {
+    val clampCents = 10000L // $100
+    def release(whaleCents: Long): Double = {
+      val rows = (1 to 50).map(u => (s"u$u", "g", 100L)) :+
+        (("whale", "g", whaleCents))
+      val df = rows.toDF("user", "k", "cents")
+      Privacy.dpSum(df, Seq("k"), "user", col("cents"),
+          clampCents, eps = 1.0, label = "whale")
+        .collect().head.getDouble(1)
+    }
+    val base = release(0L)
+    // the whale reports $10 000 000; the release moves by AT MOST the
+    // $100 clamp (noise is seed-keyed on the group, so it cancels
+    // exactly between the two neighboring datasets)
+    val moved = release(1000000000L)
+    assert(math.abs(moved - base) <= clampCents / 100.0 + 1e-6,
+      s"influence ${moved - base} exceeds the clamp")
+    // and the clamp binds in the right direction (the whale adds value)
+    assert(moved > base)
+  }
+
+  test("dpSum clamps negative outliers symmetrically") {
+    val clampCents = 5000L
+    val rows = Seq(("a", "g", -900000L), ("b", "g", 2000L))
+    val df = rows.toDF("user", "k", "cents")
+    val rel = Privacy.dpSum(df, Seq("k"), "user", col("cents"),
+        clampCents, eps = 1000.0, label = "neg")
+      .collect().head.getDouble(1)
+    // eps=1000 ⇒ noise scale $0.05: the exact clamped sum is
+    // −5000 + 2000 = −3000 cents = −$30; the release must sit within
+    // a few noise scales of it, proving the negative clamp applied
+    assert(math.abs(rel - (-30.0)) < 1.0, s"release $rel vs clamped −30")
+  }
+}
