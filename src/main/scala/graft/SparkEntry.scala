@@ -58,8 +58,9 @@ object SparkEntry {
       "t25_transitions", "sim_rp", "t26_session_paths", "a44_rfm",
       "a45_chi_square", "t27_first_touch",
       "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum",
-      "g_hyperball", "g_random_walks", "g_walk_pairs", "a47_ols_trend",
-      "a48_mad_outliers", "t28_seasonal_outliers", "m23_zorder_skipping")
+      "g_hyperball", "g_random_walks", "g_walk_pairs",
+      "t28_seasonal_outliers", "m23_zorder_skipping", "a49_dp_count",
+      "a50_dp_sum", "sim_hard_negatives", "txt_hash_features")
     preferred.filter(queries.contains)
   }
 }

@@ -74,18 +74,24 @@ object AnnIndex {
   private def centDir(base: String, era: Long) = s"$base/cent_e$era"
   private def metaDir(base: String, era: Long) = s"$base/meta_e$era"
 
-  /** Persisted index geometry + generation counter (the 1-row meta). */
+  /** Persisted index geometry + generation counter (the 1-row meta).
+    * `words` = ceil(dims/32) sign-code words measured at build time —
+    * readers derive the code width from here, never from a constant
+    * (round-11 ADVICE: a hard-coded two-word code silently dropped
+    * every bit above dim 64 from the Hamming pre-rank). */
   private[graft] final case class Meta(gen: Long, spill: Int,
-      seedStride: Int, buckets: Int)
+      seedStride: Int, buckets: Int, words: Int)
 
   private def metaFrame(spark: org.apache.spark.sql.SparkSession,
       m: Meta): DataFrame =
     spark.range(1).select(lit(m.gen).as("gen"), lit(m.spill).as("spill"),
-      lit(m.seedStride).as("seed_stride"), lit(m.buckets).as("buckets"))
+      lit(m.seedStride).as("seed_stride"), lit(m.buckets).as("buckets"),
+      lit(m.words).as("code_words"))
 
   private def parseMeta(r: org.apache.spark.sql.Row): Meta =
     Meta(r.getAs[Long]("gen"), r.getAs[Int]("spill"),
-      r.getAs[Int]("seed_stride"), r.getAs[Int]("buckets"))
+      r.getAs[Int]("seed_stride"), r.getAs[Int]("buckets"),
+      r.getAs[Int]("code_words"))
 
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
       tag: String): Meta =
@@ -144,29 +150,24 @@ object AnnIndex {
       .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
   }
 
-  /** Packed sign-bit code words of `cv` (two 32-bit words — covers
-    * vectors up to 64 dims; see Similarity.signWordExpr for why words
-    * never touch the BIGINT sign bit). Stored WITH the postings so the
-    * binary pre-rank stage ([[serveTopKBinary]]) scans 2 longs per row
-    * with the float vector column pruned away entirely. */
-  private def withCodes(df: DataFrame): DataFrame =
-    df.withColumn("b0", expr(Similarity.signWordExpr("cv", 0, 32)))
-      .withColumn("b1", expr(Similarity.signWordExpr("cv", 1, 32)))
+  /** Packed sign-bit code words of `cv` — `words` 32-bit words derived
+    * from the measured build dims (see Similarity.signWordExpr for why
+    * words never touch the BIGINT sign bit). Stored WITH the postings
+    * so the binary pre-rank stage ([[serveTopKBinary]]) scans
+    * ceil(dims/32) longs per row with the float vector column pruned
+    * away entirely. */
+  private def withCodes(df: DataFrame, words: Int): DataFrame =
+    (0 until words).foldLeft(df)((d, w) =>
+      d.withColumn(s"b$w", expr(Similarity.signWordExpr("cv", w, 32))))
 
-  /** Ingest guard for the binary pre-rank: the stored codes pack sign
-    * bits into exactly two 32-bit words, so a >64-dim vector would
-    * silently lose every bit above 64 from the Hamming shortlist —
-    * recall degrades with no error (round-11 ADVICE). Fail loudly at
-    * build/append instead; the check is one bounded max-size aggregate
-    * over the already-cached batch. [[Similarity.binaryCodes]] is the
-    * arbitrary-dim geometry when wider codes are needed. */
-  private def requireCodeableDims(df: DataFrame): Unit = {
-    val maxDims = df.agg(coalesce(max(size(col("cv"))), lit(0)))
+  /** Max vector width in the (already-cached) batch — one bounded
+    * aggregate. Build sizes the code words from this; append guards
+    * against a batch WIDER than the built geometry (bits above
+    * 32·words would silently vanish from the Hamming shortlist —
+    * recall decay with no error, the round-11 ADVICE hazard). */
+  private def measuredDims(df: DataFrame): Int =
+    df.agg(coalesce(max(size(col("cv"))), lit(0)))
       .collect().head.getInt(0)
-    require(maxDims <= 64,
-      s"stored binary codes cover <=64 dims, got a $maxDims-dim vector; " +
-        "use Similarity.binaryCodes for wider geometries")
-  }
 
   /** Build once per (tag, geometry): centroids = the id-stride coarse
     * quantizer over the build corpus, postings spill-replicated and
@@ -184,12 +185,13 @@ object AnnIndex {
       IndexStore.withWriterLock(spark, base) {
         val c = candidates.select(col(idCol).as("cand_id"),
           col(vecCol).as("cv")).cache()
-        requireCodeableDims(c)
+        val words = math.max(1, (measuredDims(c) + 31) / 32)
         val cents = c.filter(col("cand_id") % seedStride === 0)
           .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
         IndexStore.stagePlain(cents, centDir(base, 0L))
         val post = withCodes(assignCells(cents, c, "cand_id", "cv", keep = spill)
-          .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen")))
+          .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen")),
+          words)
         IndexStore.stageBucketed(post, IndexStore.postDir(base, 0L),
           "cell", buckets)
         IndexStore.stagePlain(
@@ -198,7 +200,7 @@ object AnnIndex {
         IndexStore.stageIds(c.select("cand_id").distinct(),
           IndexStore.idsDir(base, 0L), "cand_id")
         IndexStore.stagePlain(
-          metaFrame(spark, Meta(0L, spill, seedStride, buckets)),
+          metaFrame(spark, Meta(0L, spill, seedStride, buckets, words)),
           metaDir(base, 0L))
         c.unpersist()
         IndexStore.commitEra(spark, base, 0L)
@@ -216,7 +218,7 @@ object AnnIndex {
       .groupBy("cand_id").agg(max("upto_gen").as("upto_gen"))
     post.join(broadcast(tomb), Seq("cand_id"), "left_outer")
       .filter(col("upto_gen").isNull || col("gen") > col("upto_gen"))
-      .select("cell", "cand_id", "cv", "gen", "b0", "b1")
+      .drop("upto_gen")
   }
 
   /** Serve a query batch from the stored index: queries assign to their
@@ -283,9 +285,10 @@ object AnnIndex {
     * [[Similarity.hammingRerankTopK]]: probe cells as [[serveTopK]]
     * does, but stage 1 ranks probed candidates by HAMMING distance over
     * the sign-bit code words STORED in the postings — the scan reads
-    * (cell, cand_id, gen, b0, b1), 2 longs of code instead of the float
-    * vector (column pruning reaches the parquet scan; plan-pinned in
-    * OperatorsSpec) — and only the `shortlist` best per query are
+    * (cell, cand_id, gen, b0..b{words−1}), ceil(dims/32) longs of code
+    * instead of the float vector (column pruning reaches the parquet
+    * scan; plan-pinned in OperatorsSpec; the word count comes from the
+    * persisted meta, any dimension) — and only the `shortlist` best per query are
     * re-read for exact cosine. With `shortlist` ≥ the probed candidate
     * count the result EQUALS [[serveTopK]] (tested); smaller shortlists
     * trade recall for a stage-2 cost ∝ Q×shortlist. Newest-generation
@@ -297,10 +300,13 @@ object AnnIndex {
     require(spark.catalog.tableExists(postTable(tag)),
       s"ANN index '$tag' must be built/opened first")
     val cents = spark.table(centTable(tag))
+    val words = readMeta(spark, tag).words
+    val bCols = (0 until words).map(w => s"b$w")
+    val qbCols = (0 until words).map(w => s"qb$w")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cellQ = assignCells(cents, q, "query_id", "qv", keep = nprobe)
-      .withColumn("qb0", expr(Similarity.signWordExpr("qv", 0, 32)))
-      .withColumn("qb1", expr(Similarity.signWordExpr("qv", 1, 32)))
+    val cellQ = (0 until words).foldLeft(
+        assignCells(cents, q, "query_id", "qv", keep = nprobe))((d, w) =>
+      d.withColumn(s"qb$w", expr(Similarity.signWordExpr("qv", w, 32))))
     // stage 1 — codes only: a live view WITHOUT cv, so pruning drops
     // the vector column from the postings scan entirely
     val tomb = spark.table(tombTable(tag))
@@ -308,15 +314,16 @@ object AnnIndex {
     val codes = spark.table(postTable(tag))
       .join(broadcast(tomb), Seq("cand_id"), "left_outer")
       .filter(col("upto_gen").isNull || col("gen") > col("upto_gen"))
-      .select("cell", "cand_id", "gen", "b0", "b1")
+      .select(("cell" +: "cand_id" +: "gen" +: bCols).map(col): _*)
     val wh = Window.partitionBy("query_id").orderBy(col("ham"), col("cand_id"))
     val short = codes
-      .join(broadcast(cellQ.select("cell", "query_id", "qb0", "qb1")),
-        Seq("cell"))
+      .join(broadcast(cellQ.select(
+        ("cell" +: "query_id" +: qbCols).map(col): _*)), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("ham",
-        bit_count(col("b0").bitwiseXOR(col("qb0"))).cast("long") +
-          bit_count(col("b1").bitwiseXOR(col("qb1"))).cast("long"))
+        (0 until words).map(w =>
+          bit_count(col(s"b$w").bitwiseXOR(col(s"qb$w"))).cast("long"))
+          .reduce(_ + _))
       .groupBy("query_id", "cand_id")
       .agg(max_by(col("ham"), col("gen")).as("ham"))
       .withColumn("hrk", row_number().over(wh))
@@ -402,9 +409,14 @@ object AnnIndex {
     val cents = spark.table(centTable(tag))
     val b = batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .cache()
-    requireCodeableDims(b)
+    val dims = measuredDims(b)
+    require(dims <= 32 * m.words,
+      s"batch carries $dims-dim vectors; this index's stored codes " +
+        s"cover ${32 * m.words} — bits above that would silently drop " +
+        "from the Hamming pre-rank (rebuild with the wider corpus)")
     val post = withCodes(assignCells(cents, b, "cand_id", "cv", keep = m.spill)
-      .select(col("cell"), col("cand_id"), col("cv"), lit(gen).as("gen")))
+      .select(col("cell"), col("cand_id"), col("cv"), lit(gen).as("gen")),
+      m.words)
     post.write.mode("append").bucketBy(m.buckets, "cell").sortBy("cell")
       .format("parquet").saveAsTable(postTable(tag))
     spark.catalog.refreshTable(postTable(tag))
@@ -547,7 +559,8 @@ object AnnIndex {
         // re-clustering is declined.
         if (c.limit(1).count() == 0L) (live, frozenCents)
         else (withCodes(assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
-          .select(col("cell"), col("cand_id"), col("cv"), col("gen"))), c)
+          .select(col("cell"), col("cand_id"), col("cv"), col("gen")),
+          m.words), c)
       }
     IndexStore.stageBucketed(post, IndexStore.postDir(base, next),
       "cell", m.buckets)

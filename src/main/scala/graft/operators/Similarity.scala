@@ -47,6 +47,31 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: each query's k
+    * most-similar candidates with a DIFFERENT label — the pairs an
+    * embedding trainer wants precisely because the current geometry
+    * confuses them (in-batch random negatives are mostly easy; hard
+    * negatives carry the gradient). Anchor/positive pairs come free
+    * from the label structure; this finds the negatives. Brute variant
+    * with the query side broadcast — the truth instrument; at corpus
+    * scale run the same label anti-filter after the IVF/LSH candidate
+    * stage (serveTopK with k·headroom, then filter, then re-rank),
+    * which keeps the mining ∝ probed cells exactly like serving. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_label"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "q_label", "cand_id", "c_label", "rank", "cos")
+  }
+
   /** Symmetric int8 SCALAR quantization (SQ8) top-k — the third member
     * of the quantized-serve family (PQ = sim_pq_adc, binary =
     * sim_binary_*): per-dim corpus min/max is the train step, both

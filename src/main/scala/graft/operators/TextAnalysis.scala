@@ -194,6 +194,38 @@ object TextAnalysis {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** FEATURE-HASHING vectorizer (the hashing trick, Weinberger et al.
+    * 2009): each token lands in bucket hash(tok) mod dims with sign
+    * ±1 from a second hash bit, per-doc bucket sums densify to a
+    * fixed-width integer vector. No vocabulary pass, no dictionary
+    * broadcast, no OOV — the featurizer whose cost is ONE token scan
+    * regardless of corpus vocabulary, which is why it is the one that
+    * survives 100 TB (a vocab-indexed TF matrix needs a distinct-term
+    * table ∝ vocabulary and a join; this needs neither). The signed
+    * hash makes collisions cancel in expectation (unbiased inner
+    * products — the paper's point). Exact integers end to end, so the
+    * oracle replays it from the same md5-derived hash. Shape: explode
+    * tokens → one map-side-combined (doc, bucket) sum → one per-doc
+    * map assembly; output ∝ docs × dims. */
+  def hashFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = docs.select(col(idCol),
+      explode(rawTokens(col(textCol))).as("tok"))
+    val h = toks.select(col(idCol),
+      (Dedup.hash56(col("tok")) % dims).as("idx"),
+      when(Dedup.hash56(concat(col("tok"), lit(":s"))) % 2 === 0, 1L)
+        .otherwise(-1L).as("sgn"))
+    h.groupBy(col(idCol), col("idx")).agg(sum("sgn").as("v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("v"))))
+        .as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)))
+          .as("features"))
+  }
+
   /** Per-doc (doc_id, x, y) adjacent-token bigrams over [[rawTokens]] —
     * emitted IN-ROW from the token array (no window, no shuffle); docs
     * with fewer than two tokens emit nothing. */

@@ -666,131 +666,6 @@ object Analytics {
           / 4.0 AS p75_s
       FROM d"""))
 
-  /** A47: per-group OLS TREND LINE — slope, intercept and R² of
-    * extendedprice regressed on quantity, per return flag (the
-    * forecasting/drift-detection staple regr_slope/regr_r2 covers in
-    * warehouse SQL). The a30_corr discipline extended to the full fit:
-    * x is the integral quantity, y the price in EXACT cents, the five
-    * moment sums run in DECIMAL(38,0) (y² sums overflow BIGINT at
-    * sf≥0.1 — cents square to 10¹⁵ per row), and every derived
-    * coefficient is ONE double expression over the exact sums with
-    * identical parenthesization in the oracle, so the doubles agree
-    * bit-for-bit. intercept uses the closed form (sy·sxx − sx·sxy)/d1
-    * — a single exact-operand division rather than (sy − slope·sx)/n,
-    * which would compound a rounded slope. R² = num²/(d1·d2) runs in
-    * doubles because num² overflows DECIMAL(38). Shape at 100 TB: ONE
-    * map-side-combined aggregate over the fact (5 sums + a count per
-    * group), coefficients on the grouped rows — no second scan, no
-    * window, no collect. */
-  val a47OlsTrend = Q(
-    "a47_ols_trend",
-    (s, dir) => {
-      import org.apache.spark.sql.Column
-      import org.apache.spark.sql.types.DecimalType
-      def d(c: Column) = c.cast(DecimalType(38, 0))
-      val b = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
-        round(col("l_quantity")).cast("long").as("x"),
-        (Q.dec("l_extendedprice") * 100).cast("long").as("y"))
-      val m = b.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
-        sum("x").as("sx"), sum(d(col("y"))).as("sy"),
-        sum(d(col("x")) * d(col("y"))).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(d(col("y")) * d(col("y"))).as("syy"))
-      val f = m.select(col("l_returnflag"), col("n"),
-        (d(col("n")) * col("sxy") - d(col("sx")) * col("sy")).as("num"),
-        (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("d1"),
-        (d(col("n")) * col("syy") - col("sy") * col("sy")).as("d2"),
-        (col("sy") * d(col("sxx")) - d(col("sx")) * col("sxy")).as("num0"))
-      f.select(col("l_returnflag"), col("n"),
-        (col("num").cast("double") / col("d1").cast("double") / lit(100.0))
-          .as("slope"),
-        (col("num0").cast("double") / col("d1").cast("double") / lit(100.0))
-          .as("intercept"),
-        ((col("num").cast("double") * col("num").cast("double")) /
-          (col("d1").cast("double") * col("d2").cast("double"))).as("r2"))
-        .orderBy("l_returnflag")
-    },
-    Some("""WITH b AS (
-        SELECT l_returnflag,
-          CAST(round(l_quantity) AS BIGINT) AS x,
-          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-        FROM lineitem),
-      m AS (
-        SELECT l_returnflag, count(*) AS n,
-          CAST(sum(x) AS HUGEINT) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-          sum(CAST(x AS HUGEINT) * y) AS sxy,
-          CAST(sum(x*x) AS HUGEINT) AS sxx,
-          sum(CAST(y AS HUGEINT) * y) AS syy
-        FROM b GROUP BY 1),
-      f AS (
-        SELECT l_returnflag, n,
-          (n*sxy - sx*sy) AS num,
-          (n*sxx - sx*sx) AS d1,
-          (n*syy - sy*sy) AS d2,
-          (sy*sxx - sx*sxy) AS num0
-        FROM m)
-      SELECT l_returnflag, n,
-        CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) / 100.0 AS slope,
-        CAST(num0 AS DOUBLE) / CAST(d1 AS DOUBLE) / 100.0 AS intercept,
-        (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
-          (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r2
-      FROM f ORDER BY l_returnflag"""))
-
-  /** A48: MEDIAN/MAD ROBUST OUTLIERS per event type — the
-    * anomaly-detection filter that survives what z-scores don't (one
-    * giant value drags a mean AND its σ; it barely moves a median).
-    * Exactness: values go to integer cents, and both medians ride the
-    * a36 dyadic trick — percentile at 0.5 over integers interpolates
-    * at worst to a half, so 2× the result is EXACTLY an integer and
-    * the ×2/×4 scaled medians compare in pure integer space:
-    * |v − med| > 3·MAD ⟺ dev2·2 > 3·mad4 with every operand a BIGINT.
-    * No tolerance, no transcendentals. Shape: two grouped exact
-    * percentiles (state ∝ distinct cent values per type — value-domain
-    * bounded, not row bounded) with the per-type medians/MADs broadcast
-    * back; three scans of a projected two-column frame, no window. */
-  val a48MadOutliers = Q(
-    "a48_mad_outliers",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "events")
-        .select(col("event_type"), (Q.dec("value") * 100).cast("long").as("v100"))
-      val med = e.groupBy("event_type")
-        .agg((lit(2.0) * expr("percentile(v100, 0.5D)")).cast("long").as("med2"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("dev2", abs(col("v100") * 2 - col("med2")))
-      val mad = dev.groupBy("event_type")
-        .agg((lit(2.0) * expr("percentile(dev2, 0.5D)")).cast("long").as("mad4"))
-      dev.join(broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          (max("med2").cast("double") / lit(200.0)).as("median_value"),
-          (max("mad4").cast("double") / lit(400.0)).as("mad_value"),
-          sum(when(col("dev2") * 2 > lit(3) * col("mad4"), 1L).otherwise(0L))
-            .as("n_outliers"))
-        .orderBy("event_type")
-    },
-    Some("""WITH e AS (
-        SELECT event_type,
-          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
-        FROM events),
-      med AS (
-        SELECT event_type,
-          CAST(2.0 * quantile_cont(v100, 0.5) AS BIGINT) AS med2
-        FROM e GROUP BY 1),
-      dev AS (
-        SELECT e.event_type, v100, med2, abs(v100*2 - med2) AS dev2
-        FROM e JOIN med USING (event_type)),
-      mad AS (
-        SELECT event_type,
-          CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
-        FROM dev GROUP BY 1)
-      SELECT event_type, count(*) AS n,
-        CAST(max(med2) AS DOUBLE) / 200.0 AS median_value,
-        CAST(max(mad4) AS DOUBLE) / 400.0 AS mad_value,
-        CAST(sum(CASE WHEN dev2*2 > 3*mad4 THEN 1 ELSE 0 END) AS BIGINT)
-          AS n_outliers
-      FROM dev JOIN mad USING (event_type)
-      GROUP BY 1 ORDER BY 1"""))
-
   /** A49: DIFFERENTIALLY PRIVATE count release (operators.Privacy) —
     * per-type event counts released under ε=1 Laplace noise drawn from
     * the keyed PRF, so a retry re-releases the identical value instead
@@ -831,5 +706,5 @@ object Analytics {
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore,
-    a47OlsTrend, a48MadOutliers, a49DpCount, a50DpSum)
+    a49DpCount, a50DpSum)
 }

@@ -1592,6 +1592,42 @@ object Corpus {
         FROM j GROUP BY query_id ORDER BY query_id"""
     })
 
+  /** FEATURE HASHING (TextAnalysis.hashFeatures): docs 0..19 as
+    * 64-bucket signed hashed-unigram count vectors — the
+    * vocabulary-free featurizer (one token scan, no dictionary, no
+    * OOV) that classifiers and cheap quality models run on at corpus
+    * scale. Exact integers end to end; the oracle replays the bucket
+    * and sign hashes and densifies through a generate_series left
+    * join. */
+  val txtHashFeatures = Q(
+    "txt_hash_features",
+    (s, dir) => graft.operators.TextAnalysis.hashFeatures(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 20),
+        "doc_id", "text", dims = 64)
+      .orderBy("doc_id"),
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      s"""WITH d AS (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 20),
+      h AS (
+        SELECT doc_id,
+          ((md5_number_lower(tok) % $m56)::BIGINT) % 64 AS idx,
+          CASE WHEN ((md5_number_lower(tok || ':s') % $m56)::BIGINT) % 2 = 0
+            THEN 1 ELSE -1 END AS sgn
+        FROM d),
+      c AS (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS v
+        FROM h GROUP BY 1, 2),
+      g AS (
+        SELECT i.doc_id, gs.i AS idx, coalesce(c.v, 0) AS v
+        FROM (SELECT DISTINCT doc_id FROM d) i
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) gs
+        LEFT JOIN c ON c.doc_id = i.doc_id AND c.idx = gs.i)
+      SELECT doc_id, list(v ORDER BY idx) AS features
+      FROM g GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtMixDivergence, txtSplit,
@@ -1601,5 +1637,6 @@ object Corpus {
     txtBm25Rankshift, txtBm25Upsert, txtPhrase,
     txtPhraseStored, txtPhraseUpsert, txtPhraseRank, txtPhraseLong,
     txtMixTemperature,
-    txtWeightedSample, txtWeightedStratified, txtHeavyTokens, txtHeavyByLang)
+    txtWeightedSample, txtWeightedStratified, txtHeavyTokens, txtHeavyByLang,
+    txtHashFeatures)
 }

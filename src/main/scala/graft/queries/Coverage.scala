@@ -434,6 +434,10 @@ object Coverage {
                          y -> struct(x.node AS a, y.node AS b))))"""))
           .as("p"))
         .select(col("p.a"), col("p.b"))
+        // four aggregates read the pair frame; checkpoint truncates the
+        // walk's iterative-join lineage so the walk computes ONCE, not
+        // once per marginal (the txt_dsir discipline; frame ∝ walks)
+        .localCheckpoint()
       val cnt = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       val ca = pairs.groupBy("a").agg(count(lit(1)).as("c_a"))
       val cb = pairs.groupBy("b").agg(count(lit(1)).as("c_b"))
@@ -1381,7 +1385,11 @@ object Coverage {
     * map-side-combined shuffle of five BIGINTs per group; slope,
     * intercept, and r² close over exact DECIMAL(38,0) moments with
     * only the final IEEE divisions in float, hence oracle-exact. x is
-    * epoch-days (exact small integers), y integer-rounded price. */
+    * epoch-days (exact small integers), y integer-rounded price.
+    * intercept uses the closed form (sy·sxx − sx·sxy)/d1 — ONE
+    * division over exact operands, rather than (sy − slope·sx)/n
+    * whose already-rounded slope would compound through two more
+    * multiplications. */
   val a32Regression = Q(
     "a32_regression",
     (s, dir) => {
@@ -1401,12 +1409,11 @@ object Coverage {
           (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).as("num"),
           (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).as("d1"),
           (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).as("d2"),
-          col("sx"), col("sy"))
+          (d(col("sy")) * d(col("sxx")) - d(col("sx")) * d(col("sxy")))
+            .as("num0"))
         .select(col("o_orderpriority"), col("n"),
           (col("num").cast("double") / col("d1").cast("double")).as("slope"),
-          ((col("sy").cast("double") -
-            (col("num").cast("double") / col("d1").cast("double"))
-              * col("sx").cast("double")) / col("n").cast("double"))
+          (col("num0").cast("double") / col("d1").cast("double"))
             .as("intercept"),
           ((col("num").cast("double") * col("num").cast("double")) /
             (col("d1").cast("double") * col("d2").cast("double"))).as("r2"))
@@ -1427,13 +1434,11 @@ object Coverage {
       f AS (
         SELECT o_orderpriority, n,
           (n*sxy - sx*sy) AS num, (n*sxx - sx*sx) AS d1,
-          (n*syy - sy*sy) AS d2, sx, sy
+          (n*syy - sy*sy) AS d2, (sy*sxx - sx*sxy) AS num0
         FROM m)
       SELECT o_orderpriority, n,
         CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) AS slope,
-        (CAST(sy AS DOUBLE)
-          - (CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE)) * CAST(sx AS DOUBLE))
-          / CAST(n AS DOUBLE) AS intercept,
+        CAST(num0 AS DOUBLE) / CAST(d1 AS DOUBLE) AS intercept,
         (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
           / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r2
       FROM f ORDER BY o_orderpriority"""))

@@ -845,6 +845,35 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         FROM s) WHERE rank <= 5"""))
 
+  /** HARD-NEGATIVE mining for contrastive training
+    * (Similarity.hardNegatives): each query vector's top-5
+    * most-similar candidates with a DIFFERENT label — the pairs that
+    * carry the gradient in embedding training (random in-batch
+    * negatives are mostly easy). Brute truth instrument over the
+    * broadcast query set; the corpus-scale path is the same label
+    * anti-filter behind the IVF candidate stage. */
+  val simHardNegatives = Q(
+    "sim_hard_negatives",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      s AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+          c.vec_id AS cand_id, c.label AS c_label,
+          ${dotSql("q.e", "c.e")} /
+            (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("c.e", "c.e")})) AS cos
+        FROM v q JOIN v c
+          ON q.vec_id < 10 AND c.vec_id >= 10 AND q.label <> c.label)
+      SELECT query_id, q_label, cand_id, c_label, rank, cos FROM (
+        SELECT query_id, q_label, cand_id, c_label, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM s) WHERE rank <= 5"""))
+
   /** DuckDB twin of Similarity.signWordExpr — same power-of-two
     * literals, same element order, 32-bit words (the sign bit of a
     * BIGINT is never touched; DuckDB refuses `1::BIGINT << 63`). */
@@ -2611,7 +2640,8 @@ object Pipeline {
     ddParagraph, ddJaccardPrefix,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
-    simTopk, simBinaryHamming, simBinaryRerank, simMatryoshka, simSq8,
+    simTopk, simHardNegatives, simBinaryHamming, simBinaryRerank,
+    simMatryoshka, simSq8,
     simRp,
     simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
     simIvfFiltered, simIvfBinary,

@@ -2169,6 +2169,45 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected a codes-only postings scan without cv; scans: $codeScans")
   }
 
+  test("AnnIndex: binary serve over >64-dim vectors — word count from meta, wider appends refused") {
+    // 96 dims ⇒ 3 stored code words; the round-11 hard-coded two-word
+    // code would silently drop dims 65..96 from the Hamming pre-rank
+    def vec(seed: Long) = (0 until 96).map(i =>
+      ((seed * 31 + i * 7) % 11 - 5).toFloat)
+    val cands = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val qs = (100L to 102L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tag = "annwide"
+    AnnIndex.buildIndex(spark, cands, "vec_id", "embedding", tag,
+      seedStride = 8, spill = 2, buckets = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "rank").as[(Long, Long, Long)]
+        .collect().toSet
+    // full shortlist ⇒ binary stage passes everything; equality with the
+    // exact serve proves the code words cover ALL 96 dims (a truncated
+    // code would reorder the Hamming shortlist only, so this assertion
+    // is loose by itself — the b2 plan pin below closes it)
+    val exact = rows(AnnIndex.serveTopK(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag))
+    val binFull = AnnIndex.serveTopKBinary(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag, shortlist = 1000)
+    assert(rows(binFull) == exact)
+    // the codes-only stage reads the THIRD word — proof the geometry
+    // came from the meta, not a two-word constant
+    val plan = AnnIndex.serveTopKBinary(spark, qs, "vec_id", "embedding",
+      k = 3, nprobe = 4, tag = tag, shortlist = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("b2") && !l.contains("cv")),
+      "expected a codes-only postings scan carrying b2")
+    // a batch WIDER than the built geometry must fail loudly, not decay
+    val wide = Seq((500L, (0 until 100).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.appendToIndex(spark, wide, "vec_id", "embedding", tag)
+    }
+    assert(ex.getMessage.contains("100-dim"))
+  }
+
   test("AnnIndex: write-ahead gen claims survive an append crash; ids repair; max-gen serve; retention") {
     def vec(seed: Long) = (0 until 4).map(i => ((seed * 31 + i * 7) % 10).toFloat)
     val cands = (0L until 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
