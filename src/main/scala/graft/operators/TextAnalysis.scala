@@ -221,8 +221,11 @@ object TextAnalysis {
       .agg(map_from_entries(collect_list(struct(col("idx"), col("v"))))
         .as("m"))
       .select(col(idCol),
-        transform(sequence(lit(0), lit(dims - 1)),
-          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)))
+        // registry outputs are scalar (driver-hash contract): the dense
+        // vector ships as one comma-joined string column
+        concat_ws(",", transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("string")))
           .as("features"))
   }
 

@@ -209,6 +209,92 @@ object Analytics {
       ${step("l2")} ORDER BY node"""
     })
 
+  /** G17: MODULARITY of the label-propagation partition (Newman &
+    * Girvan 2004) — the number that says whether g_label_prop's
+    * communities are real structure or noise: Q = Σ_c [ in_c/2m −
+    * (D_c/2m)² ] over directed-edge counts (in_c = intra-community
+    * directed edges, D_c = degree mass, 2m = all directed edges).
+    * Every count is exact; each community's term is ONE double
+    * expression over exact integers, floored to 1e-9 and BIGINT-summed
+    * (the chi-square discipline), so partition order can't wiggle the
+    * score. Shape: the partition is re-derived (3 bounded rounds),
+    * then ONE edge pass joins both endpoint labels (labels frame ∝
+    * nodes), one groupBy to ∝communities rows, two 1-row broadcasts.
+    * The oracle replays propagation AND the metric. */
+  val gModularity = Q(
+    "g_modularity",
+    (s, dir) => {
+      val edges = Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minShared = 2,
+        maxGroupSize = Int.MaxValue)
+      val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(edges.select(col("item_b").as("src"),
+          col("item_a").as("dst")))
+      val lab = Graph.labelPropagation(edges, iters = 3).localCheckpoint()
+      val j = und
+        .join(lab.select(col("node").as("src"), col("label").as("lsrc")), "src")
+        .join(lab.select(col("node").as("dst"), col("label").as("ldst")), "dst")
+      val comm = j.groupBy(col("lsrc").as("label"))
+        .agg(count(lit(1)).as("deg_sum"),
+          sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L))
+            .as("in_edges"))
+      val tm = und.agg(count(lit(1)).as("tm"))
+      val nn = lab.agg(count(lit(1)).as("n_nodes"))
+      comm.crossJoin(broadcast(tm))
+        .withColumn("term9", expr(
+          """CAST(floor((CAST(in_edges AS DOUBLE)/CAST(tm AS DOUBLE)
+             - (CAST(deg_sum AS DOUBLE)/CAST(tm AS DOUBLE))
+               * (CAST(deg_sum AS DOUBLE)/CAST(tm AS DOUBLE))) * 1.0e9)
+             AS BIGINT)"""))
+        .crossJoin(broadcast(nn))
+        .agg(max("n_nodes").as("n_nodes"),
+          count(lit(1)).as("n_communities"),
+          (sum("term9").cast("double") / lit(1.0e9)).as("modularity"))
+    },
+    Some {
+      def step(prev: String) =
+        s"""SELECT dst AS node, label FROM (
+          SELECT dst, label,
+            row_number() OVER (PARTITION BY dst
+                               ORDER BY n DESC, label) AS rk
+          FROM (SELECT e.dst, l.label, count(*) AS n
+                FROM d e JOIN $prev l ON l.node = e.src
+                GROUP BY 1, 2)) WHERE rk = 1"""
+      s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+          FROM ld a JOIN ld b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        d AS (SELECT item_a AS src, item_b AS dst FROM e
+              UNION ALL SELECT item_b, item_a FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM d),
+        l1 AS (${step("l0")}),
+        l2 AS (${step("l1")}),
+        lab AS (${step("l2")}),
+        tm AS (SELECT count(*) AS tm FROM d),
+        nn AS (SELECT count(*) AS n_nodes FROM lab),
+        j AS (
+          SELECT ls.label AS lsrc, lt.label AS ldst
+          FROM d JOIN lab ls ON ls.node = d.src
+          JOIN lab lt ON lt.node = d.dst),
+        comm AS (
+          SELECT lsrc AS label, count(*) AS deg_sum,
+            CAST(sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT)
+              AS in_edges
+          FROM j GROUP BY 1),
+        t AS (
+          SELECT CAST(floor((CAST(in_edges AS DOUBLE)/CAST(tm AS DOUBLE)
+             - (CAST(deg_sum AS DOUBLE)/CAST(tm AS DOUBLE))
+               * (CAST(deg_sum AS DOUBLE)/CAST(tm AS DOUBLE))) * 1.0e9)
+             AS BIGINT) AS term9
+          FROM comm CROSS JOIN tm)
+        SELECT max(n_nodes) AS n_nodes,
+          count(*) AS n_communities,
+          CAST(sum(term9) AS DOUBLE) / 1.0e9 AS modularity
+        FROM t CROSS JOIN nn"""
+    })
+
   /** Bounded k-core peeling (Graph.kcorePeel): 3 simultaneous peel
     * rounds at k=4 over the co-occurrence graph — each round drops
     * degree-<4 nodes and their edges (one degree aggregate + two
@@ -705,6 +791,6 @@ object Analytics {
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
-    w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore,
+    w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore, gModularity,
     a49DpCount, a50DpSum)
 }

@@ -1624,7 +1624,8 @@ object Corpus {
         FROM (SELECT DISTINCT doc_id FROM d) i
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) gs
         LEFT JOIN c ON c.doc_id = i.doc_id AND c.idx = gs.i)
-      SELECT doc_id, list(v ORDER BY idx) AS features
+      SELECT doc_id,
+        string_agg(CAST(v AS VARCHAR), ',' ORDER BY idx) AS features
       FROM g GROUP BY 1 ORDER BY 1"""
     })
 

@@ -899,6 +899,62 @@ object Coverage {
     * still hash-exact, which is what this query pins. */
   val a41KmvSetops256 = mkKmvSetops("a41_kmv_setops_k256", 256)
 
+  /** A51: HORVITZ–THOMPSON estimation from the 1/16 hash sample — the
+    * "query the sample, estimate the corpus" pattern that keeps 100 TB
+    * dashboards interactive: each sampled row is up-weighted by its
+    * known inverse inclusion probability (×16), turning the sample
+    * aggregate into an unbiased estimator of the full total; because
+    * membership is a deterministic row predicate (md5 of the composite
+    * row key — a26/a27/txt_sample's mechanism), the estimator is
+    * mergeable, reproducible, and oracle-replayable. The query carries
+    * its own ground truth: true total, estimate, and the permille
+    * error in pure integer cents, so the estimator's accuracy is
+    * hash-checked rather than asserted. One scan, one grouped
+    * aggregate computing BOTH sides. */
+  val a51HtEstimate = Q(
+    "a51_ht_estimate",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+        Q.dec("l_extendedprice").as("rev"),
+        (graft.operators.Dedup.hash56(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 16).as("g"))
+      l.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_sampled"),
+          sum(col("rev")).as("true_d"),
+          (sum(when(col("g") === 0, col("rev"))) * 16).as("est_d"))
+        .select(col("l_returnflag"), col("n"), col("n_sampled"),
+          col("true_d").cast("double").as("true_rev"),
+          col("est_d").cast("double").as("est_rev"),
+          expr("""(1000 * abs(CAST(est_d * 100 AS BIGINT)
+                              - CAST(true_d * 100 AS BIGINT)))
+                  div CAST(true_d * 100 AS BIGINT)""").as("err_pm"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val m56 = graft.operators.Dedup.M56
+      s"""WITH l AS (
+        SELECT l_returnflag,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS rev,
+          (md5_number_lower(CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR)) % $m56)::BIGINT % 16 AS g
+        FROM lineitem),
+      a AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          sum(rev) AS true_d,
+          sum(CASE WHEN g = 0 THEN rev END) * 16 AS est_d
+        FROM l GROUP BY 1)
+      SELECT l_returnflag, n, n_sampled,
+        CAST(true_d AS DOUBLE) AS true_rev,
+        CAST(est_d AS DOUBLE) AS est_rev,
+        (1000 * abs(CAST(est_d * 100 AS BIGINT)
+                    - CAST(true_d * 100 AS BIGINT)))
+          // CAST(true_d * 100 AS BIGINT) AS err_pm
+      FROM a ORDER BY 1"""
+    })
+
   /** A27: quantiles over a deterministic hash sample — the sketch-family
     * quantile twin of a26 (t-digest state, like HLL's, is engine-private
     * and can't be oracle-replayed; a hash-threshold sample CAN). Rows
@@ -1661,7 +1717,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

@@ -134,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "a34_skew_report",     // 1-row stats × 1-row top10 sum
     "txt_budget_fill",     // 1-row boundary-class frame broadcast into the threshold filter
     "txt_dsir",            // 1-row model-totals frame broadcast into the ≤buckets-row log-ratio table
-    "g_walk_pairs"         // 1-row pair-total T broadcast into the affinity-ratio scorer
+    "g_walk_pairs",        // 1-row pair-total T broadcast into the affinity-ratio scorer
+    "g_modularity"         // two 1-row broadcasts (2m edge total, node count) into the score
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
