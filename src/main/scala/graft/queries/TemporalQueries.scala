@@ -510,8 +510,102 @@ object TemporalQueries {
           // count(*) AS anomaly_pm
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** T29: SURVIVAL ANALYSIS — the Nelson–Aalen cumulative-hazard
+    * estimator (Aalen 1978) over signup→first-purchase conversion,
+    * with users who never convert RIGHT-CENSORED at the observation
+    * end (dropping them would bias conversion fast — censoring is the
+    * whole discipline of survival analysis; H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,
+    * and S(t) ≈ exp(−H(t)) is the Kaplan–Meier reading). Exactness:
+    * event times bucket to whole days since signup, each day's hazard
+    * increment is the pure integer division dᵢ·10¹² div nᵢ, and the
+    * running sum is a window over the DAY SPINE — rows ∝ distinct
+    * conversion days (calendar-bounded, the t20 class), never ∝ users.
+    * The at-risk count nᵢ derives from exits-per-day (conversion or
+    * censoring) via one cumulative count, so no per-user×per-day
+    * blow-up exists anywhere: two user-keyed aggregates, one day
+    * groupBy, one spine window. */
+  val t29Survival = Q(
+    "t29_survival",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val endF = ev.agg(max("us").as("end_us"))
+      val users = su.join(pu, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(endF))
+        .select(
+          when(col("p_us") > col("s_us"),
+            expr("(p_us - s_us) div 86400000000")).as("conv_day"),
+          when(col("p_us").isNull || col("p_us") <= col("s_us"),
+            expr("(end_us - s_us) div 86400000000"))
+            .otherwise(expr("(p_us - s_us) div 86400000000")).as("exit_day"))
+      val total = users.agg(count(lit(1)).as("n_total"))
+      // exits per day feed the at-risk count; conversions per day feed
+      // the hazard numerator — both frames ∝ distinct days
+      val byDay = users
+        .groupBy(col("exit_day").as("day"))
+        .agg(count(lit(1)).as("n_exit"),
+          sum(when(col("conv_day") === col("exit_day"), 1L).otherwise(0L))
+            .as("d_conv"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.crossJoin(broadcast(total))
+        // at risk on day d = everyone who has not exited BEFORE d
+        .withColumn("n_risk",
+          col("n_total") - (sum("n_exit").over(w) - col("n_exit")))
+        .filter(col("d_conv") > 0)
+        .withColumn("h12", expr("(d_conv * 1000000000000) div n_risk"))
+        .withColumn("cum_h12", sum("h12").over(w))
+        .select(col("day"), col("n_risk"), col("d_conv"),
+          (col("h12").cast("double") / lit(1.0e12)).as("hazard"),
+          (col("cum_h12").cast("double") / lit(1.0e12)).as("cum_hazard"))
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      su AS (SELECT user_id, min(us) AS s_us FROM ev
+        WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, min(us) AS p_us FROM ev
+        WHERE event_type = 'purchase' GROUP BY 1),
+      endf AS (SELECT max(us) AS end_us FROM ev),
+      users AS (
+        SELECT
+          CASE WHEN p_us > s_us THEN (p_us - s_us) // 86400000000 END
+            AS conv_day,
+          CASE WHEN p_us IS NULL OR p_us <= s_us
+            THEN (end_us - s_us) // 86400000000
+            ELSE (p_us - s_us) // 86400000000 END AS exit_day
+        FROM su LEFT JOIN pu USING (user_id) CROSS JOIN endf),
+      total AS (SELECT count(*) AS n_total FROM users),
+      byday AS (
+        SELECT exit_day AS day, count(*) AS n_exit,
+          CAST(sum(CASE WHEN conv_day = exit_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS d_conv
+        FROM users GROUP BY 1),
+      risk AS (
+        SELECT day, d_conv,
+          CAST(n_total - (sum(n_exit) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_exit)
+            AS BIGINT) AS n_risk
+        FROM byday CROSS JOIN total),
+      hz AS (
+        SELECT day, n_risk, d_conv,
+          (d_conv * 1000000000000) // n_risk AS h12
+        FROM risk WHERE d_conv > 0)
+      SELECT day, n_risk, d_conv,
+        CAST(h12 AS DOUBLE) / 1.0e12 AS hazard,
+        CAST(sum(h12) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / 1.0e12 AS cum_hazard
+      FROM hz ORDER BY day"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
     t23SlidingDistinct, t24NearestJoin, t25Transitions, t27FirstTouch,
-    t28SeasonalOutliers)
+    t28SeasonalOutliers, t29Survival)
 }

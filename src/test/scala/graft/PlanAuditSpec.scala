@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val globalWindowAllowed = Set(
     "a12_trend", "o3_pagination",
     "txt_vocab", "txt_encode", // rank the LIMIT-1000 vocab slice only
-    "t20_cumulative_distinct"  // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
+    "t20_cumulative_distinct", // windows the DAY SPINE: rows ∝ calendar days, never ∝ data
+    "t29_survival"             // hazard cumsum over the day spine: rows ∝ distinct conversion days
     // txt_budget_fill earned its way OFF this list in round 12: both of
     // its running sums now go through Align.prefixSum (range partition +
     // per-partition offsets) — no unpartitioned window survives even on
@@ -135,7 +136,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_budget_fill",     // 1-row boundary-class frame broadcast into the threshold filter
     "txt_dsir",            // 1-row model-totals frame broadcast into the ≤buckets-row log-ratio table
     "g_walk_pairs",        // 1-row pair-total T broadcast into the affinity-ratio scorer
-    "g_modularity"         // two 1-row broadcasts (2m edge total, node count) into the score
+    "g_modularity",        // two 1-row broadcasts (2m edge total, node count) into the score
+    "t29_survival"         // 1-row observation-end + 1-row cohort-total broadcasts into the spine
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
