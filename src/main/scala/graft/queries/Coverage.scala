@@ -899,6 +899,58 @@ object Coverage {
     * still hash-exact, which is what this query pins. */
   val a41KmvSetops256 = mkKmvSetops("a41_kmv_setops_k256", 256)
 
+  /** A52: BENFORD'S-LAW conformance (Newcomb 1881, Benford 1938) —
+    * the first-significant-digit screen auditors run on money columns
+    * (fabricated values over-use mid digits; organic multiplicative
+    * data follows P(d) = log₁₀(1+1/d)). The nine Benford
+    * probabilities are computed ONCE on the JVM and shipped as the
+    * same double literals to both engines (the PortableLn.dbl
+    * serialization), so no in-engine log exists anywhere; the digit
+    * itself extracts through integer→string — exact by construction.
+    * Per-digit χ² contributions floor to 1e-9 (the a45 discipline).
+    * One scan, a 9-row groupBy, a 1-row total broadcast. */
+  val a52Benford = Q(
+    "a52_benford",
+    (s, dir) => {
+      import graft.functions.PortableLn.dbl
+      val digitCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${dbl(math.log10(1.0 + 1.0 / d))}").mkString(" ")
+      val byD = Tables.load(s, dir, "orders")
+        .select(expr("CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = byD.agg(sum("n_obs").as("n_total"))
+      byD.crossJoin(broadcast(tot))
+        .withColumn("expected", expr(
+          s"CAST(n_total AS DOUBLE) * (CASE digit $digitCase END)"))
+        .withColumn("contrib", expr(
+          """CAST(floor(((CAST(n_obs AS DOUBLE) - expected)
+             * (CAST(n_obs AS DOUBLE) - expected) / expected) * 1.0e9)
+             AS BIGINT)""").cast("double") / lit(1.0e9))
+        .select("digit", "n_obs", "expected", "contrib")
+        .orderBy("digit")
+    },
+    Some {
+      import graft.functions.PortableLn.dbl
+      val digitCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${dbl(math.log10(1.0 + 1.0 / d))}").mkString(" ")
+      s"""WITH b AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)
+          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders),
+      byd AS (SELECT digit, count(*) AS n_obs FROM b GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM byd),
+      e AS (
+        SELECT digit, n_obs,
+          CAST(n_total AS DOUBLE) * (CASE digit $digitCase END) AS expected
+        FROM byd CROSS JOIN tot)
+      SELECT digit, n_obs, expected,
+        CAST(CAST(floor(((CAST(n_obs AS DOUBLE) - expected)
+            * (CAST(n_obs AS DOUBLE) - expected) / expected) * 1.0e9)
+            AS BIGINT) AS DOUBLE) / 1.0e9 AS contrib
+      FROM e ORDER BY digit"""
+    })
+
   /** A51: HORVITZ–THOMPSON estimation from the 1/16 hash sample — the
     * "query the sample, estimate the corpus" pattern that keeps 100 TB
     * dashboards interactive: each sampled row is up-weighted by its
@@ -1717,7 +1769,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

@@ -604,8 +604,77 @@ object TemporalQueries {
           / 1.0e12 AS cum_hazard
       FROM hz ORDER BY day"""))
 
+  /** T30: CUSUM DRIFT DETECTION (Page 1954) per event type — the
+    * sequential change-point statistic that catches a persistent small
+    * shift long before any single-day spike test fires (t22's
+    * complement: spike = one bad day; CUSUM = many slightly-bad days).
+    * The textbook recursion S_d = max(0, S_{d−1} + dev_d) is not
+    * window-expressible, but its closed form is: S_d = C_d − min_{j≤d}
+    * C_j over the plain cumulative sum C — ONE running sum + ONE
+    * running min, both windows PARTITIONED by type over the day spine.
+    * Exactness: deviations scale through ×D (days) so dev'_d = s_d·D −
+    * S_total is a pure integer in cents·days; no division anywhere
+    * until the reported statistic. Output: each type's worst positive
+    * drift run (max CUSUM), its day, and the alarm flag at 3× the
+    * average |daily total|. */
+  val t30Cusum = Q(
+    "t30_cusum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum((Q.dec("value") * 100).cast("long")).as("s_cents"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("s_cents").as("total_cents"), count(lit(1)).as("n_days"))
+      val spine = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cusum = daily.join(broadcast(tot), "event_type")
+        .withColumn("dev", col("s_cents") * col("n_days") - col("total_cents"))
+        .withColumn("c", sum("dev").over(spine))
+        .withColumn("s", col("c") - min("c").over(spine))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("s").desc, col("day"))
+      cusum.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("worst_day"),
+          expr("s div n_days").as("cusum_cents"),
+          (col("s") > col("total_cents").cast("decimal(38,0)") * 3)
+            .as("alarm"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS s_cents
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, CAST(sum(s_cents) AS BIGINT) AS total_cents,
+          count(*) AS n_days
+        FROM daily GROUP BY 1),
+      c AS (
+        SELECT d.event_type, day, n_days, total_cents,
+          sum(s_cents * n_days - total_cents) OVER (
+            PARTITION BY d.event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM daily d JOIN tot USING (event_type)),
+      s AS (
+        SELECT event_type, day, n_days, total_cents,
+          c - min(c) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM c),
+      r AS (
+        SELECT event_type, day, n_days, total_cents, s,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY s DESC, day) AS rk
+        FROM s)
+      SELECT event_type, day AS worst_day,
+        CAST(s // n_days AS BIGINT) AS cusum_cents,
+        s > total_cents * 3 AS alarm
+      FROM r WHERE rk = 1 ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
     t23SlidingDistinct, t24NearestJoin, t25Transitions, t27FirstTouch,
-    t28SeasonalOutliers, t29Survival)
+    t28SeasonalOutliers, t29Survival, t30Cusum)
 }

@@ -137,7 +137,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "txt_dsir",            // 1-row model-totals frame broadcast into the ≤buckets-row log-ratio table
     "g_walk_pairs",        // 1-row pair-total T broadcast into the affinity-ratio scorer
     "g_modularity",        // two 1-row broadcasts (2m edge total, node count) into the score
-    "t29_survival"         // 1-row observation-end + 1-row cohort-total broadcasts into the spine
+    "t29_survival",        // 1-row observation-end + 1-row cohort-total broadcasts into the spine
+    "t30_cusum",           // 1-row per-type totals broadcast into the deviation scaling
+    "a52_benford"          // 1-row digit-total broadcast into the expected counts
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
