@@ -60,7 +60,9 @@ object SparkEntry {
       "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum",
       "g_hyperball", "g_random_walks", "g_walk_pairs",
       "t28_seasonal_outliers", "m23_zorder_skipping", "a49_dp_count",
-      "a50_dp_sum", "sim_hard_negatives", "txt_hash_features")
+      "a50_dp_sum", "sim_hard_negatives", "txt_hash_features",
+      "g_modularity", "a51_ht_estimate", "t29_survival", "t30_cusum",
+      "a52_benford")
     preferred.filter(queries.contains)
   }
 }

@@ -255,6 +255,45 @@ object AnnIndex {
       Some(allowedIds.select(col(allowedIds.columns.head).as("cand_id"))
         .distinct()))
 
+  /** HARD-NEGATIVE mining over the STORED index — the corpus-scale
+    * path [[graft.operators.Similarity.hardNegatives]]'s brute
+    * instrument promises: probe cells with the index's geometry, drop
+    * same-label candidates BEFORE any cosine is computed (the
+    * anti-label twin of [[serveTopKFiltered]]'s allow-list), rank the
+    * survivors. Mining cost ∝ probed candidates, exactly like serving
+    * — no corpus pass, no all-pairs. `queries` must carry `labelCol`;
+    * candidate labels join in from `candLabels` (id, label) keyed by
+    * cand_id, shuffling only the already-probed rows. */
+  def serveTopKHardNegatives(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, nprobe: Int, tag: String, candLabels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spark.catalog.tableExists(postTable(tag)),
+      s"ANN index '$tag' must be built/opened first")
+    val cents = spark.table(centTable(tag))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val cellQ = assignCells(cents, q, "query_id", "qv", keep = nprobe)
+    val cl = candLabels.select(
+      col(candLabels.columns(0)).as("cand_id"),
+      col(candLabels.columns(1)).as("c_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    livePostings(spark, tag)
+      .join(broadcast(cellQ.select("cell", "query_id", "qv", "q_label")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(cl, Seq("cand_id"))
+      // the label anti-filter prunes BEFORE the cosine math, exactly
+      // like the metadata allow-list path
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .groupBy("query_id", "cand_id")
+      .agg(max_by(col("cos"), col("gen")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
   private def serveImpl(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, tag: String, allowed: Option[DataFrame]): DataFrame = {

@@ -1389,6 +1389,31 @@ object Pipeline {
     },
     Some(ivfMultiprobeOracleSql("vec_id >= 10", "cand_id % 3 = 0")))
 
+  /** HARD-NEGATIVE mining over the STORED index
+    * (AnnIndex.serveTopKHardNegatives) — sim_hard_negatives is the
+    * brute truth instrument; THIS is the path a 100 TB corpus runs:
+    * probe the index's cells, drop same-label candidates before any
+    * cosine, rank survivors — mining cost ∝ probed candidates, like
+    * serving. Reuses sim_ivf_stored's index; the oracle is the same
+    * from-scratch multiprobe computation with the label inequality
+    * applied at the scoring stage (correlated label lookups — the SQL
+    * statement of "different label", not a replay of the plan). */
+  val simHardNegativesIvf = Q(
+    "sim_hard_negatives_ivf",
+    (s, dir) => {
+      import graft.operators.AnnIndex
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_ivfb"
+      def e = Tables.load(s, dir, "embeddings")
+      AnnIndex.buildIndex(s, e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", tag, seedStride = 16, spill = 2)
+      AnnIndex.serveTopKHardNegatives(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5, nprobe = 8, tag = tag,
+        candLabels = e.filter(col("vec_id") >= 10).select("vec_id", "label"))
+    },
+    Some(ivfMultiprobeOracleSql("vec_id >= 10",
+      """(SELECT x.label FROM embeddings x WHERE x.vec_id = query_id)
+         <> (SELECT y.label FROM embeddings y WHERE y.vec_id = cand_id)""")))
+
   /** Binary pre-ranked serve over the stored index
     * (AnnIndex.serveTopKBinary): stage 1 ranks probed candidates by
     * Hamming distance over the sign-bit code words STORED in the
@@ -2644,7 +2669,7 @@ object Pipeline {
     simMatryoshka, simSq8,
     simRp,
     simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,
-    simIvfFiltered, simIvfBinary,
+    simIvfFiltered, simIvfBinary, simHardNegativesIvf,
     simIvfUpsert, simIvfRecluster, simEmbedDrift, simRecall, simPqRecall,
     simKmeans, simPq, simPqAdc, simIvfPq, simHybridRrf, simRankerOverlap,
     ddSemanticKmeans,

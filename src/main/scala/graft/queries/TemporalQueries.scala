@@ -614,9 +614,11 @@ object TemporalQueries {
     * running min, both windows PARTITIONED by type over the day spine.
     * Exactness: deviations scale through ×D (days) so dev'_d = s_d·D −
     * S_total is a pure integer in cents·days; no division anywhere
-    * until the reported statistic. Output: each type's worst positive
-    * drift run (max CUSUM), its day, and the alarm flag at 3× the
-    * average |daily total|. */
+    * until the reported statistic. The spine is OBSERVED days (a day
+    * with zero events contributes no row — compose with t14's gap-fill
+    * first if silent days should count as full negative deviations).
+    * Output: each type's worst positive drift run (max CUSUM), its
+    * day, and the alarm flag at 3× the average |daily total|. */
   val t30Cusum = Q(
     "t30_cusum",
     (s, dir) => {

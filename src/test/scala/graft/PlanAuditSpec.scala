@@ -104,6 +104,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_multiprobe",  // same broadcast-centroid stage, spill=2 assignment
     "sim_ivf_stored",      // query-side broadcast-centroid assignment; postings probed by bucket
     "sim_ivf_filtered",    // same serve plan + allowed-id semi-join before scoring
+    "sim_hard_negatives_ivf", // same serve plan + label anti-filter before scoring
     "sim_ivf_upsert",      // same serve plan over the mutated store
     "sim_ivf_recluster",   // same serve plan over the reclustered store
     "sim_embed_drift",     // both sides assign against the broadcast frozen quantizer
