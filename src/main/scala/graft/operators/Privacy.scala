@@ -94,6 +94,71 @@ object Privacy {
         "dp_sum"): _*)
   }
 
+  // ---- ε-budget ledger ----------------------------------------------------
+  //
+  // Production DP's hard part is not the noise, it is ACCOUNTING: a
+  // dataset carries a total ε budget, every release spends some, and
+  // the pipeline must REFUSE the release that would overdraw
+  // (sequential composition: spends add). The ledger is a tiny
+  // append-only parquet under the store's lease lock (the IndexStore
+  // single-writer discipline), rows ∝ releases ever made. Replaying a
+  // label is FREE — the keyed-PRF noise re-emits the bit-identical
+  // release, so a retried job re-reads its answer instead of
+  // double-spending; composition charges distinct releases only. A
+  // replay must quote its original ε (a changed ε under an old label
+  // would silently lie about what was spent).
+
+  private def ledgerDir(base: String) = s"$base/eps_ledger"
+
+  /** (label, eps) rows of every release charged so far — ∝ releases. */
+  def ledger(spark: org.apache.spark.sql.SparkSession,
+      base: String): Seq[(String, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir(base))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else spark.read.parquet(ledgerDir(base))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
+  /** Charge `eps` for release `label` against `budget`, under the
+    * store lock; a replayed label charges nothing. Throws before any
+    * data is released when the spend would overdraw. Returns the total
+    * spent AFTER this call. */
+  def chargeBudget(spark: org.apache.spark.sql.SparkSession, base: String,
+      label: String, eps: Double, budget: Double): Double = {
+    require(eps > 0 && budget > 0, "epsilon and budget must be positive")
+    IndexStore.withWriterLock(spark, base) {
+      val rows = ledger(spark, base)
+      val spent = rows.map(_._2).sum
+      rows.find(_._1 == label) match {
+        case Some((_, prior)) =>
+          require(math.abs(prior - eps) < 1e-12,
+            s"label '$label' was released at eps=$prior; a replay must " +
+              "quote the original epsilon")
+          spent // replay: nothing new is spent
+        case None =>
+          if (spent + eps > budget + 1e-12)
+            throw new IllegalStateException(
+              f"release '$label' (eps=$eps%.3f) would overdraw the " +
+                f"budget: spent $spent%.3f of $budget%.3f")
+          import spark.implicits._
+          Seq((label, eps)).toDF("label", "eps")
+            .coalesce(1).write.mode("append").parquet(ledgerDir(base))
+          spent + eps
+      }
+    }
+  }
+
+  /** [[dpCount]] gated by the ledger: charge first (throws on
+    * overdraw — no data leaves), then release. Same (label, eps) ⇒
+    * the identical release at zero additional cost. */
+  def dpCountBudgeted(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, keys: Seq[String], eps: Double, label: String,
+      base: String, budget: Double): DataFrame = {
+    chargeBudget(spark, base, label, eps, budget)
+    dpCount(df, keys, eps, label)
+  }
+
   /** DuckDB replay of [[keyedUniform]] over a single VARCHAR key. */
   private def uniformSql(key: String, salt: String): String =
     s"CAST(((md5_number_lower($key || '$salt') % ${Dedup.M56}) % $U40) + 1" +

@@ -65,6 +65,31 @@ class PrivacySpec extends AnyFunSuite {
     assert(moved > base)
   }
 
+  test("epsilon ledger: spends add, replays are free, overdraw refuses BEFORE release") {
+    val base = s"${graft.sources.Bucketing.processRoot}/dp_ledger_test"
+    val df = (1 to 100).map(i => (s"g${i % 4}", i)).toDF("k", "v")
+    def release(label: String, eps: Double) =
+      Privacy.dpCountBudgeted(spark, df, Seq("k"), eps, label, base,
+        budget = 1.0).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = release("rel_a", 0.4)
+    assert(Privacy.ledger(spark, base).map(_._2).sum == 0.4)
+    // replay: identical release, nothing new spent
+    assert(release("rel_a", 0.4) == r1)
+    assert(Privacy.ledger(spark, base).map(_._2).sum == 0.4)
+    // a replay must quote its original epsilon
+    intercept[IllegalArgumentException] { release("rel_a", 0.5) }
+    // second distinct release fits (0.4 + 0.5 <= 1.0)
+    release("rel_b", 0.5)
+    assert(Privacy.ledger(spark, base).map(_._2).sum == 0.9)
+    // the overdrawing release refuses with NO data released
+    val ex = intercept[IllegalStateException] { release("rel_c", 0.2) }
+    assert(ex.getMessage.contains("overdraw"))
+    assert(Privacy.ledger(spark, base).map(_._1).toSet ==
+      Set("rel_a", "rel_b"), "a refused release must not be charged")
+    // replays still work after a refusal
+    assert(release("rel_a", 0.4) == r1)
+  }
+
   test("dpSum clamps negative outliers symmetrically") {
     val clampCents = 5000L
     val rows = Seq(("a", "g", -900000L), ("b", "g", 2000L))
