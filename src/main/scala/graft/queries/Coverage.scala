@@ -899,6 +899,62 @@ object Coverage {
     * still hash-exact, which is what this query pins. */
   val a41KmvSetops256 = mkKmvSetops("a41_kmv_setops_k256", 256)
 
+  /** A53: GINI COEFFICIENT per event type — the inequality measure
+    * behind "does 1% of users drive 90% of value" (and, in corpus
+    * work, how concentrated token mass is across documents): via the
+    * rank-sum identity G = (2Σi·xᵢ − (n+1)Σx)/(n·Σx) over
+    * ascending-sorted values, which needs ONE ranked pass instead of
+    * the all-pairs |xᵢ−xⱼ| definition. Exactness: values in integer
+    * cents, rank·value products summed in DECIMAL(38,0)/HUGEINT, and
+    * the final ratio is ONE integer division after scaling by 10⁹ —
+    * no double until the display cast. The rank window partitions by
+    * type (the w2/t8 class, never a global window); ties break on
+    * event_id so the rank — and therefore the statistic — is a total
+    * order both engines replay. */
+  val a53Gini = Q(
+    "a53_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        (Q.dec("value") * 100).cast("long").as("v"), col("event_id"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("v"), col("event_id"))
+      val a = e.withColumn("i", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d(col("v"))).as("sv"),
+          sum(d(col("i")) * d(col("v"))).as("siv"))
+        .withColumn("gnum",
+          (col("siv") * 2 - col("sv") * (d(col("n")) + 1)) *
+            lit(1000000000L))
+        .withColumn("gden", col("sv") * d(col("n")))
+      a.select(col("event_type"), col("n"),
+          (col("sv").cast("double") / lit(100.0)).as("total_value"),
+          (expr("gnum div gden").cast("double") / lit(1.0e9)).as("gini"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_id
+        FROM events),
+      r AS (
+        SELECT event_type, v,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY v, event_id) AS i
+        FROM e),
+      a AS (
+        SELECT event_type, count(*) AS n,
+          sum(CAST(v AS HUGEINT)) AS sv,
+          sum(CAST(i AS HUGEINT) * v) AS siv
+        FROM r GROUP BY 1)
+      SELECT event_type, n,
+        CAST(sv AS DOUBLE) / 100.0 AS total_value,
+        CAST(CAST((siv * 2 - sv * (n + 1)) * 1000000000 // (sv * n)
+          AS BIGINT) AS DOUBLE) / 1.0e9 AS gini
+      FROM a ORDER BY event_type"""))
+
   /** A52: BENFORD'S-LAW conformance (Newcomb 1881, Benford 1938) —
     * the first-significant-digit screen auditors run on money columns
     * (fabricated values over-use mid digits; organic multiplicative
@@ -1769,7 +1825,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
