@@ -899,6 +899,83 @@ object Coverage {
     * still hash-exact, which is what this query pins. */
   val a41KmvSetops256 = mkKmvSetops("a41_kmv_setops_k256", 256)
 
+  /** A54: SPEARMAN RANK CORRELATION per return flag — the monotone
+    * association a30's Pearson misses (a convex price curve correlates
+    * perfectly in ranks while Pearson under-reads it). Ranks are
+    * textbook TIE-AVERAGED, kept integer by doubling: 2·avg_rank =
+    * 2·rank() + tiecount − 1 (rank() = the tie group's minimum rank).
+    * That identity matters for exactness: the synthetic lineitem has
+    * duplicate rows, and any row-level tiebreak pairs rx with ry
+    * arbitrarily WITHIN a tie group — engines would disagree in the
+    * last decimals (observed before this form). Tie-averaging is
+    * order-independent by construction, so both engines deal identical
+    * doubled ranks, and the constant ×2 cancels in the correlation.
+    * The five moment sums then run a30's exact-integer machinery —
+    * only the final division is float. Two rank windows + two
+    * tie-count windows (all partitioned) + one grouped aggregate. */
+  val a54Spearman = Q(
+    "a54_spearman",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val b = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      val wx = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+      val wy = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"))
+      val cx = Window.partitionBy("l_returnflag", "l_quantity")
+      val cy = Window.partitionBy("l_returnflag", "l_extendedprice")
+      val r = b
+        .withColumn("rx", (rank().over(wx) * 2 + count(lit(1)).over(cx) - 1)
+          .cast("long"))
+        .withColumn("ry", (rank().over(wy) * 2 + count(lit(1)).over(cy) - 1)
+          .cast("long"))
+      val m = r.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(d(col("rx")) * d(col("ry"))).as("sxy"),
+        sum(d(col("rx")) * d(col("rx"))).as("sxx"),
+        sum(d(col("ry")) * d(col("ry"))).as("syy"))
+      m.select(col("l_returnflag"), col("n"),
+          (d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy"))).as("num"),
+          (d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx"))).as("d1"),
+          (d(col("n")) * col("syy") - d(col("sy")) * d(col("sy"))).as("d2"))
+        .select(col("l_returnflag"), col("n"),
+          when(col("d1") > 0 && col("d2") > 0,
+            col("num").cast("double") /
+              (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+            .as("spearman_rho"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH r AS (
+        SELECT l_returnflag,
+          rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) * 2
+            + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+            AS rx,
+          rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) * 2
+            + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+            AS ry
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+          sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+          sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+          sum(CAST(ry AS HUGEINT) * ry) AS syy
+        FROM r GROUP BY 1),
+      f AS (
+        SELECT l_returnflag, n,
+          (n*sxy - sx*sy) AS num, (n*sxx - sx*sx) AS d1,
+          (n*syy - sy*sy) AS d2
+        FROM m)
+      SELECT l_returnflag, n,
+        CASE WHEN d1 > 0 AND d2 > 0
+          THEN CAST(num AS DOUBLE)
+            / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+        END AS spearman_rho
+      FROM f ORDER BY l_returnflag"""))
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -1825,7 +1902,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
