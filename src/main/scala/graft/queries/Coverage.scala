@@ -976,6 +976,83 @@ object Coverage {
         END AS spearman_rho
       FROM f ORDER BY l_returnflag"""))
 
+  /** A55: MANN–WHITNEY U — the nonparametric two-sample test ("did
+    * the value distribution shift between cohorts?") that works where
+    * a t-test's normality assumption doesn't. Cohorts split on user
+    * parity; per event type, pooled values get a54's doubled
+    * tie-averaged ranks (exact integers under duplicate values), so
+    * U = (R₁_doubled − n₁(n₁+1))/2 is exact to the half. The normal
+    * approximation uses the TIE-CORRECTED variance, whose Σ(t³−t)
+    * term folds to the per-row identity Σ_rows(t²−1) — one extra
+    * integer per row, no second pass over distinct values. The z
+    * expression is one shared text over exact integer operands, so
+    * the doubles agree bit-for-bit. */
+  val a55MannWhitney = Q(
+    "a55_mannwhitney",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        (Q.dec("value") * 100).cast("long").as("v"),
+        (col("user_id") % 2).as("cohort"))
+      val wr = Window.partitionBy("event_type").orderBy(col("v"))
+      val wc = Window.partitionBy("event_type", "v")
+      val r = e
+        .withColumn("t", count(lit(1)).over(wc))
+        .withColumn("r2", (rank().over(wr) * 2 + col("t") - 1).cast("long"))
+      val a = r.groupBy("event_type").agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cohort") =!= 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("cohort") === 0, d(col("r2")))).as("r1_2"),
+        sum(d(col("t")) * d(col("t")) - 1).as("tsum"))
+        .withColumn("u2", col("r1_2") - d(col("n1")) * (d(col("n1")) + 1))
+        .withColumn("nn", col("n1") + col("n2"))
+      a.select(col("event_type"), col("n1"), col("n2"),
+          (col("u2").cast("double") / lit(2.0)).as("u"),
+          expr("""((CAST(u2 AS DOUBLE) / 2.0e0)
+              - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0e0))
+            / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 1.2e1)
+              * ((CAST(nn AS DOUBLE) + 1.0e0)
+                - CAST(tsum AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0))))""")
+            .as("z"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+          user_id % 2 AS cohort
+        FROM events),
+      r AS (
+        SELECT event_type, cohort,
+          count(*) OVER (PARTITION BY event_type, v) AS t,
+          rank() OVER (PARTITION BY event_type ORDER BY v) * 2
+            + count(*) OVER (PARTITION BY event_type, v) - 1 AS r2
+        FROM e),
+      a AS (
+        SELECT event_type,
+          CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN cohort <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          sum(CASE WHEN cohort = 0 THEN CAST(r2 AS HUGEINT) END) AS r1_2,
+          sum(CAST(t AS HUGEINT) * t - 1) AS tsum
+        FROM r GROUP BY 1),
+      b AS (
+        SELECT event_type, n1, n2, n1 + n2 AS nn,
+          r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2, tsum
+        FROM a)
+      SELECT event_type, n1, n2,
+        CAST(u2 AS DOUBLE) / 2.0 AS u,
+        ((CAST(u2 AS DOUBLE) / 2.0e0)
+            - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0e0))
+          / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 1.2e1)
+            * ((CAST(nn AS DOUBLE) + 1.0e0)
+              - CAST(tsum AS DOUBLE)
+                / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0e0))))
+          AS z
+      FROM b ORDER BY event_type"""))
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -1902,7 +1979,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
