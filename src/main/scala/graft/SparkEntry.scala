@@ -62,7 +62,7 @@ object SparkEntry {
       "t28_seasonal_outliers", "m23_zorder_skipping", "a49_dp_count",
       "a50_dp_sum", "sim_hard_negatives", "txt_hash_features",
       "g_modularity", "a51_ht_estimate", "t29_survival", "t30_cusum",
-      "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney")
+      "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney", "a56_ks_test")
     preferred.filter(queries.contains)
   }
 }

@@ -1053,6 +1053,77 @@ object Coverage {
           AS z
       FROM b ORDER BY event_type"""))
 
+  /** A56: KOLMOGOROV–SMIRNOV two-sample statistic — the SHAPE
+    * complement of a55's location test (a variance change with equal
+    * medians slips past Mann–Whitney; KS catches any ECDF divergence).
+    * Exactness: D = max|F₁−F₂| evaluates only at distinct pooled
+    * values, and the comparison cross-multiplies to the integer
+    * |c₁·n₂ − c₂·n₁| (cumulative cohort counts over the value-ordered
+    * spine), so the max — and the value where it is attained, ties to
+    * the smaller value — is decided wholly in BIGINTs; ONE division
+    * produces the reported D. Shape: one (type, value) groupBy, one
+    * partitioned cumsum over rows ∝ distinct values, one partitioned
+    * rank to pick the max row. */
+  val a56Ks = Q(
+    "a56_ks_test",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        (Q.dec("value") * 100).cast("long").as("v"),
+        (col("user_id") % 2).as("cohort"))
+      val g = e.groupBy("event_type", "v").agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("cohort") =!= 0, 1L).otherwise(0L)).as("a2"))
+      val spine = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.groupBy("event_type")
+        .agg(sum("a1").as("n1"), sum("a2").as("n2"))
+      val c = g.join(broadcast(tot), "event_type")
+        .withColumn("c1", sum("a1").over(spine))
+        .withColumn("c2", sum("a2").over(spine))
+        .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("dnum").desc, col("v"))
+      c.withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n1"), col("n2"),
+          (col("dnum").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))).as("ks_d"),
+          (col("v").cast("double") / lit(100.0)).as("at_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+          user_id % 2 AS cohort
+        FROM events),
+      g AS (
+        SELECT event_type, v,
+          CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+          CAST(sum(CASE WHEN cohort <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        FROM e GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, CAST(sum(a1) AS BIGINT) AS n1,
+          CAST(sum(a2) AS BIGINT) AS n2
+        FROM g GROUP BY 1),
+      c AS (
+        SELECT g.event_type, v, n1, n2,
+          CAST(sum(a1) OVER (PARTITION BY g.event_type ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+          CAST(sum(a2) OVER (PARTITION BY g.event_type ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+        FROM g JOIN tot USING (event_type)),
+      d AS (
+        SELECT event_type, v, n1, n2, abs(c1*n2 - c2*n1) AS dnum,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(c1*n2 - c2*n1) DESC, v) AS rk
+        FROM c)
+      SELECT event_type, n1, n2,
+        CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+          AS ks_d,
+        CAST(v AS DOUBLE) / 100.0 AS at_value
+      FROM d WHERE rk = 1 ORDER BY event_type"""))
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -1979,7 +2050,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
