@@ -911,27 +911,31 @@ object Coverage {
     * order-independent by construction, so both engines deal identical
     * doubled ranks, and the constant ×2 cancels in the correlation.
     * The five moment sums then run a30's exact-integer machinery —
-    * only the final division is float. Two rank windows + two
-    * tie-count windows (all partitioned) + one grouped aggregate. */
+    * only the final division is float.
+    *
+    * Scale shape (round-12 verdict #1): l_returnflag has 3 values, so
+    * rank windows partitioned by it sort the whole relation in 3
+    * tasks — the constant-cardinality window trap. Tie-averaged ranks
+    * depend only on the DISTINCT (flag, value) spine, so
+    * [[graft.operators.Align.groupedDoubledRank]] aggregates tie
+    * counts there, grouped-prefix-sums them in value order (every
+    * task holds a range slice, never a flag), and joins the spine
+    * back: the quantity spine (3×50 rows) broadcasts, the
+    * high-cardinality price spine shuffle-joins on its own
+    * well-distributed key. */
   val a54Spearman = Q(
     "a54_spearman",
     (s, dir) => {
       import org.apache.spark.sql.Column
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       def d(c: Column) = c.cast(DecimalType(38, 0))
       val b = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"))
-      val wx = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
-      val wy = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"))
-      val cx = Window.partitionBy("l_returnflag", "l_quantity")
-      val cy = Window.partitionBy("l_returnflag", "l_extendedprice")
-      val r = b
-        .withColumn("rx", (rank().over(wx) * 2 + count(lit(1)).over(cx) - 1)
-          .cast("long"))
-        .withColumn("ry", (rank().over(wy) * 2 + count(lit(1)).over(cy) - 1)
-          .cast("long"))
+      val flag = Seq("l_returnflag")
+      val withRx = graft.operators.Align.groupedDoubledRank(
+        b, flag, "l_quantity", "rx", broadcastBack = true)
+      val r = graft.operators.Align.groupedDoubledRank(
+        withRx, flag, "l_extendedprice", "ry")
       val m = r.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
         sum("rx").as("sx"), sum("ry").as("sy"),
         sum(d(col("rx")) * d(col("ry"))).as("sxy"),
@@ -986,22 +990,23 @@ object Coverage {
     * term folds to the per-row identity Σ_rows(t²−1) — one extra
     * integer per row, no second pass over distinct values. The z
     * expression is one shared text over exact integer operands, so
-    * the doubles agree bit-for-bit. */
+    * the doubles agree bit-for-bit. Ranks and tie counts come from
+    * [[graft.operators.Align.groupedDoubledRank]] over the distinct
+    * (type, value) spine — event_type has 5 values, so the former
+    * rank window partitioned by it was the round-12 verdict's
+    * constant-cardinality scale trap; the spine join key (type, v)
+    * is high-cardinality and distributes. */
   val a55MannWhitney = Q(
     "a55_mannwhitney",
     (s, dir) => {
       import org.apache.spark.sql.Column
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       def d(c: Column) = c.cast(DecimalType(38, 0))
       val e = Tables.load(s, dir, "events").select(col("event_type"),
         (Q.dec("value") * 100).cast("long").as("v"),
         (col("user_id") % 2).as("cohort"))
-      val wr = Window.partitionBy("event_type").orderBy(col("v"))
-      val wc = Window.partitionBy("event_type", "v")
-      val r = e
-        .withColumn("t", count(lit(1)).over(wc))
-        .withColumn("r2", (rank().over(wr) * 2 + col("t") - 1).cast("long"))
+      val r = graft.operators.Align.groupedDoubledRank(
+        e, Seq("event_type"), "v", "r2", tieName = Some("t"))
       val a = r.groupBy("event_type").agg(
         sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n1"),
         sum(when(col("cohort") =!= 0, 1L).otherwise(0L)).as("n2"),
@@ -1062,34 +1067,35 @@ object Coverage {
     * spine), so the max — and the value where it is attained, ties to
     * the smaller value — is decided wholly in BIGINTs; ONE division
     * produces the reported D. Shape: one (type, value) groupBy, one
-    * partitioned cumsum over rows ∝ distinct values, one partitioned
-    * rank to pick the max row. */
+    * DISTRIBUTED grouped cumsum over the distinct-value spine
+    * ([[graft.operators.Align.groupedPrefixSums]] — the spine is
+    * bounded by the value DOMAIN, not the calendar, so the round-12
+    * verdict called the former 5-way-partitioned window borderline;
+    * now no task holds more than a range slice even if the domain
+    * grows), and a max-of-struct aggregate to pick the attained
+    * maximum — (dnum, −v) lexicographic max IS "dnum desc, v asc"
+    * without any rank window. */
   val a56Ks = Q(
     "a56_ks_test",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.load(s, dir, "events").select(col("event_type"),
         (Q.dec("value") * 100).cast("long").as("v"),
         (col("user_id") % 2).as("cohort"))
       val g = e.groupBy("event_type", "v").agg(
         sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("a1"),
         sum(when(col("cohort") =!= 0, 1L).otherwise(0L)).as("a2"))
-      val spine = Window.partitionBy("event_type").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = g.groupBy("event_type")
         .agg(sum("a1").as("n1"), sum("a2").as("n2"))
-      val c = g.join(broadcast(tot), "event_type")
-        .withColumn("c1", sum("a1").over(spine))
-        .withColumn("c2", sum("a2").over(spine))
+      val c = graft.operators.Align.groupedPrefixSums(
+          g, Seq("event_type"), Seq("a1", "a2"), Seq("c1", "c2"), col("v"))
+        .join(broadcast(tot), "event_type")
         .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
-      val pick = Window.partitionBy("event_type")
-        .orderBy(col("dnum").desc, col("v"))
-      c.withColumn("rk", row_number().over(pick))
-        .filter(col("rk") === 1)
+      c.groupBy("event_type", "n1", "n2")
+        .agg(max(struct(col("dnum"), (-col("v")).as("nv"))).as("m"))
         .select(col("event_type"), col("n1"), col("n2"),
-          (col("dnum").cast("double") /
+          (col("m.dnum").cast("double") /
             (col("n1").cast("double") * col("n2").cast("double"))).as("ks_d"),
-          (col("v").cast("double") / lit(100.0)).as("at_value"))
+          ((-col("m.nv")).cast("double") / lit(100.0)).as("at_value"))
         .orderBy("event_type")
     },
     Some("""WITH e AS (
@@ -1132,22 +1138,25 @@ object Coverage {
     * the all-pairs |xᵢ−xⱼ| definition. Exactness: values in integer
     * cents, rank·value products summed in DECIMAL(38,0)/HUGEINT, and
     * the final ratio is ONE integer division after scaling by 10⁹ —
-    * no double until the display cast. The rank window partitions by
-    * type (the w2/t8 class, never a global window); ties break on
-    * event_id so the rank — and therefore the statistic — is a total
-    * order both engines replay. */
+    * no double until the display cast. The rank is a per-group
+    * row_number with ties broken on event_id — a total order both
+    * engines replay — but NOT a window: event_type has 5 values, so
+    * `row_number() OVER (PARTITION BY event_type …)` would sort the
+    * whole relation inside 5 tasks (round-12 verdict #1's
+    * scale-killer class). [[graft.operators.Align.groupedRowNumber]]
+    * computes the identical index distributed: one range-partitioned
+    * global prefix count minus each group's broadcast start offset —
+    * no task ever holds more than its range slice. */
   val a53Gini = Q(
     "a53_gini",
     (s, dir) => {
       import org.apache.spark.sql.Column
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       def d(c: Column) = c.cast(DecimalType(38, 0))
       val e = Tables.load(s, dir, "events").select(col("event_type"),
         (Q.dec("value") * 100).cast("long").as("v"), col("event_id"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("v"), col("event_id"))
-      val a = e.withColumn("i", row_number().over(w))
+      val a = graft.operators.Align
+        .groupedRowNumber(e, Seq("event_type"), "i", col("v"), col("event_id"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(d(col("v"))).as("sv"),
           sum(d(col("i")) * d(col("v"))).as("siv"))

@@ -94,18 +94,33 @@ object Windows {
       WHERE rank <= 3"""))
 
   /** W7: ntile quartiles per group — equal-frequency bucketing of each
-    * priority's orders by price (the reference's tier banding, done with
-    * the native window instead of manual thresholds). Partitioned by
-    * group, so no single task ever ranks the table; ties are broken by
-    * the unique key so the bucketing is deterministic. */
+    * priority's orders by price (the reference's tier banding). NOT a
+    * window: o_orderpriority has 5 values, so `ntile() OVER (PARTITION
+    * BY priority …)` sorts the whole table inside 5 tasks (the
+    * round-12 verdict's constant-cardinality trap). The tile is pure
+    * arithmetic on (rank, group size): with q = n div k and rem =
+    * n mod k, SQL ntile gives the first rem tiles q+1 rows — so
+    * bucket(r) = (r−1) div (q+1) + 1 while r ≤ rem·(q+1), else
+    * rem + (r − rem·(q+1) − 1) div q + 1. Rank comes distributed from
+    * [[graft.operators.Align.groupedRowNumber]] (ties broken by the
+    * unique key, so the bucketing is deterministic), group sizes from
+    * a broadcast 5-row aggregate; the oracle keeps the textbook
+    * window, proving the closed form IS ntile. */
   val w7Ntile = Q(
     "w7_ntile",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      val sizes = o.groupBy("o_orderpriority").agg(count(lit(1)).as("gn"))
+      graft.operators.Align
+        .groupedRowNumber(o, Seq("o_orderpriority"), "rk",
+          col("o_totalprice").desc, col("o_orderkey"))
+        .join(broadcast(sizes), "o_orderpriority")
+        .withColumn("quartile", expr("""CASE
+            WHEN rk <= (gn % 4) * (gn div 4 + 1)
+              THEN (rk - 1) div (gn div 4 + 1) + 1
+            ELSE (gn % 4) + (rk - (gn % 4) * (gn div 4 + 1) - 1)
+              div greatest(gn div 4, 1) + 1 END""").cast("long"))
         .groupBy("o_orderpriority", "quartile")
         .agg(count(lit(1)).as("n"),
           Q.dsum(col("o_totalprice")).as("sum_price"))

@@ -88,6 +88,53 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpartitioned windows over unbounded input: ${offenders.mkString(", ")}")
   }
 
+  /** Columns with a CONSTANT domain (a handful of enum values no
+    * matter the scale factor): a window PARTITIONed solely by these
+    * sorts data-proportional input inside ≤|domain| tasks — correct,
+    * green at sf0.1, and a multi-billion-row single-task sort at 100×
+    * (round-12 verdict #1's scale-killer class). The Align grouped
+    * primitives are the sanctioned replacement. */
+  private val constantDomainCols = Set(
+    "event_type", "l_returnflag", "l_linestatus", "l_shipmode",
+    "l_shipinstruct", "o_orderstatus", "o_orderpriority", "cohort")
+
+  /** Queries allowed a constant-domain-partitioned window because the
+    * WINDOW INPUT is bounded (∝ calendar days or a pinned limit),
+    * never ∝ data — the same justification class as
+    * globalWindowAllowed. */
+  private val constantDomainWindowAllowed = Set(
+    "t30_cusum", // running sum+min over the DAY SPINE per type: rows ∝ calendar days × |types|
+    "t22_spike_detect", // trailing RANGE frame over the (type, day) rollup: rows ∝ calendar days × |types|
+    "w8_lead_lag" // lag/lead over the (day, type) rollup: rows ∝ calendar days × |types|
+    // w7_ntile earned its way OFF this list in round 13: quartiles now
+    // come from Align.groupedRowNumber + the closed-form ntile bucket
+    // (rank and group size decide the tile arithmetically), so no task
+    // ever sorts a whole priority's orders.
+  )
+
+  test("no registered query windows data-proportional input partitioned only by a constant-domain key") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def constWindows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.forall(a =>
+              constantDomainCols(a.name))) => w
+      }
+      val nested = p.collect { case a: AdaptiveSparkPlanExec => a }
+        .flatMap(a => constWindows(a.initialPlan))
+      here ++ nested
+    }
+    val offenders = plans.collect {
+      case (n, Right(p))
+          if constWindows(p).nonEmpty && !constantDomainWindowAllowed(n) &&
+            !globalWindowAllowed(n) => n
+    }
+    assert(offenders.isEmpty,
+      "windows partitioned only by a constant-cardinality key (single-task " +
+        s"sorts at scale — use Align.grouped*): ${offenders.mkString(", ")}")
+  }
+
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
     * each is a deliberate bounded product with the small side broadcast
     * (a baseline, or a top-k against a handful of broadcast queries). */

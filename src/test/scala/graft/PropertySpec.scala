@@ -596,6 +596,60 @@ class PropertySpec extends AnyFunSuite {
     assert(parts.max < 5000, "one partition holds the whole relation")
   }
 
+  test("grouped rank/prefix-sum primitives equal their window definitions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the Align grouped family replaces constant-cardinality rank
+    // windows (round-12 verdict #1); equality with the window form on
+    // random data — heavy ties included — is the whole contract.
+    val gen = Gen.listOfN(400,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 15L)))
+    samples(gen, 8).zipWithIndex.foreach { case (rows, it) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v, i.toLong) }
+        .toDF("grp", "v", "id")
+
+      // groupedRowNumber == row_number() OVER (PARTITION BY grp ORDER BY v, id)
+      val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+      val wantIdx = df.withColumn("i", row_number().over(w).cast("long"))
+        .select("id", "i").as[(Long, Long)].collect().toMap
+      val gotIdx = graft.operators.Align
+        .groupedRowNumber(df, Seq("grp"), "i", col("v"), col("id"))
+        .select("id", "i").as[(Long, Long)].collect().toMap
+      assert(gotIdx == wantIdx, s"iter $it: groupedRowNumber != window")
+
+      // groupedDoubledRank == 2·rank() + tiecount − 1 per row
+      val wr = Window.partitionBy("grp").orderBy(col("v"))
+      val wc = Window.partitionBy("grp", "v")
+      val wantR = df
+        .withColumn("t", count(lit(1)).over(wc))
+        .withColumn("r2", (rank().over(wr) * 2 + col("t") - 1).cast("long"))
+        .select("id", "r2", "t").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val gotR = graft.operators.Align
+        .groupedDoubledRank(df, Seq("grp"), "v", "r2", tieName = Some("t"))
+        .select("id", "r2", "t").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotR == wantR, s"iter $it: groupedDoubledRank != window form")
+
+      // groupedPrefixSums == sum() OVER (PARTITION BY grp ORDER BY id ROWS
+      // UNBOUNDED PRECEDING..CURRENT) for two value columns at once
+      val df2 = df.withColumn("a", col("v") + 1)
+      val ws = Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wantC = df2
+        .withColumn("cv", sum("v").over(ws)).withColumn("ca", sum("a").over(ws))
+        .select("id", "cv", "ca").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val gotC = graft.operators.Align
+        .groupedPrefixSums(df2, Seq("grp"), Seq("v", "a"), Seq("cv", "ca"),
+          col("id"))
+        .select("id", "cv", "ca").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotC == wantC, s"iter $it: groupedPrefixSums != window cumsum")
+    }
+  }
+
   test("budgetFill equals the naive global cumulative sum on random corpora") {
     // the banded rewrite (per-quality-class running totals + boundary
     // class + residual) must match the definition — the maximal
