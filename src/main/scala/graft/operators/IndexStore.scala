@@ -66,8 +66,11 @@ object IndexStore {
   }
 
   /** THE commit point: one file create. Everything of era N must
-    * already be staged under its directories. */
+    * already be staged under its directories. Fence-checked: a writer
+    * whose lease was usurped (paused past the TTL) aborts HERE, before
+    * the marker makes its staged era visible. */
   def commitEra(spark: SparkSession, base: String, era: Long): Unit = {
+    LeaseLock.fenceCheck()
     val f = fs(spark, base)
     f.mkdirs(new Path(s"$base/era"))
     f.create(new Path(s"$base/era/e_$era"), true).close()

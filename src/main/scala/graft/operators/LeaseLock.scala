@@ -11,7 +11,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   *  - ACQUIRE is still one atomic `createNewFile` — zero coordination
   *    in the common case; the winner then stamps owner pid@host +
-  *    epoch into the file for diagnostics.
+  *    epoch + a per-acquisition FENCING TOKEN (uuid) into the file.
   *  - LIVENESS is the lock file's modification time: while the holder
   *    runs, a daemon heartbeat re-touches the file every ttl/4, so a
   *    long build/compaction never looks stale no matter how long it
@@ -22,12 +22,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    the winner deletes the grave, and everyone races the fresh
   *    create-exclusive — the delete-then-create TOCTOU of a naive
   *    steal (B deletes the lock A just re-created) cannot happen.
+  *  - FENCING (round-12 verdict #2 / ADVICE): heartbeat and release
+  *    first READ the lock file and verify the token is still ours.
+  *    Without that check, a paused-but-alive writer A usurped by B
+  *    would keep refreshing — and on exit DELETE — what is now B's
+  *    lock, letting C acquire while B runs (mutual exclusion breaking
+  *    transitively from one GC pause). With it, a usurped holder's
+  *    heartbeat goes silent, its release leaves B's lock untouched,
+  *    and its exit THROWS so the job cannot report success; commit
+  *    points inside the stores call [[fenceCheck]] right before their
+  *    atomic publish (era marker / version marker / table swap), so a
+  *    usurped writer aborts BEFORE making its work visible.
   *
   * The TTL trade: too short and a paused-but-alive writer (GC storm,
-  * CPU starvation beyond ttl·3/4) can be usurped; too long and crash
-  * recovery waits. The default is a deliberate 10 min — heartbeats
-  * every 2.5 min tolerate pathological pauses, while unattended
-  * recovery needs no human in the loop. Tests pass a small ttl.
+  * CPU starvation beyond ttl·3/4) can be usurped — now detected and
+  * aborted, never silent corruption; too long and crash recovery
+  * waits. The default is a deliberate 10 min — heartbeats every
+  * 2.5 min tolerate pathological pauses, while unattended recovery
+  * needs no human in the loop. Tests pass a small ttl.
   *
   * This replaces the bodies of IndexStore.withWriterLock and the
   * TableStore mutator lock — one lease discipline for all three
@@ -35,6 +47,33 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object LeaseLock {
 
   val DefaultTtlMs: Long = 10 * 60 * 1000L
+
+  /** A held lease: the fencing state the holder checks before any
+    * irreversible step. */
+  final class Lease private[LeaseLock] (f: FileSystem, lock: Path,
+      val what: String, val token: String) {
+    @volatile private[LeaseLock] var usurped = false
+
+    /** true iff the lock file still carries OUR token. One small read;
+      * a missing/unreadable/re-stamped file all mean "not ours". */
+    def stillOwned(): Boolean =
+      !usurped && {
+        val owned = readToken(f, lock).contains(token)
+        if (!owned) usurped = true
+        owned
+      }
+
+    /** The fencing check: call immediately before an atomic publish
+      * (marker create, table-swap rename). Throws if the lease was
+      * usurped, so a paused-then-resumed writer aborts BEFORE its work
+      * becomes visible. */
+    def checkOwned(): Unit =
+      if (!stillOwned())
+        throw new IllegalStateException(
+          s"lease on $what was usurped (holder paused past the TTL and " +
+            "another writer stole the lock); aborting before publish — " +
+            "the usurper owns the store now")
+  }
 
   private lazy val heartbeats = {
     val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
@@ -46,22 +85,61 @@ object LeaseLock {
     ex
   }
 
+  /** The lease the CURRENT THREAD holds (innermost), if any — how the
+    * stores' commit helpers reach the fencing check without threading
+    * a handle through every call site. */
+  private val current = new ThreadLocal[Lease]
+
+  /** Fencing check at a commit point: no-op when the caller holds no
+    * lease (unlocked test paths), [[Lease.checkOwned]] when it does. */
+  def fenceCheck(): Unit = {
+    val l = current.get()
+    if (l != null) l.checkOwned()
+  }
+
   private def createExclusive(f: FileSystem, lock: Path): Boolean =
     try f.createNewFile(lock) catch { case _: java.io.IOException => false }
 
-  /** Owner stamp — diagnostics only (liveness rides the mtime). */
-  private def stamp(f: FileSystem, lock: Path): Unit =
+  /** Owner stamp: diagnostics (pid@host, epoch) plus the fencing
+    * token. Rewriting the file also refreshes its mtime, which is why
+    * the heartbeat can fall back to a re-stamp where setTimes is
+    * unsupported. */
+  private def stamp(f: FileSystem, lock: Path, token: String): Unit = {
+    val o = f.create(lock, true)
+    o.write((s"owner=${ProcessHandle.current().pid()}@" +
+      s"${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"epoch_ms=${System.currentTimeMillis()}\n" +
+      s"token=$token\n").getBytes("UTF-8"))
+    o.close()
+  }
+
+  private def readToken(f: FileSystem, lock: Path): Option[String] =
     try {
-      val o = f.create(lock, true)
-      o.write((s"owner=${ProcessHandle.current().pid()}@" +
-        s"${java.net.InetAddress.getLocalHost.getHostName} " +
-        s"epoch_ms=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
-      o.close()
-    } catch { case _: Throwable => () }
+      val in = f.open(lock)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](512)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      new String(bytes, "UTF-8").linesIterator
+        .collectFirst { case l if l.startsWith("token=") => l.drop(6) }
+    } catch { case _: Throwable => None }
 
   private def acquire(f: FileSystem, lock: Path, what: String,
-      ttlMs: Long): Unit = {
-    if (createExclusive(f, lock)) { stamp(f, lock); return }
+      ttlMs: Long): Lease = {
+    val token = java.util.UUID.randomUUID().toString
+    def won(): Boolean =
+      if (createExclusive(f, lock)) {
+        try stamp(f, lock, token)
+        catch { case t: Throwable => // never hold an unstamped lock
+          try f.delete(lock, false) catch { case _: Throwable => () }
+          throw t
+        }
+        true
+      } else false
+    if (won()) return new Lease(f, lock, what, token)
     val ageMs =
       try System.currentTimeMillis() -
         f.getFileStatus(lock).getModificationTime
@@ -69,27 +147,71 @@ object LeaseLock {
     if (ageMs > ttlMs) {
       val grave = new Path(lock.getParent,
         s"${lock.getName}.stale.${java.util.UUID.randomUUID().toString.take(8)}")
-      val won = try f.rename(lock, grave) catch { case _: Throwable => false }
-      if (won) f.delete(grave, false)
+      val wonRename = try f.rename(lock, grave)
+        catch { case _: Throwable => false }
+      if (wonRename) f.delete(grave, false)
     }
-    if (createExclusive(f, lock)) { stamp(f, lock); return }
+    if (won()) return new Lease(f, lock, what, token)
     throw new IllegalStateException(
       s"$what is locked by a live writer (lease age ${ageMs} ms <= " +
         s"ttl $ttlMs ms); a crashed holder's lease expires unattended " +
         s"after the ttl")
   }
 
-  /** Run `body` holding the lease on `lock`; heartbeat while running,
-    * release on every exit path. */
+  /** Run `body` holding the lease on `lock`; heartbeat (token-checked)
+    * while running, release on every exit path — but only when the
+    * lock is still OURS: a usurped holder leaves the new owner's lock
+    * alone and throws instead of reporting success. */
   def withLease[T](f: FileSystem, lock: Path, what: String,
       ttlMs: Long = DefaultTtlMs)(body: => T): T = {
-    acquire(f, lock, what, ttlMs)
+    val lease = acquire(f, lock, what, ttlMs)
     val period = math.max(50L, ttlMs / 4)
     val beat = heartbeats.scheduleAtFixedRate(
-      () => try f.setTimes(lock, System.currentTimeMillis(), -1)
-        catch { case _: Throwable => () },
+      () =>
+        // read-verify BEFORE touching: refreshing a stolen lock would
+        // keep the usurper's file alive under OUR schedule and mask
+        // the usurpation until release. A setTimes failure is
+        // SURFACED (loud stderr + re-stamp fallback, which also
+        // refreshes mtime) instead of silently dropping the beat —
+        // silently dropped beats make every pause look like a death.
+        if (lease.stillOwned()) {
+          try f.setTimes(lock, System.currentTimeMillis(), -1)
+          catch {
+            case t: Throwable =>
+              try stamp(f, lock, lease.token)
+              catch {
+                case t2: Throwable =>
+                  System.err.println(
+                    s"[graft] lease heartbeat on $what FAILED " +
+                      s"(setTimes: $t; re-stamp: $t2) — lease will look " +
+                      "stale after the ttl")
+              }
+          }
+        } else
+          System.err.println(
+            s"[graft] lease on $what was usurped mid-run; heartbeat " +
+              "stopped — the holder will abort at its next fence check"),
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val prev = current.get()
+    current.set(lease)
+    var bodyErr: Throwable = null
     try body
-    finally { beat.cancel(false); f.delete(lock, false) }
+    catch { case t: Throwable => bodyErr = t; throw t }
+    finally {
+      current.set(prev)
+      beat.cancel(false)
+      if (lease.stillOwned()) f.delete(lock, false)
+      else {
+        System.err.println(
+          s"[graft] NOT releasing lock on $what: lease was usurped " +
+            "(the new owner's lock file stays)")
+        // surface the broken mutual exclusion unless the body already
+        // failed (don't mask the original error)
+        if (bodyErr == null)
+          throw new IllegalStateException(
+            s"lease on $what was usurped while the critical section " +
+              "ran; its effects must not be trusted")
+      }
+    }
   }
 }

@@ -142,6 +142,7 @@ object Privacy {
               f"release '$label' (eps=$eps%.3f) would overdraw the " +
                 f"budget: spent $spent%.3f of $budget%.3f")
           import spark.implicits._
+          LeaseLock.fenceCheck() // usurped ⇒ abort before the spend lands
           Seq((label, eps)).toDF("label", "eps")
             .coalesce(1).write.mode("append").parquet(ledgerDir(base))
           spent + eps

@@ -320,6 +320,9 @@ final class TableStore(spark: SparkSession, root: String) {
     val tmp = new org.apache.hadoop.fs.Path(path(name) + "__tmp")
     val dst = new org.apache.hadoop.fs.Path(path(name))
     got.write.mode("overwrite").parquet(tmp.toString)
+    // fence: a usurped writer must abort BEFORE the destructive swap
+    // (the delete+rename pair is this store's publish point)
+    graft.operators.LeaseLock.fenceCheck()
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(tmp, dst)
   }

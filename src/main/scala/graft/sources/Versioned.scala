@@ -90,9 +90,11 @@ object VersionedStore {
     v
   }
 
-  /** The COMMIT half: one marker-file create. */
+  /** The COMMIT half: one marker-file create. Fence-checked: a writer
+    * usurped mid-stage aborts here, before the version is visible. */
   private[graft] def commitVersion(spark: SparkSession, base: String,
       v: Long): Unit = {
+    graft.operators.LeaseLock.fenceCheck()
     val f = fs(spark, base)
     f.mkdirs(markerDir(base))
     f.create(new Path(s"$base/ver/c_$v"), true).close()

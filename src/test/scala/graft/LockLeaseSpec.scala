@@ -61,6 +61,51 @@ class LockLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("a usurped-but-alive writer is fenced: no cascade delete, commit aborts") {
+    // the round-12 verdict #2 scenario: A pauses past the TTL, B steals,
+    // A resumes. Pre-fencing, A's heartbeat kept refreshing B's lock and
+    // A's release DELETED it, letting C in while B ran — three writers
+    // from one GC pause. With the per-acquisition token: A's heartbeat
+    // goes silent, A's commit fence throws, A's release leaves B's lock,
+    // and C still fails fast against B's live lease.
+    val dir = tmpDir("fence")
+    val lock = new Path(s"$dir/__lock")
+    var fenceThrew = false
+    var tokenStillBs = false
+    val e = intercept[IllegalStateException] {
+      LeaseLock.withLease(fs, lock, "A", ttlMs = 400L) {
+        // simulate B's post-TTL steal while A is "paused": the lock file
+        // now carries B's token (rename-away + fresh stamp ends here)
+        val o = fs.create(lock, true)
+        o.write("owner=B@host epoch_ms=0\ntoken=b-token\n".getBytes("UTF-8"))
+        o.close()
+        // let ≥2 of A's heartbeats fire: each must read-verify, see the
+        // foreign token, and touch NOTHING (the old code's setTimes +
+        // release-delete pair is exactly the cascade under test)
+        Thread.sleep(300L)
+        // the commit-point fence (IndexStore.commitEra / TableStore swap
+        // / Versioned.commitVersion all call this) must abort A here
+        fenceThrew =
+          intercept[IllegalStateException](LeaseLock.fenceCheck())
+            .getMessage.contains("usurped")
+        // A's heartbeat must not have re-stamped A's token over B's
+        val in = fs.open(lock)
+        val buf = new Array[Byte](512)
+        val n = in.read(buf); in.close()
+        tokenStillBs = new String(buf, 0, n, "UTF-8").contains("token=b-token")
+      }
+    }
+    assert(e.getMessage.contains("usurped"),
+      s"A's exit must surface the usurpation loudly, got: ${e.getMessage}")
+    assert(fenceThrew, "the commit fence let a usurped writer publish")
+    assert(tokenStillBs, "A's heartbeat overwrote B's lock file")
+    assert(fs.exists(lock), "A's release cascade-deleted B's live lease")
+    // C must fail fast while B's lease is fresh — mutual exclusion held
+    intercept[IllegalStateException] {
+      LeaseLock.withLease(fs, lock, "C", ttlMs = 60000L)(())
+    }
+  }
+
   // ---- cross-process: a REAL second JVM --------------------------------
 
   private def spawnContender(dir: String, holdMs: Long,
