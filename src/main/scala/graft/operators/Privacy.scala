@@ -11,10 +11,27 @@ import graft.functions.PortableLn
   * resumable job must re-release the IDENTICAL value on retry (fresh
   * noise per attempt would average away under repeated observation,
   * silently spending privacy budget). The PRF here is the stable
-  * 56-bit md5 hash salted with a caller-chosen release label — replay
-  * the label and the release is bit-identical; change the label and
-  * the noise is fresh. That determinism is also what makes the
-  * mechanism ORACLE-CHECKABLE: DuckDB replays the hash, the
+  * 56-bit md5 hash over (SECRET ‖ seed ‖ label):
+  *
+  *  - the SECRET is a deployment credential (pass
+  *    [[secretFromConf]]'s value in production — a Spark conf entry,
+  *    an env var, a vault read; NEVER persisted next to the release).
+  *    Without it the noise would be a pure function of public inputs
+  *    — the group key and the release label, both visible to any
+  *    consumer — and anyone could recompute (ln u1 − ln u2)/ε per
+  *    group and subtract the noise off the release exactly
+  *    (round-12 ADVICE, high). Tests and oracle replays inject a
+  *    known test-only secret so cross-engine exactness still holds;
+  *    a real deployment's secret never leaves its config.
+  *  - the SEED length-prefixes every key value (`len:value` per key,
+  *    concatenated), so distinct key tuples can never share a seed —
+  *    plain concatenation would give ("ab","c") and ("a","bc")
+  *    identical noise, enabling exact differencing between those
+  *    groups (round-12 ADVICE, low).
+  *
+  * Replay the label and the release is bit-identical; change the
+  * label and the noise is fresh. That determinism is also what makes
+  * the mechanism ORACLE-CHECKABLE: DuckDB replays the hash, the
   * bit-portable ln chain, and the same IEEE arithmetic, so the noisy
   * release hashes exactly.
   *
@@ -24,9 +41,9 @@ import graft.functions.PortableLn
   * domain because u ∈ [2⁻⁴⁰, 1) by construction.
   *
   * Scale shape: everything is one map-side-combined groupBy (dpSum
-  * adds the per-user clamp aggregate first — the sensitivity bound);
-  * the noise is a per-GROUP projection, so its cost is ∝ groups,
-  * never rows.
+  * adds the per-user contribution cap + clamp aggregates first — the
+  * sensitivity bound); the noise is a per-GROUP projection, so its
+  * cost is ∝ groups, never rows.
   */
 object Privacy {
 
@@ -36,20 +53,36 @@ object Privacy {
     * grid. */
   val U40: Long = 1L << 40
 
-  /** Keyed uniform in (0, 1): (hash56(seed‖salt) mod 2⁴⁰ + 1)/(2⁴⁰+1).
-    * The +1 dodges zero (ln's pole); numerator and denominator are
-    * both < 2⁵³ so the int→double casts and the division are exactly
-    * rounded — bit-identical in any IEEE engine. */
-  def keyedUniform(seed: Column, salt: String): Column =
-    (Dedup.hash56(concat(seed, lit(salt))) % lit(U40) + lit(1L))
+  /** The production path for the PRF secret: a session-conf entry the
+    * operator sets from its secret store. Throws when unset — a DP
+    * release with no secret is the vulnerability, not a default. */
+  def secretFromConf(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("graft.dp.secret")
+
+  /** Keyed uniform in (0, 1):
+    * (hash56(secret‖seed‖salt) mod 2⁴⁰ + 1)/(2⁴⁰+1). The +1 dodges
+    * zero (ln's pole); numerator and denominator are both < 2⁵³ so the
+    * int→double casts and the division are exactly rounded —
+    * bit-identical in any IEEE engine. */
+  def keyedUniform(secret: String, seed: Column, salt: String): Column =
+    (Dedup.hash56(concat(lit(secret), seed, lit(salt))) % lit(U40) + lit(1L))
       .cast("double") / lit((U40 + 1).toDouble)
 
-  private def withNoise(g: DataFrame, keys: Seq[String],
+  /** `len:value` — the prefix that makes key concatenation injective. */
+  private def lenPrefixed(k: Column): Column = {
+    val s = k.cast("string")
+    concat(length(s).cast("string"), lit(":"), s)
+  }
+
+  private def seedExpr(keys: Seq[String]): Column =
+    concat(keys.map(k => lenPrefixed(col(k))): _*)
+
+  private def withNoise(g: DataFrame, keys: Seq[String], secret: String,
       label: String): DataFrame = {
     val seeded = g
-      .withColumn("__seed", concat_ws("", keys.map(col): _*))
-      .withColumn("u1", keyedUniform(col("__seed"), s":$label:1"))
-      .withColumn("u2", keyedUniform(col("__seed"), s":$label:2"))
+      .withColumn("__seed", seedExpr(keys))
+      .withColumn("u1", keyedUniform(secret, col("__seed"), s":$label:1"))
+      .withColumn("u2", keyedUniform(secret, col("__seed"), s":$label:2"))
     PortableLn.withLn(PortableLn.withLn(seeded, "u1", "ln1"), "u2", "ln2")
   }
 
@@ -63,34 +96,55 @@ object Privacy {
     * contributes one row; for user-level protection count DISTINCT
     * units per group upstream). Output: keys + `dp_n`. */
   def dpCount(df: DataFrame, keys: Seq[String], eps: Double,
-      label: String = "dp"): DataFrame = {
+      secret: String, label: String = "dp"): DataFrame = {
     require(eps > 0, "epsilon must be positive")
     val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("exact_n"))
-    withNoise(g, keys, label)
+    withNoise(g, keys, secret, label)
       .select(keys.map(col) :+ grid(
         s"CAST(exact_n AS DOUBLE) + ((ln1 - ln2) * ${PortableLn.dbl(1.0 / eps)})",
         "dp_n"): _*)
   }
 
-  /** ε-DP noisy group sums with USER-LEVEL sensitivity: each user's
-    * per-group total (exact integer cents) is clamped to
-    * [−clampCents, clampCents] BEFORE the group sum, so one user moves
-    * the true sum by at most the clamp and Laplace(clamp/ε) masks
-    * them. Output: keys + `dp_sum` in currency units. */
+  /** ε-DP noisy group sums with USER-LEVEL sensitivity, both bounds
+    * explicit (round-12 ADVICE: the clamp alone bounds a user's
+    * per-GROUP contribution; a user present in k groups still shifts
+    * the release VECTOR by k·clamp):
+    *
+    *  1. CONTRIBUTION CAP — each user keeps at most
+    *     `maxGroupsPerUser` groups, chosen by a deterministic public
+    *     hash rank (the standard DP-SQL contribution-bounding step;
+    *     both engines replay the same choice), so k ≤ k_max by
+    *     construction;
+    *  2. CLAMP — the surviving per-(user, group) totals (exact
+    *     integer cents) are clamped to [−clampCents, clampCents].
+    *
+    * User-level L1 sensitivity is therefore k_max·clamp, and the
+    * Laplace scale is k_max·clamp/ε — the released ε is a true
+    * user-level guarantee, not per-(user, group). Output: keys +
+    * `dp_sum` in currency units. */
   def dpSum(df: DataFrame, keys: Seq[String], userCol: String,
-      valueCents: Column, clampCents: Long, eps: Double,
-      label: String = "dps"): DataFrame = {
+      valueCents: Column, clampCents: Long, eps: Double, secret: String,
+      maxGroupsPerUser: Int = 1, label: String = "dps"): DataFrame = {
     require(eps > 0, "epsilon must be positive")
     require(clampCents > 0, "clamp must be positive")
+    require(maxGroupsPerUser > 0, "contribution cap must be positive")
     val per = df.groupBy((userCol +: keys).map(col): _*)
       .agg(sum(valueCents).as("uv"))
+    // contribution cap: per user, keep the maxGroupsPerUser groups with
+    // the smallest public hash (group keys as tiebreak) — deterministic,
+    // engine-replayable, and a window on the HIGH-cardinality user key
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+      .orderBy(Dedup.hash56(concat((userCol +: keys)
+        .map(k => lenPrefixed(col(k))): _*)) +: keys.map(col): _*)
+    val kept = per.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxGroupsPerUser)
       .withColumn("cv",
         greatest(least(col("uv"), lit(clampCents)), lit(-clampCents)))
-    val g = per.groupBy(keys.map(col): _*).agg(sum("cv").as("exact_c"))
-    withNoise(g, keys, label)
+    val g = kept.groupBy(keys.map(col): _*).agg(sum("cv").as("exact_c"))
+    withNoise(g, keys, secret, label)
       .select(keys.map(col) :+ grid(
         s"(CAST(exact_c AS DOUBLE) * 1.0e-2) + ((ln1 - ln2) * " +
-          s"${PortableLn.dbl(clampCents / 100.0 / eps)})",
+          s"${PortableLn.dbl(maxGroupsPerUser * clampCents / 100.0 / eps)})",
         "dp_sum"): _*)
   }
 
@@ -154,24 +208,30 @@ object Privacy {
     * overdraw — no data leaves), then release. Same (label, eps) ⇒
     * the identical release at zero additional cost. */
   def dpCountBudgeted(spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame, keys: Seq[String], eps: Double, label: String,
-      base: String, budget: Double): DataFrame = {
+      df: DataFrame, keys: Seq[String], eps: Double, secret: String,
+      label: String, base: String, budget: Double): DataFrame = {
     chargeBudget(spark, base, label, eps, budget)
-    dpCount(df, keys, eps, label)
+    dpCount(df, keys, eps, secret, label)
   }
 
+  /** DuckDB `len:value` key prefix mirroring [[lenPrefixed]]. */
+  private def lenPrefixedSql(k: String): String =
+    s"(CAST(length(CAST($k AS VARCHAR)) AS VARCHAR) || ':' " +
+      s"|| CAST($k AS VARCHAR))"
+
   /** DuckDB replay of [[keyedUniform]] over a single VARCHAR key. */
-  private def uniformSql(key: String, salt: String): String =
-    s"CAST(((md5_number_lower($key || '$salt') % ${Dedup.M56}) % $U40) + 1" +
+  private def uniformSql(secret: String, key: String, salt: String): String =
+    s"CAST(((md5_number_lower('$secret' || ${lenPrefixedSql(key)} " +
+      s"|| '$salt') % ${Dedup.M56}) % $U40) + 1" +
       s" AS DOUBLE) / ${PortableLn.dbl((U40 + 1).toDouble)}"
 
   /** Oracle SQL for [[dpCount]] grouped by one VARCHAR key. */
   def dpCountOracleSql(table: String, key: String, eps: Double,
-      label: String): String =
+      secret: String, label: String): String =
     s"""WITH g AS (SELECT $key, count(*) AS exact_n FROM $table GROUP BY 1),
       s AS (SELECT *,
-        ${uniformSql(key, s":$label:1")} AS u1,
-        ${uniformSql(key, s":$label:2")} AS u2
+        ${uniformSql(secret, key, s":$label:1")} AS u1,
+        ${uniformSql(secret, key, s":$label:2")} AS u2
       FROM g),
       ${PortableLn.cteChainSql("s", "u1", "ln1", "c1")},
       ${PortableLn.cteChainSql(PortableLn.cteChainOut("c1"), "u2", "ln2", "c2")}
@@ -185,24 +245,30 @@ object Privacy {
     * must yield the SAME exact integer cents as the Spark-side
     * `valueCents` column. */
   def dpSumOracleSql(table: String, key: String, userCol: String,
-      valueSql: String, clampCents: Long, eps: Double,
-      label: String): String =
+      valueSql: String, clampCents: Long, eps: Double, secret: String,
+      maxGroupsPerUser: Int, label: String): String =
     s"""WITH per AS (
         SELECT $userCol, $key, CAST(sum($valueSql) AS BIGINT) AS uv
         FROM $table GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY $userCol
+          ORDER BY (md5_number_lower(${lenPrefixedSql(userCol)}
+            || ${lenPrefixedSql(key)}) % ${Dedup.M56}), $key) AS rn
+        FROM per),
       cl AS (SELECT $key,
-        greatest(least(uv, $clampCents), -$clampCents) AS cv FROM per),
+        greatest(least(uv, $clampCents), -$clampCents) AS cv
+        FROM rk WHERE rn <= $maxGroupsPerUser),
       g AS (SELECT $key, CAST(sum(cv) AS BIGINT) AS exact_c
         FROM cl GROUP BY 1),
       s AS (SELECT *,
-        ${uniformSql(key, s":$label:1")} AS u1,
-        ${uniformSql(key, s":$label:2")} AS u2
+        ${uniformSql(secret, key, s":$label:1")} AS u1,
+        ${uniformSql(secret, key, s":$label:2")} AS u2
       FROM g),
       ${PortableLn.cteChainSql("s", "u1", "ln1", "c1")},
       ${PortableLn.cteChainSql(PortableLn.cteChainOut("c1"), "u2", "ln2", "c2")}
       SELECT $key,
         CAST(CAST(floor(((CAST(exact_c AS DOUBLE) * 1.0e-2) +
-            ((ln1 - ln2) * ${PortableLn.dbl(clampCents / 100.0 / eps)}))
+            ((ln1 - ln2) *
+              ${PortableLn.dbl(maxGroupsPerUser * clampCents / 100.0 / eps)}))
             * 1.0e6) AS BIGINT)
           AS DOUBLE) / 1.0e6 AS dp_sum
       FROM ${PortableLn.cteChainOut("c2")} ORDER BY 1"""

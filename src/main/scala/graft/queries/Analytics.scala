@@ -752,41 +752,52 @@ object Analytics {
           / 4.0 AS p75_s
       FROM d"""))
 
+  /** The registry's PRF secret — TEST-ONLY, embedded so the DuckDB
+    * oracle can replay the mechanism bit-identically. A deployment
+    * passes [[graft.operators.Privacy.secretFromConf]]'s value and its
+    * secret never appears in any persisted artifact. */
+  private val dpTestSecret = "graft-test-secret"
+
   /** A49: DIFFERENTIALLY PRIVATE count release (operators.Privacy) —
     * per-type event counts released under ε=1 Laplace noise drawn from
-    * the keyed PRF, so a retry re-releases the identical value instead
-    * of spending fresh budget, and DuckDB replays hash + portable-ln +
-    * IEEE arithmetic to the same 1e-6 grid. The noise is real (each
-    * group's release differs from its exact count) yet the query is
-    * hash-exact — the mechanism itself is under test, not just its
-    * inputs. */
+    * the SECRET-keyed PRF (hash56(secret‖seed‖label)), so a retry
+    * re-releases the identical value instead of spending fresh budget
+    * while a consumer without the secret cannot reconstruct the noise,
+    * and DuckDB replays hash + portable-ln + IEEE arithmetic to the
+    * same 1e-6 grid. The noise is real (each group's release differs
+    * from its exact count) yet the query is hash-exact — the mechanism
+    * itself is under test, not just its inputs. */
   val a49DpCount = Q(
     "a49_dp_count",
     (s, dir) => graft.operators.Privacy.dpCount(
         Tables.load(s, dir, "events"), Seq("event_type"), eps = 1.0,
-        label = "rel1")
+        secret = dpTestSecret, label = "rel1")
       .orderBy("event_type"),
     Some(graft.operators.Privacy.dpCountOracleSql(
-      "events", "event_type", eps = 1.0, label = "rel1")))
+      "events", "event_type", eps = 1.0, secret = dpTestSecret,
+      label = "rel1")))
 
-  /** A50: DP sum release with USER-LEVEL sensitivity — per-type value
-    * totals where each user's per-type contribution is clamped to
-    * ±$500 in exact cents before the sum, then Laplace(clamp/ε) with
-    * ε=0.5 masks any single user. The clamp aggregate is the
-    * sensitivity PROOF, not a heuristic: one user can move the true
-    * sum by at most the clamp, which is exactly what the noise scale
-    * assumes. */
+  /** A50: DP sum release with USER-LEVEL sensitivity, both bounds
+    * explicit — each user keeps at most 3 event types (deterministic
+    * hash-ranked contribution cap, replayed by the oracle), the
+    * per-(user, type) total is clamped to ±$500 in exact cents, and
+    * Laplace(3·clamp/ε) with ε=0.5 masks any single user across their
+    * whole release vector. The cap + clamp pair is the sensitivity
+    * PROOF: one user moves the vector by at most k_max·clamp, exactly
+    * what the noise scale assumes. */
   val a50DpSum = Q(
     "a50_dp_sum",
     (s, dir) => graft.operators.Privacy.dpSum(
         Tables.load(s, dir, "events"), Seq("event_type"), "user_id",
         valueCents = (Q.dec("value") * 100).cast("long"),
-        clampCents = 50000L, eps = 0.5, label = "rel1")
+        clampCents = 50000L, eps = 0.5, secret = dpTestSecret,
+        maxGroupsPerUser = 3, label = "rel1")
       .orderBy("event_type"),
     Some(graft.operators.Privacy.dpSumOracleSql(
       "events", "event_type", "user_id",
       valueSql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
-      clampCents = 50000L, eps = 0.5, label = "rel1")))
+      clampCents = 50000L, eps = 0.5, secret = dpTestSecret,
+      maxGroupsPerUser = 3, label = "rel1")))
 
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
