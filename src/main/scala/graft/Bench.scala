@@ -13,8 +13,10 @@ object Bench {
     val all =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
-    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just the named queries
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just the named queries;
+    // "@scaling" selects the per-round sf1 scaling-gate subset
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some("@scaling") => SparkEntry.scalingQueries
       case Some(s) if s.trim.nonEmpty =>
         val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
         all.filter(want) ++ want.filterNot(all.contains).toSeq.sorted

@@ -60,9 +60,36 @@ object SparkEntry {
       "a41_kmv_setops_k256", "a46_hll_small", "w10_global_cumsum",
       "g_hyperball", "g_random_walks", "g_walk_pairs",
       "t28_seasonal_outliers", "m23_zorder_skipping", "a49_dp_count",
-      "a50_dp_sum", "sim_hard_negatives", "txt_hash_features",
+      "a50_dp_sum", "sim_hard_negatives", "sim_hard_negatives_ivf",
+      "txt_hash_features",
       "g_modularity", "a51_ht_estimate", "t29_survival", "t30_cusum",
       "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney", "a56_ks_test")
     preferred.filter(queries.contains)
   }
+
+  /** The per-round SCALING GATE subset (round-12 verdict #3): the sf1
+    * worst movers plus one per operator family, re-run every round at
+    * sf0.1 AND sf1 (tools/sf1gate.py) so a regression that only shows
+    * at 10× — a broadcast that stops fitting, a stage that went
+    * quadratic — gets caught the round it lands, with its sf1/sf0.1
+    * ratio recorded next to BENCH_r*.json. */
+  def scalingQueries: Seq[String] = Seq(
+    "sim_ivf_multiprobe", // r12's worst mover (13.9×): work ∝ queries·cells
+    "j6_fuzzy_join",      // 12.3× at sf1: token-block size distribution
+    "dd_minhash_lsh",     // dedup family: banded candidate join
+    "dd_components",      // iterative CC contraction
+    "dd_substring_cut",   // heaviest dedup pass
+    "q1_agg",             // scan+agg baseline
+    "q9_product_profit",  // TPC-H multi-join
+    "g_pagerank",         // iterative graph
+    "g_hyperball",        // slowest bench query (4 HLL max-merge rounds)
+    "txt_bpe",            // corpus/text family
+    "txt_decontam",       // n-gram join family
+    "corpus_curate",      // pipeline composition
+    "sim_topk_bruteforce",// ANN truth instrument (bounded product)
+    "t8_sessionize",      // temporal/session family
+    "a54_spearman",       // the round-13 grouped-rank machinery
+    "w10_global_cumsum",  // Align.prefixSum global cumsum
+    "a50_dp_sum")         // DP release + per-user cap window
+    .filter(queries.contains)
 }

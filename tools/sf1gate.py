@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Per-round sf1 SCALING GATE (round-12 verdict #3).
+
+Runs graft.Bench over SparkEntry.scalingQueries (the sf1 worst movers
+plus one per operator family) at sf0.1 AND at the 10x data/sf1 replica,
+records per-query sf1/sf0.1 wall-clock ratios, and flags any query whose
+ratio regressed >1.5x against the previous round's artifact -- the
+regression class that stays invisible at sf0.1 (a broadcast that stops
+fitting, a stage gone quadratic) gets caught the round it lands.
+
+Usage:  python3 tools/sf1gate.py <round>        # e.g. 13
+        -> writes BENCH_sf1_r<round>.json in the repo root
+
+Run SOLO (no concurrent sbt/DuckDB): timings are min-of-passes and any
+contention invalidates them. Regenerate the replica first if missing:
+  sbt -batch "runMain graft.DataGen /root/testdata/sf0.1 data/sf1 10"
+"""
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RATIO_REGRESSION_BAR = 1.5
+
+
+def run_bench(sf_dir: str, out: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_ONLY="@scaling",
+               SPARK_GRAFT_RUNS="2",
+               SPARK_GRAFT_BENCH_OUT=out)
+    print(f"[sf1gate] bench {sf_dir} ...", flush=True)
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.exit(f"bench failed for {sf_dir}:\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}")
+    with open(out) as f:
+        d = json.load(f)
+    if d.get("errors"):
+        sys.exit(f"bench errors for {sf_dir}: {d['errors']}")
+    return d
+
+
+def prior_ratios(this_round: int) -> tuple[str, dict]:
+    """Newest BENCH_sf1_r<N>.json below this round, if any."""
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(REPO, "BENCH_sf1_r*.json")):
+        m = re.search(r"BENCH_sf1_r(\d+)\.json$", p)
+        if m and best_n < int(m.group(1)) < this_round:
+            best, best_n = p, int(m.group(1))
+    if best:
+        with open(best) as f:
+            return os.path.basename(best), json.load(f).get("ratio", {})
+    # round 13 bootstrap: derive ratios from the round-12 full-bench pair
+    a, b = (os.path.join(REPO, "BENCH_sf0.1_r12_full.json"),
+            os.path.join(REPO, "BENCH_sf1_full.json"))
+    if os.path.exists(a) and os.path.exists(b):
+        with open(a) as f:
+            s01 = json.load(f)["queries"]
+        with open(b) as f:
+            s1 = json.load(f)["queries"]
+        return "r12 full-bench pair", {
+            q: round(s1[q] / s01[q], 3) for q in s1 if q in s01 and s01[q] > 0}
+    return "none", {}
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    sf1_dir = os.path.join(REPO, "data/sf1")
+    if not os.path.isdir(sf1_dir):
+        sys.exit("data/sf1 missing -- regenerate with graft.DataGen first "
+                 "(see module docstring)")
+    s01 = run_bench("/root/testdata/sf0.1", "/tmp/sf1gate_sf01.json")
+    s1 = run_bench(sf1_dir, "/tmp/sf1gate_sf1.json")
+    q01, q1 = s01["queries"], s1["queries"]
+    ratio = {q: round(q1[q] / q01[q], 3) for q in q1 if q in q01 and q01[q] > 0}
+    src, prior = prior_ratios(rnd)
+    flagged = {q: {"ratio": r, "prior": prior[q],
+                   "regress": round(r / prior[q], 2)}
+               for q, r in ratio.items()
+               if q in prior and prior[q] > 0
+               and r / prior[q] > RATIO_REGRESSION_BAR}
+    out = {
+        "metric": "sf1_scaling_gate", "round": rnd,
+        "sf01_sum_min_sec": s01["value"], "sf1_sum_min_sec": s1["value"],
+        "sum_ratio": round(s1["value"] / s01["value"], 3),
+        "queries_sf01": q01, "queries_sf1": q1, "ratio": ratio,
+        "prior_source": src,
+        "regression_bar": RATIO_REGRESSION_BAR,
+        "flagged": flagged,
+        "loadavg": [s01.get("loadavg_start"), s01.get("loadavg_end"),
+                    s1.get("loadavg_start"), s1.get("loadavg_end")],
+    }
+    path = os.path.join(REPO, f"BENCH_sf1_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"[sf1gate] wrote {path}")
+    print(f"[sf1gate] sum ratio sf1/sf0.1 = {out['sum_ratio']}x over "
+          f"{len(ratio)} queries; worst "
+          f"{max(ratio, key=ratio.get)} = {max(ratio.values())}x")
+    if flagged:
+        print(f"[sf1gate] REGRESSIONS past {RATIO_REGRESSION_BAR}x vs {src}:")
+        for q, d in sorted(flagged.items(), key=lambda kv: -kv[1]["regress"]):
+            print(f"  {q}: ratio {d['prior']} -> {d['ratio']} "
+                  f"({d['regress']}x) -- name the cause in BUILD_NOTES")
+        sys.exit(1)
+    print(f"[sf1gate] no ratio regressed past {RATIO_REGRESSION_BAR}x vs {src}")
+
+
+if __name__ == "__main__":
+    main()
