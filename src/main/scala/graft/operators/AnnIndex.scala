@@ -169,6 +169,30 @@ object AnnIndex {
     df.agg(coalesce(max(size(col("cv"))), lit(0)))
       .collect().head.getInt(0)
 
+  /** The centroid-table BROADCAST CEILING (round-12 verdict #7): the
+    * id-stride rule makes cells ∝ N/stride, and both build-time
+    * assignment and every serve batch broadcast the centroid table —
+    * a quietly growing broadcast that fits at sf1 (1 250 cells ≈
+    * 0.5 MB at 96 dims) and is 24 GB at 10⁹ vectors with the same
+    * stride 16. Exceeding the ceiling fails AT BUILD with the remedy
+    * spelled out (raise the stride toward N/maxCells — IVF's √N rule
+    * keeps recall AND the broadcast sub-linear — or shard the
+    * assignment as a partitioned centroid join) instead of letting
+    * the first over-sized batch OOM an executor mid-serve. A require,
+    * not an auto-raise: silently changing the stride would change
+    * which ids seed cells, i.e. the index geometry and every serve
+    * answer. */
+  val DefaultMaxCells: Int = 65536
+
+  private def requireCellBudget(nCells: Long, n: Long, stride: Int,
+      maxCells: Int, what: String): Unit =
+    require(nCells <= maxCells,
+      s"$what derives $nCells centroid cells (stride $stride over $n " +
+        s"vectors), past the broadcast ceiling $maxCells: raise " +
+        s"seedStride to ~${math.max(stride.toLong, n / maxCells + 1)} " +
+        "(the √N rule: stride ≈ N/√N keeps cells ∝ √N), or partition " +
+        "the centroid join instead of broadcasting")
+
   /** Build once per (tag, geometry): centroids = the id-stride coarse
     * quantizer over the build corpus, postings spill-replicated and
     * bucketed by cell, empty tombstones, the known-ids list, and gen-0
@@ -176,7 +200,8 @@ object AnnIndex {
     * one marker create. */
   def buildIndex(spark: org.apache.spark.sql.SparkSession,
       candidates: => DataFrame, idCol: String, vecCol: String, tag: String,
-      seedStride: Int, spill: Int, buckets: Int = 8): Unit =
+      seedStride: Int, spill: Int, buckets: Int = 8,
+      maxCells: Int = DefaultMaxCells): Unit =
     graft.sources.Bucketing.ensureOnce(s"ann@$tag#$seedStride#$spill#$buckets") {
       val base = indexBase(tag)
       // every PUBLIC mutator holds the create-exclusive writer lock:
@@ -188,6 +213,8 @@ object AnnIndex {
         val words = math.max(1, (measuredDims(c) + 31) / 32)
         val cents = c.filter(col("cand_id") % seedStride === 0)
           .select(col("cand_id").as("cent_id"), col("cv").as("cent_v"))
+        requireCellBudget(cents.count(), c.count(), seedStride, maxCells,
+          s"buildIndex($tag)")
         IndexStore.stagePlain(cents, centDir(base, 0L))
         val post = withCodes(assignCells(cents, c, "cand_id", "cv", keep = spill)
           .select(col("cell"), col("cand_id"), col("cv"), lit(0L).as("gen")),
@@ -597,9 +624,13 @@ object AnnIndex {
         // compaction still physically drops tombstoned rows; only the
         // re-clustering is declined.
         if (c.limit(1).count() == 0L) (live, frozenCents)
-        else (withCodes(assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
-          .select(col("cell"), col("cand_id"), col("cv"), col("gen")),
-          m.words), c)
+        else {
+          requireCellBudget(c.count(), uniq.count(), m.seedStride,
+            DefaultMaxCells, s"compactIndex($tag, recluster)")
+          (withCodes(assignCells(c, uniq, "cand_id", "cv", keep = m.spill)
+            .select(col("cell"), col("cand_id"), col("cv"), col("gen")),
+            m.words), c)
+        }
       }
     IndexStore.stageBucketed(post, IndexStore.postDir(base, next),
       "cell", m.buckets)

@@ -134,7 +134,8 @@ object Curation {
     * inside a quality class break by ascending id — matching the
     * oracle's ORDER BY quality DESC, id. */
   def budgetFill(docs: DataFrame, idCol: String, qualityCol: String,
-      tokensCol: String, budget: Long): DataFrame = {
+      tokensCol: String, budget: Long,
+      maxPlanningClasses: Int = 100000): DataFrame = {
     // localCheckpoint: the caller's quality/token lineage (typically a
     // whole-corpus tokenize) is referenced by the planning aggregate
     // AND both selection legs — materialize the 3-long-column frame
@@ -147,21 +148,41 @@ object Curation {
     // contract, like a zone map is ∝ files — so the boundary scan runs
     // on the driver: one aggregate job, no window, no second corpus
     // pass for a 1-row frame (measured 0.65 → 1.04 s when this was a
-    // distributed prefix sum; the driver scan wins it back)
-    val classRows = d.groupBy("__q").agg(sum("__tok").as("class_tok"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-    var above = 0L
-    var qc: Option[Long] = None
-    val it = classRows.iterator
-    while (qc.isEmpty && it.hasNext) {
-      val (q, tok) = it.next()
-      if (above + tok > budget) qc = Some(q) else above += tok
-    }
-    qc match {
+    // distributed prefix sum; the driver scan wins it back). The
+    // contract is GUARDED, not trusted (round-12 verdict #3): the
+    // collect is bounded by limit(max+1), and a caller who fixed-points
+    // at 1e9 granularity falls through to a fully distributed boundary
+    // plan instead of materializing millions of classes on the driver.
+    val classAgg = d.groupBy("__q").agg(sum("__tok").as("class_tok"))
+    val sample = classAgg.limit(maxPlanningClasses + 1).collect()
+    val boundary: Option[(Long, Long)] = // (qb, tokens above the class)
+      if (sample.length <= maxPlanningClasses) {
+        val classRows = sample.map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1)
+        var above = 0L
+        var qc: Option[(Long, Long)] = None
+        val it = classRows.iterator
+        while (qc.isEmpty && it.hasNext) {
+          val (q, tok) = it.next()
+          if (above + tok > budget) qc = Some((q, above)) else above += tok
+        }
+        qc
+      } else {
+        // distributed fallback: prefix-sum the class frame in quality-
+        // descending order (∝ classes, range-partitioned); the boundary
+        // is the first class whose running total crosses the budget —
+        // ONE row to the driver, never the class frame
+        Align.prefixSum(classAgg, "class_tok", "__cum", col("__q").desc)
+          .filter(col("__cum") > budget)
+          .orderBy(col("__q").desc).limit(1)
+          .collect().headOption
+          .map(r => (r.getLong(0), r.getLong(2) - r.getLong(1)))
+      }
+    boundary match {
       // everything fits: the whole corpus is the answer
       case None => d.withColumnsRenamed(
         Map("__q" -> "quality", "__tok" -> "n_tok"))
-      case Some(qb) =>
+      case Some((qb, above)) =>
         val residual = budget - above
         val whole = d.filter(col("__q") > qb)
           .select(col(idCol), col("__q"), col("__tok"))

@@ -68,6 +68,31 @@ object FuzzyJoin {
     if (commonTokens.isEmpty) tokens
     else array_except(tokens, array(commonTokens.map(lit): _*))
 
+  /** The "no silent caps" instrument for [[matchNames]]'s maxTokenDf
+    * stoplist: one row per DROPPED hot token with its company-side df,
+    * applicant-side df, and the candidate pairs (a_df · c_df) the cap
+    * eliminated — what the operator traded for a bounded candidate
+    * stage, surfaced instead of silent (the a43 basket-cap
+    * discipline). Cost: two token-df aggregates, output ∝ hot tokens
+    * (tiny by construction). */
+  def droppedPairReport(applicants: DataFrame, companies: DataFrame,
+      applicantName: String, companyName: String,
+      commonTokens: Seq[String], maxTokenDf: Long): DataFrame = {
+    val aDf = applicants.select(explode(blockingTokens(
+        TextFunctions.nameTokens(col(applicantName)), commonTokens))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("a_df"))
+    val cDf = companies.select(explode(blockingTokens(
+        TextFunctions.nameTokens(col(companyName)), commonTokens))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_df"))
+    cDf.filter(col("c_df") > maxTokenDf)
+      .join(aDf, Seq("token"), "left_outer")
+      .withColumn("a_df", coalesce(col("a_df"), lit(0L)))
+      .withColumn("dropped_pairs", col("a_df") * col("c_df"))
+      .select("token", "a_df", "c_df", "dropped_pairs")
+  }
+
   /** The similarity join.
     *
     * @param applicants (idCol, nameCol) — left side

@@ -2402,4 +2402,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l1(warm) < l1(cold),
       s"warm restart (${l1(warm)}) must beat cold (${l1(cold)}) at equal iterations")
   }
+
+  test("AnnIndex.buildIndex refuses a centroid table past the broadcast ceiling") {
+    // round-12 verdict #7: cells ∝ N/stride and the table is broadcast
+    // on every build/serve — the ceiling must fail AT BUILD with the
+    // stride remedy, not OOM an executor at 1000× the corpus
+    import graft.operators.AnnIndex
+    val vecs = (0L until 64L).map(i => (i, Seq(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.buildIndex(spark, vecs, "vec_id", "embedding",
+        s"cellcap_${System.nanoTime()}", seedStride = 2, spill = 1,
+        buckets = 2, maxCells = 8)
+    }
+    assert(e.getMessage.contains("broadcast ceiling"), e.getMessage)
+    assert(e.getMessage.contains("raise"), e.getMessage)
+  }
 }

@@ -674,4 +674,93 @@ class PropertySpec extends AnyFunSuite {
           s"budget $budget over $rows: got $got want $want")
       }
   }
+
+  test("fuzzy-join hot-token cap bounds the candidate stage and surfaces dropped pairs") {
+    import org.apache.spark.sql.functions.col
+    // the j6 contract (round-12 verdict #6, the a43 discipline): a
+    // synthetic hot token every row shares must hit maxTokenDf — the
+    // candidate stage stays ∝ rare-token blocks instead of n² — while
+    // droppedPairReport accounts EXACTLY the a_df·c_df pairs traded
+    // away, and pairs sharing any rare token still match.
+    val n = 60
+    val apps = (0 until n)
+      .map(i => (i.toLong, s"hotshared unique$i holdings"))
+      .toDF("id", "name")
+    val comps = (0 until n)
+      .map(i => (i.toLong + 1000, s"hotshared unique${i / 2} trading"))
+      .toDF("id", "name")
+    val capped = FuzzyJoin.matchNames(apps, comps, "id", "name", "id", "name",
+      minConfidence = 0.3, topK = 5, maxTokenDf = 10, difflibParity = false)
+      .select("applicant_id", "company_id")
+      .as[(Long, Long)].collect().toSet
+    // with the hot token capped, blocking works through uniqueK only:
+    // applicant i matches companies 2i and 2i+1 (same uniqueK) — never
+    // a pair whose ONLY shared token is the hot one
+    val viaRare = (0 until n).flatMap { i =>
+      Seq(2 * i, 2 * i + 1).filter(_ < n).map(c => (i.toLong, c + 1000L))
+    }.toSet
+    assert(capped.subsetOf(viaRare),
+      s"hot-token-only pairs leaked through the cap: ${capped -- viaRare}")
+    assert(capped.nonEmpty, "rare-token blocks must still match")
+    // equivalence with the caller-known stoplist: the data-computed cap
+    // and commonTokens exclusion are the same operator
+    val viaStoplist = FuzzyJoin.matchNames(apps, comps, "id", "name",
+      "id", "name", minConfidence = 0.3, topK = 5,
+      commonTokens = Seq("hotshared"), difflibParity = false)
+      .select("applicant_id", "company_id").as[(Long, Long)].collect().toSet
+    assert(capped == viaStoplist,
+      "maxTokenDf and the explicit stoplist must drop the same blocks")
+    // the surfaced account: the cross-side hot token costs exactly n·n
+    // pairs; "trading" (hot on the company side only) is reported with
+    // ZERO dropped pairs — hot but harmless
+    val report = FuzzyJoin.droppedPairReport(apps, comps, "name", "name",
+      commonTokens = Nil, maxTokenDf = 10)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(report.keySet == Set("hotshared", "trading"), report)
+    assert(report("hotshared") == ((n.toLong, n.toLong, n.toLong * n)), report)
+    assert(report("trading") == ((0L, n.toLong, 0L)), report)
+    // and no silent cap when nothing is hot
+    assert(FuzzyJoin.droppedPairReport(apps, comps, "name", "name",
+      Nil, maxTokenDf = 1000).count() == 0)
+  }
+
+  test("budgetFill's distributed planning fallback equals the driver path") {
+    // the guard (round-12 verdict #3): past maxPlanningClasses the
+    // boundary comes from a distributed class prefix sum, one row to
+    // the driver. Equality with the driver-scan path on random corpora
+    // — boundary classes, exact fits, everything-fits budgets — is the
+    // fallback's whole contract.
+    val docGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(1L, 20L)))
+    samples(Gen.zip(docGen, Gen.choose(1L, 400L)), 25)
+      .foreach { case (docs, budget) =>
+        val rows = docs.zipWithIndex.map { case ((q, t), i) => (i.toLong, q, t) }
+        val df = rows.toDF("id", "q", "tok")
+        def ids(maxClasses: Int) = graft.operators.Curation
+          .budgetFill(df, "id", "q", "tok", budget, maxClasses)
+          .select("id").as[Long].collect().toSet
+        assert(ids(maxClasses = 1) == ids(maxClasses = 100000),
+          s"fallback diverges from driver path at budget $budget over $rows")
+      }
+  }
+
+  test("budgetFill survives 1e6 distinct quality scores without a driver collect") {
+    // the abuse case the guard exists for: a caller fixed-pointing at
+    // far too fine a granularity (every doc its own class). The collect
+    // is bounded by limit(max+1); the boundary must come from the
+    // distributed path and still be exact.
+    val n = 1000000L
+    val budget = 777777L // every doc has 1 token: exactly 777777 kept
+    val df = spark.range(n)
+      .selectExpr("id", "id AS q", "CAST(1 AS BIGINT) AS tok")
+    val got = graft.operators.Curation
+      .budgetFill(df, "id", "q", "tok", budget, maxPlanningClasses = 1000)
+    assert(got.count() == budget)
+    // quality-descending fill: the kept ids are the TOP-quality ones
+    import org.apache.spark.sql.functions.min
+    val minQ = got.agg(min("quality")).collect().head.getLong(0)
+    assert(minQ == n - budget,
+      s"fill did not take the best classes first (min quality $minQ)")
+  }
 }
