@@ -1130,6 +1130,88 @@ object Coverage {
         CAST(v AS DOUBLE) / 100.0 AS at_value
       FROM d WHERE rk = 1 ORDER BY event_type"""))
 
+  /** Kruskal–Wallis H numerics, shared verbatim by both engines (the
+    * a55 discipline: one expression text over exact integer operands ⇒
+    * bit-identical doubles). With doubled ranks R2g = 2·Rg:
+    * H = 12/(N(N+1))·ΣRg²/ng − 3(N+1) = 3·S/(N(N+1)) − 3(N+1) where
+    * S = Σ⌊R2g²/ng⌋ — per-group FLOOR division then integer sum:
+    * order-independent, no float accumulation, error ≤ k absolute on
+    * a ~N³-sized S. The floor stays in DECIMAL all the way (Spark's
+    * `div` yields BIGINT and R2g²/ng passes 2⁶³ already at sf1;
+    * (a − a mod b)/b of divisible decimals is the exact floor), so
+    * the identical integer reaches both engines. Tie correction
+    * divides by 1 − Σ(t³−t)/(N³−N), with Σ(t³−t) = Σ_rows(t²−1)
+    * exact. */
+  private val kwH =
+    """((3.0e0 * CAST(s AS DOUBLE)
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0)))
+       - (3.0e0 * (CAST(n AS DOUBLE) + 1.0e0)))"""
+  private val kwC =
+    """(1.0e0 - CAST(ts AS DOUBLE)
+       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          - CAST(n AS DOUBLE)))"""
+
+  /** A57: KRUSKAL–WALLIS H — the k-SAMPLE extension of a55's
+    * Mann–Whitney ("did the value distribution shift?" across ALL
+    * five event types at once, not one cohort pair): rank everything
+    * pooled, compare each group's mean rank against the grand mean.
+    * Ranks are a54's doubled tie-averaged integers — but GLOBAL, the
+    * shape Spark's window engine executes on one task. This is the
+    * grouped-rank machinery's degenerate-group showcase:
+    * [[graft.operators.Align.groupedDoubledRank]] over a single
+    * constant group stays range-partitioned across every task (the
+    * same reason w10's global cumsum scales), so the pooled rank of a
+    * trillion rows never funnels. The statistic then needs only
+    * per-type integer aggregates; see [[kwH]] for the exactness
+    * scheme. */
+  val a57Kruskal = Q(
+    "a57_kruskal",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        (Q.dec("value") * 100).cast("long").as("v"))
+        .withColumn("__all", lit("all"))
+      val r = graft.operators.Align.groupedDoubledRank(
+        e, Seq("__all"), "v", "r2", tieName = Some("t"))
+      val g = r.groupBy("event_type").agg(
+        count(lit(1)).as("n_g"),
+        sum(d(col("r2"))).as("r2g"),
+        sum(d(col("t")) * d(col("t")) - 1).as("tsg"))
+      g.agg(count(lit(1)).as("k"),
+          sum("n_g").as("n"),
+          sum(expr("""CAST((r2g * r2g - pmod(r2g * r2g,
+            CAST(n_g AS DECIMAL(10,0)))) / CAST(n_g AS DECIMAL(10,0))
+            AS DECIMAL(38,0))""")).as("s"),
+          sum("tsg").as("ts"))
+        .select(col("k"), col("n").cast("long").as("n"),
+          expr(kwH).as("h"),
+          expr(s"($kwH) / $kwC").as("h_tied"))
+    },
+    Some(s"""WITH e AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      r AS (
+        SELECT event_type,
+          count(*) OVER (PARTITION BY v) AS t,
+          rank() OVER (ORDER BY v) * 2
+            + count(*) OVER (PARTITION BY v) - 1 AS r2
+        FROM e),
+      g AS (
+        SELECT event_type, count(*) AS n_g,
+          sum(CAST(r2 AS HUGEINT)) AS r2g,
+          sum(CAST(t AS HUGEINT) * t - 1) AS tsg
+        FROM r GROUP BY 1),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n_g) AS BIGINT) AS n,
+          sum(r2g * r2g // n_g) AS s,
+          sum(tsg) AS ts
+        FROM g)
+      SELECT k, n, $kwH AS h, ($kwH) / $kwC AS h_tied FROM a"""))
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -2059,7 +2141,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

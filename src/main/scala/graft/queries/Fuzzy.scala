@@ -96,5 +96,187 @@ object Fuzzy {
         FROM m WHERE confidence >= 0.7)
       WHERE match_rank <= 3"""))
 
-  val all: Seq[Q] = Seq(j6FuzzyJoin)
+  /** J19: FELLEGI–SUNTER record linkage (Fellegi & Sunter 1969) — the
+    * probabilistic scoring j6's string tiers approximate by hand:
+    * every blocked candidate pair gets a LOG-LIKELIHOOD match weight
+    * Σ_field ln(m/u) (agree) / ln((1−m)/(1−u)) (disagree), where u —
+    * the chance two RANDOM records agree on the field — is estimated
+    * from the right file's value frequencies (u = Σ cnt²/N², exact
+    * integers until one division) and m is the reviewer-set match
+    * reliability. A frequency-rare field (the normalized name, unique)
+    * earns a huge agreement weight; a 4-value segment earns little —
+    * the whole point over j6's fixed tiers.
+    *
+    * Candidates are two LINEAR equi-join classes, no product anywhere:
+    * the number-block join (the true-pair class, j6's blocking) and a
+    * shifted decoy join (applicant i × company i+1 — deterministic
+    * non-matches that exercise the disagreement weights). Applicant
+    * fields carry deterministic perturbations (name typo %3, segment
+    * %7, nation %11) so every agreement pattern occurs.
+    *
+    * Exactness: the six ln evaluations (3 fields × agree/disagree) run
+    * on a ONE-ROW stats frame through the PortableLn chain, floor to
+    * 1e-9 fixed point, and the per-pair weight is an exact INTEGER sum
+    * of those six — broadcast 1-row product, integer adds, no float
+    * accumulation across pairs. */
+  val j19FsLinkage = Q(
+    "j19_fs_linkage",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      import graft.functions.{PortableLn, TextFunctions}
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      def base(c: Column) = TextFunctions.normalizeName(
+        TextFunctions.removeCompanySuffixes(c))
+      val cust = Tables.load(s, dir, "customer")
+      val comp = cust.select(col("c_custkey").as("company_id"),
+        base(col("c_name")).as("c_base"),
+        col("c_mktsegment").as("c_seg"),
+        col("c_nationkey").cast("long").as("c_nat"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("blk"))
+      val app = cust.filter(col("c_custkey") % 5 === 0).select(
+        col("c_custkey").as("applicant_id"),
+        base(when(col("c_custkey") % 3 === 0,
+          regexp_replace(col("c_name"), "Customer", "Custmer"))
+          .otherwise(col("c_name"))).as("a_base"),
+        when(col("c_custkey") % 7 === 0, lit("PERTURBED"))
+          .otherwise(col("c_mktsegment")).as("a_seg"),
+        when(col("c_custkey") % 11 === 0,
+          (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")).cast("long").as("a_nat"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("blk"),
+        (col("c_custkey") + 1).as("decoy_key"))
+      val pairs = app.join(comp, Seq("blk"))
+        .select(col("applicant_id"), col("company_id"),
+          col("a_base"), col("c_base"), col("a_seg"), col("c_seg"),
+          col("a_nat"), col("c_nat"))
+        .unionByName(app.join(comp, app("decoy_key") === comp("company_id"))
+          .select(col("applicant_id"), col("company_id"),
+            col("a_base"), col("c_base"), col("a_seg"), col("c_seg"),
+            col("a_nat"), col("c_nat")))
+        .distinct()
+      // u-probabilities from the right file's frequencies: one groupBy
+      // per field, 1-row results, assembled into the 1-row stats frame
+      def ss(f: String, out: String) = comp.groupBy(f)
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(d(col("c")) * d(col("c"))).as(out))
+      var stats = comp.agg(count(lit(1)).as("nc"))
+        .crossJoin(ss("c_base", "ss_name"))
+        .crossJoin(ss("c_seg", "ss_seg"))
+        .crossJoin(ss("c_nat", "ss_nat"))
+      val ms = Seq("name" -> 0.95, "seg" -> 0.9, "nat" -> 0.9)
+      for ((f, m) <- ms) {
+        stats = stats
+          .withColumn(s"u_$f", expr(
+            s"CAST(ss_$f AS DOUBLE) / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE))"))
+          .withColumn(s"xa_$f", expr(s"${PortableLn.dbl(m)} / u_$f"))
+          .withColumn(s"xd_$f", expr(
+            s"${PortableLn.dbl(1.0 - m)} / (1.0e0 - u_$f)"))
+        stats = PortableLn.withLn(
+          PortableLn.withLn(stats, s"xa_$f", s"lna_$f"), s"xd_$f", s"lnd_$f")
+        stats = stats
+          .withColumn(s"a9_$f",
+            expr(s"CAST(floor(lna_$f * 1.0e9) AS BIGINT)"))
+          .withColumn(s"d9_$f",
+            expr(s"CAST(floor(lnd_$f * 1.0e9) AS BIGINT)"))
+      }
+      val w = pairs.crossJoin(broadcast(
+        stats.select(ms.map(_._1).flatMap(f =>
+          Seq(col(s"a9_$f"), col(s"d9_$f"))): _*)))
+        .withColumn("ag_name", col("a_base") === col("c_base"))
+        .withColumn("ag_seg", col("a_seg") === col("c_seg"))
+        .withColumn("ag_nat", col("a_nat") === col("c_nat"))
+      w.select(col("applicant_id"), col("company_id"),
+          concat(
+            when(col("ag_name"), "1").otherwise("0"),
+            when(col("ag_seg"), "1").otherwise("0"),
+            when(col("ag_nat"), "1").otherwise("0")).as("pattern"),
+          (when(col("ag_name"), col("a9_name")).otherwise(col("d9_name")) +
+            when(col("ag_seg"), col("a9_seg")).otherwise(col("d9_seg")) +
+            when(col("ag_nat"), col("a9_nat")).otherwise(col("d9_nat")))
+            .as("weight9"))
+        .orderBy("applicant_id", "company_id")
+    },
+    Some {
+      import graft.functions.PortableLn
+      val ms = Seq("name" -> 0.95, "seg" -> 0.9, "nat" -> 0.9)
+      val uDefs = ms.map { case (f, m) =>
+        s"""CAST(ss_$f AS DOUBLE) / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)) AS u_$f"""
+      }.mkString(",\n          ")
+      val xDefs = ms.map { case (f, m) =>
+        s"""${PortableLn.dbl(m)} / u_$f AS xa_$f,
+          ${PortableLn.dbl(1.0 - m)} / (1.0e0 - u_$f) AS xd_$f"""
+      }.mkString(",\n          ")
+      val chains = ms.flatMap { case (f, _) => Seq(s"xa_$f" -> s"lna_$f",
+        s"xd_$f" -> s"lnd_$f") }
+      val chainSql = chains.zipWithIndex.map { case ((x, out), i) =>
+        val from = if (i == 0) "x0" else PortableLn.cteChainOut(s"ch$i")
+        PortableLn.cteChainSql(from, x, out, s"ch${i + 1}")
+      }.mkString(",\n      ")
+      val lastChain = PortableLn.cteChainOut(s"ch${chains.length}")
+      val w9Defs = ms.map { case (f, _) =>
+        s"CAST(floor(lna_$f * 1.0e9) AS BIGINT) AS a9_$f, " +
+          s"CAST(floor(lnd_$f * 1.0e9) AS BIGINT) AS d9_$f"
+      }.mkString(",\n          ")
+      s"""WITH comp AS (
+        SELECT c_custkey AS company_id,
+          ${normSql(stripSql("c_name"))} AS c_base,
+          c_mktsegment AS c_seg, CAST(c_nationkey AS BIGINT) AS c_nat,
+          regexp_extract(c_name, '([0-9]+)', 1) AS blk
+        FROM customer),
+      app AS (
+        SELECT c_custkey AS applicant_id,
+          ${normSql(stripSql(
+            "(CASE WHEN c_custkey % 3 = 0 THEN regexp_replace(c_name, 'Customer', 'Custmer') ELSE c_name END)"))} AS a_base,
+          CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED'
+               ELSE c_mktsegment END AS a_seg,
+          CAST(CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS BIGINT) AS a_nat,
+          regexp_extract(c_name, '([0-9]+)', 1) AS blk,
+          c_custkey + 1 AS decoy_key
+        FROM customer WHERE c_custkey % 5 = 0),
+      pairs AS (
+        SELECT DISTINCT applicant_id, company_id, a_base, c_base,
+          a_seg, c_seg, a_nat, c_nat
+        FROM (
+          SELECT applicant_id, company_id, a_base, c_base, a_seg, c_seg,
+            a_nat, c_nat
+          FROM app JOIN comp USING (blk)
+          UNION ALL
+          SELECT applicant_id, company_id, a_base, c_base, a_seg, c_seg,
+            a_nat, c_nat
+          FROM app JOIN comp ON app.decoy_key = comp.company_id)),
+      s_name AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+        AS ss_name FROM (SELECT count(*) AS c FROM comp GROUP BY c_base)),
+      s_seg AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+        AS ss_seg FROM (SELECT count(*) AS c FROM comp GROUP BY c_seg)),
+      s_nat AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+        AS ss_nat FROM (SELECT count(*) AS c FROM comp GROUP BY c_nat)),
+      n0 AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM comp),
+      u0 AS (
+        SELECT *,
+          $uDefs
+        FROM n0 CROSS JOIN s_name CROSS JOIN s_seg CROSS JOIN s_nat),
+      x0 AS (
+        SELECT *,
+          $xDefs
+        FROM u0),
+      $chainSql,
+      stats AS (
+        SELECT
+          $w9Defs
+        FROM $lastChain)
+      SELECT applicant_id, company_id,
+        (CASE WHEN a_base = c_base THEN '1' ELSE '0' END)
+          || (CASE WHEN a_seg = c_seg THEN '1' ELSE '0' END)
+          || (CASE WHEN a_nat = c_nat THEN '1' ELSE '0' END) AS pattern,
+        ((CASE WHEN a_base = c_base THEN a9_name ELSE d9_name END)
+          + (CASE WHEN a_seg = c_seg THEN a9_seg ELSE d9_seg END)
+          + (CASE WHEN a_nat = c_nat THEN a9_nat ELSE d9_nat END))
+          AS weight9
+      FROM pairs CROSS JOIN stats
+      ORDER BY applicant_id, company_id"""
+    })
+
+  val all: Seq[Q] = Seq(j6FuzzyJoin, j19FsLinkage)
 }

@@ -675,8 +675,63 @@ object TemporalQueries {
         s > total_cents * 3 AS alarm
       FROM r WHERE rk = 1 ORDER BY event_type"""))
 
+  /** T31: TIME-EMBARGOED train/test split — the leakage control the
+    * dd-family's connected-component split applies on the ENTITY axis,
+    * here applied on TIME (the backtesting rule from quantitative
+    * model validation, e.g. de Prado 2018 ch. 7): everything from the
+    * cutoff on is test; a user who appears in test additionally
+    * FORFEITS their train events inside the embargo window just before
+    * the cutoff (their near-boundary behavior is what the test set
+    * evaluates — keeping it in train leaks it), while users never seen
+    * in test keep those days. The dropped class is SURFACED as its own
+    * split value — the no-silent-caps discipline: an auditor sees
+    * exactly how many rows the embargo cost, per type.
+    *
+    * Scale shape: one distinct on test users (map-side combined), one
+    * equi-join back on the high-cardinality user key (no broadcast —
+    * users grow with the data), one grouped count. Day arithmetic in
+    * date_trunc space, matching the t22 convention. */
+  val t31EmbargoSplit = Q(
+    "t31_embargo_split",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+      val cutoff = lit("2024-01-22").cast("timestamp")
+      val embargoFrom = lit("2024-01-19").cast("timestamp")
+      val testUsers = e.filter(col("day") >= cutoff)
+        .select("user_id").distinct().withColumn("__in_test", lit(1))
+      e.join(testUsers, Seq("user_id"), "left_outer")
+        .withColumn("split",
+          when(col("day") >= cutoff, "test")
+            .when(col("__in_test").isNotNull && col("day") >= embargoFrom,
+              "embargo_dropped")
+            .otherwise("train"))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("split", "event_type")
+    },
+    Some("""WITH e AS (
+        SELECT event_id, user_id, event_type,
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events),
+      tu AS (
+        SELECT DISTINCT user_id FROM e
+        WHERE day >= TIMESTAMP '2024-01-22'),
+      t AS (
+        SELECT e.event_type, e.user_id,
+          CASE WHEN e.day >= TIMESTAMP '2024-01-22' THEN 'test'
+               WHEN tu.user_id IS NOT NULL
+                 AND e.day >= TIMESTAMP '2024-01-19' THEN 'embargo_dropped'
+               ELSE 'train' END AS split
+        FROM e LEFT JOIN tu ON e.user_id = tu.user_id)
+      SELECT split, event_type, count(*) AS n,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(t9Asof, j11Range, t14Gapfill, j18Overlap,
     t17Attribution, t19RangeFrame, t20CumulativeDistinct, t22SpikeDetect,
     t23SlidingDistinct, t24NearestJoin, t25Transitions, t27FirstTouch,
-    t28SeasonalOutliers, t29Survival, t30Cusum)
+    t28SeasonalOutliers, t29Survival, t30Cusum, t31EmbargoSplit)
 }
