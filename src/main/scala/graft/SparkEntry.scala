@@ -63,7 +63,8 @@ object SparkEntry {
       "a50_dp_sum", "sim_hard_negatives", "sim_hard_negatives_ivf",
       "txt_hash_features",
       "g_modularity", "a51_ht_estimate", "t29_survival", "t30_cusum",
-      "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney", "a56_ks_test")
+      "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney",
+      "a56_ks_test", "a57_kruskal", "t31_embargo_split", "j19_fs_linkage")
     preferred.filter(queries.contains)
   }
 
