@@ -542,4 +542,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"global ntile windows are the one-task scale killer:\n$p")
   }
+
+  test("the round-13 grouped-rank rewrites carry NO window at all") {
+    // stronger than PlanAuditSpec's constant-domain sweep: these five
+    // went through Align.grouped* precisely to delete their rank
+    // windows (r12 verdict #1) — ANY WindowExec reappearing here is a
+    // regression, including one partitioned by a high-cardinality key
+    for (q <- Seq(Coverage.a53Gini, Coverage.a54Spearman,
+        Coverage.a55MannWhitney, Coverage.a56Ks, Coverage.a57Kruskal,
+        Windows.w7Ntile)) {
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("Window "),
+        s"${q.name} regressed onto a window:\n$p")
+    }
+  }
 }
