@@ -799,9 +799,67 @@ object Analytics {
       clampCents = 50000L, eps = 0.5, secret = dpTestSecret,
       maxGroupsPerUser = 3, label = "rel1")))
 
+  /** REC: deterministic NEGATIVE SAMPLING over an interaction table —
+    * the contrastive-training primitive (word2vec/recsys: for every
+    * observed (user, item) pair, draw K items the user did NOT
+    * interact with). The embedding-space miner (sim_hard_negatives)
+    * picks hard negatives by similarity; this is its uniform
+    * interaction-based sibling, the one that needs no vectors.
+    * Determinism is the whole trick at pipeline scale: the candidate
+    * for draw j is hash56(user‖pos‖j) mod |catalog| + 1 — no rand(),
+    * so a retried stage, a resumed job, and the oracle all deal the
+    * SAME negatives. Draws that collide with any of the user's own
+    * positives are dropped (the standard rejection rule), which the
+    * anti-join applies in one shuffle on the high-cardinality
+    * (user, candidate) key; catalog size rides a 1-row broadcast.
+    * Shape: one distinct, one explode(K), one anti-join — everything
+    * ∝ interactions·K. */
+  val recNegSampling = Q(
+    "rec_neg_sampling",
+    (s, dir) => {
+      val inter = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          "o_orderkey")
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("pos_item"))
+        .distinct()
+      val catalog = Tables.load(s, dir, "part")
+        .agg(max("p_partkey").as("n_items"))
+      val draws = inter.crossJoin(broadcast(catalog))
+        .select(col("user_id"), col("pos_item"),
+          explode(expr("sequence(0, 1)")).as("draw"), col("n_items"))
+        .withColumn("neg_item",
+          graft.operators.Dedup.hash56(concat_ws(":",
+            col("user_id"), col("pos_item"), col("draw")))
+            % col("n_items") + 1)
+      draws.join(inter.select(col("user_id"),
+            col("pos_item").as("neg_item")),
+          Seq("user_id", "neg_item"), "left_anti")
+        .select("user_id", "pos_item", "draw", "neg_item")
+        .orderBy("user_id", "pos_item", "draw")
+    },
+    Some(s"""WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS pos_item
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      cat AS (SELECT CAST(max(p_partkey) AS BIGINT) AS n_items FROM part),
+      draws AS (
+        SELECT user_id, pos_item, draw, n_items,
+          CAST((md5_number_lower(user_id || ':' || pos_item || ':' || draw)
+            % ${graft.operators.Dedup.M56}) % n_items + 1 AS BIGINT)
+            AS neg_item
+        FROM inter CROSS JOIN cat
+        CROSS JOIN (SELECT unnest([0, 1]) AS draw))
+      SELECT user_id, pos_item, draw, neg_item
+      FROM draws d
+      WHERE NOT EXISTS (SELECT 1 FROM inter i
+        WHERE i.user_id = d.user_id AND i.pos_item = d.neg_item)
+      ORDER BY user_id, pos_item, draw"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore, gModularity,
-    a49DpCount, a50DpSum)
+    a49DpCount, a50DpSum, recNegSampling)
 }

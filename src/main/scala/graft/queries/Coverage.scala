@@ -1212,6 +1212,80 @@ object Coverage {
         FROM g)
       SELECT k, n, $kwH AS h, ($kwH) / $kwC AS h_tied FROM a"""))
 
+  /** A58: ONE-WAY ANOVA F — the parametric k-sample complement of
+    * a57's Kruskal–Wallis (mean shifts in the values themselves, where
+    * KW sees only ranks): F = (SSB/(k−1)) / (SSW/(N−k)) with
+    * SSB = Σ s1g²/ng − S1²/N and SSW = S2 − Σ s1g²/ng, all from ONE
+    * map-side-combined pass of integer-cents moments (n, Σv, Σv² per
+    * group). Exactness: both sums of squares are held in ×10⁶ fixed
+    * point, the per-group s1g²·10⁶/ng through a57's decimal floor
+    * division (never Spark's BIGINT `div`), so SSB6/SSW6 reach both
+    * engines as identical integers; F and η² are then one shared
+    * expression text each. η² = SSB/(SSB+SSW) is the practical
+    * effect-size companion ("how much variance the grouping
+    * explains"). */
+  val a58Anova = Q(
+    "a58_anova",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.load(s, dir, "events").select(col("event_type"),
+        (Q.dec("value") * 100).cast("long").as("v"))
+      val g = e.groupBy("event_type").agg(
+        count(lit(1)).as("n_g"),
+        sum(d(col("v"))).as("s1g"),
+        sum(d(col("v")) * d(col("v"))).as("s2g"))
+      g.agg(count(lit(1)).as("k"),
+          sum("n_g").as("nn"), sum("s1g").as("s1"), sum("s2g").as("s2"),
+          sum(expr("""CAST((s1g * s1g * 1000000 - pmod(s1g * s1g * 1000000,
+            CAST(n_g AS DECIMAL(10,0)))) / CAST(n_g AS DECIMAL(10,0))
+            AS DECIMAL(38,0))""")).as("t6"))
+        .select(col("k"), col("nn").cast("long").as("n"),
+          expr("""t6 - CAST((s1 * s1 * 1000000 - pmod(s1 * s1 * 1000000,
+            CAST(nn AS DECIMAL(12,0)))) / CAST(nn AS DECIMAL(12,0))
+            AS DECIMAL(38,0))""").as("ssb6"),
+          (col("s2") * 1000000 - col("t6")).as("ssw6"))
+        .select(col("k"), col("n"),
+          (col("ssb6").cast("double") / lit(1.0e6) / lit(100.0) / lit(100.0))
+            .as("ssb"),
+          expr("""(CAST(ssb6 AS DOUBLE) * (CAST(n AS DOUBLE)
+              - CAST(k AS DOUBLE)))
+            / (CAST(ssw6 AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0))""")
+            .as("f"),
+          expr("""CAST(ssb6 AS DOUBLE)
+            / (CAST(ssb6 AS DOUBLE) + CAST(ssw6 AS DOUBLE))""")
+            .as("eta_sq"))
+    },
+    Some("""WITH e AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      g AS (
+        SELECT event_type, count(*) AS n_g,
+          sum(CAST(v AS HUGEINT)) AS s1g,
+          sum(CAST(v AS HUGEINT) * v) AS s2g
+        FROM e GROUP BY 1),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n_g) AS BIGINT) AS n,
+          CAST(sum(s1g) AS HUGEINT) AS s1,
+          CAST(sum(s2g) AS HUGEINT) AS s2,
+          sum(s1g * s1g * 1000000 // n_g) AS t6
+        FROM g),
+      b AS (
+        SELECT k, n,
+          t6 - (s1 * s1 * 1000000 // n) AS ssb6,
+          s2 * 1000000 - t6 AS ssw6
+        FROM a)
+      SELECT k, n,
+        CAST(ssb6 AS DOUBLE) / 1.0e6 / 100.0 / 100.0 AS ssb,
+        (CAST(ssb6 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+          / (CAST(ssw6 AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0)) AS f,
+        CAST(ssb6 AS DOUBLE)
+          / (CAST(ssb6 AS DOUBLE) + CAST(ssw6 AS DOUBLE)) AS eta_sq
+      FROM b"""))
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -2141,7 +2215,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

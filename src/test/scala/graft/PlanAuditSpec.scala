@@ -188,7 +188,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t29_survival",        // 1-row observation-end + 1-row cohort-total broadcasts into the spine
     "t30_cusum",           // 1-row per-type totals broadcast into the deviation scaling
     "a52_benford",         // 1-row digit-total broadcast into the expected counts
-    "j19_fs_linkage"       // 1-row ln-weight stats frame broadcast into the pair scorer
+    "j19_fs_linkage",      // 1-row ln-weight stats frame broadcast into the pair scorer
+    "rec_neg_sampling"     // 1-row catalog-size broadcast into the hash-draw modulo
   )
 
   test("BroadcastNestedLoopJoin only in the deliberate bounded products") {
