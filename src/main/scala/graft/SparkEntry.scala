@@ -64,7 +64,8 @@ object SparkEntry {
       "txt_hash_features",
       "g_modularity", "a51_ht_estimate", "t29_survival", "t30_cusum",
       "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney",
-      "a56_ks_test", "a57_kruskal", "t31_embargo_split", "j19_fs_linkage")
+      "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
+      "j19_fs_linkage", "rec_neg_sampling")
     preferred.filter(queries.contains)
   }
 
