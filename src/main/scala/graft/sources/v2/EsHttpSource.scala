@@ -103,6 +103,17 @@ private[v2] object EsHttp {
     } finally c.disconnect()
   }
 
+  /** Process-global pacing per endpoint — all slices in this executor
+    * share one bucket, so the configured rate is the rate the SERVICE
+    * sees from this JVM (burst 10, the enrichment-fetcher default). */
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.operators.ExternalLookup.TokenBucket]()
+  def bucket(url: String,
+      callsPerSec: Double): graft.operators.ExternalLookup.TokenBucket =
+    buckets.computeIfAbsent(url,
+      _ => new graft.operators.ExternalLookup.TokenBucket(10.0, callsPerSec))
+
   def fetchMapping(url: String, index: String): StructType = {
     val tree = mapper.readTree(get(s"$url/$index/_mapping"))
     val props = tree.get("properties")
@@ -251,10 +262,14 @@ private[v2] case class EsHttpReaderFactory(opts: EsHttpOptions,
 private[v2] class EsHttpReader(opts: EsHttpOptions, required: StructType,
     pushed: Array[sources.Filter], limit: Int, part: EsHttpPartition)
     extends PartitionReader[InternalRow] {
-  import graft.operators.ExternalLookup.{RetryAfter, TokenBucket}
+  import graft.operators.ExternalLookup.RetryAfter
 
   private val mapper = new ObjectMapper()
-  private val bucket = new TokenBucket(10.0, opts.callsPerSec)
+  // process-global per endpoint (the ChHttp discipline): `calls_per_sec`
+  // bounds the EXECUTOR's aggregate request rate. A per-reader bucket
+  // multiplied the configured rate by the slice count — 4 slices paced
+  // at 4× what the caller asked for.
+  private val bucket = EsHttp.bucket(opts.url, opts.callsPerSec)
   private val cols = required.fields.map(_.name).toSeq
   private var from = 0
   private var page: Iterator[InternalRow] = Iterator.empty

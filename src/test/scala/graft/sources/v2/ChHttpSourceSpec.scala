@@ -147,6 +147,60 @@ class ChHttpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("splitRange partitions any date span exactly: disjoint, covering, ordered") {
+    for ((from, to, n) <- Seq(
+        ("2024-01-01", "2024-12-31", 3), ("2024-01-01", "2024-01-01", 4),
+        ("2024-01-01", "2024-01-03", 8), ("2023-02-27", "2024-03-02", 5))) {
+      val parts = ChHttp.splitRange(from, to, n)
+      assert(parts.head._1 == from && parts.last._2 == to, parts)
+      parts.foreach { case (lo, hi) => assert(lo <= hi, parts) }
+      parts.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(java.time.LocalDate.parse(hi).plusDays(1).toString == lo2,
+            s"gap or overlap in $parts")
+        case _ => ()
+      }
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(from), java.time.LocalDate.parse(to)) + 1
+      assert(parts.length == math.min(n.toLong, days), parts)
+    }
+  }
+
+  test("incremental harvest: delta windows, idempotent re-runs, persisted watermark") {
+    withStub() { (url, stub) =>
+      import graft.operators.ChHarvest
+      val base = java.nio.file.Files
+        .createTempDirectory("ch_harvest").toString
+      def froms() = stub.requestLog.asScala.map(_._1)
+        .flatMap(_.split("[?&]").find(_.startsWith("incorporated_from=")))
+        .toSet
+      // first run covers [start, Feb 29] — the server sees the full window
+      val (n1, w1) = ChHarvest.harvest(spark, url, base, "2024-02-29",
+        callsPerSec = 1000)
+      val wantFeb = companies.count(_("date_of_creation") <= "2024-02-29")
+      assert(n1 == wantFeb && w1 == "2024-02-29")
+      assert(froms() == Set("incorporated_from=2000-01-01"), froms())
+      assert(ChHarvest.table(spark, base).count() == wantFeb)
+      // second run fetches ONLY the delta: from = watermark + 1 day
+      stub.requestLog.clear()
+      val (n2, w2) = ChHarvest.harvest(spark, url, base, "2024-12-31",
+        callsPerSec = 1000)
+      assert(n2 == companies.size - wantFeb && w2 == "2024-12-31")
+      assert(froms() == Set("incorporated_from=2024-03-01"), froms())
+      val t = ChHarvest.table(spark, base)
+      assert(t.count() == companies.size)
+      assert(t.select("company_number").distinct().count() == companies.size,
+        "upsert by business key must keep each company once")
+      // an already-covered window makes NO request and changes nothing
+      stub.requestLog.clear()
+      val (n3, w3) = ChHarvest.harvest(spark, url, base, "2024-12-31",
+        callsPerSec = 1000)
+      assert(n3 == 0L && w3 == "2024-12-31")
+      assert(stub.requestLog.isEmpty, "covered window must not hit the API")
+      assert(ChHarvest.table(spark, base).count() == companies.size)
+    }
+  }
+
   test("429 Retry-After is honored over the socket; the scan completes") {
     withStub(reject429Every = 4, retryAfterSec = Some(0)) { (url, stub) =>
       val df = reader(url).load()
