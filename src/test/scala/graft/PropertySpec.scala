@@ -631,6 +631,13 @@ class PropertySpec extends AnyFunSuite {
         .select("id", "r2", "t").as[(Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
       assert(gotR == wantR, s"iter $it: groupedDoubledRank != window form")
+      // the broadcastBack join path must be value-identical
+      val gotB = graft.operators.Align
+        .groupedDoubledRank(df, Seq("grp"), "v", "r2", tieName = Some("t"),
+          broadcastBack = true)
+        .select("id", "r2", "t").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotB == wantR, s"iter $it: broadcastBack diverged")
 
       // groupedPrefixSums == sum() OVER (PARTITION BY grp ORDER BY id ROWS
       // UNBOUNDED PRECEDING..CURRENT) for two value columns at once

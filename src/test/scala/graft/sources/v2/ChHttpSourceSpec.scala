@@ -198,6 +198,22 @@ class ChHttpSourceSpec extends AnyFunSuite {
       assert(n3 == 0L && w3 == "2024-12-31")
       assert(stub.requestLog.isEmpty, "covered window must not hit the API")
       assert(ChHarvest.table(spark, base).count() == companies.size)
+      // crash recovery: a run that died between the table swap and the
+      // watermark write leaves the OLD watermark — the retry re-covers
+      // the window and the business-key upsert keeps the table exact
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration())
+      val wm = new org.apache.hadoop.fs.Path(s"$base/__watermark")
+      val o = f.create(wm, true)
+      o.write("2024-02-29".getBytes("UTF-8")); o.close()
+      val (n4, w4) = ChHarvest.harvest(spark, url, base, "2024-12-31",
+        callsPerSec = 1000)
+      assert(n4 == companies.size - wantFeb && w4 == "2024-12-31",
+        "retry must re-cover the un-watermarked window")
+      val t4 = ChHarvest.table(spark, base)
+      assert(t4.count() == companies.size &&
+        t4.select("company_number").distinct().count() == companies.size,
+        "re-covered rows must upsert, not duplicate")
     }
   }
 
