@@ -1286,6 +1286,178 @@ object Coverage {
           / (CAST(ssb6 AS DOUBLE) + CAST(ssw6 AS DOUBLE)) AS eta_sq
       FROM b"""))
 
+  /** A59: WELCH'S T-TEST (Welch 1947, Biometrika — the unequal-variance
+    * two-sample location test; the parametric A/B-decision staple,
+    * complementing a58's k-sample ANOVA and a55's rank-based
+    * Mann–Whitney): does mean purchase value differ between the two
+    * user arms? Exactness: one conditional moment aggregate per arm
+    * (n, Σv, Σv² in integer cents / DECIMAL(38,0)); each arm's centered
+    * sum of squares is the exact integer ssᵢ6 = 10⁶·Σv² − ⌊10⁶·(Σv)²/n⌋
+    * (a58's floor-division form — HUGEINT-safe where (Σv)² passes 2⁶³);
+    * the t statistic and the Welch–Satterthwaite df are IEEE doubles
+    * derived from those exact integers through expression text
+    * INTERPOLATED FROM THE SAME SCALA STRING into both the Spark plan
+    * and the oracle SQL — the two engines evaluate literally identical
+    * correctly-rounded operations on identical bits. Shape: one scan,
+    * one 2-group combine, one 1-row fold — nothing data-proportional
+    * past the map-side partial. */
+  val a59WelchTtest: Q = {
+    // v1/n1 and v2/n2 (variance-over-n terms) in shared expression text.
+    val v1n = "(CAST(ss16 AS DOUBLE) / 1.0e6" +
+      " / (CAST(n1 AS DOUBLE) - 1.0e0) / CAST(n1 AS DOUBLE))"
+    val v2n = "(CAST(ss26 AS DOUBLE) / 1.0e6" +
+      " / (CAST(n2 AS DOUBLE) - 1.0e0) / CAST(n2 AS DOUBLE))"
+    val tExpr = "(CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+      s" - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($v1n + $v2n)"
+    val dfExpr = s"($v1n + $v2n) * ($v1n + $v2n) / (" +
+      s"$v1n * $v1n / (CAST(n1 AS DOUBLE) - 1.0e0)" +
+      s" + $v2n * $v2n / (CAST(n2 AS DOUBLE) - 1.0e0))"
+    val m1 = "CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1.0e2"
+    val m2 = "CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1.0e2"
+    Q(
+      "a59_welch_ttest",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val e = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("arm"),
+            (Q.dec("value") * 100).cast("long").as("v"))
+        val g = e.groupBy("arm").agg(
+          count(lit(1)).as("n_g"),
+          sum(d(col("v"))).as("s1g"),
+          sum(d(col("v")) * d(col("v"))).as("s2g"))
+          .withColumn("ss6", expr("""s2g * 1000000
+            - CAST((s1g * s1g * 1000000 - pmod(s1g * s1g * 1000000,
+                CAST(n_g AS DECIMAL(10,0)))) / CAST(n_g AS DECIMAL(10,0))
+              AS DECIMAL(38,0))"""))
+        g.agg(
+            sum(when(col("arm") === 0, col("n_g"))).as("n1"),
+            sum(when(col("arm") =!= 0, col("n_g"))).as("n2"),
+            sum(when(col("arm") === 0, col("s1g"))).as("s11"),
+            sum(when(col("arm") =!= 0, col("s1g"))).as("s12"),
+            sum(when(col("arm") === 0, col("ss6"))).as("ss16"),
+            sum(when(col("arm") =!= 0, col("ss6"))).as("ss26"))
+          .select(col("n1").cast("long").as("n1"),
+            col("n2").cast("long").as("n2"),
+            expr(m1).as("mean1"), expr(m2).as("mean2"),
+            expr(tExpr).as("t"), expr(dfExpr).as("df"))
+      },
+      Some(s"""WITH e AS (
+          SELECT user_id % 2 AS arm,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT arm, count(*) AS n_g,
+            sum(CAST(v AS HUGEINT)) AS s1g,
+            sum(CAST(v AS HUGEINT) * v) AS s2g
+          FROM e GROUP BY 1),
+        h AS (
+          SELECT arm, n_g, s1g,
+            s2g * 1000000 - (s1g * s1g * 1000000 // n_g) AS ss6
+          FROM g),
+        a AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN n_g END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm <> 0 THEN n_g END) AS BIGINT) AS n2,
+            sum(CASE WHEN arm = 0 THEN s1g END) AS s11,
+            sum(CASE WHEN arm <> 0 THEN s1g END) AS s12,
+            sum(CASE WHEN arm = 0 THEN ss6 END) AS ss16,
+            sum(CASE WHEN arm <> 0 THEN ss6 END) AS ss26
+          FROM h)
+        SELECT n1, n2, $m1 AS mean1, $m2 AS mean2,
+          $tExpr AS t, $dfExpr AS df
+        FROM a"""))
+  }
+
+  /** A60: CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
+    * WSDM — "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"): adjust each
+    * user's experiment-period metric Y by their PRE-period metric X,
+    * Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), which shrinks arm
+    * variance by exactly ρ² while leaving the treatment-effect
+    * estimate unbiased — the standard way an experimentation platform
+    * doubles its effective sample size for free. Exactness: per-user
+    * (x, y) in integer cents from ONE conditional groupBy; pooled
+    * moments give the exact integer numerators covN = n·Σxy − Σx·Σy
+    * and varN = n·Σxx − (Σx)² (DECIMAL(38,0)/HUGEINT); θ, adjusted
+    * arm means and the ρ² reduction are doubles derived from those
+    * integers via expression text interpolated from one Scala string
+    * into both engines. Shape: scan → per-user combine → one 2-row
+    * arm aggregate joined to a 1-ROW pooled frame (broadcast — the
+    * whitelisted 1-row BNLJ pattern); nothing data-proportional
+    * crosses the second shuffle. */
+  val a60Cuped: Q = {
+    val theta = "CAST(cov_n AS DOUBLE) / CAST(varx_n AS DOUBLE)"
+    val meanY = "CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1.0e2"
+    val meanYAdj = s"(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - $theta" +
+      " * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1.0e2"
+    val varRed = "CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)" +
+      " / (CAST(varx_n AS DOUBLE) * CAST(vary_n AS DOUBLE))"
+    Q(
+      "a60_cuped",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val u = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            (Q.dec("value") * 100).cast("long").as("v"))
+          .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+          .agg(sum(when(col("ts") < cut, col("v")).otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut, col("v")).otherwise(0L)).as("y"))
+        val pooled = u.agg(count(lit(1)).as("n"),
+            sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+            sum(d(col("x")) * d(col("x"))).as("sxx"),
+            sum(d(col("x")) * d(col("y"))).as("sxy"),
+            sum(d(col("y")) * d(col("y"))).as("syy"))
+          .select(col("n"), col("sx"),
+            (d(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+            (d(col("n")) * col("sxx") - col("sx") * col("sx")).as("varx_n"),
+            (d(col("n")) * col("syy") - col("sy") * col("sy")).as("vary_n"))
+        u.groupBy("arm")
+          .agg(count(lit(1)).as("n_a"),
+            sum(d(col("x"))).as("sx_a"), sum(d(col("y"))).as("sy_a"))
+          .join(broadcast(pooled))
+          .select(col("arm"), col("n_a").as("n_users"),
+            expr(meanY).as("mean_y"), expr(meanYAdj).as("mean_y_adj"),
+            expr(theta).as("theta"), expr(varRed).as("var_reduction"))
+          .orderBy("arm")
+      },
+      Some(s"""WITH u AS (
+          SELECT user_id % 2 AS arm, user_id,
+            sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS x,
+            sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        p AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx,
+            CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+              - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS cov_n,
+            CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+              - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)) AS varx_n,
+            CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+              - sum(CAST(y AS HUGEINT)) * sum(CAST(y AS HUGEINT)) AS vary_n
+          FROM u),
+        g AS (
+          SELECT arm, count(*) AS n_a,
+            sum(CAST(x AS HUGEINT)) AS sx_a,
+            sum(CAST(y AS HUGEINT)) AS sy_a
+          FROM u GROUP BY 1)
+        SELECT arm, n_a AS n_users,
+          $meanY AS mean_y, $meanYAdj AS mean_y_adj,
+          $theta AS theta, $varRed AS var_reduction
+        FROM g CROSS JOIN p ORDER BY arm"""))
+  }
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -2215,7 +2387,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

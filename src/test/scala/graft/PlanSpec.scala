@@ -556,4 +556,19 @@ class PlanSpec extends AnyFunSuite {
         s"${q.name} regressed onto a window:\n$p")
     }
   }
+
+  test("a59/a60: moment-fold stats never sort, window, or join data") {
+    // Welch's t and CUPED are one-scan conditional-moment aggregates:
+    // everything past the map-side partial is constant-size. A window,
+    // a sort, or a data-proportional join appearing here means someone
+    // rewrote them onto the per-row shape they were designed to avoid.
+    val p59 = plan(Coverage.a59WelchTtest)
+    assert(!p59.contains("WindowExec") && !p59.contains("Join"),
+      s"welch must stay a pure aggregate fold:\n$p59")
+    val p60 = plan(Coverage.a60Cuped)
+    assert(!p60.contains("WindowExec"),
+      s"cuped must not window per-user rows:\n$p60")
+    assert(p60.contains("BroadcastNestedLoopJoin"),
+      s"cuped's pooled moments must ride a 1-row broadcast:\n$p60")
+  }
 }
