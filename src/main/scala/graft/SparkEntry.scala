@@ -65,7 +65,8 @@ object SparkEntry {
       "g_modularity", "a51_ht_estimate", "t29_survival", "t30_cusum",
       "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney",
       "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
-      "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped")
+      "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
+      "ml_target_encode")
     preferred.filter(queries.contains)
   }
 

@@ -857,9 +857,70 @@ object Analytics {
         WHERE i.user_id = d.user_id AND i.pos_item = d.neg_item)
       ORDER BY user_id, pos_item, draw"""))
 
+  /** ML: LEAVE-ONE-OUT TARGET ENCODING (Micci-Barreca 2001, SIGKDD
+    * Explorations; the leakage problem and its exclusion fix are the
+    * "ordered target statistics" motivation of CatBoost, Prokhorenkova
+    * et al. 2018): replace a high-cardinality categorical (the
+    * supplier) with the mean of the target (line revenue) over the
+    * OTHER rows of the same category — including the row's own target
+    * would leak the label into the feature and any downstream model
+    * overfits instantly. Two encodings per row, both exact integers at
+    * 10⁶ fixed point with floor division (all terms positive, so
+    * Spark's truncating `div` == DuckDB's flooring `//`):
+    * loo6 = ⌊10⁶·(S_c − v)/(n_c − 1)⌋ (global mean when the row is its
+    * category's only member) and the m=10 smoothed form
+    * ⌊(10⁶·(S_c − v) + m·μ6)/(n_c − 1 + m)⌋ that shrinks rare
+    * categories toward the prior. Shape: one category combine
+    * (rows ∝ |categories|), equi-joined back on the category key, and
+    * the global prior on a 1-row broadcast — no window, nothing
+    * quadratic, the encode stays a map-side expression at any scale. */
+  val mlTargetEncode = Q(
+    "ml_target_encode",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        (Q.dec("l_extendedprice") * 100).cast("long").as("v"))
+      val sup = li.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_s"), sum(d(col("v"))).as("s_s"))
+      val prior = li.agg(sum(d(col("v"))).as("t"), count(lit(1)).as("n"))
+        .select(expr("t * 1000000 div CAST(n AS DECIMAL(20,0))").as("mu6"))
+      li.join(sup, "l_suppkey").crossJoin(broadcast(prior))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          when(col("n_s") > 1,
+            expr("""(s_s - v) * 1000000
+              div CAST(n_s - 1 AS DECIMAL(20,0))"""))
+            .otherwise(col("mu6")).as("loo6"),
+          expr("""((s_s - v) * 1000000 + 10 * mu6)
+            div CAST(n_s + 9 AS DECIMAL(20,0))""").as("smooth6"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM lineitem),
+      sup AS (
+        SELECT l_suppkey, count(*) AS n_s,
+          sum(CAST(v AS HUGEINT)) AS s_s
+        FROM li GROUP BY 1),
+      g AS (
+        SELECT CAST(sum(CAST(v AS HUGEINT)) * 1000000 // count(*)
+          AS BIGINT) AS mu6
+        FROM li)
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+        CAST(CASE WHEN n_s > 1
+          THEN (s_s - v) * 1000000 // (n_s - 1)
+          ELSE mu6 END AS BIGINT) AS loo6,
+        CAST(((s_s - v) * 1000000 + 10 * CAST(mu6 AS HUGEINT))
+          // (n_s + 9) AS BIGINT) AS smooth6
+      FROM li JOIN sup USING (l_suppkey) CROSS JOIN g
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore, gModularity,
-    a49DpCount, a50DpSum, recNegSampling)
+    a49DpCount, a50DpSum, recNegSampling, mlTargetEncode)
 }
