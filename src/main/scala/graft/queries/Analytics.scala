@@ -918,9 +918,100 @@ object Analytics {
       FROM li JOIN sup USING (l_suppkey) CROSS JOIN g
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** REC: ITEM-BASED COLLABORATIVE FILTERING (Sarwar, Karypis, Konstan
+    * & Riedl 2001, WWW — "Item-based collaborative filtering
+    * recommendation algorithms"): for every item, the top-10 most
+    * similar items by co-occurrence cosine w/√(n_a·n_b) over user
+    * baskets — the precomputed neighbor table an item-to-item
+    * recommender serves from (the Amazon architecture, Linden et al.
+    * 2003). Where a43's basket rules rank by lift for analysts, this
+    * emits the serving artifact: a bounded k-NN list per item.
+    * Scale shape: baskets are CAPPED (2..200 items — the j4/a43
+    * pair-explosion guard) and pairs come from
+    * [[graft.operators.Graph.sharedKeyEdges]]'s in-row sorted-array
+    * explode — one shuffle to group, one to count, NO self-join of the
+    * interaction table; n_i is a second combine over the same capped
+    * frame so the denominator counts exactly the universe the pairs
+    * came from. The top-k window partitions by item_a — cardinality
+    * ∝ catalog, never a constant — and cosine is an IEEE double from
+    * exact integers through oracle-shared expression text, so the
+    * rank and its ties cut identically in both engines. */
+  val recItemCf: Q = {
+    val cosT = "CAST(w AS DOUBLE) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    Q(
+      "rec_item_cf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val inter = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+            "o_orderkey")
+          .select(col("o_custkey").as("user_id"),
+            col("l_partkey").as("item"))
+          .distinct()
+        val ok = inter.join(
+          inter.groupBy("user_id").agg(count(lit(1)).as("bs"))
+            .filter(col("bs").between(2, 200)).select("user_id"),
+          "user_id")
+        val cooc = graft.operators.Graph.sharedKeyEdges(
+          ok, "user_id", "item", minShared = 2, maxGroupSize = 200)
+        val ni = ok.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+        val sym = cooc.unionByName(cooc.select(
+          col("item_b").as("item_a"), col("item_a").as("item_b"),
+          col("weight")))
+        val scored = sym
+          .join(ni.select(col("item").as("item_a"), col("n_i").as("n_a")),
+            "item_a")
+          .join(ni.select(col("item").as("item_b"), col("n_i").as("n_b")),
+            "item_b")
+          .select(col("item_a"), col("item_b"), col("weight").as("w"),
+            col("n_a"), col("n_b"))
+          .withColumn("cos", expr(cosT))
+        scored
+          .withColumn("rk", row_number().over(Window.partitionBy("item_a")
+            .orderBy(col("cos").desc, col("item_b"))))
+          .filter(col("rk") <= 10)
+          .select("item_a", "rk", "item_b", "w", "cos")
+          .orderBy("item_a", "rk")
+      },
+      Some(s"""WITH inter AS (
+          SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        ok AS (
+          SELECT i.user_id, i.item FROM inter i
+          JOIN (SELECT user_id FROM inter GROUP BY 1
+                HAVING count(*) BETWEEN 2 AND 200) b USING (user_id)),
+        cooc AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+            CAST(count(*) AS BIGINT) AS w
+          FROM ok a JOIN ok b
+            ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i
+          FROM ok GROUP BY 1),
+        sym AS (
+          SELECT item_a, item_b, w FROM cooc
+          UNION ALL
+          SELECT item_b AS item_a, item_a AS item_b, w FROM cooc),
+        sc AS (
+          SELECT s.item_a, s.item_b, s.w,
+            na.n_i AS n_a, nb.n_i AS n_b
+          FROM sym s
+          JOIN ni na ON s.item_a = na.item
+          JOIN ni nb ON s.item_b = nb.item),
+        top AS (
+          SELECT item_a, item_b, w, $cosT AS cos,
+            row_number() OVER (PARTITION BY item_a
+              ORDER BY $cosT DESC, item_b) AS rk
+          FROM sc)
+        SELECT item_a, CAST(rk AS INTEGER) AS rk, item_b, w, cos
+        FROM top WHERE rk <= 10 ORDER BY item_a, rk"""))
+  }
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore, gModularity,
-    a49DpCount, a50DpSum, recNegSampling, mlTargetEncode)
+    a49DpCount, a50DpSum, recNegSampling, mlTargetEncode, recItemCf)
 }
