@@ -343,6 +343,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** ASYMMETRIC CONTAINMENT pairs — Broder 1997's OTHER resemblance
+    * measure: C(A→B) = |S(A)∩S(B)| / |S(A)|, the fraction of A's
+    * shingles that also appear in B. Jaccard misses a short document
+    * quoted whole inside a long one (the union term drowns it);
+    * containment is exactly the "is A included in B" detector — quote
+    * and truncation mining in corpus curation, where a contained doc
+    * is redundant with its container regardless of the size gap.
+    *
+    * Prefix theorem, containment form: order shingles by any global
+    * total order (ascending corpus frequency, hash tiebreak — rarest
+    * first); if |S(A)∩S(B)| ≥ ⌈t·|S(A)|⌉ then A's first
+    * |S(A)| − ⌈t·|S(A)|⌉ + 1 shingles must intersect S(B). Only the
+    * CONTAINED side gets a prefix; the container side is indexed in
+    * full (containment puts no lower bound on |B|, so no symmetric
+    * pruning exists — the candidate stage is A-prefix × B-inverted-
+    * index, both equi-joins). Zero false negatives at threshold t;
+    * per-pair verification against the full sets makes the result
+    * exactly the all-pairs answer. Same corpus caveat as
+    * jaccardPrefixPairs: pruning power comes from shingle rarity, so
+    * the registered instrument pins a bounded id range while
+    * production-scale containment over vocabulary-dense data would
+    * df-cap the index side (surfacing the dropped shingles, the a43
+    * discipline). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"),
+      graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
+      .withColumn("sz", size(col("hs"))).cache()
+    val freq = docs.select(explode(col("hs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val prefix = docs.select(col("id"), col("sz"), explode(col("hs")).as("sh"))
+      .join(freq, "sh")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("sh"))
+    val full = docs.select(col("id").as("id_b"), explode(col("hs")).as("sh"))
+    val cand = prefix.as("a").join(full.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id_b"))
+      .select(col("a.id").as("id_a"), col("b.id_b")).distinct()
+    val sa = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(col("hs_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Connected components over an undirected near-dup pair list —
     * the stage that turns pairwise matches into dedup CLUSTERS (a dup
     * "chain" a~b, b~c must collapse to ONE canonical doc even though a~c

@@ -465,6 +465,68 @@ object Pipeline {
       JOIN sized y ON y.doc_id = c.id_b
       WHERE ${jaccardSql("x.hs", "y.hs")} >= 0.8"""))
 
+  /** ASYMMETRIC CONTAINMENT pairs (Dedup.containmentPairs — Broder
+    * 1997's inclusion measure |A∩B|/|A|): the quote/truncation
+    * detector Jaccard structurally misses — a doc cut to 60% of its
+    * original is only ~0.6 Jaccard-similar to it (below any sane
+    * near-dup threshold) but 1.0 CONTAINED in it. The corpus has no
+    * planted truncations, so the instrument synthesizes them the
+    * ddExact way: docs 0..49 re-appear id-offset 10⁹ with text cut to
+    * ⌊3·len/5⌋ chars (integer division — both engines cut the same
+    * byte). Every synthesized row must surface as contained in its
+    * source at t=0.9; anything else the prefix filter finds (shared-
+    * vocabulary docs swallowing short docs) is corpus truth the oracle
+    * replays. Pinned to doc_id < 1000 like the other pair baselines —
+    * same rarity-tail caveat as dd_jaccard_prefix. */
+  val ddContainment = Q(
+    "dd_containment",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
+      val trunc = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          expr("substring(text, 1, CAST(length(text) * 3 DIV 5 AS INT))")
+            .as("text"))
+      Dedup.containmentPairs(base.unionByName(trunc), "doc_id", "text",
+          n = 5, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000000,
+          substring(text, 1, CAST(length(text) * 3 // 5 AS INTEGER))
+        FROM base WHERE doc_id < 50),
+      docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform($shinglesSql, t -> ${h31("t")})) AS hs
+        FROM corpus),
+      sized AS (SELECT doc_id, hs, len(hs) AS sz FROM docs),
+      expl AS (SELECT doc_id, sz, unnest(hs) AS sh FROM sized),
+      freq AS (SELECT sh, count(*) AS df FROM expl GROUP BY 1),
+      ranked AS (
+        SELECT e.doc_id, e.sz, e.sh,
+          row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.sh) AS pos
+        FROM expl e JOIN freq f USING (sh)),
+      prefix AS (
+        SELECT doc_id, sh FROM ranked
+        WHERE pos <= sz - ceil(0.9 * sz) + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN expl b
+          ON a.sh = b.sh AND a.doc_id <> b.doc_id)
+      SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+          / CAST(len(x.hs) AS DOUBLE) AS containment
+      FROM cand c
+      JOIN sized x ON x.doc_id = c.id_a
+      JOIN sized y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+          / CAST(len(x.hs) AS DOUBLE) >= 0.9
+      ORDER BY id_a, id_b"""))
+
   /** SimHash near-dup pairs: 32-bit signatures over char 5-gram shingles
     * (word tokens collapse here — every doc shares one small vocabulary,
     * so token-level signatures collide massively), pairs at Hamming ≤ 4
@@ -2662,7 +2724,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddComponentsInc,
     ddIncremental, ddIncStored,
-    ddParagraph, ddJaccardPrefix,
+    ddParagraph, ddJaccardPrefix, ddContainment,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simHardNegatives, simBinaryHamming, simBinaryRerank,
