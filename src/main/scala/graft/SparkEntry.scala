@@ -66,7 +66,8 @@ object SparkEntry {
       "a52_benford", "a53_gini", "a54_spearman", "a55_mannwhitney",
       "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
       "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
-      "ml_target_encode", "rec_item_cf", "dd_containment")
+      "ml_target_encode", "rec_item_cf", "dd_containment",
+      "m24_hilbert_skipping")
     preferred.filter(queries.contains)
   }
 

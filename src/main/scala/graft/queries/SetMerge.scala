@@ -765,10 +765,77 @@ object SetMerge {
       FROM o WHERE o_price_b BETWEEN 100 AND 300
       ORDER BY dim"""))
 
+  /** M24: HILBERT-CURVE skipping — m23's Morton twin on the BETTER
+    * curve. The Morton interleave jumps across the grid at power-of-two
+    * boundaries (cell 0b0111→0b1000 crosses half the key space), so a
+    * range-partitioned file can straddle a jump and inherit a min/max
+    * box covering both sides; the Hilbert walk
+    * ([[graft.plans.HilbertIndex2]]) moves to a grid NEIGHBOR at every
+    * step, so each file's curve range stays one compact blob and the
+    * same zone-map probe keeps fewer files (the layout Databricks
+    * liquid clustering adopted over Z-order). Identical commit/probe
+    * machinery and slices as m23 — the oracle is the plain filter, so
+    * the curve is pure layout: it can only change WHICH files are
+    * read, never the rows. Both arms require in-query that files were
+    * skipped; the measured Morton-vs-Hilbert kept-file counts are
+    * recorded in BUILD_NOTES. */
+  val m24HilbertSkipping = Q(
+    "m24_hilbert_skipping",
+    (s, dir) => {
+      import graft.sources.VersionedStore
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.sources.Bucketing.processRoot}/hilbert_orders_$tag"
+      if (VersionedStore.latest(s, base).isEmpty) {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+            expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)")
+              .as("o_day"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 12800").as("o_price_b"))
+        val cols = o.columns.toSeq
+        val shaped = o
+          .withColumn("__h", graft.plans.HilbertIndex2.hilbert2(
+            col("o_day"), col("o_price_b"), bits = 12))
+          .repartitionByRange(32, col("__h"))
+          .sortWithinPartitions("__h")
+          .select(cols.map(col): _*)
+        VersionedStore.commitWithStats(s, base, shaped,
+          statsCols = Seq("o_day", "o_price_b"))
+      }
+      def arm(label: String, statCol: String, lo: Long, hi: Long) = {
+        val (kept, total) =
+          VersionedStore.filesInRange(s, base, 0L, statCol, lo, hi)
+        require(kept.nonEmpty && kept.size < total,
+          s"hilbert zone map must prune on $statCol (kept ${kept.size} of $total)")
+        VersionedStore.readSkipping(s, base, 0L, statCol, lo, hi)
+          .agg(count(lit(1)).as("n_rows"), dsum("o_totalprice").as("sum_total"))
+          .select(lit(label).as("dim"), col("n_rows"), col("sum_total"))
+      }
+      arm("day_slice", "o_day", 365L, 729L)
+        .unionByName(arm("price_slice", "o_price_b", 100L, 300L))
+        .orderBy("dim")
+    },
+    Some("""WITH o AS (
+        SELECT o_totalprice,
+          CAST(date_diff('day', DATE '1995-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS o_day,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 12800
+            AS o_price_b
+        FROM orders)
+      SELECT 'day_slice' AS dim, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM o WHERE o_day BETWEEN 365 AND 729
+      UNION ALL
+      SELECT 'price_slice' AS dim, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM o WHERE o_price_b BETWEEN 100 AND 300
+      ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(u1UnionDedup, u2DedupComposite, u4UnionDistinct,
     m1Upsert, m6ContactUpsert, m7KeyedUpdate, m10InsertIfAbsent,
     u6IntersectExcept, m9Delete, m11Scd2, m12UpsertEvolving,
     m13SnapshotDiff, m14IncrementalMv, m15MinMaxMv, m16MomentsMv,
     m17TimeTravel, m18SketchMv, m19Optimize, m20CdcVersions,
-    m21DataSkipping, m22BloomSkipping, m23ZorderSkipping)
+    m21DataSkipping, m22BloomSkipping, m23ZorderSkipping,
+    m24HilbertSkipping)
 }

@@ -2418,4 +2418,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("broadcast ceiling"), e.getMessage)
     assert(e.getMessage.contains("raise"), e.getMessage)
   }
+
+  test("HilbertIndex2 is a unit-step bijection and out-localizes Morton") {
+    import graft.plans.HilbertIndex2
+    val bits = 4
+    val side = 1 << bits
+    // bijection: every cell gets a distinct d in [0, side²)
+    val cells = for (x <- 0 until side; y <- 0 until side)
+      yield ((x, y), HilbertIndex2.compute(x.toLong, y.toLong, bits))
+    val ds = cells.map(_._2)
+    assert(ds.toSet == (0L until (side.toLong * side)).toSet,
+      "xy→d must be a bijection onto the curve positions")
+    // locality: consecutive curve positions are GRID NEIGHBORS — the
+    // property Morton lacks and the whole reason m24 exists
+    val byD = cells.map { case (xy, d) => d -> xy }.toMap
+    for (d <- 0L until (side.toLong * side - 1)) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve step $d→${d + 1} jumped from ($x1,$y1) to ($x2,$y2)")
+    }
+    // codegen path == interpreted path (native Expression sanity)
+    val df = (0 until side).flatMap(x => (0 until side).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val viaSpark = df.select(HilbertIndex2.hilbert2(col("x"), col("y"), bits).as("d"))
+      .as[Long].collect().sorted
+    assert(viaSpark.toSeq == (0L until (side.toLong * side)).toSeq)
+  }
 }
