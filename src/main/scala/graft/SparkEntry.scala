@@ -67,7 +67,7 @@ object SparkEntry {
       "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
       "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
       "ml_target_encode", "rec_item_cf", "dd_containment",
-      "m24_hilbert_skipping")
+      "m24_hilbert_skipping", "a61_bootstrap_ci")
     preferred.filter(queries.contains)
   }
 

@@ -1458,6 +1458,97 @@ object Coverage {
         FROM g CROSS JOIN p ORDER BY arm"""))
   }
 
+  /** A61: POISSON BOOTSTRAP confidence interval (Efron 1979's
+    * percentile bootstrap in the streaming-scale approximation of
+    * Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating
+    * Uncertainty for Massive Data Streams" — multinomial resample
+    * counts become independent Poisson(1) weights, so each of the B
+    * resamples is ONE conditional weighted sum instead of a data
+    * shuffle): a 95% CI on mean purchase value with zero model
+    * assumptions. Determinism is total: row r's weight in resample b
+    * is the Poisson(1) inverse-CDF evaluated at u = hash56(id‖b),
+    * and the CDF cuts are pre-scaled to the integer grid —
+    * w = #{k : u ≥ ⌊P(X≤k)·2⁵⁶⌋}, capped at 6 (P(X>6) < 1e-4) — so
+    * the whole draw is INTEGER comparisons; no float enters until the
+    * final mean division, whose expression text both engines share.
+    * Shape: B·2 conditional sums in one map-side-combined aggregate —
+    * rows × B hash evaluations, NO explode, NO extra shuffle; the
+    * resample means sort as a B-element in-row array. The at-scale
+    * statistics operator: exact-replayable uncertainty on any metric
+    * without ever materializing a resample. */
+  val a61BootstrapCi: Q = {
+    val B = 40
+    // P(Poisson(1) ≤ k)·2^56 for k = 0..5, floored — JVM doubles via
+    // math.exp at build time, shipped as identical integer literals to
+    // both engines (the hllLinearCaseSql discipline).
+    val cuts: Seq[Long] = {
+      val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L)
+      val cdf = fact.indices.map(k =>
+        (0 to k).map(j => math.exp(-1.0) / fact(j)).sum)
+      cdf.map(p => (p * graft.operators.Dedup.M56.toDouble).toLong)
+    }
+    def meanT(b: Int) = s"CAST(s$b AS DOUBLE) / CAST(n$b AS DOUBLE)"
+    val loIdx = (0.025 * B).toInt + 1  // 2nd of 40
+    val hiIdx = B - (0.025 * B).toInt  // 39th of 40
+    Q(
+      "a61_bootstrap_ci",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            (Q.dec("value") * 100).cast("long").as("v"))
+        val withW = e.select(
+          (col("v") +: (1 to B).map { b =>
+            val u = graft.operators.Dedup.hash56(
+              concat_ws(":", col("event_id"), lit(b)))
+            cuts.map(t => when(u >= t, 1L).otherwise(0L))
+              .reduce(_ + _).as(s"w$b")
+          }): _*)
+        val aggs =
+          Seq(count(lit(1)).as("n0"), sum(col("v")).as("s0")) ++
+            (1 to B).flatMap(b => Seq(
+              sum(col(s"w$b")).as(s"n$b"),
+              sum(col(s"w$b") * col("v")).as(s"s$b")))
+        val sorted = s"array_sort(array(${(1 to B).map(meanT).mkString(", ")}))"
+        withW.agg(aggs.head, aggs.tail: _*)
+          .select(col("n0").as("n"),
+            expr("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1.0e2")
+              .as("mean"),
+            expr(s"element_at($sorted, $loIdx) / 1.0e2").as("ci_lo"),
+            expr(s"element_at($sorted, $hiIdx) / 1.0e2").as("ci_hi"))
+      },
+      Some({
+        val wSql = (1 to B).map { b =>
+          val u = s"((md5_number_lower(event_id || ':' || $b) % ${graft.operators.Dedup.M56})::BIGINT)"
+          val w = cuts.map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+          s"($w) AS w$b"
+        }.mkString(",\n          ")
+        val aggSql = (1 to B).map(b =>
+          s"CAST(sum(w$b) AS BIGINT) AS n$b, CAST(sum(w$b * v) AS BIGINT) AS s$b")
+          .mkString(",\n          ")
+        val sorted = s"list_sort([${(1 to B).map(meanT).mkString(", ")}])"
+        s"""WITH e AS (
+          SELECT event_id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events WHERE event_type = 'purchase'),
+        w AS (
+          SELECT v,
+          $wSql
+          FROM e),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0,
+            CAST(sum(v) AS BIGINT) AS s0,
+          $aggSql
+          FROM w)
+        SELECT n0 AS n,
+          CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1.0e2 AS mean,
+          $sorted[$loIdx] / 1.0e2 AS ci_lo,
+          $sorted[$hiIdx] / 1.0e2 AS ci_hi
+        FROM a"""
+      }))
+  }
+
   /** A53: GINI COEFFICIENT per event type — the inequality measure
     * behind "does 1% of users drive 90% of value" (and, in corpus
     * work, how concentrated token mass is across documents): via the
@@ -2387,7 +2478,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
