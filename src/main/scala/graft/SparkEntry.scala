@@ -67,7 +67,8 @@ object SparkEntry {
       "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
       "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
       "ml_target_encode", "rec_item_cf", "dd_containment",
-      "m24_hilbert_skipping", "a61_bootstrap_ci")
+      "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
+      "a63_did")
     preferred.filter(queries.contains)
   }
 

@@ -1458,6 +1458,141 @@ object Coverage {
         FROM g CROSS JOIN p ORDER BY arm"""))
   }
 
+  /** A62: TWO-PROPORTION Z-TEST (the pooled-variance normal
+    * approximation — conversion-rate A/B testing's workhorse, the
+    * binary-outcome sibling of a59's Welch t): did the purchase
+    * CONVERSION RATE (users with ≥1 HIGH-VALUE purchase — value > 95,
+    * among users with any event; the plain any-purchase rate is ~1.0
+    * on this corpus, which degenerates the pooled variance to zero)
+    * differ between arms? All counts are exact integers from
+    * one per-user combine + one 2-row fold; p̂₁, p̂₂, the pooled p̂ and
+    * z are doubles derived from those integers through shared
+    * expression text. Shape: scan → per-user any-purchase flag →
+    * 2-group aggregate → 1-row fold. */
+  val a62PropZtest: Q = {
+    val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    val p2 = "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    val pp = "(CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    val zT = s"($p1 - $p2) / sqrt($pp * (1.0e0 - $pp)" +
+      " * (1.0e0 / CAST(n1 AS DOUBLE) + 1.0e0 / CAST(n2 AS DOUBLE)))"
+    Q(
+      "a62_prop_ztest",
+      (s, dir) => {
+        val u = Tables.load(s, dir, "events")
+          .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+            Q.dec("value") > 95, 1L).otherwise(0L)).as("converted"))
+        u.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 0, col("converted"))
+              .otherwise(0L)).as("c1"),
+            sum(when(col("arm") =!= 0, col("converted"))
+              .otherwise(0L)).as("c2"))
+          .select(col("n1"), col("n2"), col("c1"), col("c2"),
+            expr(p1).as("p1"), expr(p2).as("p2"), expr(zT).as("z"))
+      },
+      Some(s"""WITH u AS (
+          SELECT user_id % 2 AS arm, user_id,
+            max(CASE WHEN event_type = 'purchase'
+                AND CAST(value AS DECIMAL(18,2)) > 95 THEN 1 ELSE 0 END)
+              AS converted
+          FROM events GROUP BY 1, 2),
+        a AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN arm <> 0 THEN converted ELSE 0 END)
+              AS BIGINT) AS c2
+          FROM u)
+        SELECT n1, n2, c1, c2, $p1 AS p1, $p2 AS p2, $zT AS z
+        FROM a"""))
+  }
+
+  /** A63: DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994's quasi-
+    * experimental workhorse): when assignment isn't randomized, the
+    * treatment effect estimate is the treated arm's pre→post change
+    * MINUS the control arm's — differencing out both the stable
+    * arm-level gap and the common time trend. Four (arm, period)
+    * cells from ONE conditional moment aggregate; each cell's exact
+    * integer centered sum of squares uses a58's floor-division form;
+    * the DiD point estimate and its Welch-style standard error
+    * √(Σ varᵢ/nᵢ) are doubles from those integers via shared
+    * expression text. Same cutoff as a60 — the two queries are the
+    * randomized and quasi-experimental readouts of one design. */
+  val a63Did: Q = {
+    def m(c: String) = s"(CAST(s1_$c AS DOUBLE) / CAST(n_$c AS DOUBLE))"
+    def vn(c: String) = s"(CAST(ss6_$c AS DOUBLE) / 1.0e6" +
+      s" / (CAST(n_$c AS DOUBLE) - 1.0e0) / CAST(n_$c AS DOUBLE))"
+    val cells = Seq("t_post", "t_pre", "c_post", "c_pre")
+    val didT = s"((${m("t_post")} - ${m("t_pre")})" +
+      s" - (${m("c_post")} - ${m("c_pre")})) / 1.0e2"
+    val seT = s"sqrt(${cells.map(vn).mkString(" + ")}) / 1.0e2"
+    Q(
+      "a63_did",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val e = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(
+            concat_ws("_",
+              when(col("user_id") % 2 === 0, "t").otherwise("c"),
+              when(col("ts") >= cut, "post").otherwise("pre")).as("cell"),
+            (Q.dec("value") * 100).cast("long").as("v"))
+        val g = e.groupBy("cell").agg(
+          count(lit(1)).as("n_g"),
+          sum(d(col("v"))).as("s1g"),
+          sum(d(col("v")) * d(col("v"))).as("s2g"))
+          .withColumn("ss6", expr("""s2g * 1000000
+            - CAST((s1g * s1g * 1000000 - pmod(s1g * s1g * 1000000,
+                CAST(n_g AS DECIMAL(10,0)))) / CAST(n_g AS DECIMAL(10,0))
+              AS DECIMAL(38,0))"""))
+        val folds = cells.flatMap { c =>
+          Seq(sum(when(col("cell") === c, col("n_g"))).as(s"n_$c"),
+            sum(when(col("cell") === c, col("s1g"))).as(s"s1_$c"),
+            sum(when(col("cell") === c, col("ss6"))).as(s"ss6_$c"))
+        }
+        g.agg(folds.head, folds.tail: _*)
+          .select(
+            (cells.map(c => col(s"n_$c").cast("long").as(s"n_$c")) ++
+              cells.map(c => expr(s"${m(c)} / 1.0e2").as(s"mean_$c")) :+
+              expr(didT).as("did") :+ expr(seT).as("se")): _*)
+      },
+      Some(s"""WITH e AS (
+          SELECT (CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END) || '_'
+              || (CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'post' ELSE 'pre' END) AS cell,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT cell, count(*) AS n_g,
+            sum(CAST(v AS HUGEINT)) AS s1g,
+            sum(CAST(v AS HUGEINT) * v) AS s2g
+          FROM e GROUP BY 1),
+        h AS (
+          SELECT cell, n_g, s1g,
+            s2g * 1000000 - (s1g * s1g * 1000000 // n_g) AS ss6
+          FROM g),
+        a AS (
+          SELECT
+            ${cells.map(c =>
+              s"""CAST(sum(CASE WHEN cell = '$c' THEN n_g END) AS BIGINT)
+                AS n_$c,
+              sum(CASE WHEN cell = '$c' THEN s1g END) AS s1_$c,
+              sum(CASE WHEN cell = '$c' THEN ss6 END) AS ss6_$c""")
+            .mkString(",\n            ")}
+          FROM h)
+        SELECT ${cells.map(c => s"n_$c").mkString(", ")},
+          ${cells.map(c => s"${m(c)} / 1.0e2 AS mean_$c").mkString(",\n          ")},
+          $didT AS did, $seT AS se
+        FROM a"""))
+  }
+
   /** A61: POISSON BOOTSTRAP confidence interval (Efron 1979's
     * percentile bootstrap in the streaming-scale approximation of
     * Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating
@@ -2478,7 +2613,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a62PropZtest, a63Did, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
