@@ -305,6 +305,92 @@ object Graph {
     * ball_milli = Σ_v floor(1000·est|ball(v,hop)|) in exact fixed
     * point, summed as BIGINT so the cross-node reduction is
     * order-independent and engine-exact). */
+  /** SAMPLED-SOURCE BETWEENNESS CENTRALITY (Brandes 2001's dependency
+    * accumulation, over the source sample of Brandes & Pich 2007,
+    * truncated at `depth` hops — the k-bounded variant): which nodes
+    * sit on the most shortest paths? Exact all-pairs betweenness is
+    * Θ(|V|·|E|); the standard at-scale estimator runs Brandes' two
+    * passes from a fixed source sample (here the `nSources` smallest
+    * node ids — deterministic, replayable) and bounds the BFS at
+    * `depth` (path mass beyond a few hops is negligible on
+    * small-world graphs and the bound caps every frontier). Pivots
+    * are the `nSources` HIGHEST-DEGREE nodes (ties to the smaller id)
+    * — Brandes & Pich's high-centrality pivot heuristic, and on a
+    * sparse co-purchase graph the choice that actually covers path
+    * mass (the smallest-id sample lands in leaf components and sees
+    * almost nothing).
+    *
+    * Both passes are level-synchronous joins, all state keyed
+    * (src, node) ≤ sources·|V| rows:
+    *   forward  σ_t(v) = Σ_{u ∈ parents} σ_{t−1}(u)  (path counts,
+    *            exact integers; parents = settled-at-t−1 neighbors)
+    *   backward δ(v)   = Σ_{w ∈ successors} σ_v/σ_w · (1 + δ(w))
+    * The backward division makes δ rational, and float summation
+    * order would diverge cross-engine — so δ is held in 1e-6 FIXED
+    * POINT with a per-edge floor: δ6(v) = Σ_w ⌊σ_v·(10⁶ + δ6(w))/σ_w⌋,
+    * an order-independent integer sum both engines replay bit-exactly
+    * (truncation ≤ 1e-6 per edge is part of the statistic's
+    * definition, the t30/j19 fixed-point discipline). Products ride
+    * DECIMAL(38,0)/HUGEINT; σ stays well under 2⁶³ for any depth-4
+    * ball with degrees below ~2¹⁵.
+    *
+    * Returns the top-`topK` (node, b6 = Σ_sources δ6) by centrality,
+    * ties to the smaller node id. */
+  def betweennessSampled(edges: DataFrame, nSources: Int = 8,
+      depth: Int = 4, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(edges.select(col("item_b").as("src"),
+        col("item_a").as("dst")))
+      .localCheckpoint()
+    val sources = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(nSources)
+      .select("node")
+    // forward: one frame per level, (s, node, sigma)
+    var levels = Vector(
+      sources.select(col("node").as("s"), col("node"),
+        lit(1L).as("sigma")).localCheckpoint())
+    var settled = levels.head
+    for (_ <- 1 to depth) {
+      val next = levels.last.join(und, col("node") === und("src"))
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(settled.select("s", "node"), Seq("s", "node"), "left_anti")
+        .localCheckpoint()
+      levels = levels :+ next
+      settled = settled.unionByName(next)
+    }
+    // backward: deepest level's delta is 0 (successors out of bound);
+    // level t pulls from level t+1 through the edge list
+    var delta: DataFrame = levels.last.select(col("s"), col("node"),
+      lit(0L).as("d6"))
+    val perLevelDeltas = (depth - 1 to 1 by -1).map { t =>
+      val cur = levels(t)
+      val succ = levels(t + 1).select(col("s").as("s2"),
+        col("node").as("w"), col("sigma").as("sigma_w"))
+      val dw = delta.select(col("s").as("s3"), col("node").as("w3"),
+        col("d6"))
+      val dt = cur
+        .join(und, cur("node") === und("src"))
+        .join(succ, col("s") === col("s2") && col("w") === und("dst"))
+        .join(dw, col("s") === col("s3") && col("w3") === col("w"), "left")
+        .select(col("s"), col("node"),
+          expr("CAST(sigma AS DECIMAL(38,0)) * (1000000 + coalesce(d6, CAST(0 AS BIGINT)))")
+            .as("num"),
+          d38(col("sigma_w")).as("den"))
+        .groupBy("s", "node")
+        .agg(sum(expr("num div den")).as("d6"))
+        .localCheckpoint()
+      delta = dt
+      dt
+    }
+    perLevelDeltas.reduce(_.unionByName(_))
+      .groupBy("node").agg(sum("d6").as("b6"))
+      .orderBy(col("b6").desc, col("node")).limit(topK)
+  }
+
   def hyperBall(edges: DataFrame, rounds: Int): DataFrame = {
     val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(edges.select(col("item_b").as("src"),

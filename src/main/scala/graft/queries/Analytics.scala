@@ -1009,9 +1009,129 @@ object Analytics {
         FROM top WHERE rk <= 10 ORDER BY item_a, rk"""))
   }
 
+  /** ML: ROC AUC, exact and tie-aware — the ranking form of the
+    * Mann–Whitney identity (Hanley & McNeil 1982: AUC = U/(n⁺n⁻)):
+    * AUC = (Σ midranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), evaluated
+    * on DOUBLED midranks so ties stay integers (the a54/a55/a57
+    * machinery — [[graft.operators.Align.groupedDoubledRank]] computes
+    * the global rank range-partitioned, never one task). The model-eval
+    * staple every training pipeline reports; here scoring how well the
+    * raw event value separates purchases from other events. The
+    * integer numerator auc_num2 = 2·n⁺·n⁻·AUC is emitted alongside so
+    * the hash check decides on exact integers; the double AUC is one
+    * shared-text division. */
+  val mlAuc: Q = {
+    val aucT = "CAST(auc_num2 AS DOUBLE)" +
+      " / (2.0e0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))"
+    Q(
+      "ml_auc",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val e = Tables.load(s, dir, "events").select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          (Q.dec("value") * 100).cast("long").as("v"))
+          .withColumn("__all", lit("all"))
+        val r = graft.operators.Align.groupedDoubledRank(
+          e, Seq("__all"), "v", "r2")
+        r.agg(
+            sum(when(col("y") === 1, d(col("r2")))).as("r2p"),
+            sum(col("y")).as("np"),
+            sum(lit(1L) - col("y")).as("nn"))
+          .select(col("np").cast("long").as("np"),
+            col("nn").cast("long").as("nn"),
+            (col("r2p") - d(col("np")) * (d(col("np")) + 1))
+              .cast("long").as("auc_num2"))
+          .select(col("np"), col("nn"), col("auc_num2"),
+            expr(aucT).as("auc"))
+      },
+      Some(s"""WITH e AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events),
+        r AS (
+          SELECT y, rank() OVER (ORDER BY v) * 2
+            + count(*) OVER (PARTITION BY v) - 1 AS r2
+          FROM e),
+        a AS (
+          SELECT sum(CASE WHEN y = 1 THEN CAST(r2 AS HUGEINT) END) AS r2p,
+            CAST(sum(y) AS BIGINT) AS np,
+            CAST(sum(1 - y) AS BIGINT) AS nn
+          FROM r)
+        SELECT np, nn,
+          CAST(r2p - CAST(np AS HUGEINT) * (np + 1) AS BIGINT) AS auc_num2,
+          $aucT AS auc
+        FROM a"""))
+  }
+
+  /** ML: DECILE GAINS TABLE with per-bin Brier terms — the lift chart
+    * behind every targeting model review: rows ranked by score
+    * (doubled midranks again, so the binning is integer-decided even
+    * under ties), cut into 10 equal-population bins, each reporting
+    * its positive rate and its Brier contribution for the rank-
+    * percentile forecast p = r2/(2n) (Brier 1950). A well-separating
+    * score shows rate₉ ≫ rate₀; a calibrated one shows brier6 flat
+    * and small. Everything emitted is an exact 10⁶-fixed-point
+    * integer: rate6 = ⌊10⁶·pos/n⌋, brier6 = ⌊10⁶·Σ(r2−y·2n)²/((2n)²·n_b)⌋
+    * with the squared terms summed in DECIMAL(38,0)/HUGEINT. The row
+    * count n rides a 1-row broadcast (whitelisted BNLJ). */
+  val mlGains = Q(
+    "ml_gains",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      def d(c: Column) = c.cast(DecimalType(38, 0))
+      val e = Tables.load(s, dir, "events").select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        (Q.dec("value") * 100).cast("long").as("v"))
+        .withColumn("__all", lit("all"))
+      val r = graft.operators.Align.groupedDoubledRank(
+        e, Seq("__all"), "v", "r2")
+      val nFrame = r.agg(count(lit(1)).as("n"))
+      r.join(broadcast(nFrame))
+        .select(col("y"), col("r2"), col("n"),
+          expr("((r2 - 1) * 10) div (2 * n)").as("bin"),
+          (d(col("r2")) - d(col("y")) * 2 * d(col("n"))).as("dev"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"),
+          sum(col("dev") * col("dev")).as("sq"),
+          max(col("n")).as("n"))
+        .select(col("bin"), col("n_b"), col("pos_b"),
+          expr("(pos_b * 1000000) div n_b").as("rate6"),
+          expr("""(sq * 1000000) div (4 * CAST(n AS DECIMAL(20,0))
+            * CAST(n AS DECIMAL(20,0)) * CAST(n_b AS DECIMAL(20,0)))""")
+            .as("brier6"))
+        .orderBy("bin")
+    },
+    Some("""WITH e AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      r AS (
+        SELECT y, rank() OVER (ORDER BY v) * 2
+          + count(*) OVER (PARTITION BY v) - 1 AS r2
+        FROM e),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+      b AS (
+        SELECT y, r2, n, ((r2 - 1) * 10) // (2 * n) AS bin,
+          CAST(r2 AS HUGEINT) - CAST(y AS HUGEINT) * 2 * n AS dev
+        FROM r CROSS JOIN n),
+      g AS (
+        SELECT bin, count(*) AS n_b,
+          CAST(sum(y) AS BIGINT) AS pos_b,
+          sum(dev * dev) AS sq, max(n) AS n
+        FROM b GROUP BY 1)
+      SELECT bin, n_b, pos_b,
+        CAST((pos_b * 1000000) // n_b AS BIGINT) AS rate6,
+        CAST((sq * 1000000) // (4 * CAST(n AS HUGEINT) * n * n_b)
+          AS BIGINT) AS brier6
+      FROM g ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore, gModularity,
-    a49DpCount, a50DpSum, recNegSampling, mlTargetEncode, recItemCf)
+    a49DpCount, a50DpSum, recNegSampling, mlTargetEncode, recItemCf,
+    mlAuc, mlGains)
 }

@@ -284,6 +284,84 @@ object Coverage {
     },
     Some(hyperballOracleSql(3)))
 
+  /** G17: SAMPLED BETWEENNESS CENTRALITY — Brandes' two-pass dependency
+    * accumulation from a deterministic 8-source sample, depth-bounded
+    * at 4 hops, δ in 1e-6 fixed point with per-edge floors
+    * ([[graft.operators.Graph.betweennessSampled]]) — "which items
+    * broker the co-purchase graph", the path-centrality complement of
+    * PageRank (flow through you, not mass arriving at you). Every
+    * quantity the engines exchange is an integer: σ path counts by
+    * construction, δ6 because the division floors per edge — so the
+    * top-20 ranking has no float anywhere. The oracle unrolls both
+    * passes as CTE chains (the hyperball replay discipline). */
+  val gBetweenness = Q(
+    "g_betweenness",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
+        minShared = 2, maxGroupSize = Int.MaxValue)
+      Graph.betweennessSampled(edges, nSources = 8, depth = 4, topK = 20)
+    },
+    Some(betweennessOracleSql(nSources = 8, depth = 4, topK = 20)))
+
+  /** DuckDB replay of [[graft.operators.Graph.betweennessSampled]]:
+    * unrolled forward σ levels + backward fixed-point δ levels. Every
+    * unrolled CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    * level here is referenced by every later level's settled-set check
+    * — inlined, the chain re-evaluates exponentially (measured: the
+    * sf0.1 replay spilled >60 GB before being killed; materialized it
+    * answers in seconds). */
+  private def betweennessOracleSql(nSources: Int, depth: Int,
+      topK: Int): String = {
+    val fwd = (1 to depth).map { t =>
+      s"""f$t AS MATERIALIZED (
+        SELECT c.s, c.node, CAST(sum(c.sigma) AS BIGINT) AS sigma
+        FROM (
+          SELECT f.s, e.dst AS node, f.sigma
+          FROM f${t - 1} f JOIN und e ON f.node = e.src) c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (${(0 until t).map(i => s"SELECT s, node FROM f$i")
+            .mkString(" UNION ALL ")}) p
+          WHERE p.s = c.s AND p.node = c.node)
+        GROUP BY 1, 2)"""
+    }.mkString(",\n      ")
+    val bwd = (depth - 1 to 1 by -1).map { t =>
+      val dwJoin = if (t == depth - 1)
+        s"LEFT JOIN (SELECT s, node, CAST(0 AS BIGINT) AS d6 FROM f$depth) dw"
+      else
+        s"LEFT JOIN d${t + 1} dw"
+      s"""d$t AS MATERIALIZED (
+        SELECT cur.s, cur.node,
+          CAST(sum(CAST(cur.sigma AS HUGEINT) * (1000000 + coalesce(dw.d6, 0))
+            // succ.sigma) AS BIGINT) AS d6
+        FROM f$t cur
+        JOIN und e ON cur.node = e.src
+        JOIN f${t + 1} succ ON succ.s = cur.s AND succ.node = e.dst
+        $dwJoin ON dw.s = cur.s AND dw.node = e.dst
+        GROUP BY 1, 2)"""
+    }.mkString(",\n      ")
+    val bUnion = (1 to depth - 1).map(t => s"SELECT node, d6 FROM d$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ld AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS MATERIALIZED (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+        FROM ld a JOIN ld b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      und AS MATERIALIZED (
+        SELECT item_a AS src, item_b AS dst FROM edges
+        UNION ALL SELECT item_b, item_a FROM edges),
+      f0 AS MATERIALIZED (
+        SELECT node AS s, node, CAST(1 AS BIGINT) AS sigma
+        FROM (SELECT src AS node FROM und GROUP BY 1
+              ORDER BY count(*) DESC, node LIMIT $nSources)),
+      $fwd,
+      $bwd
+      SELECT node, CAST(sum(d6) AS BIGINT) AS b6
+      FROM ($bUnion)
+      GROUP BY 1 ORDER BY b6 DESC, node LIMIT $topK"""
+  }
+
   /** DuckDB replay of [[graft.operators.Graph.hyperBall]]: unrolled
     * register init + `rounds` max-merge rounds + per-round estimates. */
   private def hyperballOracleSql(rounds: Int): String = {
@@ -2611,7 +2689,7 @@ object Coverage {
       FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
-    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gRandomWalks, gWalkPairs, a17Percentiles,
+    f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gBetweenness, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
     a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a62PropZtest, a63Did, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,

@@ -770,4 +770,69 @@ class PropertySpec extends AnyFunSuite {
     assert(minQ == n - budget,
       s"fill did not take the best classes first (min quality $minQ)")
   }
+
+  test("betweennessSampled matches driver-side Brandes on random graphs") {
+    // the oracle replays the SAME fixed-point algorithm, so cross-engine
+    // exactness alone can't catch a shared algorithmic mistake — this
+    // reference is the textbook float Brandes (depth-bounded, sampled
+    // sources), and the fixed-point answer must sit within the floors'
+    // accumulation error of it
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val depth = 3
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      // top-degree pivots, ties to the smaller id — mirror the operator
+      val sources = adj.toSeq.map { case (n, nb) => (n, nb.size) }
+        .sortBy { case (n, deg) => (-deg, n) }.take(4).map(_._1)
+      val ref = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (s <- sources) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0)
+        var frontier = Seq(s)
+        val levels = scala.collection.mutable.ArrayBuffer(Seq(s))
+        for (t <- 1 to depth) {
+          val next = scala.collection.mutable.LinkedHashMap[Long, Double]()
+          for (u <- frontier; v <- adj.getOrElse(u, Seq())) {
+            if (!dist.contains(v) || dist(v) == t) {
+              dist(v) = t
+              next(v) = next.getOrElse(v, 0.0) + sigma(u)
+            }
+          }
+          next.foreach { case (v, sg) => sigma(v) = sg }
+          frontier = next.keys.toSeq
+          levels += frontier
+        }
+        val delta = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for (t <- depth - 1 to 1 by -1; v <- levels(t)) {
+          for (w <- adj(v) if dist.get(w).contains(t + 1))
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+          ref(v) += delta(v)
+        }
+      }
+      val got = graft.operators.Graph.betweennessSampled(
+          edges.toDF("item_a", "item_b"), nSources = 4, depth = depth,
+          topK = 1000)
+        .as[(Long, Long)].collect().toMap
+      // every node the reference says is central must appear with a
+      // b6 within the fixed-point floors of the float value
+      ref.filter(_._2 > 0).foreach { case (node, want) =>
+        val g = got.getOrElse(node, 0L) / 1e6
+        assert(math.abs(g - want) <= 0.01 + want * 1e-3,
+          s"trial $trial node $node: got $g want $want (edges=$edges)")
+      }
+      got.foreach { case (node, b6) =>
+        assert(math.abs(b6 / 1e6 - ref(node)) <= 0.01 + ref(node) * 1e-3,
+          s"trial $trial node $node: got ${b6 / 1e6} want ${ref(node)}")
+      }
+    }
+  }
 }
