@@ -1629,7 +1629,93 @@ object Corpus {
       FROM g GROUP BY 1 ORDER BY 1"""
     })
 
-  val all: Seq[Q] = Seq(txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
+  /** ZIPF RANK-FREQUENCY FIT (Zipf 1949; the log-log slope every
+    * corpus-statistics report leads with — natural language sits near
+    * −1, and a corpus drifting toward 0 or −2 signals boilerplate
+    * flooding or vocabulary collapse): OLS of ln(freq) on ln(rank)
+    * over the top-100 tokens. Exactness end to end: top-100 is a
+    * bounded TakeOrdered; ranks come from
+    * [[graft.operators.Align.zipWithGlobalIndex]] (no window); both
+    * logs are [[graft.functions.PortableLn]] chains (bit-identical
+    * IEEE in both engines) floored to 1e-9 fixed point, so the OLS
+    * moments are INTEGER sums (order-independent) and the slope is
+    * one shared-text division of exact DECIMAL/HUGEINT numerators.
+    * Shape: token count combine → 100-row tail; the ln chain runs on
+    * 100 rows, never the corpus. */
+  val txtZipfFit: Q = {
+    val slopeT = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+    val interT = s"(CAST(sy AS DOUBLE) / 1.0e2 - ($slopeT)" +
+      " * CAST(sx AS DOUBLE) / 1.0e2) / 1.0e9"
+    Q(
+      "txt_zipf_fit",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val cnt = Tables.load(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+"))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val top = cnt.orderBy(col("cnt").desc, col("token")).limit(100)
+        val ranked = graft.operators.Align.zipWithGlobalIndex(
+          top, "rank", col("cnt").desc, col("token"))
+          .withColumn("rd", col("rank").cast("double"))
+          .withColumn("cd", col("cnt").cast("double"))
+        val lnBoth = graft.functions.PortableLn.withLn(
+          graft.functions.PortableLn.withLn(ranked, "rd", "lnr"),
+          "cd", "lnc")
+        lnBoth
+          .select(floor(col("lnr") * lit(1.0e9)).cast("long").as("x9"),
+            floor(col("lnc") * lit(1.0e9)).cast("long").as("y9"))
+          .agg(count(lit(1)).as("n"),
+            sum(d(col("x9"))).as("sx"), sum(d(col("y9"))).as("sy"),
+            sum(d(col("x9")) * d(col("y9"))).as("sxy"),
+            sum(d(col("x9")) * d(col("x9")))
+              .as("sxx"))
+          .select(col("n"),
+            (d(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
+            (d(col("n")) * col("sxx") - col("sx") * col("sx")).as("den"),
+            col("sx"), col("sy"))
+          .select(col("n").cast("long").as("n"),
+            expr(slopeT).as("slope"), expr(interT).as("ln_c0"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+            AS token
+          FROM documents),
+        cnt AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1),
+        top AS (SELECT token, cnt FROM cnt
+          ORDER BY cnt DESC, token LIMIT 100),
+        rk AS (
+          SELECT cnt,
+            CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)
+              AS rd,
+            CAST(cnt AS DOUBLE) AS cd
+          FROM top),
+        ${graft.functions.PortableLn.cteChainSql("rk", "rd", "lnr", "zr")},
+        ${graft.functions.PortableLn.cteChainSql(
+          graft.functions.PortableLn.cteChainOut("zr"), "cd", "lnc", "zc")},
+        f AS (
+          SELECT CAST(floor(lnr * 1.0e9) AS BIGINT) AS x9,
+            CAST(floor(lnc * 1.0e9) AS BIGINT) AS y9
+          FROM ${graft.functions.PortableLn.cteChainOut("zc")}),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x9 AS HUGEINT)) AS sx, sum(CAST(y9 AS HUGEINT)) AS sy,
+            sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+            sum(CAST(x9 AS HUGEINT) * x9) AS sxx
+          FROM f),
+        a AS (
+          SELECT n, sx, sy,
+            n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+          FROM m)
+        SELECT n, $slopeT AS slope, $interT AS ln_c0
+        FROM a"""))
+  }
+
+  val all: Seq[Q] = Seq(txtZipfFit, txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,
