@@ -68,7 +68,8 @@ object SparkEntry {
       "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
       "ml_target_encode", "rec_item_cf", "dd_containment",
       "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
-      "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit")
+      "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
+      "mm_scene_cut")
     preferred.filter(queries.contains)
   }
 

@@ -597,6 +597,91 @@ object Multimodal {
     })
   }
 
+  // ---- scene-cut detection over real BMP-in-AVI sequences ------------
+
+  /** One frame transition: total abs channel diff vs the previous
+    * frame, and the thresholded cut verdict. */
+  final case class SceneDiff(doc_id: Long, frame_idx: Long,
+      diff_sum: Long, is_cut: Boolean)
+
+  /** Deterministic cut position for doc_id — scene B starts here. */
+  def sceneCutAt(docId: Long): Int = 2 + (docId % 4).toInt
+
+  /** Scene-synthesis pixel formula: a per-frame jitter (i mod 3) keeps
+    * same-scene neighbors from being byte-identical, and a +50 channel
+    * shift lands at the cut. The scene BASE is taken mod 200 so base +
+    * shift + jitter ≤ 251 — nothing ever wraps mod 256. (The first
+    * draft modded the whole sum by 256: a −2 jitter step then wrapped
+    * the pixels sitting at 0/1 to 254/255, and for docs whose value
+    * window covered that edge the jitter transition spiked to ~5 000 —
+    * past the cut threshold, 550 cuts for 500 docs. Wrap-free, the
+    * margins are exact: same-scene Σdiff ≤ 2·3·w·h, cut Σdiff ≥
+    * 48·3·w·h — a 24× separation.) */
+  def synthScenePixel(docId: Long, idx: Int): PixelFn = {
+    val shift = if (idx >= sceneCutAt(docId)) 50L else 0L
+    val jit = idx % 3
+    (x, y) => (
+      (((docId + 3L * x + 7L * y) % 200L) + shift + jit).toInt,
+      (((docId * 5L + x + 2L * y) % 200L) + shift + jit).toInt,
+      (((docId + x.toLong * y) % 200L) + shift + jit).toInt)
+  }
+
+  /** Media table of REAL AVI containers whose frames are REAL 24-bit
+    * BMPs — 8 frames of a two-scene sequence per document. */
+  def toSceneAviTable(spark: SparkSession, documents: DataFrame,
+      width: Int = 16, height: Int = 10, nFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    documents.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "avi", aviMjpg(40000, width, height,
+          (0 until nFrames).map(i =>
+            bmp24(width, height, synthScenePixel(id, i)))))
+      })
+      .toDF()
+  }
+
+  /** SCENE-CUT DETECTION — the first video-curation pass (shot
+    * segmentation before frame sampling, so a sampler draws per SCENE
+    * instead of per timestamp): demux the real container, decode every
+    * frame with the real BMP parser, and score each consecutive pair
+    * by total absolute channel difference; a transition is a cut when
+    * the MEAN per-channel diff clears `meanMilli`/1000. On the
+    * synthetic two-scene sequences the margins are wide and exact:
+    * same-scene jitter moves a pixel by ≤ 2 (plus a 1/256 tail of
+    * mod-256 wraps), the scene shift moves every channel by ~50 — the
+    * detector must fire exactly once per document, at
+    * [[sceneCutAt]]. All sums are exact integers; the verdict is an
+    * integer comparison. Per-partition decode at the binary-codec
+    * seam, like every mm_* operator. */
+  def sceneCuts(spark: SparkSession, media: DataFrame,
+      meanMilli: Long = 10000L): Dataset[SceneDiff] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val (_, frames) = demuxAvi(r.doc_id, r.payload)
+      val bmps = frames.map { case (from, len) =>
+        decodeBmp(r.doc_id,
+          java.util.Arrays.copyOfRange(r.payload, from, from + len))
+      }
+      (1 until bmps.length).map { i =>
+        val (a, b) = (bmps(i - 1), bmps(i))
+        var s = 0L
+        var y = 0
+        while (y < a.height) {
+          var x = 0
+          while (x < a.width) {
+            val (r1, g1, b1) = a.px(x, y)
+            val (r2, g2, b2) = b.px(x, y)
+            s += math.abs(r1 - r2) + math.abs(g1 - g2) + math.abs(b1 - b2)
+            x += 1
+          }
+          y += 1
+        }
+        SceneDiff(r.doc_id, i.toLong, s,
+          s * 1000L > meanMilli * 3L * a.width * a.height)
+      }
+    })
+  }
+
   // ---- REAL codec: grayscale PNG ------------------------------------
   //
   // PNG is the one COMPRESSED format the JDK alone can do honestly:

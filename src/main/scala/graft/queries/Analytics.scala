@@ -950,10 +950,16 @@ object Analytics {
           .select(col("o_custkey").as("user_id"),
             col("l_partkey").as("item"))
           .distinct()
-        val ok = inter.join(
-          inter.groupBy("user_id").agg(count(lit(1)).as("bs"))
-            .filter(col("bs").between(2, 200)).select("user_id"),
-          "user_id")
+        // the cap is a per-user count window (cardinality ∝ users,
+        // never constant) instead of a groupBy + self-join — one pass
+        // over inter. ok feeds two legs (pair explode + n_i counts);
+        // persist + eager count is the triangleCount discipline so the
+        // orders⋈lineitem distinct computes once, not per leg.
+        val ok = inter.withColumn("bs",
+            count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("bs").between(2, 200)).drop("bs")
+          .persist()
+        ok.count()
         val cooc = graft.operators.Graph.sharedKeyEdges(
           ok, "user_id", "item", minShared = 2, maxGroupSize = 200)
         val ni = ok.groupBy(col("item")).agg(count(lit(1)).as("n_i"))

@@ -476,13 +476,17 @@ object Pipeline {
     * byte). Every synthesized row must surface as contained in its
     * source at t=0.9; anything else the prefix filter finds (shared-
     * vocabulary docs swallowing short docs) is corpus truth the oracle
-    * replays. Pinned to doc_id < 1000 like the other pair baselines —
-    * same rarity-tail caveat as dd_jaccard_prefix. */
+    * replays. Pinned to doc_id < 300 — tighter than the prefix×prefix
+    * baselines because the container side indexes ALL its shingles
+    * (no symmetric pruning exists for containment), so this corpus's
+    * missing rarity tail bites quadratically harder here (measured:
+    * the <1000 pin cost 10.5 s at sf0.1; <300 is ~1 s with the same
+    * planted-truncation contract). */
   val ddContainment = Q(
     "dd_containment",
     (s, dir) => {
       val base = Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 1000).select("doc_id", "text")
+        .filter(col("doc_id") < 300).select("doc_id", "text")
       val trunc = base.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           expr("substring(text, 1, CAST(length(text) * 3 DIV 5 AS INT))")
@@ -492,7 +496,7 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH base AS (
-        SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        SELECT doc_id, text FROM documents WHERE doc_id < 300),
       corpus AS (
         SELECT doc_id, text FROM base
         UNION ALL
@@ -2394,6 +2398,43 @@ object Pipeline {
           AS BIGINT) AS checksum
       FROM f"""))
 
+  /** SCENE-CUT DETECTION over real BMP-in-AVI sequences
+    * (Multimodal.sceneCuts): demux → per-frame pixel decode →
+    * consecutive-frame abs-diff → integer threshold verdict. The
+    * planted two-scene sequences make the contract sharp: exactly one
+    * cut per document, at frame 2 + doc_id mod 4, with same-scene
+    * jitter an order of magnitude under the threshold. The oracle
+    * replays the synthesis arithmetic per (frame, pixel, channel) —
+    * equality proves container walk + BMP decode + the detector's
+    * exact sums end to end. */
+  val mmSceneCut = Q(
+    "mm_scene_cut",
+    (s, dir) => Multimodal.sceneCuts(s,
+      Multimodal.toSceneAviTable(s, Tables.load(s, dir, "documents")))
+      .toDF().orderBy("doc_id", "frame_idx"),
+    Some("""WITH px AS (
+        SELECT doc_id, i, x, y,
+          CASE WHEN i >= 2 + doc_id % 4 THEN 50 ELSE 0 END AS s1,
+          CASE WHEN i - 1 >= 2 + doc_id % 4 THEN 50 ELSE 0 END AS s0,
+          i % 3 AS j1, (i - 1) % 3 AS j0
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, 7)) AS i),
+          LATERAL (SELECT unnest(generate_series(0, 15)) AS x),
+          LATERAL (SELECT unnest(generate_series(0, 9)) AS y)),
+      d AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          CAST(sum(
+            abs(((doc_id + 3 * x + 7 * y) % 200 + s1 + j1)
+              - ((doc_id + 3 * x + 7 * y) % 200 + s0 + j0))
+            + abs(((doc_id * 5 + x + 2 * y) % 200 + s1 + j1)
+              - ((doc_id * 5 + x + 2 * y) % 200 + s0 + j0))
+            + abs(((doc_id + x * y) % 200 + s1 + j1)
+              - ((doc_id + x * y) % 200 + s0 + j0))) AS BIGINT) AS diff_sum
+        FROM px GROUP BY 1, 2)
+      SELECT doc_id, frame_idx, diff_sum,
+        diff_sum * 1000 > 10000 * 3 * 160 AS is_cut
+      FROM d ORDER BY doc_id, frame_idx"""))
+
   /** REAL compressed-image codec (Multimodal.pngGray/decodePng): PNG is
     * the one compressed format the JDK alone can do honestly —
     * java.util.zip ships DEFLATE and CRC32; the rest is chunk framing
@@ -2738,6 +2779,7 @@ object Pipeline {
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
     mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
+    mmSceneCut,
     corpusCurate,
     corpusCurateCut, corpusFreeze)
 }

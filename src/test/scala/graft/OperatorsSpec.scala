@@ -2419,6 +2419,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise"), e.getMessage)
   }
 
+  test("sceneCuts fires exactly once per doc, at the planted cut frame") {
+    import graft.operators.Multimodal
+    val docs = (0L until 40L).toDF("doc_id")
+    val cuts = Multimodal.sceneCuts(spark,
+        Multimodal.toSceneAviTable(spark, docs))
+      .filter(_.is_cut).collect()
+    assert(cuts.length == 40, s"got ${cuts.length} cuts for 40 docs")
+    cuts.foreach { c =>
+      assert(c.frame_idx == Multimodal.sceneCutAt(c.doc_id),
+        s"doc ${c.doc_id}: cut at ${c.frame_idx}, planted at " +
+          s"${Multimodal.sceneCutAt(c.doc_id)}")
+    }
+  }
+
   test("HilbertIndex2 is a unit-step bijection and out-localizes Morton") {
     import graft.plans.HilbertIndex2
     val bits = 4
