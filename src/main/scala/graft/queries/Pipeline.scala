@@ -911,6 +911,46 @@ object Pipeline {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         FROM s) WHERE rank <= 5"""))
 
+  /** MIPS top-k via the augmented-cosine reduction
+    * (Similarity.mipsTopK, Bachrach et al. 2014): ranked by the
+    * one-extra-dimension cosine, with the direct inner product
+    * emitted alongside — hash equality on BOTH columns pins that the
+    * reduction's ranking is the inner-product ranking. This is what
+    * lets the stored cosine ANN family serve recommender dot-product
+    * scores without a dedicated MIPS index. */
+  val simMips = Q(
+    "sim_mips",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.mipsTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      m AS (
+        SELECT max(${dotSql("e", "e")}) AS m2 FROM v WHERE vec_id >= 10),
+      c AS (
+        SELECT vec_id AS cand_id, e,
+          list_append(e, sqrt(m2 - ${dotSql("e", "e")})) AS ea
+        FROM v CROSS JOIN m WHERE vec_id >= 10),
+      q AS (
+        SELECT vec_id AS query_id, e, list_append(e, 0.0) AS ea
+        FROM v WHERE vec_id < 10),
+      s AS (
+        SELECT q.query_id, c.cand_id,
+          ${dotSql("q.e", "c.e")} AS ip,
+          ${dotSql("q.ea", "c.ea", 65)} /
+            (sqrt(${dotSql("q.ea", "q.ea", 65)})
+              * sqrt(${dotSql("c.ea", "c.ea", 65)})) AS cos_aug
+        FROM q CROSS JOIN c)
+      SELECT query_id, rank, cand_id, ip, cos_aug FROM (
+        SELECT query_id, cand_id, ip, cos_aug,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_aug DESC, cand_id) AS rank
+        FROM s) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** HARD-NEGATIVE mining for contrastive training
     * (Similarity.hardNegatives): each query vector's top-5
     * most-similar candidates with a DIFFERENT label — the pairs that
@@ -2768,7 +2808,7 @@ object Pipeline {
     ddParagraph, ddJaccardPrefix, ddContainment,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
-    simTopk, simHardNegatives, simBinaryHamming, simBinaryRerank,
+    simTopk, simMips, simHardNegatives, simBinaryHamming, simBinaryRerank,
     simMatryoshka, simSq8,
     simRp,
     simLsh, simLshMulti, simIvf, simIvfMultiprobe, simIvfStored,

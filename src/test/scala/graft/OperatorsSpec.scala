@@ -2419,6 +2419,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise"), e.getMessage)
   }
 
+  test("mipsTopK: augmented-cosine ranking equals direct inner-product ranking") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.mipsTopK(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // driver-side reference: direct inner-product top-5, same tiebreak
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def ip(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val want = for {
+      (qid, qv) <- vecs.toSeq.filter(_._1 < 10)
+      ((cid, _), rk) <- vecs.toSeq.filter(_._1 >= 10)
+        .map { case (cid, cv) => (cid, ip(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5).zipWithIndex
+    } yield (qid, rk + 1, cid)
+    assert(got.toSet == want.toSet,
+      "the reduction must preserve the inner-product order, ties included")
+  }
+
   test("sceneCuts fires exactly once per doc, at the planted cut frame") {
     import graft.operators.Multimodal
     val docs = (0L until 40L).toDF("doc_id")

@@ -140,6 +140,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * (a baseline, or a top-k against a handful of broadcast queries). */
   private val bnljAllowed = Set(
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
+    "sim_mips",            // same brute shape + 1-row M² broadcast
     "sim_hard_negatives",  // same broadcast-query product, label anti-filtered
     "sim_binary_hamming",  // Hamming scan of 2-word codes × broadcast packed queries
     "sim_binary_rerank",   // same Hamming shortlist stage; rerank leg is equi-join
