@@ -96,6 +96,9 @@ object SparkEntry {
     "t8_sessionize",      // temporal/session family
     "a54_spearman",       // the round-13 grouped-rank machinery
     "w10_global_cumsum",  // Align.prefixSum global cumsum
-    "a50_dp_sum")         // DP release + per-user cap window
+    "a50_dp_sum",         // DP release + per-user cap window
+    "rec_item_cf",        // capped-basket pair explode (∝ users·basket²)
+    "g_betweenness",      // level-synchronous two-pass joins
+    "dd_containment")     // asymmetric prefix filter vs the rarity tail
     .filter(queries.contains)
 }
