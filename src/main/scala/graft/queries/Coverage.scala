@@ -1589,6 +1589,42 @@ object Coverage {
         FROM a"""))
   }
 
+  /** A64: SAMPLE-RATIO MISMATCH check (the χ² goodness-of-fit on arm
+    * counts against the designed 50/50 split — the guardrail every
+    * experimentation platform runs BEFORE reading any metric, because
+    * a biased assignment invalidates a59–a63 wholesale; Fabijan et
+    * al. 2019 catalog the failure modes). One per-user combine, one
+    * 1-row fold: χ² = (n₁−E)²/E + (n₂−E)²/E with E = n/2, doubles
+    * derived from exact integer counts through shared expression
+    * text. χ² > 3.84 (95%, df=1) flags the experiment as broken —
+    * the flag is an integer-derived double comparison, identical in
+    * both engines. */
+  val a64Srm: Q = {
+    val eT = "(CAST(n1 + n2 AS DOUBLE) / 2.0e0)"
+    val chiT = s"((CAST(n1 AS DOUBLE) - $eT) * (CAST(n1 AS DOUBLE) - $eT)" +
+      s" + (CAST(n2 AS DOUBLE) - $eT) * (CAST(n2 AS DOUBLE) - $eT)) / $eT"
+    Q(
+      "a64_srm",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select((col("user_id") % 2).as("arm"), col("user_id"))
+          .distinct()
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") =!= 0, 1L).otherwise(0L)).as("n2"))
+          .select(col("n1"), col("n2"), expr(chiT).as("srm_chi2"),
+            (expr(chiT) > 3.84).as("srm_flag"))
+      },
+      Some(s"""WITH u AS (
+          SELECT DISTINCT user_id % 2 AS arm, user_id FROM events),
+        a AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM u)
+        SELECT n1, n2, $chiT AS srm_chi2, $chiT > 3.84 AS srm_flag
+        FROM a"""))
+  }
+
   /** A63: DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994's quasi-
     * experimental workhorse): when assignment isn't randomized, the
     * treatment effect estimate is the treated arm's pre→post change
@@ -2691,7 +2727,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gBetweenness, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a62PropZtest, a63Did, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a62PropZtest, a63Did, a64Srm, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }
