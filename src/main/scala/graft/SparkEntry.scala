@@ -69,7 +69,7 @@ object SparkEntry {
       "ml_target_encode", "rec_item_cf", "dd_containment",
       "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
       "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
-      "mm_scene_cut", "sim_mips", "a64_srm")
+      "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit")
     preferred.filter(queries.contains)
   }
 

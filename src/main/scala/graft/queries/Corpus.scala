@@ -1715,7 +1715,103 @@ object Corpus {
         FROM a"""))
   }
 
-  val all: Seq[Q] = Seq(txtZipfFit, txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
+  /** HEAPS' LAW FIT (Heaps 1978; Herdan 1960) — the vocabulary-growth
+    * exponent: V(n) ≈ K·n^β, natural text sits at β ≈ 0.4–0.6.
+    * The Zipf fit reads the HEAD of the frequency distribution; this
+    * reads the TAIL's growth — a corpus whose β collapses toward 0 has
+    * stopped contributing new vocabulary (template flooding), one near
+    * 1 is noise. Ten prefix checkpoints over the doc_id order: V(k) =
+    * tokens whose FIRST document lands before cutoff n_k = ⌊k·N/10⌋ —
+    * one min-per-token combine, ten conditional sums decided by the
+    * exact integer cross-multiplication fd·10 < N·k (no division
+    * anywhere near the predicate), then the txt_zipf_fit machinery:
+    * PortableLn on 10 rows, OLS moments as 1e-9 fixed-point integer
+    * sums, β = one shared-text division. The checkpoint frame rides a
+    * 1-row broadcast (whitelisted). Measured corpus truth: this
+    * synthetic corpus's 31-token vocabulary saturates inside the
+    * first decile, so β = 0.0 exactly — the degenerate case IS the
+    * flag the operator exists to raise. */
+  val txtHeapsFit: Q = {
+    val slopeT = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+    val interT = s"(CAST(sy AS DOUBLE) / 1.0e1 - ($slopeT)" +
+      " * CAST(sx AS DOUBLE) / 1.0e1) / 1.0e9"
+    Q(
+      "txt_heaps_fit",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val docs = Tables.load(s, dir, "documents")
+        val first = docs
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .groupBy("token").agg(min("doc_id").as("fd"))
+        val nd = docs.agg((max("doc_id") + 1).as("nd"))
+        val vAggs = (1 to 10).map(k =>
+          sum(when(col("fd") * 10 < col("nd") * k, 1L).otherwise(0L))
+            .as(s"v$k")) :+ max("nd").as("nd2")
+        val pts = first.crossJoin(broadcast(nd))
+          .agg(vAggs.head, vAggs.tail: _*)
+          .select(explode(array((1 to 10).map(k =>
+            struct(expr(s"CAST(nd2 * $k div 10 AS DOUBLE)").as("rd"),
+              col(s"v$k").cast("double").as("cd"))): _*)).as("p"))
+          .select(col("p.rd").as("rd"), col("p.cd").as("cd"))
+        val lnBoth = graft.functions.PortableLn.withLn(
+          graft.functions.PortableLn.withLn(pts, "rd", "lnr"), "cd", "lnc")
+        lnBoth
+          .select(floor(col("lnr") * lit(1.0e9)).cast("long").as("x9"),
+            floor(col("lnc") * lit(1.0e9)).cast("long").as("y9"))
+          .agg(count(lit(1)).as("n"),
+            sum(d(col("x9"))).as("sx"), sum(d(col("y9"))).as("sy"),
+            sum(d(col("x9")) * d(col("y9"))).as("sxy"),
+            sum(d(col("x9")) * d(col("x9")))
+              .as("sxx"))
+          .select(col("n"),
+            (d(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
+            (d(col("n")) * col("sxx") - col("sx") * col("sx")).as("den"),
+            col("sx"), col("sy"))
+          .select(col("n").cast("long").as("n"),
+            expr(slopeT).as("beta"), expr(interT).as("ln_k0"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents),
+        f AS (SELECT token, min(doc_id) AS fd FROM tok GROUP BY 1),
+        ndt AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        v AS (
+          SELECT
+            ${(1 to 10).map(k =>
+              s"CAST(sum(CASE WHEN fd * 10 < nd * $k THEN 1 ELSE 0 END) AS BIGINT) AS v$k")
+              .mkString(",\n            ")},
+            max(nd) AS nd2
+          FROM f CROSS JOIN ndt),
+        p AS (
+          ${(1 to 10).map(k =>
+            s"SELECT CAST(nd2 * $k // 10 AS DOUBLE) AS rd, CAST(v$k AS DOUBLE) AS cd FROM v")
+            .mkString("\n          UNION ALL ")}),
+        ${graft.functions.PortableLn.cteChainSql("p", "rd", "lnr", "hr")},
+        ${graft.functions.PortableLn.cteChainSql(
+          graft.functions.PortableLn.cteChainOut("hr"), "cd", "lnc", "hc")},
+        ff AS (
+          SELECT CAST(floor(lnr * 1.0e9) AS BIGINT) AS x9,
+            CAST(floor(lnc * 1.0e9) AS BIGINT) AS y9
+          FROM ${graft.functions.PortableLn.cteChainOut("hc")}),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x9 AS HUGEINT)) AS sx, sum(CAST(y9 AS HUGEINT)) AS sy,
+            sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+            sum(CAST(x9 AS HUGEINT) * x9) AS sxx
+          FROM ff),
+        a AS (
+          SELECT n, sx, sy,
+            n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+          FROM m)
+        SELECT n, $slopeT AS beta, $interT AS ln_k0
+        FROM a"""))
+  }
+
+  val all: Seq[Q] = Seq(txtZipfFit, txtHeapsFit, txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,

@@ -172,6 +172,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "a60_cuped",           // 2-row arm frame × 1-row pooled-moments broadcast
     "ml_target_encode",    // 1-row global-prior broadcast into the encoder
     "ml_gains",            // 1-row row-count broadcast into the binner
+    "txt_heaps_fit",       // 1-row doc-count broadcast into the checkpoints
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
     "q22_prospect_customers", // 1-row global-average threshold broadcast into the filter
     "q11_important_stock", // 1-row global value total broadcast into the share filter
