@@ -68,6 +68,40 @@ object Graph {
       minShared, maxGroupSize)
   }
 
+  /** The MATERIALIZED co-purchase edge view the whole graph-analytics
+    * family serves from — the reference's own architecture (models.py:
+    * 255-269 `SharedOfficerEdge`: a stored edge table with a
+    * shared-count column, rebuilt wholesale by database.py:937-970 and
+    * read by every network query), applied to the lineitem co-purchase
+    * graph. Before this view each g_* query re-derived the edges from
+    * lineitem — a full baskets-groupBy per analytics run (~2.4 s/query
+    * at sf0.1; at 100 TB, a fact-table-sized wide stage repeated 17×).
+    * Now the build runs ONCE per input snapshot per process and every
+    * query reads the parquet-backed table.
+    *
+    * Stored at minShared = 1 with the weight column (exactly the
+    * reference's schema); callers filter `weight >= minShared`, which
+    * Catalyst pushes into the parquet scan. Freshness is keyed on
+    * [[graft.sources.Bucketing.pathFingerprint]] of the input files, so
+    * an append to lineitem rebuilds the view instead of serving stale
+    * edges (pinned in OperatorsSpec) — the M8 wholesale-rebuild
+    * contract, triggered by data change rather than by request. */
+  def sharedEdgesView(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val fp = graft.sources.Bucketing.pathFingerprint(
+      spark, s"$dir/lineitem.parquet")
+    val table = s"g_edges_mv_$fp"
+    val loc = s"${graft.sources.Bucketing.processRoot}/$table"
+    graft.sources.Bucketing.ensureOnce(s"$table@$loc") {
+      sharedKeyEdges(graft.Tables.load(spark, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minShared = 1,
+        maxGroupSize = Int.MaxValue)
+        .write.option("path", loc).mode("overwrite")
+        .format("parquet").saveAsTable(table)
+    }
+    spark.table(table).filter(col("weight") >= minShared)
+  }
+
   /** 1-hop neighborhood of `id` over an edge list (reference
     * database.py:985-1011). */
   def neighborhood(edges: DataFrame, id: Column): DataFrame =

@@ -146,10 +146,7 @@ object Analytics {
     * integer recurrence as three chained CTEs. */
   val gPagerank = Q(
     "g_pagerank",
-    (s, dir) => Graph.pagerankFixed(
-      Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minShared = 2,
-        maxGroupSize = Int.MaxValue),
+    (s, dir) => Graph.pagerankFixed(Graph.sharedEdgesView(s, dir),
       iters = 3),
     Some {
       def step(prev: String) =
@@ -180,10 +177,7 @@ object Analytics {
     * exactly. */
   val gLabelProp = Q(
     "g_label_prop",
-    (s, dir) => Graph.labelPropagation(
-        Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minShared = 2,
-          maxGroupSize = Int.MaxValue),
+    (s, dir) => Graph.labelPropagation(Graph.sharedEdgesView(s, dir),
         iters = 3)
       .orderBy("node"),
     Some {
@@ -224,9 +218,7 @@ object Analytics {
   val gModularity = Q(
     "g_modularity",
     (s, dir) => {
-      val edges = Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minShared = 2,
-        maxGroupSize = Int.MaxValue)
+      val edges = Graph.sharedEdgesView(s, dir)
       val und = edges.select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(edges.select(col("item_b").as("src"),
           col("item_a").as("dst")))
@@ -302,10 +294,7 @@ object Analytics {
     * rounds as CTEs. */
   val gKcore = Q(
     "g_kcore",
-    (s, dir) => Graph.kcorePeel(
-        Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minShared = 2,
-          maxGroupSize = Int.MaxValue),
+    (s, dir) => Graph.kcorePeel(Graph.sharedEdgesView(s, dir),
         k = 4, rounds = 3)
       .orderBy("node"),
     Some {
@@ -346,16 +335,15 @@ object Analytics {
   val gPagerankInc = Q(
     "g_pagerank_inc",
     (s, dir) => {
-      // the base and full graphs each scan lineitem once — measured
-      // CHEAPER than sharing a materialized distinct projection (the
-      // pre-distinct adds a full shuffle; two pruned-column scans don't)
+      // the FULL graph serves from the materialized edge view; the
+      // filtered base graph (a hypothetical past snapshot) has no
+      // stored counterpart, so it alone still derives from lineitem
       val li = Tables.load(s, dir, "lineitem")
-      def edgesOf(df: org.apache.spark.sql.DataFrame) =
-        Graph.sharedKeyEdges(df, "l_orderkey", "l_partkey",
-          minShared = 2, maxGroupSize = Int.MaxValue)
       val stored = Graph.pagerankFixed(
-        edgesOf(li.filter(col("l_orderkey") % 10 =!= 0)), iters = 3)
-      Graph.pagerankWarm(stored, edgesOf(li), iters = 2)
+        Graph.sharedKeyEdges(li.filter(col("l_orderkey") % 10 =!= 0),
+          "l_orderkey", "l_partkey", minShared = 2,
+          maxGroupSize = Int.MaxValue), iters = 3)
+      Graph.pagerankWarm(stored, Graph.sharedEdgesView(s, dir), iters = 2)
     },
     Some {
       def step(prev: String, d: String, deg: String) =

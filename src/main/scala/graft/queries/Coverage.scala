@@ -239,16 +239,11 @@ object Coverage {
     * join-free build as j4 (Graph.sharedKeyEdges). */
   val gDegrees = Q(
     "g_degrees",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      // maxGroupSize lifted explicitly: the DuckDB oracle has no group-
-      // size cap, so the verified query must be semantically identical
-      // to it (the default 1000 cap is an ingest-time safety valve for
-      // hot keys, not part of the degree-distribution semantics).
-      Graph.degrees(
-        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
-          maxGroupSize = Int.MaxValue))
-    },
+    (s, dir) =>
+      // The oracle has no group-size cap, so the served view is built
+      // capless too (sharedEdgesView) — semantically identical to the
+      // edge CTE; weight >= 2 is a pushed parquet filter on the view.
+      Graph.degrees(Graph.sharedEdgesView(s, dir)),
     Some("""WITH ld AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       edges AS (
@@ -276,12 +271,9 @@ object Coverage {
     * thousands-of-groups scale. */
   val gHyperball = Q(
     "g_hyperball",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
-        minShared = 2, maxGroupSize = Int.MaxValue)
-      Graph.hyperBall(edges, rounds = 3).orderBy("hop")
-    },
+    (s, dir) =>
+      Graph.hyperBall(Graph.sharedEdgesView(s, dir), rounds = 3)
+        .orderBy("hop"),
     Some(hyperballOracleSql(3)))
 
   /** G17: SAMPLED BETWEENNESS CENTRALITY — Brandes' two-pass dependency
@@ -296,12 +288,9 @@ object Coverage {
     * passes as CTE chains (the hyperball replay discipline). */
   val gBetweenness = Q(
     "g_betweenness",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
-        minShared = 2, maxGroupSize = Int.MaxValue)
-      Graph.betweennessSampled(edges, nSources = 8, depth = 4, topK = 20)
-    },
+    (s, dir) =>
+      Graph.betweennessSampled(Graph.sharedEdgesView(s, dir),
+        nSources = 8, depth = 4, topK = 20),
     Some(betweennessOracleSql(nSources = 8, depth = 4, topK = 20)))
 
   /** DuckDB replay of [[graft.operators.Graph.betweennessSampled]]:
@@ -435,9 +424,7 @@ object Coverage {
   val gRandomWalks = Q(
     "g_random_walks",
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
-        minShared = 2, maxGroupSize = Int.MaxValue)
+      val edges = Graph.sharedEdgesView(s, dir)
       val nodes = edges.select(col("item_a").as("node"))
         .unionByName(edges.select(col("item_b").as("node"))).distinct()
       Graph.randomWalks(edges, nodes.filter(col("node") % 97 === 0),
@@ -496,9 +483,7 @@ object Coverage {
   val gWalkPairs = Q(
     "g_walk_pairs",
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
-        minShared = 2, maxGroupSize = Int.MaxValue)
+      val edges = Graph.sharedEdgesView(s, dir)
       val nodes = edges.select(col("item_a").as("node"))
         .unionByName(edges.select(col("item_b").as("node"))).distinct()
       val w = Graph.randomWalks(edges, nodes.filter(col("node") % 97 === 0),
@@ -582,9 +567,7 @@ object Coverage {
   val gBfs = Q(
     "g_bfs",
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      val edges = Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey",
-        minShared = 2, maxGroupSize = Int.MaxValue)
+      val edges = Graph.sharedEdgesView(s, dir)
       val nodes = edges.select(col("item_a").as("node"))
         .unionByName(edges.select(col("item_b").as("node"))).distinct()
       val seeds = nodes.filter(col("node") % 97 === 0)
@@ -673,8 +656,7 @@ object Coverage {
   val gPpr = Q(
     "g_ppr",
     (s, dir) => {
-      val edges = Graph.sharedKeyEdges(Tables.load(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = Int.MaxValue)
+      val edges = Graph.sharedEdgesView(s, dir)
       val nodes = edges.select(col("item_a").as("node"))
         .unionByName(edges.select(col("item_b").as("node"))).distinct()
       Graph.personalizedPagerankFixed(edges,
@@ -2240,12 +2222,8 @@ object Coverage {
     * The oracle replays the same orientation and joins. */
   val gTriangles = Q(
     "g_triangles",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      Graph.triangleCount(
-        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
-          maxGroupSize = Int.MaxValue))
-    },
+    (s, dir) =>
+      Graph.triangleCount(Graph.sharedEdgesView(s, dir)),
     Some("""WITH ld AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       edges AS (
@@ -2278,13 +2256,9 @@ object Coverage {
     * skew-proof TopK aggregate. */
   val gLinkpred = Q(
     "g_linkpred",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      Graph.commonNeighbors(
-        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
-          maxGroupSize = Int.MaxValue),
-        k = 3, maxMiddleDeg = 50L)
-    },
+    (s, dir) =>
+      Graph.commonNeighbors(Graph.sharedEdgesView(s, dir),
+        k = 3, maxMiddleDeg = 50L),
     Some("""WITH ld AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       edges AS (
@@ -2325,12 +2299,8 @@ object Coverage {
     * credits all three corners. */
   val gClustering = Q(
     "g_clustering",
-    (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-      Graph.localClustering(
-        Graph.sharedKeyEdges(l, "l_orderkey", "l_partkey", minShared = 2,
-          maxGroupSize = Int.MaxValue))
-    },
+    (s, dir) =>
+      Graph.localClustering(Graph.sharedEdgesView(s, dir)),
     Some("""WITH ld AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       edges AS (

@@ -69,6 +69,27 @@ object Bucketing {
       writeBucketed(df, table, location, bucketCol, buckets)
     }
 
+  /** Driver-side fingerprint of the FILES behind a path (name, length,
+    * modification time, recursively; the full path string is mixed in) —
+    * the freshness key for materializations derived from file-backed
+    * inputs. An append or rewrite changes the listing, so a memo keyed
+    * on this fingerprint rebuilds instead of serving a stale derived
+    * table; identical listings reuse the build. Cost is one catalog
+    * listing, ∝ file count — the same metadata a parquet scan's file
+    * index reads anyway. */
+  def pathFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
+      else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    val sig = path + "|" + walk(fs.getFileStatus(p)).mkString("|")
+    val h = scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(sig.reverse).toLong & 0xffffffffL
+    f"$h%08x$h2%08x"
+  }
+
   /** Run `write` exactly once per `key` per JVM — the memoization
     * [[ensureBucketed]] uses, exposed for writers that materialize a
     * FAMILY of tables from one forced input (e.g. Dedup's stored

@@ -103,4 +103,33 @@ class GraphSkewSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().head
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("sharedEdgesView serves the derived edges and rebuilds on append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val li0 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+        (3L, 11L), (3L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+    li0.write.parquet(s"$dir/lineitem.parquet")
+    def fresh() = Graph.sharedKeyEdges(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = Int.MaxValue)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("item_a", "item_b", "weight")
+        .as[(Long, Long, Long)].collect().toSet
+
+    val served = Graph.sharedEdgesView(spark, dir)
+    assert(asSet(served) == asSet(fresh()))
+    assert(asSet(served) == Set((10L, 11L, 3L)))
+
+    // APPEND: two more baskets promote (10,12) and (11,12) past
+    // minShared — a stale view would still say {(10,11)} only. The
+    // fingerprint must see the new files and rebuild.
+    Seq((4L, 10L), (4L, 12L), (5L, 11L), (5L, 12L), (5L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("append").parquet(s"$dir/lineitem.parquet")
+    val after = Graph.sharedEdgesView(spark, dir)
+    assert(asSet(after) == asSet(fresh()))
+    assert(asSet(after) ==
+      Set((10L, 11L, 4L), (10L, 12L, 3L), (11L, 12L, 2L)))
+  }
 }
