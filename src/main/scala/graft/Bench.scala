@@ -45,6 +45,28 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
+    // Recording hygiene (round-13 lesson: an artifact captured under
+    // loadavg 5 carried junk medians and a 3.7x pass spread while its
+    // notes said "solo"): a loadavg above ncpus/8 at start means some
+    // other work owns part of the box, so REFUSE to record unless the
+    // caller explicitly overrides — a contaminated artifact poisons
+    // every later round-over-round comparison. SPARK_GRAFT_ALLOW_LOAD=1
+    // keeps the old behavior and stamps load_contaminated into the JSON
+    // so the consumer can see the run was knowingly dirty.
+    val ncpus = Runtime.getRuntime.availableProcessors
+    val loadThreshold = ncpus / 8.0
+    val loadContaminated = loadStart > loadThreshold
+    if (loadContaminated &&
+        sys.env.getOrElse("SPARK_GRAFT_ALLOW_LOAD", "0") != "1") {
+      System.err.println(f"[bench] REFUSING to record: loadavg_start " +
+        f"$loadStart%.2f > ncpus/8 = $loadThreshold%.2f. Quiesce the host " +
+        "or set SPARK_GRAFT_ALLOW_LOAD=1 to record a marked-dirty run.")
+      spark.stop()
+      sys.exit(3)
+    }
+    if (loadContaminated)
+      System.err.println(f"[bench] WARNING: recording under load " +
+        f"(loadavg_start $loadStart%.2f); artifact marked contaminated")
     val startedAtMs = System.currentTimeMillis()
     // One timed SAMPLE of a query = clearCache + unmeasured warm run + timed
     // run. The clearCache starts the sample from a cold data cache (several
@@ -58,6 +80,9 @@ object Bench {
     // the engine: scan, shuffle, join, aggregate.
     def sample(name: String): Option[Double] = {
       spark.catalog.clearCache()
+      // drop the previous sample's scratch registrations too, or the
+      // registry holds a reference per query per pass for the whole run
+      graft.operators.Scratch.releaseAll()
       def attempt(): Boolean =
         try { exec(name); true }
         catch { case e: Throwable =>
@@ -138,7 +163,7 @@ object Bench {
     val totalMedian = results.filter(_._3 >= 0).map(_._3).sum
     val endedAtMs = System.currentTimeMillis()
     val loadEnd = loadAvg()
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"pass_totals":$pt,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"ncpus":${Runtime.getRuntime.availableProcessors}}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"pass_totals":$pt,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"load_contaminated":$loadContaminated,"ncpus":$ncpus}"""
     println(fullJson)
     // The harness that invokes this main captures only the LAST ~2 KB of
     // stdout; at 90+ headline queries the full JSON line is ~9 KB, so the
@@ -154,7 +179,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"nqueries":${names.size},"pass_totals":$pt,"errors":$es,"sf":"$sfDir","full_json":"$outPath","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"ncpus":${Runtime.getRuntime.availableProcessors}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"nqueries":${names.size},"pass_totals":$pt,"errors":$es,"sf":"$sfDir","full_json":"$outPath","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(loadStart)},"loadavg_end":${f4(loadEnd)},"load_contaminated":$loadContaminated,"ncpus":$ncpus}""")
     spark.stop()
   }
 }

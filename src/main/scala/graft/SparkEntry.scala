@@ -67,6 +67,7 @@ object SparkEntry {
       "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
       "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
       "ml_target_encode", "rec_item_cf", "dd_containment",
+      "dd_containment_lsh",
       "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
       "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
       "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit")
@@ -99,6 +100,7 @@ object SparkEntry {
     "a50_dp_sum",         // DP release + per-user cap window
     "rec_item_cf",        // capped-basket pair explode (∝ users·basket²)
     "g_betweenness",      // level-synchronous two-pass joins
-    "dd_containment")     // asymmetric prefix filter vs the rarity tail
+    "dd_containment",     // asymmetric prefix filter vs the rarity tail
+    "dd_containment_lsh") // full-corpus sketch containment: banded join
     .filter(queries.contains)
 }

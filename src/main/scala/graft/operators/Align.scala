@@ -98,9 +98,17 @@ object Align {
     * (re-reading the same shuffle files) emits within-group running
     * sums seeded from the broadcast offsets. Contract: the offset map
     * is broadcast, so the number of DISTINCT GROUPS must be
-    * broadcast-sized (fine to ~10⁷; the constant-domain keys this
-    * replaces have 3–5). (group ++ sortCols) must be unique for
-    * determinism. */
+    * broadcast-sized (the constant-domain keys this replaces have
+    * 3–5). The contract is ENFORCED, not trusted (the budgetFill
+    * lesson, Curation.budgetFill's bounded probe, applied here): each
+    * segment-totals task counts its own (partition, group) segments
+    * and throws past `graft.align.maxSegments` (session conf, default
+    * 2²¹ ≈ 2M driver entries) DIVIDED by the partition count — the
+    * failure happens executor-side BEFORE the driver materializes or
+    * broadcasts anything. A caller with a genuinely high-cardinality
+    * group key should window by that key directly (cardinality ∝
+    * groups distributes fine) instead of a grouped prefix sum.
+    * (group ++ sortCols) must be unique for determinism. */
   def groupedPrefixSums(df: DataFrame, groupCols: Seq[String],
       valCols: Seq[String], outNames: Seq[String],
       sortCols: Column*): DataFrame = {
@@ -118,6 +126,11 @@ object Align {
     val vis = valCols.map(sorted.schema.fieldIndex).toArray
     val k = vis.length
     val rdd = sorted.rdd
+    val maxSegments = spark.conf
+      .getOption("graft.align.maxSegments").map(_.toLong)
+      .getOrElse(1L << 21)
+    val capPerPart =
+      math.max(2L, maxSegments / math.max(1, rdd.getNumPartitions))
     val segTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[(Seq[Any], Array[Long])]
@@ -126,6 +139,13 @@ object Align {
       it.foreach { r =>
         val g: Seq[Any] = gis.map(r.get).toSeq
         if (cur == null || g != cur) {
+          if (buf.size >= capPerPart) throw new IllegalStateException(
+            s"groupedPrefixSums: partition $i exceeds $capPerPart group " +
+              s"segments (cap = graft.align.maxSegments=$maxSegments / " +
+              "partitions): the group key is not broadcast-sized. Grouped " +
+              "prefix sums need a bounded group domain — for a " +
+              "high-cardinality key, window PARTITION BY that key " +
+              "directly (it distributes by cardinality) instead.")
           cur = g; s = new Array[Long](k); buf += ((g, s))
         }
         var j = 0; while (j < k) { s(j) += r.getLong(vis(j)); j += 1 }

@@ -46,6 +46,10 @@ object ApplicantPipeline {
       stats: DataFrame,      // long-format (metric, value BIGINT)
       private[operators] val cached: Seq[DataFrame] = Nil) {
     def unpersist(): Unit = cached.foreach(_.unpersist())
+    /** Hand the stage caches to [[Scratch]] for between-queries release
+      * (registered queries can't unpersist inline without forcing the
+      * plan eager). */
+    def registerScratch(): Unit = cached.foreach(Scratch.register(_))
   }
 
   /** Run the batch through validate → normalize → dedupe → match.

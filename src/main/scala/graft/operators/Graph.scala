@@ -420,7 +420,11 @@ object Graph {
       delta = dt
       dt
     }
-    perLevelDeltas.reduce(_.unionByName(_))
+    // depth <= 1 has no interior vertex on any shortest path, so every
+    // sampled dependency is zero: the per-level seq is empty and the
+    // contract is an empty top-k, not a reduce() throw on the edge case
+    perLevelDeltas.reduceOption(_.unionByName(_))
+      .getOrElse(delta.limit(0))
       .groupBy("node").agg(sum("d6").as("b6"))
       .orderBy(col("b6").desc, col("node")).limit(topK)
   }

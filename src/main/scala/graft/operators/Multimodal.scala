@@ -647,8 +647,9 @@ object Multimodal {
     * by total absolute channel difference; a transition is a cut when
     * the MEAN per-channel diff clears `meanMilli`/1000. On the
     * synthetic two-scene sequences the margins are wide and exact:
-    * same-scene jitter moves a pixel by ≤ 2 (plus a 1/256 tail of
-    * mod-256 wraps), the scene shift moves every channel by ~50 — the
+    * same-scene jitter moves a pixel by ≤ 2 (wrap-free: the base mods
+    * by 200, so base + shift + jitter ≤ 251 never exceeds a byte),
+    * the scene shift moves every channel by ~50 — the
     * detector must fire exactly once per document, at
     * [[sceneCutAt]]. All sums are exact integers; the verdict is an
     * integer comparison. Per-partition decode at the binary-codec

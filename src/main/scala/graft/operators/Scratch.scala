@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Process-global registry of SCRATCH CACHES — operator- and
+  * query-internal frames cached for multi-leg reuse within one query's
+  * lifetime (an LSH signature table read by the candidate join and the
+  * verifier; a postings table read by two ranker legs).
+  *
+  * Why a registry instead of unpersisting inline: releasing inline
+  * requires materializing the result eagerly inside query CONSTRUCTION
+  * (localCheckpoint), which truncates the query's physical plan to a
+  * `Scan ExistingRDD` — blinding every plan-shape audit the suite pins
+  * (PlanSpec's bucketed-scan/broadcast/no-window assertions,
+  * PlanAuditSpec's fleet sweeps). Registering keeps the plan lazy and
+  * auditable while still making every internal cache RELEASABLE — the
+  * round-13 leak class (a long-lived session accumulating one pinned
+  * sf-sized frame per invocation) becomes a one-call cleanup instead
+  * of a silent accumulation.
+  *
+  * Release points: Bench clears the whole data cache between samples
+  * (clearCache subsumes this); Verify releases after its dump pass; a
+  * long-lived session calls [[releaseAll]] between queries.
+  * PlanAuditSpec ENFORCES coverage: after building every registered
+  * query, releaseAll() must leave the cache manager empty — a cache
+  * neither self-released nor registered here fails the build. */
+object Scratch {
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Dataset[_]]()
+
+  /** Register a cached frame for later release; returns it unchanged
+    * so call sites stay one expression: `Scratch.register(df.cache())`. */
+  def register[T <: Dataset[_]](df: T): T = { live.add(df); df }
+
+  /** Unpersist every registered frame (blocking = false: release is
+    * cleanup, not a barrier) and clear the registry. Safe while jobs
+    * run — Spark recomputes from lineage if a released block is still
+    * referenced. */
+  def releaseAll(): Unit = {
+    live.forEach(d => { d.unpersist(); () })
+    live.clear()
+  }
+
+  /** Registered-but-unreleased count (audit hook). */
+  def liveCount: Int = live.size()
+}

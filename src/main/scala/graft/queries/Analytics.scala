@@ -947,6 +947,7 @@ object Analytics {
             count(lit(1)).over(Window.partitionBy("user_id")))
           .filter(col("bs").between(2, 200)).drop("bs")
           .persist()
+        graft.operators.Scratch.register(ok) // released between queries
         ok.count()
         val cooc = graft.operators.Graph.sharedKeyEdges(
           ok, "user_id", "item", minShared = 2, maxGroupSize = 200)

@@ -1553,8 +1553,8 @@ object Corpus {
     "txt_bm25_rankshift",
     (s, dir) => {
       import graft.operators.Retrieval
-      val post = Retrieval.postings(
-        Tables.load(s, dir, "documents"), "doc_id", "text").cache()
+      val post = graft.operators.Scratch.register(Retrieval.postings(
+        Tables.load(s, dir, "documents"), "doc_id", "text").cache())
       val stats = post.groupBy(col("doc_id")).agg(max("dl").as("dl"))
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       val ln = Retrieval.bm25Serve(post, stats, "doc_id", Bm25Queries, 10)
@@ -1644,8 +1644,12 @@ object Corpus {
     * 100 rows, never the corpus. */
   val txtZipfFit: Q = {
     val slopeT = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
-    val interT = s"(CAST(sy AS DOUBLE) / 1.0e2 - ($slopeT)" +
-      " * CAST(sx AS DOUBLE) / 1.0e2) / 1.0e9"
+    // mean terms divide by the ACTUAL row count n, not the top-100
+    // limit: the corpus vocabulary can be (and is) smaller than 100,
+    // and ȳ = Σy/n — a hardcoded /100 scales the intercept by n/100.
+    // Shared expression text, so both engines evaluate identically.
+    val interT = s"(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - ($slopeT)" +
+      " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0e9"
     Q(
       "txt_zipf_fit",
       (s, dir) => {

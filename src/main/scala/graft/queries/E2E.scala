@@ -40,12 +40,17 @@ object E2E {
         (1000005L, "test/2025/007", "VALID COMPANY LTD"),  // dup after normalize
         (1000006L, "TEST/2025/008", "Mr John Smith"))      // individual
         .toDF("input_id", "planning_reference", "applicant_name")
-      ApplicantPipeline.run(
+      val out = ApplicantPipeline.run(
         fromCust.unionByName(planted),
         "input_id", "planning_reference", "applicant_name",
         companies, "company_id", "company_name",
         minConfidence = 0.7, topK = 3,
-        commonTokens = Seq("customer", "custmer")).stats
+        commonTokens = Seq("customer", "custmer"))
+      // the pipeline's stage caches are per-batch scratch: register so
+      // the session releases them between queries (Output.unpersist is
+      // the caller-managed alternative for batch loops)
+      out.registerScratch()
+      out.stats
     },
     Some(s"""WITH raw AS (
         SELECT c_custkey AS input_id, 'APP/' || c_custkey AS pref,

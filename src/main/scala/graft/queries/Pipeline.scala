@@ -198,11 +198,13 @@ object Pipeline {
       val docs = Tables.load(s, dir, "documents")
       // pos feeds both the output union and the negative anti-join —
       // cache the (tiny) verified pair list so the banded candidate
-      // join runs once, not twice
-      val pos = Dedup.minhashPairs(docs, "doc_id", "text",
-          n = 5, k = 16, bands = 4, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), lit(1L).as("label"))
-        .cache()
+      // join runs once, not twice; registered as a scratch cache
+      // (released between queries, never leaked)
+      val pos = graft.operators.Scratch.register(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+            n = 5, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(1L).as("label"))
+          .cache())
       val neg = graft.operators.Align.epochShuffle(
           docs.select("doc_id"), "doc_id", epoch = 0, posName = "pos")
         .withColumn("pair", expr("(pos - 1) div 2"))
@@ -454,7 +456,7 @@ object Pipeline {
         FROM expl e JOIN freq f USING (sh)),
       prefix AS (
         SELECT doc_id, sh FROM ranked
-        WHERE pos <= sz - ceil(0.8 * sz) + 1),
+        WHERE pos <= sz - ((800000 * CAST(sz AS BIGINT) + 999999) // 1000000) + 1),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM prefix a JOIN prefix b
@@ -516,7 +518,7 @@ object Pipeline {
         FROM expl e JOIN freq f USING (sh)),
       prefix AS (
         SELECT doc_id, sh FROM ranked
-        WHERE pos <= sz - ceil(0.9 * sz) + 1),
+        WHERE pos <= sz - ((900000 * CAST(sz AS BIGINT) + 999999) // 1000000) + 1),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM prefix a JOIN expl b
@@ -530,6 +532,81 @@ object Pipeline {
       WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
           / CAST(len(x.hs) AS DOUBLE) >= 0.9
       ORDER BY id_a, id_b"""))
+
+  /** CONTAINMENT AT CORPUS SCALE (Dedup.containmentPairsLsh) — the
+    * production path the exact instrument (dd_containment) defers to on
+    * vocabulary-dense data: MinHash-LSH banded candidates (2-row bands,
+    * 8 chances — collision ∝ J² per band, and a 0.9-contained pair's
+    * Jaccard ≥ ~|A|/|B| clears the corpus's ~0.05 random-pair floor),
+    * then EXACT asymmetric verification of both directions per
+    * candidate. Runs over the FULL document table plus the same
+    * planted-truncation synthesis as dd_containment (every 100th doc
+    * re-appears id-offset 10⁹, text cut to ⌊3·len/5⌋): all planted
+    * truncations must surface (banding recall is deterministic — the
+    * oracle deals the identical permutations — and pinned in
+    * OperatorsSpec). Candidates are similarity-pruned, not
+    * rarity-pruned, so the stage stays an equi-join with capped
+    * buckets at any vocabulary density. */
+  val ddContainmentLsh = Q(
+    "dd_containment_lsh",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val trunc = base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          expr("substring(text, 1, CAST(length(text) * 3 DIV 5 AS INT))")
+            .as("text"))
+      Dedup.containmentPairsLsh(base.unionByName(trunc), "doc_id", "text",
+          n = 5, k = 16, bands = 8, threshold = 0.9)
+        .orderBy("contained", "container")
+    },
+    Some {
+      val mhCols = (0 until 16).map { j =>
+        s"list_min(list_transform(hs, h -> (${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.P})) AS mh$j"
+      }.mkString(",\n          ")
+      val bandSelects = (0 until 8).map { b =>
+        s"SELECT doc_id, $b AS band, mh${2 * b} AS h0, mh${2 * b + 1} AS h1 FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000000,
+          substring(text, 1, CAST(length(text) * 3 // 5 AS INTEGER))
+        FROM base WHERE doc_id % 100 = 0),
+      sh AS (SELECT doc_id, $shinglesSql AS sset FROM corpus),
+      hashed AS (
+        SELECT doc_id, list_distinct(list_transform(sset, t -> ${h31("t")})) AS hs
+        FROM sh),
+      sig AS (
+        SELECT doc_id, hs,
+          $mhCols
+        FROM hashed),
+      buckets AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+          AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+          len(list_intersect(x.hs, y.hs)) AS inter,
+          len(x.hs) AS sz_a, len(y.hs) AS sz_b
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.id_a
+        JOIN sig y ON y.doc_id = c.id_b),
+      bidir AS (
+        SELECT id_a AS contained, id_b AS container,
+          CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment
+        FROM scored
+        UNION ALL
+        SELECT id_b, id_a,
+          CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)
+        FROM scored)
+      SELECT contained, container, containment FROM bidir
+      WHERE containment >= 0.9
+      ORDER BY contained, container"""
+    })
 
   /** SimHash near-dup pairs: 32-bit signatures over char 5-gram shingles
     * (word tokens collapse here — every doc shares one small vocabulary,
@@ -650,11 +727,16 @@ object Pipeline {
           .withColumn("jaccard", Dedup.jaccard(col("a.sset"), col("b.sset")))
           .filter(col("jaccard") >= 0.5)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      }.cache()
-      val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
-        n = 5, k = 16, bands = 4, threshold = 0.5).select("id_a", "id_b").cache()
-      val hits = truth.join(lsh, Seq("id_a", "id_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          // truth and lsh each feed multiple legs (semi-join + counts):
+          // scratch caches, released between queries
+      }
+      val truthC = graft.operators.Scratch.register(truth.cache())
+      val lsh = graft.operators.Scratch.register(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 5, k = 16, bands = 4, threshold = 0.5)
+          .select("id_a", "id_b").cache())
+      val hits = truthC.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      truthC.agg(count(lit(1)).as("n_truth")).crossJoin(
           lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .select(col("n_truth"), col("n_lsh"), col("n_hit"),
@@ -2805,7 +2887,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgram, ddEmbed,
     ddSemantic, ddComponents, ddComponentsBest, ddComponentsInc,
     ddIncremental, ddIncStored,
-    ddParagraph, ddJaccardPrefix, ddContainment,
+    ddParagraph, ddJaccardPrefix, ddContainment, ddContainmentLsh,
     ddSubstring, ddSubstringCut, ddSubstringResidual, ddLshRecall, txtSplitLeakfree,
     txtContrastivePairs,
     simTopk, simMips, simHardNegatives, simBinaryHamming, simBinaryRerank,

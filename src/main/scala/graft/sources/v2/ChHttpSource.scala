@@ -87,7 +87,7 @@ private[v2] case class ChHttpOptions(url: String, apiKey: String,
     itemsPerPage: Int, splits: Int, callsPerSec: Double, maxRetries: Int,
     maxRetryAfterMs: Long)
 
-private[v2] object ChHttp {
+private[graft] object ChHttp {
   /** The flat scalar projection of a CH company document the reference
     * persists (api_clients.py search results → companies rows). */
   val Schema: StructType = StructType(Seq(

@@ -2481,4 +2481,36 @@ class OperatorsSpec extends AnyFunSuite {
       .as[Long].collect().sorted
     assert(viaSpark.toSeq == (0L until (side.toLong * side)).toSeq)
   }
+
+  test("containmentPairsLsh surfaces every planted truncation on the full corpus") {
+    import org.apache.spark.sql.functions._
+    // the dd_containment_lsh contract: banding recall is deterministic
+    // (fixed permutations), so every planted 0.6-truncation must
+    // surface as (contained = src + 10^9, container = src) at >= 0.9 —
+    // on the FULL corpus, no pinned universe. Plant every 10th doc of
+    // sf0.001 for a denser test than the query's %100.
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        expr("substring(text, 1, CAST(length(text) * 3 DIV 5 AS INT))")
+          .as("text"))
+    val srcIds = planted.select((col("doc_id") - 1000000000L).as("id"))
+      .as[Long].collect().toSet
+    assert(srcIds.nonEmpty)
+    val pairs = graft.operators.Dedup.containmentPairsLsh(
+      base.unionByName(planted), "doc_id", "text",
+      n = 5, k = 16, bands = 8, threshold = 0.9)
+    val got = pairs
+      .filter(col("contained") >= 1000000000L &&
+        col("contained") - 1000000000L === col("container"))
+      .select((col("contained") - 1000000000L).as("id"))
+      .as[Long].collect().toSet
+    assert(got == srcIds,
+      s"planted truncations missed by banding: ${(srcIds -- got).toSeq.sorted}")
+    // asymmetry: the full doc is NOT contained in its truncation
+    val wrongWay = pairs.filter(col("container") >= 1000000000L &&
+      col("container") - 1000000000L === col("contained")).count()
+    assert(wrongWay == 0, s"$wrongWay full docs reported contained in their truncations")
+  }
 }

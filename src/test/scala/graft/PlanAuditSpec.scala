@@ -27,6 +27,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // `plans` is a textbook lazy-val deadlock (observed: 6 pool threads
     // BLOCKED on spark$lzycompute).
     val s = spark
+    // Cache-residue sweep baseline: every operator that persists must
+    // release by the time its frame is built (eager materialize +
+    // unpersist — the triangleCount discipline). Start from a clean
+    // cache manager so the post-pass check attributes residue to the
+    // registry alone, not to earlier suites.
+    s.sharedState.cacheManager.clearCache()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -40,7 +46,36 @@ class PlanAuditSpec extends AnyFunSuite {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // the Scratch contract: every cache a query construction leaves
+    // behind must be registered for release — releaseAll() must empty
+    // the cache manager, or some operator leaked outside the discipline
+    graft.operators.Scratch.releaseAll()
+    cacheResidue = {
+      val cm = s.sharedState.cacheManager
+      val f = cm.getClass.getDeclaredMethod("cachedData")
+      f.setAccessible(true)
+      f.invoke(cm).asInstanceOf[IndexedSeq[AnyRef]].map { cd =>
+        val pl = cd.getClass.getMethod("plan").invoke(cd)
+        pl.toString.linesIterator.take(4).mkString(" | ").take(300)
+      }
+    }
     out
+  }
+
+  /** Cache-manager entries that SURVIVE Scratch.releaseAll() after
+    * every registry query has been built — caches neither
+    * self-released nor registered as scratch (What's wrong #4, round
+    * 13: a long-lived session accumulates one pinned sf-sized frame
+    * per leaky invocation). Populated by the shared pass. */
+  @volatile private var cacheResidue: Seq[String] = Nil
+
+  test("every query-construction cache is scratch-registered or self-released") {
+    val _ = plans // force the shared pass (it releases + snapshots)
+    assert(cacheResidue.isEmpty,
+      s"""cache entries survive Scratch.releaseAll() — an operator cached
+         |outside the scratch discipline (register with Scratch.register
+         |or unpersist after the final action):
+         |${cacheResidue.mkString("\n")}""".stripMargin)
   }
 
   test("every registry query plans") {

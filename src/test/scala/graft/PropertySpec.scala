@@ -835,4 +835,30 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("groupedPrefixSums refuses a non-broadcast-sized group key executor-side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The contract guard (round-13 verdict: the budgetFill lesson
+    // applied to Align): a high-cardinality group key must FAIL FAST
+    // inside the segment-totals task — before the driver collects or
+    // broadcasts anything ∝ groups. Lower the cap so a 10k-group frame
+    // trips it cheaply, and pin the documented message.
+    spark.conf.set("graft.align.maxSegments", "64")
+    try {
+      val df = (0L until 10000L).toDF("g")
+        .withColumn("v", lit(1L))
+      val e = intercept[org.apache.spark.SparkException] {
+        graft.operators.Align.groupedPrefixSums(
+          df, Seq("g"), Seq("v"), Seq("cv"), col("g")).count()
+      }
+      assert(e.getMessage.contains("not broadcast-sized"),
+        s"wrong failure: ${e.getMessage.take(300)}")
+      // and the same cap leaves the sanctioned bounded-domain case alone
+      val ok = graft.operators.Align.groupedPrefixSums(
+        (0L until 10000L).map(i => (s"g${i % 3}", 1L)).toDF("g", "v"),
+        Seq("g"), Seq("v"), Seq("cv"), col("v"))
+      assert(ok.count() == 10000L)
+    } finally spark.conf.unset("graft.align.maxSegments")
+  }
 }

@@ -28,8 +28,10 @@ class ChHttpSourceSpec extends AnyFunSuite {
   }
 
   private def withStub[T](reject429Every: Int = 0,
-      retryAfterSec: Option[Int] = None)(f: (String, ChHttpStub) => T): T = {
-    val stub = new ChHttpStub(companies, reject429Every, retryAfterSec)
+      retryAfterSec: Option[Int] = None,
+      sub: Map[(String, String), Seq[Map[String, String]]] = Map.empty)(
+      f: (String, ChHttpStub) => T): T = {
+    val stub = new ChHttpStub(companies, reject429Every, retryAfterSec, sub)
     val url = stub.start()
     try f(url, stub) finally stub.stop()
   }
@@ -225,6 +227,66 @@ class ChHttpSourceSpec extends AnyFunSuite {
       val nums = df.select("company_number").collect()
         .map(_.getString(0)).toSet
       assert(nums.size == 400, "a rejected page was silently dropped")
+    }
+  }
+
+  test("company -> officers -> charges enrichment shares one paced bucket across endpoints") {
+    import scala.jdk.CollectionConverters._
+    // the reference's per-company sub-resources (api_clients.py:179-203)
+    // through ONE process-global token bucket with the search scan: the
+    // server's own log must show a single paced request stream across
+    // /advanced-search and /company/{n}/{officers,charges}, and the
+    // items must land flattened and joined to their company numbers.
+    val nums = companies.take(6).map(_("company_number"))
+    val sub = nums.zipWithIndex.flatMap { case (n, i) =>
+      Seq(
+        (n, "officers") -> (0 to i % 3).map(j => Map(
+          "name" -> s"OFFICER $j OF $n", "officer_role" -> "director",
+          "appointed_on" -> s"2024-01-0${j + 1}")),
+        (n, "charges") -> (if (i % 2 == 0) Seq(Map(
+          "status" -> "outstanding", "created_on" -> "2024-06-01"))
+        else Seq.empty))
+    }.toMap
+    withStub(sub = sub) { (url, stub) =>
+      // a fresh url => a fresh bucket: 5 req/s across EVERYTHING below
+      val rate = 5.0
+      val six = nums.toSet
+      val scanned = spark.read
+        .format(classOf[ChHttpTableProvider].getName)
+        .option("url", url).option("items_per_page", "100")
+        .option("calls_per_sec", rate.toString).load()
+        .filter(col("company_number").isin(nums: _*))
+        .select("company_number")
+      val off = graft.operators.ChEnrich.officers(
+        spark, url, scanned, callsPerSec = rate)
+      val ch = graft.operators.ChEnrich.charges(
+        spark, url, scanned, callsPerSec = rate)
+      val gotOff = off.collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+      val wantOff = sub.collect { case ((n, "officers"), items) =>
+        items.map(m => (n, m("name")))
+      }.flatten.toSet
+      assert(gotOff == wantOff, s"officers mismatch: $gotOff vs $wantOff")
+      // 404 for odd companies' charges = zero rows, not an error
+      val gotCh = ch.select("company_number").collect()
+        .map(_.getString(0)).toSet
+      val wantCh = sub.collect {
+        case ((n, "charges"), items) if items.nonEmpty => n }.toSet
+      assert(gotCh == wantCh, s"charges mismatch: $gotCh vs $wantCh")
+      assert(stub.sawAuth.get(), "enrichment must send basic-auth")
+      // one paced stream: the server-observed gaps across ALL endpoints
+      // (search pages + officers + charges) obey the shared bucket
+      val log = stub.requestLog.asScala.toSeq
+      assert(log.exists(_._1.contains("/officers")) &&
+        log.exists(_._1.contains("/charges")) &&
+        log.exists(_._1.contains("/advanced-search")),
+        s"expected all three endpoint families in the log: ${log.map(_._1)}")
+      val times = log.map(_._2).sorted
+      val gaps = times.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+      val meanGap = gaps.sum.toDouble / gaps.size
+      assert(meanGap >= 0.8 * 1000.0 / rate,
+        s"mean inter-request gap ${meanGap}ms under the shared-bucket " +
+          s"budget ${1000.0 / rate}ms (gaps $gaps)")
     }
   }
 }

@@ -18,7 +18,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   * `companies`: field → value (strings; sic_codes comma-joined). */
 class ChHttpStub(companies: Seq[Map[String, String]],
-    reject429Every: Int = 0, retryAfterSec: Option[Int] = None) {
+    reject429Every: Int = 0, retryAfterSec: Option[Int] = None,
+    // (company_number, resource) -> items, e.g. ("001","officers") -> […]
+    sub: Map[(String, String), Seq[Map[String, String]]] = Map.empty) {
 
   /** (uri, server-clock ms) per request, in arrival order. */
   val requestLog =
@@ -60,6 +62,43 @@ class ChHttpStub(companies: Seq[Map[String, String]],
       val items = page.map(c => c.map { case (k, v) =>
         s""""$k":"$v"""" }.mkString("{", ",", "}")).mkString("[", ",", "]")
       respond(ex, 200, s"""{"items":$items,"hits":${kept.size}}""")
+    }
+  })
+
+  // the reference's per-company sub-resources (api_clients.py:179-203):
+  // GET /company/{number}/{officers|charges|filing-history}. 404 when
+  // the stub has no items for that (company, resource) — the real CH
+  // answers 404 for e.g. a company with no charges. Shares the request
+  // log, auth flag, and 429 injector with the search context so tests
+  // can assert ONE paced stream across endpoints.
+  server.createContext("/company/", (ex: HttpExchange) => {
+    val uri = ex.getRequestURI.toString
+    requestLog.add((uri, System.currentTimeMillis()))
+    if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .exists(_.startsWith("Basic "))) sawAuth.set(true)
+    if (reject429Every > 0 &&
+        reqCount.incrementAndGet() % reject429Every == 0) {
+      rejected429.incrementAndGet()
+      retryAfterSec.foreach(s =>
+        ex.getResponseHeaders.add("Retry-After", s.toString))
+      respond(ex, 429, """{"error":"rate_limited"}""")
+    } else {
+      val path = uri.split('?').head.split('/').filter(_.nonEmpty)
+      // path = ["company", number, resource]
+      val key = if (path.length >= 3)
+        Some((java.net.URLDecoder.decode(path(1), "UTF-8"), path(2)))
+      else None
+      key.flatMap(sub.get) match {
+        case None => respond(ex, 404, """{"error":"not-found"}""")
+        case Some(items) =>
+          val q = params(uri)
+          val perPage = q.getOrElse("items_per_page", "100").toInt
+          val page = items.take(perPage)
+          val body = page.map(c => c.map { case (k, v) =>
+            s""""$k":"$v"""" }.mkString("{", ",", "}"))
+            .mkString("[", ",", "]")
+          respond(ex, 200, s"""{"items":$body}""")
+      }
     }
   })
 
