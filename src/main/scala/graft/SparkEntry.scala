@@ -67,7 +67,8 @@ object SparkEntry {
       "a56_ks_test", "a57_kruskal", "a58_anova", "t31_embargo_split",
       "j19_fs_linkage", "rec_neg_sampling", "a59_welch_ttest", "a60_cuped",
       "ml_target_encode", "rec_item_cf", "dd_containment",
-      "dd_containment_lsh",
+      "dd_containment_lsh", "a65_bh_fdr", "a66_kendall_tau",
+      "ml_calibration", "ml_psi_drift", "txt_hill_tail",
       "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
       "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
       "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit")

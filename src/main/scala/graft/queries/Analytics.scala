@@ -1123,10 +1123,170 @@ object Analytics {
           AS BIGINT) AS brier6
       FROM g ORDER BY bin"""))
 
+  /** ML: CALIBRATION reliability bins + per-bin ECE contributions —
+    * the model-eval companion AUC can't replace: a model can rank
+    * perfectly (AUC 1) while its scores are uninterpretable as
+    * probabilities; production decision thresholds need calibration
+    * (Guo et al. 2017's ECE is the standard report). Score = value
+    * min-max-normalized to [0,1000] per mille by integer division
+    * against the 1-row broadcast max; 10 equal-width bins; per bin the
+    * mean CONFIDENCE (score) and mean ACCURACY (label rate) in 1e-6
+    * fixed point plus the |acc−conf|·n_b/N ECE term in 1e-9 — ECE is
+    * the sum of the last column. Integer arithmetic end to end; no
+    * window, one aggregate, two 1-row broadcasts. */
+  val mlCalibration = Q(
+    "ml_calibration",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        (Q.dec("value") * 100).cast("long").as("v"))
+      val mx = e.agg(max("v").as("vmax"), count(lit(1)).as("n"))
+      e.crossJoin(broadcast(mx))
+        .select(col("y"), col("n"),
+          expr("(v * 1000) DIV vmax").as("sm"))
+        .select(col("y"), col("n"), col("sm"),
+          least(expr("sm DIV 100"), lit(9L)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"),
+          sum("sm").as("sm_sum"), max("n").as("n"))
+        .select(col("bin"), col("n_b"), col("pos_b"), col("n"),
+          expr("(sm_sum * 1000) DIV n_b").as("conf6"),
+          expr("(pos_b * 1000000) DIV n_b").as("acc6"))
+        .select(col("bin"), col("n_b"), col("pos_b"), col("conf6"),
+          col("acc6"),
+          expr("(abs(acc6 - conf6) * n_b * 1000) DIV n").as("ece_term9"))
+        .orderBy("bin")
+    },
+    Some("""WITH e AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      mx AS (SELECT max(v) AS vmax, CAST(count(*) AS BIGINT) AS n FROM e),
+      b AS (
+        SELECT y, n, (v * 1000) // vmax AS sm,
+          least((v * 1000) // vmax // 100, 9) AS bin
+        FROM e CROSS JOIN mx),
+      g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+          CAST(sum(y) AS BIGINT) AS pos_b,
+          CAST(sum(sm) AS BIGINT) AS sm_sum, max(n) AS n
+        FROM b GROUP BY 1)
+      SELECT bin, n_b, pos_b,
+        CAST((sm_sum * 1000) // n_b AS BIGINT) AS conf6,
+        CAST((pos_b * 1000000) // n_b AS BIGINT) AS acc6,
+        CAST((abs((pos_b * 1000000) // n_b - (sm_sum * 1000) // n_b)
+          * n_b * 1000) // n AS BIGINT) AS ece_term9
+      FROM g ORDER BY bin"""))
+
+  /** ML: POPULATION STABILITY INDEX between the pre- and post-cutoff
+    * score distributions — the drift monitor every serving pipeline
+    * runs before trusting a trained model on new traffic (PSI < 0.1
+    * stable, > 0.25 retrain; standard credit-scoring practice). Ten
+    * fixed-width value bins, add-one smoothing on both sides, PSI =
+    * Σ (p−q)·ln(p/q) through the bit-portable ln chain and 1e-9 fixed
+    * point — the txt_mix_divergence instrument pointed at the time
+    * axis. One aggregate to 10 cells; the ln runs on 10 rows. */
+  val mlPsiDrift: Q = {
+    val pT = "(CAST(nr + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))"
+    val qT = "(CAST(nc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))"
+    Q(
+      "ml_psi_drift",
+      (s, dir) => {
+        import graft.functions.PortableLn
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val e = Tables.load(s, dir, "events").select(
+          when(col("ts") < cut, 1L).otherwise(0L).as("ref"),
+          least((Q.dec("value") * 100).cast("long") / 5000L,
+            lit(9L)).cast("long").as("bin"))
+        val cells = e.groupBy("bin").agg(
+          sum(when(col("ref") === 1, 1L).otherwise(0L)).as("nr"),
+          sum(when(col("ref") === 0, 1L).otherwise(0L)).as("nc"))
+        val tot = cells.agg(sum("nr").as("tr"), sum("nc").as("tc"))
+        val g0 = cells.crossJoin(broadcast(tot))
+          .withColumn("r", expr(s"$pT / $qT"))
+        val g = PortableLn.withLn(g0, "r", "lnr")
+        g.select(col("bin"), col("nr"), col("nc"),
+            expr(s"CAST(floor(($pT - $qT) * lnr * 1.0e9) AS BIGINT)")
+              .as("term9"))
+          .groupBy().agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"),
+            sum("term9").as("psi9"))
+          .select(col("n_ref").cast("long").as("n_ref"),
+            col("n_cur").cast("long").as("n_cur"),
+            col("psi9").cast("long").as("psi9"),
+            (col("psi9").cast("double") / 1.0e9).as("psi"))
+      },
+      Some {
+        import graft.functions.PortableLn
+        s"""WITH e AS (
+          SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS ref,
+            least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // 5000, 9) AS bin
+          FROM events),
+        cells AS (
+          SELECT bin,
+            CAST(sum(CASE WHEN ref = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+            CAST(sum(CASE WHEN ref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          FROM e GROUP BY 1),
+        tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+          CAST(sum(nc) AS BIGINT) AS tc FROM cells),
+        g0 AS (
+          SELECT bin, nr, nc, tr, tc, $pT / $qT AS r
+          FROM cells CROSS JOIN tot),
+        ${PortableLn.cteChainSql("g0", "r", "lnr", "gg")},
+        terms AS (
+          SELECT nr, nc,
+            CAST(floor(($pT - $qT) * lnr * 1.0e9) AS BIGINT) AS term9
+          FROM ${PortableLn.cteChainOut("gg")})
+        SELECT CAST(sum(nr) AS BIGINT) AS n_ref,
+          CAST(sum(nc) AS BIGINT) AS n_cur,
+          CAST(sum(term9) AS BIGINT) AS psi9,
+          CAST(sum(term9) AS DOUBLE) / 1.0e9 AS psi
+        FROM terms"""
+      })
+  }
+
+  /** ML: GROUP K-FOLD assignment — the leakage control on the ENTITY
+    * axis (t31's time-embargo sibling): random row-level folds leak
+    * whenever one user's events land in both train and validation, so
+    * folds must be dealt per USER. fold = portable-hash(user) mod 5 —
+    * engine-replayable, stable under reshuffling and across runs
+    * (resumable training), and structurally leak-free: fold is a pure
+    * function of user_id, so no user can straddle folds. Emits the
+    * per-fold audit a pipeline actually checks before training:
+    * sizes and label balance, in exact integers. */
+  val mlGroupKfold = Q(
+    "ml_group_kfold",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .withColumn("fold", graft.operators.Dedup.hash56(
+          col("user_id").cast("string")) % 5)
+      e.groupBy("fold")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"), sum("y").as("purchases"))
+        .select(col("fold"), col("n_users"), col("n_events"),
+          col("purchases"),
+          expr("(purchases * 1000) DIV n_events").as("pos_per_mille"))
+        .orderBy("fold")
+    },
+    Some("""WITH e AS (
+        SELECT user_id,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          ((md5_number_lower(user_id || '') % 72057594037927936)::BIGINT)
+            % 5 AS fold
+        FROM events)
+      SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(y) AS BIGINT) AS purchases,
+        CAST((sum(y) * 1000) // count(*) AS BIGINT) AS pos_per_mille
+      FROM e GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(t11RollupMerge, w8LeadLag, a21GroupingSets, t15SequenceMatch,
     a36TimeToConvert, a38CohortLtv, t16OhlcBars,
     a22Histogram, a23Profile, gPagerank, a24Funnel, a25Retention,
     w9MovingAgg, t18Ewma, gPagerankInc, gLabelProp, gKcore, gModularity,
     a49DpCount, a50DpSum, recNegSampling, mlTargetEncode, recItemCf,
-    mlAuc, mlGains)
+    mlAuc, mlGains, mlCalibration, mlPsiDrift, mlGroupKfold)
 }

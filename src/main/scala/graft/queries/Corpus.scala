@@ -1735,6 +1735,70 @@ object Corpus {
     * synthetic corpus's 31-token vocabulary saturates inside the
     * first decile, so β = 0.0 exactly — the degenerate case IS the
     * flag the operator exists to raise. */
+  /** HILL TAIL-INDEX ESTIMATOR (Hill 1975) — the heavy-tail exponent
+    * read directly off the top ORDER STATISTICS, the third leg of the
+    * corpus-statistics tripod: Zipf fits the head's rank-frequency
+    * slope, Heaps fits vocabulary growth, Hill measures how heavy the
+    * frequency tail itself is (α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)); a
+    * small α means a few tokens dominate the corpus — the boilerplate
+    * signal). Exactness: the k+1 top counts are one bounded
+    * TakeOrdered; ranks from zipWithGlobalIndex (no window); each
+    * ln(x_i/x_ref) is the bit-portable chain on a ≤k-row spine floored
+    * to 1e-9 fixed point, so the sum is an integer and α̂ is one
+    * shared-text division. k = 20 (the corpus vocabulary is ~31). */
+  val txtHillTail: Q = {
+    val k = 20
+    val alphaT = s"(CAST($k AS DOUBLE) * 1.0e9 / CAST(s9 AS DOUBLE))"
+    Q(
+      "txt_hill_tail",
+      (s, dir) => {
+        val cnt = Tables.load(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+"))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val top = cnt.orderBy(col("cnt").desc, col("token")).limit(k + 1)
+        val ranked = graft.operators.Align.zipWithGlobalIndex(
+          top, "rank", col("cnt").desc, col("token"))
+        val ref = ranked.filter(col("rank") === (k + 1))
+          .select(col("cnt").as("cref"))
+        val g0 = ranked.filter(col("rank") <= k)
+          .crossJoin(broadcast(ref))
+          .withColumn("r",
+            col("cnt").cast("double") / col("cref").cast("double"))
+        graft.functions.PortableLn.withLn(g0, "r", "lnr")
+          .select(floor(col("lnr") * lit(1.0e9)).cast("long").as("t9"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum("t9").as("s9"))
+          .select(col("k"), col("s9").cast("long").as("s9"),
+            expr(alphaT).as("alpha_hill"))
+      },
+      Some {
+        import graft.functions.PortableLn
+        s"""WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+            AS token
+          FROM documents),
+        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1),
+        top AS (SELECT token, cnt FROM cnt
+          ORDER BY cnt DESC, token LIMIT ${k + 1}),
+        rk AS (
+          SELECT cnt, CAST(row_number()
+            OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+          FROM top),
+        ref AS (SELECT cnt AS cref FROM rk WHERE rank = ${k + 1}),
+        g0 AS (
+          SELECT CAST(cnt AS DOUBLE) / CAST(cref AS DOUBLE) AS r
+          FROM rk CROSS JOIN ref WHERE rank <= $k),
+        ${PortableLn.cteChainSql("g0", "r", "lnr", "gh")},
+        t AS (SELECT CAST(floor(lnr * 1.0e9) AS BIGINT) AS t9
+          FROM ${PortableLn.cteChainOut("gh")})
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(t9) AS BIGINT) AS s9, $alphaT AS alpha_hill
+        FROM t"""
+      })
+  }
+
   val txtHeapsFit: Q = {
     val slopeT = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
     val interT = s"(CAST(sy AS DOUBLE) / 1.0e1 - ($slopeT)" +
@@ -1815,7 +1879,7 @@ object Corpus {
         FROM a"""))
   }
 
-  val all: Seq[Q] = Seq(txtZipfFit, txtHeapsFit, txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
+  val all: Seq[Q] = Seq(txtZipfFit, txtHeapsFit, txtHillTail, txtPii, txtRepetition, txtGopher, txtC4, txtVocab, txtEncode,
     txtSample, txtChunks, txtDecontam, txtPack, txtEpochPack, txtTfidf,
     txtMix, txtMixDivergence, txtSplit,
     txtBpe, txtBpeIds, txtBpeRoundtrip, txtBpeBatched, txtFertility,

@@ -1607,6 +1607,151 @@ object Coverage {
         FROM a"""))
   }
 
+  /** A65: BENJAMINI–HOCHBERG FDR control (Benjamini & Hochberg 1995)
+    * — the multiple-comparisons guard every experimentation platform
+    * runs over its metric battery: with m simultaneous tests, raw
+    * p < 0.05 calls produce false discoveries at rate ∝ m, and the BH
+    * step-up (reject the k smallest p-values where k = max{i : p(i) ≤
+    * i·q/m}) bounds the EXPECTED false-discovery proportion at q.
+    *
+    * The procedure is the operator; the p-values are the instrument's
+    * input: one test per (event_type × user-bucket) cell, null p-values
+    * dealt as exact rationals h/2⁵⁶ from the engine-portable hash
+    * (uniform by construction, replayed bit-exactly by the oracle), and
+    * a planted block (bucket < 3) divided by 2¹² to simulate true
+    * effects. Every decision is INTEGER arithmetic — p(i) ≤ i·q/m
+    * cross-multiplied as h·10·m ≤ i·2⁵⁶ in DECIMAL(38)/HUGEINT — so
+    * the reject set is hash-exact, not float-boundary-dependent. Ranks
+    * come from the bounded m-row spine via zipWithGlobalIndex (no
+    * window). q = 0.1. */
+  val a65BhFdr: Q = {
+    val m = 100 // 5 event types x 20 user buckets
+    val pT = "(CAST(h AS DOUBLE) / 72057594037927936.0e0)"
+    Q(
+      "a65_bh_fdr",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.types.DecimalType
+        def d(c: Column) = c.cast(DecimalType(38, 0))
+        val tests = Tables.load(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 20).as("bucket"))
+          .distinct()
+          .withColumn("h0", graft.operators.Dedup.hash56(
+            concat(col("event_type"), lit(":"), col("bucket"))))
+          // planted true effects: the bucket<3 block's p-values shrink 2^12
+          .withColumn("h", when(col("bucket") < 3,
+            expr("h0 DIV 4096")).otherwise(col("h0")))
+        val ranked = graft.operators.Align.zipWithGlobalIndex(
+          tests, "i", col("h").asc, col("event_type"), col("bucket"))
+        // step-up: k* = max rank whose p clears its own threshold
+        val hits = ranked.select(
+          max(when(d(col("h")) * lit(10L * m) <=
+            d(col("i")) * lit(72057594037927936L), col("i"))
+            .otherwise(0L)).as("kstar"))
+        ranked.crossJoin(broadcast(hits))
+          .select(col("event_type"), col("bucket"), col("i").as("rank"),
+            expr(pT).as("p"), (col("i") <= col("kstar")).as("rejected"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH t AS (
+          SELECT DISTINCT event_type, user_id % 20 AS bucket FROM events),
+        h0 AS (
+          SELECT event_type, bucket,
+            ((md5_number_lower(event_type || ':' || bucket)
+              % 72057594037927936)::BIGINT) AS h0
+          FROM t),
+        hh AS (
+          SELECT event_type, bucket,
+            CASE WHEN bucket < 3 THEN h0 // 4096 ELSE h0 END AS h
+          FROM h0),
+        r AS (
+          SELECT event_type, bucket, h,
+            CAST(row_number() OVER (ORDER BY h, event_type, bucket)
+              AS BIGINT) AS i
+          FROM hh),
+        k AS (
+          SELECT max(CASE WHEN CAST(h AS HUGEINT) * ${10L * m}
+            <= CAST(i AS HUGEINT) * 72057594037927936 THEN i
+            ELSE 0 END) AS kstar FROM r)
+        SELECT event_type, bucket, i AS rank, $pT AS p,
+          i <= kstar AS rejected
+        FROM r CROSS JOIN k
+        ORDER BY rank"""))
+  }
+
+  /** A66: KENDALL'S τ-b via the CONTINGENCY TABLE (Kendall 1938;
+    * tie-corrected τ-b as in Kendall 1945) — the rank-correlation
+    * complement to a54's Spearman ρ: τ counts pairwise ORDER
+    * agreements, so it is robust to monotone transforms and reads
+    * directly as P(concordant) − P(discordant). Naively O(n²) pairs;
+    * over BOUNDED VALUE DOMAINS (quantity 1..50 × discount cents
+    * 0..10) the whole statistic collapses onto the ≤550-cell
+    * contingency table: concordant pairs C = Σ n_ij·n_i'j' over
+    * (i<i', j<j'), discordant D likewise with j>j', and the tie terms
+    * come from the marginals — one groupBy to cells, one BOUNDED
+    * broadcast product of the cell table with itself (whitelisted: the
+    * product is |domain|², never ∝ rows), integer-exact throughout.
+    * τ-b = (C−D)/√((n₀−tx)(n₀−ty)) is one shared-text expression;
+    * IEEE sqrt is correctly-rounded on both engines. */
+  val a66KendallTau: Q = {
+    val tauT = "(CAST(c - d AS DOUBLE) / sqrt(" +
+      "CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)))"
+    Q(
+      "a66_kendall_tau",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("q"),
+          (Q.dec("l_discount") * 100).cast("long").as("dc"))
+        val cells = li.groupBy("q", "dc").agg(count(lit(1)).as("n"))
+        val pairs = cells.as("a").join(broadcast(cells.as("b")),
+            col("a.q") < col("b.q") && col("a.dc") =!= col("b.dc"))
+          .select((col("a.n") * col("b.n")).as("nn"),
+            (col("a.dc") < col("b.dc")).as("conc"))
+          .agg(sum(when(col("conc"), col("nn")).otherwise(0L)).as("c"),
+            sum(when(!col("conc"), col("nn")).otherwise(0L)).as("d"))
+        val margins = cells.agg(
+          sum(col("n")).as("nrows"),
+          sum(col("n") * (col("n") - 1) / 2).as("tie_cells"))
+        val tx = cells.groupBy("q").agg(sum("n").as("nq"))
+          .agg(sum(col("nq") * (col("nq") - 1) / 2).as("tx"))
+        val ty = cells.groupBy("dc").agg(sum("n").as("nd"))
+          .agg(sum(col("nd") * (col("nd") - 1) / 2).as("ty"))
+        pairs.crossJoin(broadcast(margins))
+          .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+          .select(col("c").cast("long").as("c"),
+            col("d").cast("long").as("d"),
+            (col("nrows") * (col("nrows") - 1) / 2).cast("long").as("n0"),
+            col("tx").cast("long").as("tx"),
+            col("ty").cast("long").as("ty"))
+          .select(col("c"), col("d"), col("n0"), col("tx"), col("ty"),
+            expr(tauT).as("tau_b"))
+      },
+      Some(s"""WITH li AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+            CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+          FROM lineitem),
+        cells AS (SELECT q, dc, count(*) AS n FROM li GROUP BY 1, 2),
+        cd AS (
+          SELECT
+            CAST(sum(CASE WHEN a.dc < b.dc THEN a.n * b.n ELSE 0 END)
+              AS BIGINT) AS c,
+            CAST(sum(CASE WHEN a.dc > b.dc THEN a.n * b.n ELSE 0 END)
+              AS BIGINT) AS d
+          FROM cells a JOIN cells b ON a.q < b.q AND a.dc <> b.dc),
+        mg AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nrows FROM cells),
+        txc AS (
+          SELECT CAST(sum(nq * (nq - 1) // 2) AS BIGINT) AS tx
+          FROM (SELECT sum(n) AS nq FROM cells GROUP BY q)),
+        tyc AS (
+          SELECT CAST(sum(nd * (nd - 1) // 2) AS BIGINT) AS ty
+          FROM (SELECT sum(n) AS nd FROM cells GROUP BY dc))
+        SELECT c, d,
+          CAST(nrows * (nrows - 1) // 2 AS BIGINT) AS n0, tx, ty,
+          $tauT AS tau_b
+        FROM cd CROSS JOIN mg CROSS JOIN txc CROSS JOIN tyc"""))
+  }
+
   /** A63: DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994's quasi-
     * experimental workhorse): when assignment isn't randomized, the
     * treatment effect estimate is the treated arm's pre→post change
@@ -2697,7 +2842,7 @@ object Coverage {
   val all: Seq[Q] = Seq(f3Classify, f9OfficerSplit, f11Borough, f13Domain,
     f8CleanOfficer, f21Entities, gDegrees, gTriangles, gClustering, gBfs, gPpr, gSssp, gLinkpred, gHyperball, gBetweenness, gRandomWalks, gWalkPairs, a17Percentiles,
     j12Salted, a18Sketches, a26KmvSketch, a42Hll, a46HllSmall, a27SampleQuantile, a28CmsHeavy,
-    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a62PropZtest, a63Did, a64Srm, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
+    a29KmvSetops, a41KmvSetops256, a51HtEstimate, a52Benford, a53Gini, a54Spearman, a55MannWhitney, a56Ks, a57Kruskal, a58Anova, a59WelchTtest, a60Cuped, a61BootstrapCi, a62PropZtest, a63Did, a64Srm, a65BhFdr, a66KendallTau, a39SampledQuantiles, a40Winsorize, a30Corr, a31Outliers, a32Regression, a33SketchRollup,
     a34SkewReport, a35DriftReport, a37Concentration, j13Bucketed, j14DppJoin,
     j15BucketedEdges, s12LookupJoin)
 }

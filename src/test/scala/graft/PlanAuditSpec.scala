@@ -174,6 +174,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * each is a deliberate bounded product with the small side broadcast
     * (a baseline, or a top-k against a handful of broadcast queries). */
   private val bnljAllowed = Set(
+    "a66_kendall_tau",     // contingency-cell product: |domains|² ≤ 550², never ∝ rows
     "sim_topk_bruteforce", // O(Q×N) by definition; query side broadcast
     "sim_mips",            // same brute shape + 1-row M² broadcast
     "sim_hard_negatives",  // same broadcast-query product, label anti-filtered
@@ -207,6 +208,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "a60_cuped",           // 2-row arm frame × 1-row pooled-moments broadcast
     "ml_target_encode",    // 1-row global-prior broadcast into the encoder
     "ml_gains",            // 1-row row-count broadcast into the binner
+    "ml_calibration",      // 1-row (max, count) broadcast into the score normalizer
+    "ml_psi_drift",        // 1-row bin-totals broadcast into the 10-cell PSI grid
+    "a65_bh_fdr",          // 1-row step-up threshold broadcast onto the m=100 spine
+    "txt_hill_tail",       // 1-row k+1-th order statistic broadcast onto the top-k spine
     "txt_heaps_fit",       // 1-row doc-count broadcast into the checkpoints
     "j17_join_guard",      // 1-row estimate × 1-row labeled truth
     "q22_prospect_customers", // 1-row global-average threshold broadcast into the filter
