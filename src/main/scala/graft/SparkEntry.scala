@@ -101,7 +101,15 @@ object SparkEntry {
     "a50_dp_sum",         // DP release + per-user cap window
     "rec_item_cf",        // capped-basket pair explode (∝ users·basket²)
     "g_betweenness",      // level-synchronous two-pass joins
-    "dd_containment",     // asymmetric prefix filter vs the rarity tail
-    "dd_containment_lsh") // full-corpus sketch containment: banded join
+    "dd_containment")     // asymmetric prefix filter vs the rarity tail
+    // dd_containment_lsh earned a TOMBSTONE here, not a slot: at sf1
+    // its uncapped banded candidates measure 131M (band,pair) rows —
+    // this corpus has no rarity tail, so the random-pair Jaccard floor
+    // (~0.05) collides quadratically at 2-row bands. The registered
+    // query now caps hot buckets at 1000 (35M candidates, the
+    // boilerplate-bucket trade), but the family's LINEAR scaling
+    // representative is dd_minhash_lsh (4-row bands, collision ∝ J⁴);
+    // the containment instrument is graded on the sf0.1 bench where
+    // its exactness contract is oracle-checked.
     .filter(queries.contains)
 }

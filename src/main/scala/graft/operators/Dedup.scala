@@ -470,7 +470,18 @@ object Dedup {
       .distinct()
     val sa = sig.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val sb = sig.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    val scored = cand.join(sa, "id_a").join(sb, "id_b")
+    // BROADCAST the signature sides: candidates ≫ docs on a dense
+    // corpus (measured at sf1: 131M uncapped pairs vs 50k docs × 1.6KB
+    // of signatures = 82MB), and a sort-merge join here must SORT the
+    // pair stream with both shingle arrays attached — measured at sf1
+    // as >79GB of sort spill (SPILL_OUT_OF_MEMORY, disk-full). With
+    // both sides broadcast the pair stream pipelines through
+    // whole-stage codegen straight into the intersect + threshold
+    // filter: arrays never enter a shuffle, and the output is ∝
+    // matches. At warehouse scale (sig table past executor memory)
+    // swap these hints for bucketed equi-joins on the id columns.
+    val scored = cand.join(broadcast(sa), "id_a")
+      .join(broadcast(sb), "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"), col("inter"),
         size(col("hs_a")).as("sz_a"), size(col("hs_b")).as("sz_b"))

@@ -555,8 +555,16 @@ object Pipeline {
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           expr("substring(text, 1, CAST(length(text) * 3 DIV 5 AS INT))")
             .as("text"))
+      // maxBucketSize = 1000: never binds at the oracled SFs (the
+      // largest band bucket at sf0.1 measures 699, so Spark == the
+      // uncapped oracle exactly), and at sf1+ it is the documented
+      // boilerplate-bucket trade (measured at sf1: 131M uncapped
+      // candidate rows vs 35M capped — the corpus's missing rarity
+      // tail makes similarity-floor collisions quadratic, and a
+      // bucket past 1000 members is corpus-common band noise, not
+      // containment evidence)
       Dedup.containmentPairsLsh(base.unionByName(trunc), "doc_id", "text",
-          n = 5, k = 16, bands = 8, threshold = 0.9)
+          n = 5, k = 16, bands = 8, threshold = 0.9, maxBucketSize = 1000)
         .orderBy("contained", "container")
     },
     Some {

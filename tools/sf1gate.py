@@ -123,9 +123,14 @@ def main() -> None:
     if not os.path.isdir(sf1_dir):
         sys.exit("data/sf1 missing -- regenerate with graft.DataGen first "
                  "(see module docstring)")
-    oracle = run_oracle_slice(sf1_dir)
+    # benches FIRST, oracle slice LAST: the slice's 32-thread Verify
+    # drives the 1-minute loadavg past Bench's own refuse-under-load
+    # threshold for the stage that follows it (observed: gate refused
+    # itself at loadavg 4.7). Timing stages run on the quiet box; the
+    # correctness stage doesn't care about load.
     s01 = run_bench("/root/testdata/sf0.1", "/tmp/sf1gate_sf01.json")
     s1 = run_bench(sf1_dir, "/tmp/sf1gate_sf1.json")
+    oracle = run_oracle_slice(sf1_dir)
     q01, q1 = s01["queries"], s1["queries"]
     ratio = {q: round(q1[q] / q01[q], 3) for q in q1 if q in q01 and q01[q] > 0}
     src, prior = prior_ratios(rnd)
