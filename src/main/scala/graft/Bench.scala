@@ -97,6 +97,9 @@ object Bench {
     // a fixed per-plan cost that is zero at 100 TB). The timed run measures
     // the engine: scan, shuffle, join, aggregate.
     def sample(name: String): Option[Double] = {
+      // stderr marker so any engine warning between two markers is
+      // attributable to one query without re-running
+      System.err.println(s"[bench] sampling $name")
       spark.catalog.clearCache()
       // drop the previous sample's scratch registrations too, or the
       // registry holds a reference per query per pass for the whole run
@@ -140,13 +143,46 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup FAILED $name: $e") }
       }
-    val passTotals = (1 to timedPasses).map { _ =>
-      names.flatMap { name =>
-        val s = sample(name)
-        s.foreach(t => samples(name) = samples.getOrElse(name, Nil) :+ t)
-        s
-      }.sum
+    // PER-PASS hygiene (round-14 lesson: the start-of-run load guard
+    // passed a run whose MIDDLE was contended — pass totals
+    // 306.8/207.3/290.5 s, a 1.48x spread, medians junk): each pass
+    // stamps its own post-pass loadavg, and any pass whose total
+    // exceeds 1.3x the best pass is DISTURBED — re-run while the
+    // retry budget lasts, and excluded from min/median either way.
+    // The artifact keeps the discarded totals so a dirty capture
+    // stays self-evident instead of silently averaged in.
+    final case class Pass(samples: Map[String, Double], total: Double,
+        loadAfter: Double)
+    def runPass(): Pass = {
+      val ps = names.flatMap { name => sample(name).map(name -> _) }.toMap
+      Pass(ps, ps.values.sum, loadAvg())
     }
+    val spreadBar = 1.3
+    var retries = sys.env.getOrElse("SPARK_GRAFT_PASS_RETRIES", "2").toInt
+    val allPasses = scala.collection.mutable.ArrayBuffer.empty[Pass]
+    def cleanCount: Int = {
+      val minT = allPasses.map(_.total).min
+      allPasses.count(_.total <= spreadBar * minT)
+    }
+    (1 to timedPasses).foreach(_ => allPasses += runPass())
+    while (cleanCount < timedPasses && retries > 0) {
+      val minT = allPasses.map(_.total).min
+      System.err.println(f"[bench] ${timedPasses - cleanCount}%d pass(es) " +
+        f"disturbed (> $spreadBar%.1fx the best ${minT}%.1f s) — re-running")
+      retries -= 1
+      allPasses += runPass()
+    }
+    val minTotal = allPasses.map(_.total).min
+    val (kept, discarded) =
+      allPasses.partition(_.total <= spreadBar * minTotal)
+    if (discarded.nonEmpty)
+      System.err.println(s"[bench] discarding ${discarded.size} disturbed " +
+        s"pass(es) with totals ${discarded.map(_.total)} vs best $minTotal")
+    kept.foreach { p =>
+      p.samples.foreach { case (name, t) =>
+        samples(name) = samples.getOrElse(name, Nil) :+ t }
+    }
+    val passTotals = kept.map(_.total).toSeq
     val results = names.map { name =>
       val times = samples.getOrElse(name, Nil)
       // min over passes is the headline statistic: it is the best available
@@ -177,11 +213,17 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val pt = passTotals.map(f4).mkString("[", ",", "]")
+    val pl = kept.map(p => f4(p.loadAfter)).mkString("[", ",", "]")
+    val dpt = discarded.map(p => f4(p.total)).mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val totalMedian = results.filter(_._3 >= 0).map(_._3).sum
     val endedAtMs = System.currentTimeMillis()
     val loadEnd = loadAvg()
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"pass_totals":$pt,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(load)},"loadavg_end":${f4(loadEnd)},"load_contaminated":$loadContaminated,"ncpus":$ncpus}"""
+    // loadavg_at_launch = process start; loadavg_start = after the
+    // quiesce wait, at record start (two fields — one value silently
+    // changing meaning between rounds breaks artifact consumers)
+    val loadFields = s""""loadavg_at_launch":${f4(loadStart)},"loadavg_start":${f4(load)},"loadavg_end":${f4(loadEnd)},"pass_loadavg":$pl,"discarded_pass_totals":$dpt"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"pass_totals":$pt,"errors":$es,"sf":"$sfDir","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,$loadFields,"load_contaminated":$loadContaminated,"ncpus":$ncpus}"""
     println(fullJson)
     // The harness that invokes this main captures only the LAST ~2 KB of
     // stdout; at 90+ headline queries the full JSON line is ~9 KB, so the
@@ -197,7 +239,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"nqueries":${names.size},"pass_totals":$pt,"errors":$es,"sf":"$sfDir","full_json":"$outPath","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,"loadavg_start":${f4(load)},"loadavg_end":${f4(loadEnd)},"load_contaminated":$loadContaminated,"ncpus":$ncpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_passes","total_median":$totalMedian,"nqueries":${names.size},"pass_totals":$pt,"errors":$es,"sf":"$sfDir","full_json":"$outPath","started_at_ms":$startedAtMs,"ended_at_ms":$endedAtMs,$loadFields,"load_contaminated":$loadContaminated,"ncpus":$ncpus}""")
     spark.stop()
   }
 }

@@ -71,7 +71,8 @@ object SparkEntry {
       "ml_calibration", "ml_psi_drift", "txt_hill_tail",
       "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
       "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
-      "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit")
+      "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit",
+      "mm_mel_spectrogram", "mm_mfcc")
     preferred.filter(queries.contains)
   }
 
@@ -101,15 +102,15 @@ object SparkEntry {
     "a50_dp_sum",         // DP release + per-user cap window
     "rec_item_cf",        // capped-basket pair explode (∝ users·basket²)
     "g_betweenness",      // level-synchronous two-pass joins
-    "dd_containment")     // asymmetric prefix filter vs the rarity tail
-    // dd_containment_lsh earned a TOMBSTONE here, not a slot: at sf1
-    // its uncapped banded candidates measure 131M (band,pair) rows —
-    // this corpus has no rarity tail, so the random-pair Jaccard floor
-    // (~0.05) collides quadratically at 2-row bands. The registered
-    // query now caps hot buckets at 1000 (35M candidates, the
-    // boilerplate-bucket trade), but the family's LINEAR scaling
-    // representative is dd_minhash_lsh (4-row bands, collision ∝ J⁴);
-    // the containment instrument is graded on the sf0.1 bench where
-    // its exactness contract is oracle-checked.
+    "dd_containment",     // asymmetric prefix filter vs the rarity tail
+    // dd_containment_lsh was a round-14 tombstone here (131M uncapped
+    // sf1 candidates); it gets a slot now that (a) hot buckets cap at
+    // 1000 (35M candidates, the boilerplate-bucket trade) and (b) the
+    // verify stage degrades to shuffled-hash equi-joins past the
+    // broadcast ceiling instead of OOMing — the round-14 verdict's two
+    // named scale risks, both of which only a measured sf1 ratio can
+    // certify closed.
+    "dd_containment_lsh",
+    "mm_mel_spectrogram") // per-record DSP map stage: ratio should be ~10x linear
     .filter(queries.contains)
 }

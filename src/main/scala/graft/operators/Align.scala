@@ -100,15 +100,20 @@ object Align {
     * is broadcast, so the number of DISTINCT GROUPS must be
     * broadcast-sized (the constant-domain keys this replaces have
     * 3–5). The contract is ENFORCED, not trusted (the budgetFill
-    * lesson, Curation.budgetFill's bounded probe, applied here): each
-    * segment-totals task counts its own (partition, group) segments
-    * and throws past `graft.align.maxSegments` (session conf, default
-    * 2²¹ ≈ 2M driver entries) DIVIDED by the partition count — the
-    * failure happens executor-side BEFORE the driver materializes or
-    * broadcasts anything. A caller with a genuinely high-cardinality
-    * group key should window by that key directly (cardinality ∝
-    * groups distributes fine) instead of a grouped prefix sum.
-    * (group ++ sortCols) must be unique for determinism. */
+    * lesson, Curation.budgetFill's bounded probe, applied here): a
+    * COUNT-ONLY pre-pass sums per-partition segment counts — one long
+    * per partition — and throws past `graft.align.maxSegments`
+    * (session conf, default 2²¹ ≈ 2M driver entries) BEFORE the
+    * driver materializes a single totals row. The bound is on the
+    * TOTAL, not maxSegments ÷ partitions per partition:
+    * repartitionByRange splits by ROWS, so a row-skewed frame can
+    * legally concentrate many small groups into one partition, and a
+    * per-partition quota would spuriously refuse an in-budget
+    * workload. Each task still fail-fasts past the full budget as a
+    * coarse executor-side backstop. A caller with a genuinely
+    * high-cardinality group key should window by that key directly
+    * (cardinality ∝ groups distributes fine) instead of a grouped
+    * prefix sum. (group ++ sortCols) must be unique for determinism. */
   def groupedPrefixSums(df: DataFrame, groupCols: Seq[String],
       valCols: Seq[String], outNames: Seq[String],
       sortCols: Column*): DataFrame = {
@@ -129,8 +134,32 @@ object Align {
     val maxSegments = spark.conf
       .getOption("graft.align.maxSegments").map(_.toLong)
       .getOrElse(1L << 21)
-    val capPerPart =
-      math.max(2L, maxSegments / math.max(1, rdd.getNumPartitions))
+    def refuse(what: String): Nothing = throw new IllegalStateException(
+      s"groupedPrefixSums: $what exceeds graft.align.maxSegments=" +
+        s"$maxSegments group segments: the group key is not " +
+        "broadcast-sized. Grouped prefix sums need a bounded group " +
+        "domain — for a high-cardinality key, window PARTITION BY " +
+        "that key directly (it distributes by cardinality) instead.")
+    // count-only pre-pass: one long per partition crosses the wire; the
+    // TOTAL is bounded driver-side before any totals row materializes.
+    // (Bounding per-partition at maxSegments/partitions would spuriously
+    // refuse a row-skewed frame whose range split concentrates many
+    // small groups into one partition — the split is by rows.)
+    val segCounts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cnt = 0L
+      var cur: Seq[Any] = null
+      it.foreach { r =>
+        val g: Seq[Any] = gis.map(r.get).toSeq
+        if (cur == null || g != cur) {
+          cnt += 1
+          if (cnt > maxSegments) refuse(s"partition $i alone")
+          cur = g
+        }
+      }
+      Iterator(cnt)
+    }.collect()
+    if (segCounts.sum > maxSegments)
+      refuse(s"the frame's ${segCounts.sum} total (partition, group)")
     val segTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[(Seq[Any], Array[Long])]
@@ -139,13 +168,9 @@ object Align {
       it.foreach { r =>
         val g: Seq[Any] = gis.map(r.get).toSeq
         if (cur == null || g != cur) {
-          if (buf.size >= capPerPart) throw new IllegalStateException(
-            s"groupedPrefixSums: partition $i exceeds $capPerPart group " +
-              s"segments (cap = graft.align.maxSegments=$maxSegments / " +
-              "partitions): the group key is not broadcast-sized. Grouped " +
-              "prefix sums need a bounded group domain — for a " +
-              "high-cardinality key, window PARTITION BY that key " +
-              "directly (it distributes by cardinality) instead.")
+          // coarse executor-side backstop (the pre-pass already bounded
+          // the total; this guards a data change between the two jobs)
+          if (buf.size >= maxSegments) refuse(s"partition $i alone")
           cur = g; s = new Array[Long](k); buf += ((g, s))
         }
         var j = 0; while (j < k) { s(j) += r.getLong(vis(j)); j += 1 }

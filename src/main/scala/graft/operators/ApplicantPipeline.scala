@@ -71,10 +71,10 @@ object ApplicantPipeline {
 
     // cached: the stats block reads these lineages up to 8 times, and
     // runWithStore reads them again for its writes
-    val checked = raw.select(
+    val checked = Scratch.cacheIfAbsent(raw.select(
       col(ordinalCol).as("input_id"),
       col(prefCol).as("pref_raw"), col(nameCol).as("name_raw"),
-      validationError(col(prefCol), col(nameCol)).as("error")).cache()
+      validationError(col(prefCol), col(nameCol)).as("error")))
 
     val errors = checked.filter(col("error").isNotNull)
       .select("input_id", "error")
@@ -92,7 +92,8 @@ object ApplicantPipeline {
     // name) survives — deterministic via the arrival ordinal
     val byKey = Window.partitionBy("planning_reference", "normalized_name")
       .orderBy("input_id")
-    val ranked = normalized.withColumn("__rn", row_number().over(byKey)).cache()
+    val ranked = Scratch.cacheIfAbsent(
+      normalized.withColumn("__rn", row_number().over(byKey)))
     val applicants = ranked.filter(col("__rn") === 1).drop("__rn")
     val duplicates = ranked.filter(col("__rn") > 1).drop("__rn")
 
@@ -102,7 +103,8 @@ object ApplicantPipeline {
       matchable.select(col("input_id"), col("raw_name")), companies,
       "input_id", "raw_name", companyId, companyName,
       minConfidence, topK, commonTokens)
-      .withColumnRenamed("applicant_id", "input_id").cache()
+      .withColumnRenamed("applicant_id", "input_id")
+    Scratch.cacheIfAbsent(matches)
 
     val stat = (m: String, df: DataFrame) =>
       df.agg(count(lit(1)).cast("long").as("value"))

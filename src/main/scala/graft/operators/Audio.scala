@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One mel band of one analysis frame: integer band energy plus its
+  * portable log (the feature a training pipeline consumes). */
+final case class MelFrame(doc_id: Long, frame_idx: Long, band: Long,
+    energy: Long)
+
+/** FIXED-POINT MEL-SPECTROGRAM over the real WAV lane — the audio
+  * feature extractor the LLM-pipeline brief's audio story was missing
+  * beyond decode/resample (mm_wav_decode stops at duration + Σ|sample|;
+  * a speech-data curation pass filters and clusters on spectral
+  * features, Davis & Mermelstein 1980's mel-cepstrum front end).
+  *
+  * Exactness strategy (the PortableLn discipline applied to DSP): a
+  * float FFT would never oracle — libm sin/cos differ across engines in
+  * the last ulp and an FFT compounds them — so every stage up to the
+  * final log is INTEGER arithmetic on integer literals:
+  *
+  *  1. Framing: `Window`-sample frames every `Hop` samples (frames
+  *     that would overrun the clip are dropped, standard STFT edge
+  *     handling).
+  *  2. DFT: re/im per bin k = Σ_t s[t]·T[k][t] with T = round(cos/sin
+  *     · 2¹⁴) — the trig tables are computed ONCE on the JVM and
+  *     shipped as the SAME integer literals to the Spark kernel and
+  *     the DuckDB oracle text, so "which cosine library" can never
+  *     matter. |re| ≤ 32·1000·2¹⁴ ≈ 5.2e8; re²+im² ≤ 5.5e17 — inside
+  *     long, no overflow at any corpus size (bounds are per-frame,
+  *     not per-corpus).
+  *  3. Power: p[k] = (re² + im²) / 2²⁸ (integer division undoes the
+  *     squared table scale; truncation is deterministic and mirrored
+  *     by the oracle's `//`).
+  *  4. Mel filterbank: `Bands` triangular filters on the mel scale
+  *     (2595·log₁₀(1+f/700)) over the bin frequencies, quantized to
+  *     /64 integer weights — again shared literals. Band energy
+  *     E = Σ_k w[m][k]·p[k] ≤ 8·17·2e9 ≈ 2.7e11.
+  *  5. log-mel = PortableLn(E + 1): the one non-integer step, through
+  *     the repo's bit-identical-in-both-engines ln.
+  *
+  * Scale shape: the kernel is per-RECORD imperative DSP over a binary
+  * payload (the decodeWav pattern) — embarrassingly parallel
+  * mapPartitions, zero shuffles, cost ∝ bytes scanned; at 100 TB this
+  * is a pure map stage whose output (docs × frames × bands rows) feeds
+  * ordinary relational ops. Tables are built once per JVM (object
+  * fields) and per-rate filterbanks memoized per partition — no
+  * per-row trig, no broadcast needed (the closure ships ~1 KB of
+  * literals). */
+object Audio {
+
+  /** STFT geometry: 32-sample frames, half-overlap, one-sided
+    * spectrum (k = 0..16), 6 mel bands. Small because the synthetic
+    * clips are 40–96 samples; the arithmetic bounds above hold for
+    * any 16-bit input at this window. */
+  val Window = 32
+  val Hop = 16
+  val Bins: Int = Window / 2 + 1
+  val Bands = 6
+
+  /** Trig table scale 2¹⁴ — power carries 2²⁸, undone at stage 3. */
+  val TrigScale = 16384L
+  val PowDiv: Long = TrigScale * TrigScale
+
+  /** Mel filter weight scale. */
+  val MelScale = 64L
+
+  /** round(cos(2πkt/W)·2¹⁴) — the shared-literal DFT tables. */
+  val CosQ: Array[Array[Long]] = Array.tabulate(Bins, Window)((k, t) =>
+    math.round(math.cos(2.0 * math.Pi * k * t / Window) * TrigScale))
+  val SinQ: Array[Array[Long]] = Array.tabulate(Bins, Window)((k, t) =>
+    math.round(math.sin(2.0 * math.Pi * k * t / Window) * TrigScale))
+
+  private def melOf(hz: Double): Double =
+    2595.0 * math.log10(1.0 + hz / 700.0)
+  private def hzOf(mel: Double): Double =
+    700.0 * (math.pow(10.0, mel / 2595.0) - 1.0)
+
+  /** Triangular mel filterbank for a sample rate, quantized to /64
+    * integers: `Bands` filters with centers equally spaced on the mel
+    * scale between 0 and Nyquist, each weighting the `Bins` DFT bin
+    * frequencies k·rate/W. */
+  def melWeights(rate: Int): Array[Array[Long]] = {
+    val pts = (0 to Bands + 1).map(i =>
+      hzOf(melOf(rate / 2.0) * i / (Bands + 1)))
+    Array.tabulate(Bands, Bins) { (m, k) =>
+      val f = k.toDouble * rate / Window
+      val (lo, c, hi) = (pts(m), pts(m + 1), pts(m + 2))
+      val w =
+        if (f <= lo || f >= hi) 0.0
+        else if (f <= c) (f - lo) / (c - lo)
+        else (hi - f) / (hi - c)
+      math.round(w * MelScale)
+    }
+  }
+
+  /** The per-clip kernel: integer STFT power → mel band energies. */
+  def melFrames(docId: Long, samples: Array[Short],
+      melW: Array[Array[Long]]): Iterator[MelFrame] = {
+    val n = samples.length
+    if (n < Window) Iterator.empty
+    else (0 until (n - Window) / Hop + 1).iterator.flatMap { f =>
+      val p = Array.tabulate(Bins) { k =>
+        var re = 0L; var im = 0L
+        var t = 0
+        while (t < Window) {
+          val v = samples(f * Hop + t).toLong
+          re += v * CosQ(k)(t); im += v * SinQ(k)(t)
+          t += 1
+        }
+        (re * re + im * im) / PowDiv
+      }
+      (0 until Bands).iterator.map { m =>
+        var e = 0L
+        var k = 0
+        while (k < Bins) { e += melW(m)(k) * p(k); k += 1 }
+        MelFrame(docId, f.toLong, m.toLong, e)
+      }
+    }
+  }
+
+  /** Mel-spectrogram of a WAV media table: one row per
+    * (doc, frame, band) with integer energy and PortableLn log-mel. */
+  def melSpectrogram(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val frames = media.as[MediaRow].mapPartitions { it =>
+      // per-rate filterbanks memoized per partition: weights depend on
+      // the payload's own fmt-chunk rate, not an assumed constant
+      val byRate =
+        scala.collection.mutable.Map.empty[Int, Array[Array[Long]]]
+      it.flatMap { r =>
+        val (rate, s) = Multimodal.pcmSamples(r.doc_id, r.payload)
+        melFrames(r.doc_id, s, byRate.getOrElseUpdate(rate, melWeights(rate)))
+      }
+    }.toDF()
+    graft.functions.PortableLn.withLn(
+        frames.withColumn("e1", expr("CAST(energy + 1 AS DOUBLE)")),
+        "e1", "logmel")
+      .select("doc_id", "frame_idx", "band", "energy", "logmel")
+  }
+
+  private def lit2d(a: Array[Array[Long]]): String =
+    a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The CTE pipeline of the DuckDB replay: synth waveform → the same
+    * integer frames, DFT tables, power truncation, mel weights
+    * (identical literals — this string embeds [[CosQ]]/[[SinQ]]/
+    * [[melWeights]] verbatim), and the same PortableLn chain. The
+    * final CTE ([[graft.functions.PortableLn.cteChainOut]] of "lnm")
+    * has (doc_id, frame_idx, band, energy, logmel). */
+  private def melCtesSql(rate: Int): String = {
+    import graft.functions.PortableLn
+    val cos = lit2d(CosQ)
+    val sin = lit2d(SinQ)
+    val mw = lit2d(melWeights(rate))
+    s"""n AS (SELECT doc_id, 40 + doc_id % 57 AS ns FROM documents),
+      fr AS (SELECT doc_id, f FROM n,
+             LATERAL (SELECT unnest(generate_series(0, (ns - $Window) // $Hop)) AS f)),
+      sm AS (SELECT doc_id, f, t,
+               ((doc_id * 31 + (f * $Hop + t) * 7) % 2001) - 1000 AS s
+             FROM fr, LATERAL (SELECT unnest(generate_series(0, ${Window - 1})) AS t)),
+      dft AS (SELECT doc_id, f, k,
+                sum(s * ($cos)[k + 1][t + 1]) AS re,
+                sum(s * ($sin)[k + 1][t + 1]) AS im
+              FROM sm, LATERAL (SELECT unnest(generate_series(0, ${Bins - 1})) AS k)
+              GROUP BY doc_id, f, k),
+      pw AS (SELECT doc_id, f, k,
+               (re * re + im * im) // $PowDiv AS p FROM dft),
+      mel AS (SELECT doc_id, f AS frame_idx, m AS band,
+                CAST(sum(($mw)[m + 1][k + 1] * p) AS BIGINT) AS energy
+              FROM pw, LATERAL (SELECT unnest(generate_series(0, ${Bands - 1})) AS m)
+              GROUP BY doc_id, f, m),
+      e0 AS (SELECT doc_id, frame_idx, band, energy,
+               CAST(energy + 1 AS DOUBLE) AS e1 FROM mel),
+      ${PortableLn.cteChainSql("e0", "e1", "logmel", "lnm")}"""
+  }
+
+  /** Oracle for [[melSpectrogram]]. */
+  def melOracleSql(rate: Int = 8000): String =
+    s"""WITH ${melCtesSql(rate)}
+      SELECT doc_id, frame_idx, band, energy, logmel
+      FROM ${graft.functions.PortableLn.cteChainOut("lnm")}"""
+
+  // ---- MFCC: DCT-II of the log-mel ----------------------------------
+
+  /** DCT-II basis value cos(π·c·(m+½)/Bands) — shipped as the same
+    * double literal to both engines (PortableLn.dbl). */
+  def dctCoef(c: Int, m: Int): Double =
+    math.cos(math.Pi * c * (m + 0.5) / Bands)
+
+  /** The shared-text MFCC coefficient expression: a LEFT-ASSOCIATED
+    * sum of (b_m · coef) products over the pivoted band columns
+    * b0..b5. Every op is an exactly-rounded IEEE multiply/add on the
+    * same literals in the same parenthesization, so Spark and DuckDB
+    * produce the same 64 bits — the PortableLn discipline applied to
+    * the cepstral transform (Davis & Mermelstein 1980). */
+  def mfccExprSql(c: Int): String =
+    (0 until Bands).map(m =>
+        s"(b$m * ${graft.functions.PortableLn.dbl(dctCoef(c, m))})")
+      .reduce((a, b) => s"($a + $b)")
+
+  /** MFCC features: one row per (doc, frame) with `Bands` cepstral
+    * coefficients. The pivot is a bounded conditional agg (band is
+    * 0..5 by construction — max over exactly one value per cell), and
+    * the DCT is a per-row projection: still zero extra shuffles past
+    * the pivot's ∝-rows groupBy. */
+  def mfcc(spark: SparkSession, media: DataFrame): DataFrame = {
+    val wide = melSpectrogram(spark, media)
+      .groupBy("doc_id", "frame_idx")
+      .agg(
+        max(when(col("band") === 0, col("logmel"))).as("b0"),
+        (1 until Bands).map(m =>
+          max(when(col("band") === m, col("logmel"))).as(s"b$m")): _*)
+    wide.select(
+      col("doc_id") +: col("frame_idx") +:
+        (0 until Bands).map(c => expr(mfccExprSql(c)).as(s"mfcc$c")): _*)
+  }
+
+  /** Oracle for [[mfcc]]: the mel CTEs + the same conditional-agg
+    * pivot + the identical [[mfccExprSql]] texts. */
+  def mfccOracleSql(rate: Int = 8000): String = {
+    val bCols = (0 until Bands).map(m =>
+      s"max(CASE WHEN band = $m THEN logmel END) AS b$m").mkString(", ")
+    val cCols = (0 until Bands).map(c =>
+      s"${mfccExprSql(c)} AS mfcc$c").mkString(",\n        ")
+    s"""WITH ${melCtesSql(rate)},
+      wide AS (SELECT doc_id, frame_idx, $bCols
+               FROM ${graft.functions.PortableLn.cteChainOut("lnm")}
+               GROUP BY doc_id, frame_idx)
+      SELECT doc_id, frame_idx,
+        $cCols
+      FROM wide"""
+  }
+}

@@ -58,7 +58,18 @@ object ChEnrich {
   }
 
   /** Fetch `resource` for every distinct company number and flatten
-    * the selected item `fields` (strings; absent → null). */
+    * the selected item `fields` (strings; absent → null).
+    *
+    * PAGINATED: a company with more items than `itemsPerPage` is
+    * fetched via `start_index` cursors until the envelope's
+    * `total_results` is exhausted — the fail-loudly contract forbids
+    * silently truncating a 200-officer company to its first page.
+    * (The reference client single-pages here, api_clients.py:179-203 —
+    * a truncation bug this implementation deliberately does NOT
+    * reproduce.) An envelope WITHOUT `total_results` ends the cursor
+    * after its first page: with no stated total there is nothing to
+    * exhaust, and guessing from page fullness risks an unbounded loop
+    * against a server that always fills pages. */
   def subResource(spark: SparkSession, url: String, companies: DataFrame,
       resource: String, fields: Seq[String],
       numberCol: String = "company_number", apiKey: String = "",
@@ -74,19 +85,33 @@ object ChEnrich {
         it.flatMap { r =>
           val n = r.getString(0)
           val enc = java.net.URLEncoder.encode(n, "UTF-8")
-          fetch(s"$url/company/$enc/$resource?items_per_page=$itemsPerPage",
-              apiKey, bucket, maxRetries, maxRetryAfterMs)
-            .toSeq.flatMap { body =>
-              val items = mapper.readTree(body).get("items")
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var start = 0
+          var more = true
+          while (more) {
+            more = false
+            fetch(s"$url/company/$enc/$resource?items_per_page=" +
+                s"$itemsPerPage&start_index=$start",
+                apiKey, bucket, maxRetries, maxRetryAfterMs).foreach { body =>
+              val root = mapper.readTree(body)
+              val items = root.get("items")
               val m = if (items == null) 0 else items.size()
-              (0 until m).map { i =>
+              (0 until m).foreach { i =>
                 val h = items.get(i)
-                Row.fromSeq(n +: fields.map { f =>
+                out += Row.fromSeq(n +: fields.map { f =>
                   val node = h.get(f)
                   if (node == null || node.isNull) null else node.asText()
                 })
               }
+              val tr = root.get("total_results")
+              start += itemsPerPage
+              // continue only while the server states a total we have
+              // not reached AND the page actually progressed (m > 0
+              // guards a lying total against an empty-page livelock)
+              more = m > 0 && tr != null && !tr.isNull && start < tr.asInt()
             }
+          }
+          out
         }
       }
     spark.createDataFrame(rdd, schema)

@@ -41,22 +41,19 @@ object Curation {
   def stages(docs: DataFrame, lang: String = "en",
       minQuality: Double = 80.0, shingle: Int = 5, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): Stages = {
-    val raw = docs
+    val raw = Scratch.cacheOnce(docs
       .select(col("doc_id"), col("text"),
-        TextAnalysis.wordCount(col("text")).as("words"))
-      .cache()
+        TextAnalysis.wordCount(col("text")).as("words")))
     val kept = raw.filter(TextAnalysis.langId(col("text")) === lang)
-    val qual = kept
-      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
-      .cache()
+    val qual = Scratch.cacheOnce(kept
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality))
     // order-invariant fingerprint collision ⇒ same bag of words: the
     // lowest doc_id survives (min-over-window, one hash shuffle)
     val keepFp = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
-    val exact = qual
+    val exact = Scratch.cacheOnce(qual
       .withColumn("keep_id", min("doc_id").over(keepFp))
       .filter(col("doc_id") === col("keep_id"))
-      .drop("keep_id")
-      .cache()
+      .drop("keep_id"))
     // near-dup clusters over the exact survivors only — the LSH banding
     // and component machinery run on the already-pruned corpus
     val pairs = Dedup.minhashPairs(exact, "doc_id", "text",
@@ -65,7 +62,7 @@ object Curation {
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
-    val near = exact.join(losers, Seq("doc_id"), "left_anti").cache()
+    val near = Scratch.cacheOnce(exact.join(losers, Seq("doc_id"), "left_anti"))
     Stages(raw, kept, qual, exact, near)
   }
 

@@ -96,8 +96,7 @@ object Dedup {
       .withColumns((0 until k).map(j =>
         s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
       .drop("sig")
-      .cache()
-    Scratch.register(sig) // released between queries, not inline (plans stay lazy)
+    Scratch.cacheOnce(sig) // released between queries, not inline (plans stay lazy)
     val allBuckets = sig.select(col("id") +: (0 until bands).map { b =>
         struct((0 until rows).map(r => col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
       }: _*)
@@ -155,8 +154,8 @@ object Dedup {
             element_at(col("sig"), b * rows + r + 1).as(s"h$r")): _*)
         }: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
-    val sigEx = Scratch.register(sigOf(existing).cache())
-    val sigIn = Scratch.register(sigOf(incoming).cache())
+    val sigEx = Scratch.cacheOnce(sigOf(existing))
+    val sigIn = Scratch.cacheOnce(sigOf(incoming))
     // boilerplate cap on the big (existing) side, like minhashPairs: a
     // hot stored bucket would multiply against every future batch
     val bEx0 = bucketsOf(sigEx)
@@ -238,7 +237,7 @@ object Dedup {
         bucketTable, s"$base/buckets", "h0", buckets)
       sigEx.unpersist()
     }
-    val sigIn = Scratch.register(sigOf(incoming).cache())
+    val sigIn = Scratch.cacheOnce(sigOf(incoming))
     val cand = flatBucketsOf(sigIn).as("a")
       .join(spark.table(bucketTable).as("b"),
         ("band" +: hCols).map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _))
@@ -322,8 +321,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = df.select(col(idCol).as("id"),
       graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
-      .withColumn("sz", size(col("hs"))).cache()
-    Scratch.register(docs) // released between queries (plans stay lazy)
+      .withColumn("sz", size(col("hs")))
+    Scratch.cacheOnce(docs) // released between queries (plans stay lazy)
     val tn = math.round(threshold * 1000000L) // t as the exact rational tn/10⁶
     val freq = docs.select(explode(col("hs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
@@ -382,8 +381,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = df.select(col(idCol).as("id"),
       graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
-      .withColumn("sz", size(col("hs"))).cache()
-    Scratch.register(docs) // released between queries (plans stay lazy)
+      .withColumn("sz", size(col("hs")))
+    Scratch.cacheOnce(docs) // released between queries (plans stay lazy)
     val tn = math.round(threshold * 1000000L) // t as the exact rational tn/10⁶
     val freq = docs.select(explode(col("hs")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
@@ -444,14 +443,71 @@ object Dedup {
       maxBucketSize: Int = 100000): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    val spark = df.sparkSession
     val sig = df.select(col(idCol).as("id"),
       graft.plans.ShingleHash.shingleHash(col(textCol), n).as("hs"))
       .withColumn("sig", graft.plans.MinhashSig.minhashSig(col("hs"), k))
       .withColumns((0 until k).map(j =>
         s"mh$j" -> element_at(col("sig"), j + 1)).toMap)
       .drop("sig")
-      .cache()
-    Scratch.register(sig) // released between queries (plans stay lazy)
+    Scratch.cacheOnce(sig) // released between queries (plans stay lazy)
+    // BAND-GEOMETRY FLOOR ASSERTION: the 2-row×`bands` geometry was
+    // derived from THIS corpus's measured separation (random-pair
+    // Jaccard ~0.05 vs planted-pair ≥0.57). That separation is a
+    // corpus PROPERTY, not a law — a corpus whose background
+    // similarity crosses the band-collision knee floods every bucket
+    // with noise pairs, the hot-bucket cap then drops REAL pairs, and
+    // recall dies silently. So the build MEASURES the floor on a
+    // bounded sample (~64 docs → ≤2016 pairs, one tiny collect) and
+    // REFUSES when floor-level pairs would collide in a band with
+    // probability past `graft.containment.maxFloorCollide` (default
+    // 0.2) — failing loudly with the geometry remedy instead of
+    // quietly losing recall. The MEDIAN of sampled pair similarities
+    // stands in for the floor — the floor is the TYPICAL random
+    // pair's similarity (the p90 tail at sf0.01 measures 0.226 on
+    // this corpus while banding recall stays perfect, pinned by the
+    // planted-truncation test: a tail quantile refuses corpora the
+    // geometry in fact handles) — and the median is also robust to
+    // genuine duplicates landing in the sample.
+    // default 0.5: refuse when a MAJORITY of random pairs collide in
+    // some band (bucket flood ∝ collide × n²/2 — past half, noise owns
+    // the candidate stage and the hot-bucket cap starts dropping real
+    // pairs). This corpus measures median-floor collide 0.24 at sf0.01
+    // with verified-perfect planted recall and a never-binding cap, so
+    // the margin is real, not theoretical.
+    val maxFloorCollide = spark.conf
+      .getOption("graft.containment.maxFloorCollide")
+      .map(_.toDouble).getOrElse(0.5)
+    val sampled = sig.select(col("id"), col("hs"))
+      .orderBy(hash(col("id")), col("id")).limit(64)
+      .collect().map(_.getSeq[Long](1).toSet)
+    if (sampled.length >= 8) {
+      val sims = for {
+        i <- sampled.indices; j <- (i + 1) until sampled.length
+      } yield {
+        val inter = (sampled(i) & sampled(j)).size.toDouble
+        inter / (sampled(i).size + sampled(j).size - inter)
+      }
+      val floorJ = sims.sorted.apply(sims.length / 2) // median
+      def collide(jac: Double) = 1.0 - math.pow(1.0 - math.pow(jac, rows), bands)
+      val floorCollide = collide(floorJ)
+      // a same-size pair exactly at the containment threshold has
+      // J = t/(2-t); emitted alongside the floor so the margin reads
+      // off one log line
+      val thresholdCollide = collide(threshold / (2.0 - threshold))
+      System.err.println(f"[dedup] containment LSH geometry ${rows}x$bands:" +
+        f" sampled-floor J=$floorJ%.3f collides $floorCollide%.3f/pair," +
+        f" threshold-level collides $thresholdCollide%.3f/pair")
+      if (floorCollide > maxFloorCollide) throw new IllegalStateException(
+        f"containmentPairsLsh: this corpus's background similarity " +
+          f"(sampled median Jaccard $floorJ%.3f) collides in a band with " +
+          f"probability $floorCollide%.3f > maxFloorCollide " +
+          f"$maxFloorCollide%.2f — buckets would flood with noise pairs " +
+          "and the hot-bucket cap would drop real pairs (silent recall " +
+          "loss). Raise rows-per-band (fewer, wider bands at higher k) " +
+          "so random pairs stop colliding, or raise " +
+          "graft.containment.maxFloorCollide if the corpus is known-dense.")
+    }
     val allBuckets = sig.select(col("id") +: (0 until bands).map { b =>
         struct((0 until rows).map(r =>
           col(s"mh${b * rows + r}").as(s"h$r")): _*).as(s"band$b")
@@ -478,10 +534,35 @@ object Dedup {
     // both sides broadcast the pair stream pipelines through
     // whole-stage codegen straight into the intersect + threshold
     // filter: arrays never enter a shuffle, and the output is ∝
-    // matches. At warehouse scale (sig table past executor memory)
-    // swap these hints for bucketed equi-joins on the id columns.
-    val scored = cand.join(broadcast(sa), "id_a")
-      .join(broadcast(sb), "id_b")
+    // matches.
+    //
+    // The ceiling is GUARDED, not assumed (AnnIndex's 65 536-cell
+    // discipline): one bounded agg over the already-cached sig frame
+    // estimates the broadcast payload, and past
+    // `graft.containment.broadcastBytes` (default 256 MB — executor-
+    // memory-sized, measured 82 MB at sf1) the verify DEGRADES to
+    // shuffled-hash equi-joins instead of OOMing the driver. The
+    // shuffle-hash shape keeps the sort out (the spill killer above
+    // was the SORT, not the shuffle): the bare pair stream shuffles
+    // without arrays attached, each signature side shuffles ∝ docs,
+    // and no side ever materializes driver-side.
+    val broadcastCeiling = spark.conf
+      .getOption("graft.containment.broadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val sz = sig.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("hs"))), lit(0L)).as("sh")).head()
+    val estBytes = sz.getLong(0) * 32L + sz.getLong(1) * 8L
+    val fits = estBytes <= broadcastCeiling
+    if (!fits)
+      System.err.println(s"[dedup] containment verify: estimated " +
+        s"signature broadcast ${estBytes >> 20} MB > ceiling " +
+        s"${broadcastCeiling >> 20} MB " +
+        "(graft.containment.broadcastBytes) — degrading to " +
+        "shuffled-hash equi-joins on the id columns")
+    def side(s: DataFrame) =
+      if (fits) broadcast(s) else s.hint("shuffle_hash")
+    val scored = cand.join(side(sa), "id_a")
+      .join(side(sb), "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .select(col("id_a"), col("id_b"), col("inter"),
         size(col("hs_a")).as("sz_a"), size(col("hs_b")).as("sz_b"))

@@ -186,6 +186,41 @@ object Multimodal {
       n.toLong * 1000L / rate, absSum)
   }
 
+  /** Decoded PCM payload: sample rate + the raw 16-bit samples — the
+    * parser half of [[decodeWav]] exposed for feature extractors
+    * ([[Audio.melSpectrogram]]) that need the waveform itself, not
+    * just its summary statistics. Same chunk-walking contract. */
+  def pcmSamples(docId: Long, payload: Array[Byte]): (Int, Array[Short]) = {
+    def ascii(from: Int) = new String(payload, from, 4, "US-ASCII")
+    require(payload.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataFrom = -1; var dataLen = -1
+    while (pos + 8 <= payload.length) {
+      val id = ascii(pos)
+      val len = bb.getInt(pos + 4)
+      require(len >= 0, s"doc $docId: corrupt chunk length $len at $pos")
+      id match {
+        case "fmt " =>
+          require(bb.getShort(pos + 8) == 1,
+            s"doc $docId: not PCM (fmt ${bb.getShort(pos + 8)})")
+          channels = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" => dataFrom = pos + 8; dataLen = len
+        case _ => // unknown chunk: skip (spec-conformant readers must)
+      }
+      pos += 8 + len + (len & 1)
+    }
+    require(rate > 0 && dataFrom >= 0, s"doc $docId: missing fmt/data chunk")
+    require(bits == 16 && channels == 1,
+      s"doc $docId: this decoder handles mono PCM-16, got $bits/$channels")
+    (rate, Array.tabulate(dataLen / 2)(i => bb.getShort(dataFrom + 2 * i)))
+  }
+
   /** Deterministic synthetic waveform for doc_id — the formula the
     * oracle replays: n = 40 + doc_id%57 samples of
     * ((doc_id·31 + i·7) mod 2001) − 1000, all integer. */

@@ -110,7 +110,7 @@ object Retrieval {
     * baseline; real serving is [[bm25TopKStored]]. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
-    val post = Scratch.register(postings(docs, idCol, textCol).cache())
+    val post = Scratch.cacheOnce(postings(docs, idCol, textCol))
     val stats = post.groupBy(col(idCol)).agg(max("dl").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     bm25Serve(post, stats, idCol, queries, k)

@@ -32,6 +32,26 @@ object Scratch {
     * so call sites stay one expression: `Scratch.register(df.cache())`. */
   def register[T <: Dataset[_]](df: T): T = { live.add(df); df }
 
+  /** cache() + register, SKIPPING the cache call when an identical
+    * plan is already in the cache manager (storageLevel lookup is the
+    * same plan-normalized probe CacheManager itself uses). A bench
+    * sample constructs its query twice — once warm, once timed — and
+    * the second construction's cache() of the byte-identical plan made
+    * CacheManager log "Asked to cache already cached data" on every
+    * operator-internal cache: pure noise that buried real cache
+    * signals in every bench log. Reuse is still registered so
+    * releaseAll() drops the one shared copy. */
+  def cacheOnce[T <: Dataset[_]](df: T): T = register(cacheIfAbsent(df))
+
+  /** The cache-skip half of [[cacheOnce]] alone, for operators with
+    * their own release lifecycle (ApplicantPipeline.Output manages a
+    * `cached` list its batch callers unpersist directly). */
+  def cacheIfAbsent[T <: Dataset[_]](df: T): T = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   /** Unpersist every registered frame (blocking = false: release is
     * cleanup, not a barrier) and clear the registry. Safe while jobs
     * run — Spark recomputes from lineage if a released block is still

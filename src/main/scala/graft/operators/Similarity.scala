@@ -409,10 +409,10 @@ object Similarity {
     val best = greatest(cents.map { case (cid, cv) =>
       struct(cosine(col("v"), typedLit(cv)).as("c"), lit(-cid).as("nid"))
     }: _*)
-    val cells = Scratch.register(
+    val cells = Scratch.cacheOnce(
       df.select(col(idCol).as("vid"), col(vecCol).as("v"))
         .withColumn("cell", -best.getField("nid"))
-        .cache()) // referenced by both sides of the pair join
+      ) // referenced by both sides of the pair join
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
       .withColumn("cos", cosine(col("a.v"), col("b.v")))

@@ -943,11 +943,11 @@ object Analytics {
         // over inter. ok feeds two legs (pair explode + n_i counts);
         // persist + eager count is the triangleCount discipline so the
         // orders⋈lineitem distinct computes once, not per leg.
-        val ok = inter.withColumn("bs",
-            count(lit(1)).over(Window.partitionBy("user_id")))
-          .filter(col("bs").between(2, 200)).drop("bs")
-          .persist()
-        graft.operators.Scratch.register(ok) // released between queries
+        val ok = graft.operators.Scratch.cacheOnce(
+          inter.withColumn("bs",
+              count(lit(1)).over(Window.partitionBy("user_id")))
+            .filter(col("bs").between(2, 200)).drop("bs")
+          ) // released between queries
         ok.count()
         val cooc = graft.operators.Graph.sharedKeyEdges(
           ok, "user_id", "item", minShared = 2, maxGroupSize = 200)

@@ -1709,18 +1709,21 @@ object Coverage {
             (col("a.dc") < col("b.dc")).as("conc"))
           .agg(sum(when(col("conc"), col("nn")).otherwise(0L)).as("c"),
             sum(when(!col("conc"), col("nn")).otherwise(0L)).as("d"))
-        val margins = cells.agg(
-          sum(col("n")).as("nrows"),
-          sum(col("n") * (col("n") - 1) / 2).as("tie_cells"))
+        // tie/pair counts via INTEGER division (DIV, matching the
+        // oracle's //): Column `/` is double division, exact only
+        // under 2^53 — n0 alone crosses that around ~1.3e8 rows, and
+        // the tie-corrected statistic must stay integer-exact at any
+        // scale factor.
+        val margins = cells.agg(sum(col("n")).as("nrows"))
         val tx = cells.groupBy("q").agg(sum("n").as("nq"))
-          .agg(sum(col("nq") * (col("nq") - 1) / 2).as("tx"))
+          .agg(sum(expr("nq * (nq - 1) DIV 2")).as("tx"))
         val ty = cells.groupBy("dc").agg(sum("n").as("nd"))
-          .agg(sum(col("nd") * (col("nd") - 1) / 2).as("ty"))
+          .agg(sum(expr("nd * (nd - 1) DIV 2")).as("ty"))
         pairs.crossJoin(broadcast(margins))
           .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
           .select(col("c").cast("long").as("c"),
             col("d").cast("long").as("d"),
-            (col("nrows") * (col("nrows") - 1) / 2).cast("long").as("n0"),
+            expr("nrows * (nrows - 1) DIV 2").cast("long").as("n0"),
             col("tx").cast("long").as("tx"),
             col("ty").cast("long").as("ty"))
           .select(col("c"), col("d"), col("n0"), col("tx"), col("ty"),

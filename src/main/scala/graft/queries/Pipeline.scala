@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Audio, Dedup, Multimodal, Similarity, TextAnalysis}
 import Q._
 
 /** LLM-training-data pipeline operators as verifiable queries:
@@ -200,11 +200,10 @@ object Pipeline {
       // cache the (tiny) verified pair list so the banded candidate
       // join runs once, not twice; registered as a scratch cache
       // (released between queries, never leaked)
-      val pos = graft.operators.Scratch.register(
+      val pos = graft.operators.Scratch.cacheOnce(
         Dedup.minhashPairs(docs, "doc_id", "text",
             n = 5, k = 16, bands = 4, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), lit(1L).as("label"))
-          .cache())
+          .select(col("id_a"), col("id_b"), lit(1L).as("label")))
       val neg = graft.operators.Align.epochShuffle(
           docs.select("doc_id"), "doc_id", epoch = 0, posName = "pos")
         .withColumn("pair", expr("(pos - 1) div 2"))
@@ -555,14 +554,15 @@ object Pipeline {
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           expr("substring(text, 1, CAST(length(text) * 3 DIV 5 AS INT))")
             .as("text"))
-      // maxBucketSize = 1000: never binds at the oracled SFs (the
-      // largest band bucket at sf0.1 measures 699, so Spark == the
-      // uncapped oracle exactly), and at sf1+ it is the documented
-      // boilerplate-bucket trade (measured at sf1: 131M uncapped
-      // candidate rows vs 35M capped — the corpus's missing rarity
-      // tail makes similarity-floor collisions quadratic, and a
-      // bucket past 1000 members is corpus-common band noise, not
-      // containment evidence)
+      // maxBucketSize = 1000: MIRRORED in the oracle's hot/kept CTEs,
+      // so Spark == oracle exactly at ANY scale factor — equality no
+      // longer rests on the cap happening not to bind (largest sf0.1
+      // bucket measures 699; a datagen change can move that). At sf1+
+      // the cap is the documented boilerplate-bucket trade (measured:
+      // 131M uncapped candidate rows vs 35M capped — the corpus's
+      // missing rarity tail makes similarity-floor collisions
+      // quadratic, and a bucket past 1000 members is corpus-common
+      // band noise, not containment evidence)
       Dedup.containmentPairsLsh(base.unionByName(trunc), "doc_id", "text",
           n = 5, k = 16, bands = 8, threshold = 0.9, maxBucketSize = 1000)
         .orderBy("contained", "container")
@@ -591,9 +591,16 @@ object Pipeline {
         FROM hashed),
       buckets AS (
         $bandSelects),
+      hot AS (
+        SELECT band, h0, h1 FROM buckets
+        GROUP BY band, h0, h1 HAVING count(*) > 1000),
+      kept AS (
+        SELECT b.* FROM buckets b
+        ANTI JOIN hot h
+          ON b.band = h.band AND b.h0 = h.h0 AND b.h1 = h.h1),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM buckets a JOIN buckets b
+        FROM kept a JOIN kept b
           ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
           AND a.doc_id < b.doc_id),
       scored AS (
@@ -738,11 +745,11 @@ object Pipeline {
           // truth and lsh each feed multiple legs (semi-join + counts):
           // scratch caches, released between queries
       }
-      val truthC = graft.operators.Scratch.register(truth.cache())
-      val lsh = graft.operators.Scratch.register(
+      val truthC = graft.operators.Scratch.cacheOnce(truth)
+      val lsh = graft.operators.Scratch.cacheOnce(
         Dedup.minhashPairs(docs, "doc_id", "text",
           n = 5, k = 16, bands = 4, threshold = 0.5)
-          .select("id_a", "id_b").cache())
+          .select("id_a", "id_b"))
       val hits = truthC.join(lsh, Seq("id_a", "id_b"), "left_semi")
       truthC.agg(count(lit(1)).as("n_truth")).crossJoin(
           lsh.agg(count(lit(1)).as("n_lsh")))
@@ -2424,6 +2431,34 @@ object Pipeline {
         CAST(sum(a) AS BIGINT) AS abs_sum
       FROM sm GROUP BY doc_id, ns"""))
 
+  /** FIXED-POINT MEL-SPECTROGRAM (operators.Audio) — the audio
+    * feature leg past decode: frame the REAL decoded PCM waveform
+    * (32-sample windows, hop 16), integer DFT power per bin through
+    * shared-literal trig tables (round(cos·2¹⁴) — computed once on
+    * the JVM and embedded VERBATIM in both the Spark kernel and this
+    * oracle text, so no libm can drift), truncated /2²⁸ power,
+    * /64-quantized triangular mel filterbank, and PortableLn log-mel
+    * as the only non-integer step. The kernel is per-record
+    * mapPartitions DSP (the decodeWav pattern): zero shuffles, cost ∝
+    * bytes — a pure map stage at 100 TB. */
+  val mmMel = Q(
+    "mm_mel_spectrogram",
+    (s, dir) => Audio.melSpectrogram(s,
+      Multimodal.toWavTable(s, Tables.load(s, dir, "documents"))),
+    Some(Audio.melOracleSql()))
+
+  /** MFCC (operators.Audio.mfcc): DCT-II of the log-mel — the
+    * cepstral feature row a speech pipeline clusters/filters on. The
+    * DCT is a left-associated sum of (band · literal) IEEE products
+    * whose TEXT both engines share (mfccExprSql), so the doubles
+    * match bit-for-bit; the pivot is a bounded conditional agg over
+    * the 6 bands. One groupBy past the mel map stage — still ∝ rows. */
+  val mmMfcc = Q(
+    "mm_mfcc",
+    (s, dir) => Audio.mfcc(s,
+      Multimodal.toWavTable(s, Tables.load(s, dir, "documents"))),
+    Some(Audio.mfccOracleSql()))
+
   /** REAL image resize (Multimodal.bmp24/decodeBmp/resizeBmp):
     * uncompressed 24-bit BMP needs no codec library, so the image path
     * joins the WAV one as real end to end — write an 8×6 image per
@@ -2908,7 +2943,7 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
+    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
     mmSceneCut,
     corpusCurate,
     corpusCurateCut, corpusFreeze)

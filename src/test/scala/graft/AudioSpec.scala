@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Audio, Multimodal}
+
+/** The mel front end's two non-oracle contracts: the PCM parser half
+  * (pcmSamples) inverts the writer, and the fixed-point DFT/mel path
+  * is a faithful quantization of the float reference — the oracle
+  * proves Spark == DuckDB, this proves both == the actual transform. */
+class AudioSpec extends AnyFunSuite {
+
+  test("pcmSamples inverts pcm16Wav and agrees with decodeWav") {
+    for (id <- Seq(0L, 7L, 56L, 1234L)) {
+      val s = Multimodal.synthSamples(id)
+      val (rate, got) = Multimodal.pcmSamples(id, Multimodal.pcm16Wav(8000, s))
+      assert(rate == 8000)
+      assert(got.toSeq == s.toSeq)
+      val meta = Multimodal.decodeWav(id, Multimodal.pcm16Wav(8000, s))
+      assert(meta.abs_sum == got.map(v => math.abs(v.toLong)).sum)
+      assert(meta.n_samples == got.length.toLong)
+    }
+  }
+
+  test("fixed-point mel energies track the float reference within 2%") {
+    // a planted pure tone at bin 4 (1000 Hz at rate 8000, window 32):
+    // the fixed-point path must reproduce the float mel energies to
+    // quantization accuracy, and the 1000 Hz band must dominate
+    val amp = 900.0
+    val tone = Array.tabulate(64)(t =>
+      math.round(amp * math.cos(2 * math.Pi * 4 * t / 32)).toShort)
+    val melW = Audio.melWeights(8000)
+    val got = Audio.melFrames(1L, tone, melW).toSeq
+    // float reference: same frames, float DFT power, float weights
+    def floatMel(f: Int, m: Int): Double = {
+      (0 until Audio.Bins).map { k =>
+        val (re, im) = (0 until Audio.Window).foldLeft((0.0, 0.0)) {
+          case ((r, i), t) =>
+            val v = tone(f * Audio.Hop + t).toDouble
+            (r + v * math.cos(2 * math.Pi * k * t / Audio.Window),
+             i - v * math.sin(-2 * math.Pi * k * t / Audio.Window))
+        }
+        (melW(m)(k).toDouble / Audio.MelScale) * (re * re + im * im)
+      }.sum
+    }
+    got.foreach { r =>
+      val ref = floatMel(r.frame_idx.toInt, r.band.toInt)
+      // fixed point carries ×64 mel scale; undo before comparing
+      val gotE = r.energy.toDouble / Audio.MelScale
+      if (ref > 1e6)
+        assert(math.abs(gotE - ref) / ref < 0.02,
+          s"band ${r.band} frame ${r.frame_idx}: fixed $gotE vs float $ref")
+    }
+    // the tone's band (1000 Hz lives in one filter) dominates frame 0
+    val frame0 = got.filter(_.frame_idx == 0L)
+    val top = frame0.maxBy(_.energy)
+    assert(melW(top.band.toInt)(4) > 0,
+      s"dominant band ${top.band} carries no weight at bin 4")
+    assert(top.energy > 10L * frame0.map(_.energy).sorted.apply(2),
+      "tone energy does not dominate the off-bands")
+  }
+}

@@ -132,4 +132,27 @@ class GraphSkewSpec extends AnyFunSuite {
     assert(asSet(after) ==
       Set((10L, 11L, 4L), (10L, 12L, 3L), (11L, 12L, 2L)))
   }
+
+  test("sharedEdgesView caps hot groups and reports the drop") {
+    // the MV is the GENERIC J4-family serving path: a skewed key (the
+    // reference's officer-on-thousands-of-boards case) must not go
+    // quadratic in the build — the cap binds, the drop is ACCOUNTED,
+    // and cold groups' edges stay exactly right.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_hot").toString
+    val hot = (100L until 110L).map(p => (9L, p)) // one 10-member basket
+    val cold = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+    (hot ++ cold).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    spark.conf.set("graft.graph.mvMaxGroupSize", "5")
+    try {
+      val served = Graph.sharedEdgesView(spark, dir, minShared = 1)
+        .select("item_a", "item_b", "weight")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(served == Set((10L, 11L, 2L)),
+        s"hot group leaked into the served edges: $served")
+      val rep = Graph.mvDropReport(spark, dir)
+      assert(rep.contains(Graph.MvDropReport(1L, 10L, 10L)),
+        s"drop unaccounted: $rep")
+    } finally spark.conf.unset("graft.graph.mvMaxGroupSize")
+  }
 }

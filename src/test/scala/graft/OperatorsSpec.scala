@@ -2513,4 +2513,50 @@ class OperatorsSpec extends AnyFunSuite {
       col("container") - 1000000000L === col("contained")).count()
     assert(wrongWay == 0, s"$wrongWay full docs reported contained in their truncations")
   }
+
+  test("containment verify degrades to shuffled-hash past the broadcast ceiling") {
+    import org.apache.spark.sql.functions._
+    // the warehouse-scale guard: when the signature table's estimated
+    // broadcast payload exceeds graft.containment.broadcastBytes, the
+    // verify stage must swap its broadcasts for shuffled-hash
+    // equi-joins (no sort of the pair stream, no driver-side
+    // materialization) and return the IDENTICAL result.
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(300)
+    def run() = graft.operators.Dedup.containmentPairsLsh(
+        base, "doc_id", "text", n = 5, k = 16, bands = 8, threshold = 0.9)
+    val broad = run()
+    val broadRows = broad.collect().map(_.toSeq).toSet
+    assert(broad.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    spark.conf.set("graft.containment.broadcastBytes", "1")
+    try {
+      val fallback = run()
+      val plan = fallback.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"expected shuffled-hash verify under a 1-byte ceiling:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        "the fallback must not reintroduce the sort (the sf1 spill killer)")
+      assert(fallback.collect().map(_.toSeq).toSet == broadRows,
+        "fallback changed the answer")
+    } finally spark.conf.unset("graft.containment.broadcastBytes")
+  }
+
+  test("containmentPairsLsh refuses a corpus whose similarity floor floods the bands") {
+    import org.apache.spark.sql.functions._
+    // near-identical docs => sampled background Jaccard ~1 => every
+    // band collides for RANDOM pairs: buckets flood, the hot-bucket
+    // cap would drop real pairs, and recall would die silently. The
+    // measured-floor assertion must fail loudly instead.
+    val shared = (0 until 200).map(i => s"token$i").mkString(" ")
+    val dense = spark.range(0, 64)
+      .select(col("id").as("doc_id"),
+        concat(lit(shared + " tail"), col("id").cast("string")).as("text"))
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.containmentPairsLsh(
+        dense, "doc_id", "text", n = 5, k = 16, bands = 8, threshold = 0.9)
+    }
+    assert(e.getMessage.contains("maxFloorCollide"),
+      s"wrong failure: ${e.getMessage.take(300)}")
+  }
 }

@@ -859,6 +859,17 @@ class PropertySpec extends AnyFunSuite {
         (0L until 10000L).map(i => (s"g${i % 3}", 1L)).toDF("g", "v"),
         Seq("g"), Seq("v"), Seq("cv"), col("v"))
       assert(ok.count() == 10000L)
+      // ROW-SKEW must not spuriously refuse: repartitionByRange splits
+      // by rows, so 40 singleton groups legally pile into the range
+      // partition next to one huge group. The guard bounds the TOTAL
+      // (~40 + the huge group's partition spans < 128) — a per-
+      // partition maxSegments/partitions quota would throw here.
+      spark.conf.set("graft.align.maxSegments", "128")
+      val skew = ((0 until 40).map(i => (f"a$i%02d", 1L)) ++
+        (0 until 100000).map(i => ("zzz", i.toLong))).toDF("g", "v")
+      val sk = graft.operators.Align.groupedPrefixSums(
+        skew, Seq("g"), Seq("v"), Seq("cv"), col("v"))
+      assert(sk.count() == 100040L)
     } finally spark.conf.unset("graft.align.maxSegments")
   }
 }

@@ -289,4 +289,33 @@ class ChHttpSourceSpec extends AnyFunSuite {
           s"budget ${1000.0 / rate}ms (gaps $gaps)")
     }
   }
+
+  test("sub-resource enrichment paginates start_index until total_results is exhausted") {
+    import scala.jdk.CollectionConverters._
+    // a company with more items than items_per_page must NOT be
+    // silently truncated to its first page (the fail-loudly contract;
+    // the reference client single-pages here — a truncation this
+    // implementation deliberately does not reproduce)
+    val n = companies.head("company_number")
+    val items = (0 until 8).map(i => Map(
+      "name" -> s"OFFICER $i OF $n", "officer_role" -> "director",
+      "appointed_on" -> f"2024-01-${i + 1}%02d"))
+    withStub(sub = Map((n, "officers") -> items)) { (url, stub) =>
+      val one = spark.createDataFrame(
+        Seq(Tuple1(n))).toDF("company_number")
+      val got = graft.operators.ChEnrich.subResource(
+          spark, url, one, "officers",
+          Seq("name", "officer_role", "appointed_on"),
+          itemsPerPage = 3, callsPerSec = 50.0)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == items.map(m => (n, m("name"))).toSet,
+        s"pagination lost rows: got ${got.size} of ${items.size}")
+      // 8 items at size 3 -> exactly the cursors 0, 3, 6 in the log
+      val cursors = stub.requestLog.asScala.toSeq.map(_._1)
+        .filter(_.contains("/officers"))
+        .flatMap(_.split('&').find(_.startsWith("start_index=")))
+      assert(cursors.sorted == Seq("start_index=0", "start_index=3",
+        "start_index=6"), s"unexpected cursor sequence: $cursors")
+    }
+  }
 }

@@ -91,13 +91,17 @@ class ChHttpStub(companies: Seq[Map[String, String]],
       key.flatMap(sub.get) match {
         case None => respond(ex, 404, """{"error":"not-found"}""")
         case Some(items) =>
+          // real CH sub-resources paginate: honor start_index and
+          // state total_results so clients can exhaust the cursor
           val q = params(uri)
           val perPage = q.getOrElse("items_per_page", "100").toInt
-          val page = items.take(perPage)
+          val start = q.getOrElse("start_index", "0").toInt
+          val page = items.slice(start, start + perPage)
           val body = page.map(c => c.map { case (k, v) =>
             s""""$k":"$v"""" }.mkString("{", ",", "}"))
             .mkString("[", ",", "]")
-          respond(ex, 200, s"""{"items":$body}""")
+          respond(ex, 200,
+            s"""{"items":$body,"total_results":${items.size}}""")
       }
     }
   })
