@@ -231,4 +231,185 @@ object Audio {
         $cCols
       FROM wide"""
   }
+
+  // ---- Audio fingerprinting: constellation peak pairs ---------------
+
+  /** One cell of the integer STFT power grid. */
+  final case class PowerCell(doc_id: Long, frame_idx: Long, bin: Long,
+      p: Long)
+
+  /** The integer power grid (doc, frame, bin) → p — the [[melFrames]]
+    * DFT stages without the filterbank, exposed for the fingerprinting
+    * path (Wang 2003's constellation works on spectral peaks, not mel
+    * energies). Same per-record map-stage shape. */
+  def binPower(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val (_, samples) = Multimodal.pcmSamples(r.doc_id, r.payload)
+      val n = samples.length
+      if (n < Window) Iterator.empty
+      else (0 until (n - Window) / Hop + 1).iterator.flatMap { f =>
+        (0 until Bins).iterator.map { k =>
+          var re = 0L; var im = 0L
+          var t = 0
+          while (t < Window) {
+            val v = samples(f * Hop + t).toLong
+            re += v * CosQ(k)(t); im += v * SinQ(k)(t)
+            t += 1
+          }
+          PowerCell(r.doc_id, f.toLong, k.toLong,
+            (re * re + im * im) / PowDiv)
+        }
+      }
+    }).toDF()
+  }
+
+  /** Max anchor→target frame distance for a fingerprint pair. */
+  val FpMaxDt = 3
+
+  /** Audio fingerprints via the CONSTELLATION scheme (Wang 2003, the
+    * Shazam paper): local spectral peaks — p strictly above all four
+    * grid neighbors (integer comparisons, so both engines agree on
+    * every peak) and above zero — paired anchor→target within
+    * [[FpMaxDt]] frames forward. The fingerprint key is
+    * (anchor bin, target bin, Δframe, power-ratio bucket); the ratio
+    * bucket comes from integer cross-multiplied CASE thresholds
+    * (≥16×, ≥4×, ≥1×, ≥¼×), never a float log. Returns one row per
+    * pair: (doc_id, frame_idx = anchor frame, ba, bb, dt, rb).
+    *
+    * Scale shape: two windows partitioned by (doc, band)/(doc, frame)
+    * — cardinality ∝ docs, never constant-domain — then one in-doc
+    * equi-join on (doc, frame+dt). Key-space sizing caveat for
+    * production corpora: 17 bins × 3 deltas × 5 ratio classes ≈ 4.3k
+    * distinct keys is plenty for the match join at these SFs, but a
+    * warehouse-scale library would widen the grid (larger window →
+    * more bins) before relying on key selectivity — same df-cap
+    * discipline as the text LSH family. */
+  def fingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    val grid = binPower(spark, media)
+    val byBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bin").orderBy("frame_idx")
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "frame_idx").orderBy("bin")
+    val peaks = grid
+      .withColumn("pf", coalesce(lag("p", 1).over(byBand), lit(-1L)))
+      .withColumn("nf", coalesce(lead("p", 1).over(byBand), lit(-1L)))
+      .withColumn("pb", coalesce(lag("p", 1).over(byFrame), lit(-1L)))
+      .withColumn("nb", coalesce(lead("p", 1).over(byFrame), lit(-1L)))
+      .filter(col("p") > 0L && col("p") > col("pf") && col("p") > col("nf") &&
+        col("p") > col("pb") && col("p") > col("nb"))
+      .select("doc_id", "frame_idx", "bin", "p")
+    val anchors = peaks.select(col("doc_id"), col("frame_idx"),
+        col("bin").as("ba"), col("p").as("pa"))
+      .withColumn("dt", explode(array((1 to FpMaxDt).map(lit(_)): _*)))
+      .withColumn("tf", col("frame_idx") + col("dt"))
+    anchors.join(
+        peaks.select(col("doc_id"), col("frame_idx").as("tf"),
+          col("bin").as("bb"), col("p").as("pb2")),
+        Seq("doc_id", "tf"))
+      .select(col("doc_id"), col("frame_idx"), col("ba"), col("bb"),
+        col("dt").cast("long").as("dt"),
+        // integer cross-multiplied ratio classes — no float log
+        when(col("pa") >= col("pb2") * 16, lit(4L))
+          .when(col("pa") >= col("pb2") * 4, lit(3L))
+          .when(col("pa") >= col("pb2"), lit(2L))
+          .when(col("pa") * 4 >= col("pb2"), lit(1L))
+          .otherwise(lit(0L)).as("rb"))
+  }
+
+  /** Offset-consistent duplicate matching over [[fingerprints]]: two
+    * clips sharing ≥ `minMatches` fingerprint keys at ONE consistent
+    * frame offset are the same recording time-shifted (the property
+    * that makes the constellation robust to cropping — a copy missing
+    * its first hop still aligns every surviving peak at one offset).
+    * The match join is an equi-join on the fingerprint key; the offset
+    * histogram is a groupBy — no product ever forms beyond key
+    * collisions. Returns (doc_a, doc_b, offset, n_matches). */
+  def offsetMatches(fp: DataFrame, minMatches: Int): DataFrame = {
+    val a = fp.select(col("doc_id").as("doc_a"),
+      col("frame_idx").as("fa"), col("ba"), col("bb"), col("dt"), col("rb"))
+    val b = fp.select(col("doc_id").as("doc_b"),
+      col("frame_idx").as("fb"), col("ba"), col("bb"), col("dt"), col("rb"))
+    a.join(b, Seq("ba", "bb", "dt", "rb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("fa") - col("fb")).as("offset"))
+      .groupBy("doc_a", "doc_b", "offset")
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+  }
+
+  /** Tone tables for the fingerprint demo corpus: cosines at two
+    * amplitudes (8000 / 6000 — the gap exercises the ratio classes),
+    * shared-literal like [[CosQ]]. Max |sample| = 14000 < 2¹⁵. */
+  val ToneQ: Array[Array[Long]] = Array.tabulate(Bins, Window)((k, t) =>
+    math.round(math.cos(2.0 * math.Pi * k * t / Window) * 8000))
+  val Tone2Q: Array[Array[Long]] = Array.tabulate(Bins, Window)((k, t) =>
+    math.round(math.cos(2.0 * math.Pi * k * t / Window) * 6000))
+
+  /** [[ToneQ]]/[[Tone2Q]] as DuckDB list literals for oracle texts. */
+  def toneLitSql(): String = lit2d(ToneQ)
+  def tone2LitSql(): String = lit2d(Tone2Q)
+
+  /** The CHIRP clip for doc `id`: 160 + id%97 samples, two
+    * simultaneous tones whose bins change every 16-sample block —
+    * b1 keyed on id mod 11, b2 on id mod 13, so full-sequence
+    * collisions (true duplicate audio) happen exactly for ids
+    * congruent mod 143 and nowhere else. Blocks change per HOP, so a
+    * one-hop crop aligns every copy frame with the original's next
+    * frame — the shift-detection property the planted test pins.
+    * All-integer synthesis (table lookups + one add) so the oracle
+    * replays it verbatim. */
+  def chirpSamples(id: Long): Array[Short] = {
+    val n = (160 + id % 97).toInt
+    Array.tabulate(n) { i =>
+      val j = i / Hop
+      val b1 = (1 + ((id % 11) * 3 + j * 7) % 13).toInt
+      val b2 = (1 + ((id % 13) * 5 + j * 5) % 13).toInt
+      (ToneQ(b1)(i % Window) + Tone2Q(b2)(i % Window)).toShort
+    }
+  }
+
+  /** Oracle CTEs shared by the fingerprint queries: the mel pipeline's
+    * pw grid (same literals) → peaks via the same lag/lead windows →
+    * pairs via the dt series join → the same integer ratio classes.
+    * `corpusCte` must define a CTE named `corpus`(doc_id, ns) giving
+    * each clip's doc_id and sample count AND a CTE `sm0`(doc_id, i, s)
+    * giving its samples — this lets queries plant shifted copies. */
+  def fingerprintCtesSql(): String = {
+    val cos = lit2d(CosQ)
+    val sin = lit2d(SinQ)
+    s"""fr AS (SELECT doc_id, f FROM corpus,
+             LATERAL (SELECT unnest(generate_series(0, (ns - $Window) // $Hop)) AS f)),
+      sm AS (SELECT fr.doc_id, fr.f, t.t, sm0.s
+             FROM fr,
+               LATERAL (SELECT unnest(generate_series(0, ${Window - 1})) AS t) t,
+               sm0
+             WHERE sm0.doc_id = fr.doc_id AND sm0.i = fr.f * $Hop + t.t),
+      dft AS (SELECT doc_id, f, k,
+                sum(s * ($cos)[k + 1][t + 1]) AS re,
+                sum(s * ($sin)[k + 1][t + 1]) AS im
+              FROM sm, LATERAL (SELECT unnest(generate_series(0, ${Bins - 1})) AS k)
+              GROUP BY doc_id, f, k),
+      pw AS (SELECT doc_id, f AS frame_idx, k AS bin,
+               (re * re + im * im) // $PowDiv AS p FROM dft),
+      nb AS (SELECT doc_id, frame_idx, bin, p,
+               coalesce(lag(p) OVER (PARTITION BY doc_id, bin ORDER BY frame_idx), -1) AS pf,
+               coalesce(lead(p) OVER (PARTITION BY doc_id, bin ORDER BY frame_idx), -1) AS nf,
+               coalesce(lag(p) OVER (PARTITION BY doc_id, frame_idx ORDER BY bin), -1) AS pb,
+               coalesce(lead(p) OVER (PARTITION BY doc_id, frame_idx ORDER BY bin), -1) AS nbv
+             FROM pw),
+      peaks AS (SELECT doc_id, frame_idx, bin, p FROM nb
+                WHERE p > 0 AND p > pf AND p > nf AND p > pb AND p > nbv),
+      fp AS (SELECT a.doc_id, a.frame_idx, a.bin AS ba, b.bin AS bb,
+               d.dt, CASE WHEN a.p >= b.p * 16 THEN 4
+                          WHEN a.p >= b.p * 4 THEN 3
+                          WHEN a.p >= b.p THEN 2
+                          WHEN a.p * 4 >= b.p THEN 1
+                          ELSE 0 END AS rb
+             FROM peaks a,
+               LATERAL (SELECT unnest(generate_series(1, $FpMaxDt)) AS dt) d,
+               peaks b
+             WHERE b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + d.dt)"""
+  }
 }

@@ -195,9 +195,16 @@ object Coverage {
 
   /** A17: exact percentiles per group — the monitoring dashboard's
     * latency-quantile shape (reference automation_monitoring.py rollups).
-    * Spark's exact `percentile` and DuckDB's `quantile_cont` use the same
-    * linear interpolation on identical double operands, so the oracle is
-    * bit-exact (verified to the last ulp). At 100 TB swap in
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * interpolating branch bit-for-bit (verified on every lo≠hi case at
+    * three SFs), but they differ on RANK NEIGHBORS WITH EQUAL VALUES:
+    * Spark short-circuits to that value exactly, while quantile_cont
+    * still evaluates lo·(1−f)+hi·f, which need not round back to lo
+    * (caught by the sf1 oracle slice at 10× data: p99 landed between
+    * two equal 230.53s and DuckDB said 230.53000000000003). The oracle
+    * therefore selects each percentile's two rank-neighbor values and
+    * replays Spark's short-circuit: equal → the value itself, else
+    * quantile_cont's (identical) interpolation. At 100 TB swap in
     * percentile_approx (t-digest) — approximate results are engine-
     * specific, which is exactly why the EXACT variant is the oracle. */
   val a17Percentiles = Q(
@@ -208,11 +215,42 @@ object Coverage {
         .agg(expr("percentile(value, 0.5D)").as("p50"),
           expr("percentile(value, 0.9D)").as("p90"),
           expr("percentile(value, 0.99D)").as("p99")),
-    Some("""SELECT event_type,
-        quantile_cont(value, 0.5) AS p50,
-        quantile_cont(value, 0.9) AS p90,
-        quantile_cont(value, 0.99) AS p99
-      FROM events GROUP BY 1"""))
+    Some("""WITH c AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      r AS (
+        SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn
+        FROM events),
+      b AS (
+        SELECT c.event_type, p.pq,
+          max(CASE WHEN r.rn = CAST(floor(p.pq * (c.n - 1)) AS BIGINT)
+              THEN r.value END) AS lo,
+          max(CASE WHEN r.rn = CAST(ceil(p.pq * (c.n - 1)) AS BIGINT)
+              THEN r.value END) AS hi
+        FROM c
+        CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS pq) p
+        JOIN r ON r.event_type = c.event_type
+        GROUP BY 1, 2),
+      w AS (
+        SELECT event_type,
+          max(CASE WHEN pq = 0.5 THEN lo END) AS lo50,
+          max(CASE WHEN pq = 0.5 THEN hi END) AS hi50,
+          max(CASE WHEN pq = 0.9 THEN lo END) AS lo90,
+          max(CASE WHEN pq = 0.9 THEN hi END) AS hi90,
+          max(CASE WHEN pq = 0.99 THEN lo END) AS lo99,
+          max(CASE WHEN pq = 0.99 THEN hi END) AS hi99
+        FROM b GROUP BY 1),
+      q AS (
+        SELECT event_type,
+          quantile_cont(value, 0.5) AS q50,
+          quantile_cont(value, 0.9) AS q90,
+          quantile_cont(value, 0.99) AS q99
+        FROM events GROUP BY 1)
+      SELECT q.event_type,
+        CASE WHEN w.lo50 = w.hi50 THEN w.lo50 ELSE q.q50 END AS p50,
+        CASE WHEN w.lo90 = w.hi90 THEN w.lo90 ELSE q.q90 END AS p90,
+        CASE WHEN w.lo99 = w.hi99 THEN w.lo99 ELSE q.q99 END AS p99
+      FROM q JOIN w ON q.event_type = w.event_type"""))
 
   /** J12: the skew-salted join — result-identical to the plain join
     * (which is the oracle), with the left side's hot keys spread over

@@ -2459,6 +2459,82 @@ object Pipeline {
       Multimodal.toWavTable(s, Tables.load(s, dir, "documents"))),
     Some(Audio.mfccOracleSql()))
 
+  /** AUDIO FINGERPRINT DEDUP (Audio.fingerprints/offsetMatches — Wang
+    * 2003's constellation scheme): spectral peaks (integer power grid,
+    * strict > over 4 neighbors) paired anchor→target within 3 frames;
+    * the key (anchor bin, target bin, Δframe, integer power-ratio
+    * class) joins across clips and ≥ 4 hits at ONE consistent frame
+    * offset identify a time-shifted copy — the multimodal member of
+    * the dedup family for the modality SimHash/MinHash can't touch.
+    * Every 50th doc is planted again id+2·10⁹ with its first hop
+    * (16 samples) cropped: its surviving frames equal the original's
+    * shifted by exactly one, so every shared fingerprint aligns at
+    * offset +1 (clips whose crop leaves < 2 frames emit no pairs —
+    * deterministic on both engines). The oracle replays grid, peaks
+    * (same lag/lead windows), pairing, ratio classes, and the offset
+    * histogram on the synth formula. */
+  val mmAudioFp = Q(
+    "mm_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      // chirp corpus over every 5th doc (Audio.chirpSamples: two tones
+      // whose bins change per hop-sized block — true-duplicate classes
+      // exactly at id ≡ id' mod 143); every 20th slice member planted
+      // again id+2·10⁹ with its first HOP cropped, which aligns every
+      // copy frame with the original's NEXT frame
+      val ids = Tables.load(s, dir, "documents").select("doc_id").as[Long]
+        .filter(_ % 5 == 0)
+      val media = ids.mapPartitions(_.flatMap { id =>
+        val orig = graft.operators.MediaRow(id, "wav",
+          Multimodal.pcm16Wav(8000, Audio.chirpSamples(id)))
+        if (id % 100 == 0)
+          Iterator(orig, graft.operators.MediaRow(id + 2000000000L, "wav",
+            Multimodal.pcm16Wav(8000,
+              Audio.chirpSamples(id).drop(Audio.Hop))))
+        else Iterator(orig)
+      }).toDF()
+      Audio.offsetMatches(Audio.fingerprints(s, media), minMatches = 8)
+    },
+    Some {
+      val tone = Audio.toneLitSql()
+      val tone2 = Audio.tone2LitSql()
+      val w = Audio.Window
+      val h = Audio.Hop
+      // samples: the same two table lookups + add, on the original id
+      // (the copy's audio is the ORIGINAL's, cropped — so its formula
+      // keeps the original's id with i offset by one hop)
+      def sExpr(id: String, i: String) =
+        s"""($tone)[1 + (($id % 11) * 3 + ($i // $h) * 7) % 13 + 1][($i % $w) + 1]
+           + ($tone2)[1 + (($id % 13) * 5 + ($i // $h) * 5) % 13 + 1][($i % $w) + 1]"""
+      s"""WITH sliced AS (
+        SELECT doc_id, 160 + doc_id % 97 AS ns FROM documents
+        WHERE doc_id % 5 = 0),
+      corpus AS (
+        SELECT doc_id, ns FROM sliced
+        UNION ALL
+        SELECT doc_id + 2000000000, ns - $h FROM sliced
+        WHERE doc_id % 100 = 0),
+      sm0 AS (
+        SELECT d.doc_id, i.i, ${sExpr("d.doc_id", "i.i")} AS s
+        FROM sliced d,
+             LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) i
+        UNION ALL
+        SELECT d.doc_id + 2000000000, i.i,
+          ${sExpr("d.doc_id", s"(i.i + $h)")}
+        FROM (SELECT doc_id, ns - $h AS ns FROM sliced
+              WHERE doc_id % 100 = 0) d,
+             LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) i),
+      ${Audio.fingerprintCtesSql()},
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.frame_idx - b.frame_idx AS off
+            FROM fp a JOIN fp b
+              ON a.ba = b.ba AND a.bb = b.bb AND a.dt = b.dt AND a.rb = b.rb
+              AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, off AS "offset", count(*) AS n_matches
+      FROM m GROUP BY doc_a, doc_b, off
+      HAVING count(*) >= 8"""
+    })
+
   /** REAL image resize (Multimodal.bmp24/decodeBmp/resizeBmp):
     * uncompressed 24-bit BMP needs no codec library, so the image path
     * joins the WAV one as real end to end — write an 8×6 image per
@@ -2943,7 +3019,7 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
+    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmAudioFp, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
     mmSceneCut,
     corpusCurate,
     corpusCurateCut, corpusFreeze)

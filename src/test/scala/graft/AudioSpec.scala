@@ -58,4 +58,31 @@ class AudioSpec extends AnyFunSuite {
     assert(top.energy > 10L * frame0.map(_.energy).sorted.apply(2),
       "tone energy does not dominate the off-bands")
   }
+
+  test("fingerprint matching finds a hop-cropped copy at offset 1") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // chirp clips change tone bins per hop-sized block, so cropping one
+    // hop aligns copy frame f with original frame f+1 exactly — the
+    // constellation must report the pair at ONE consistent offset with
+    // a dominant match count, and an unrelated clip must not pair with
+    // either at that strength
+    val orig = Audio.chirpSamples(123L)
+    val media = Seq(
+      graft.operators.MediaRow(1L, "wav", Multimodal.pcm16Wav(8000, orig)),
+      graft.operators.MediaRow(2L, "wav",
+        Multimodal.pcm16Wav(8000, orig.drop(Audio.Hop))),
+      graft.operators.MediaRow(3L, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(456L)))
+    ).toDF()
+    val matches = Audio.offsetMatches(
+        Audio.fingerprints(spark, media), minMatches = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val copyPair = matches.filter(m => m._1 == 1L && m._2 == 2L)
+    assert(copyPair.exists(_._3 == 1L),
+      s"cropped copy not matched at offset 1: ${matches.toSeq}")
+    val best = copyPair.maxBy(_._4)
+    assert(best._3 == 1L && best._4 >= 8L,
+      s"offset 1 is not the dominant alignment: ${copyPair.toSeq}")
+  }
 }

@@ -123,6 +123,22 @@ def main() -> None:
     if not os.path.isdir(sf1_dir):
         sys.exit("data/sf1 missing -- regenerate with graft.DataGen first "
                  "(see module docstring)")
+    # --slice-only: re-run JUST the sf1 oracle slice against an already-
+    # recorded artifact (an oracle-text fix should not force 45 min of
+    # bench re-timing whose numbers are not in question), rewriting the
+    # artifact's oracle_slice field in place.
+    if "--slice-only" in sys.argv:
+        path = os.path.join(REPO, f"BENCH_sf1_r{rnd}.json")
+        with open(path) as f:
+            out = json.load(f)
+        out["oracle_slice"] = run_oracle_slice(sf1_dir)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        bad = {q: v for q, v in out["oracle_slice"].items() if v != "exact"}
+        print(f"[sf1gate] slice re-run -> {path}: "
+              f"{len(out['oracle_slice']) - len(bad)}/"
+              f"{len(out['oracle_slice'])} exact; failures: {bad or 'none'}")
+        sys.exit(1 if bad else 0)
     # benches FIRST, oracle slice LAST: the slice's 32-thread Verify
     # drives the 1-minute loadavg past Bench's own refuse-under-load
     # threshold for the stage that follows it (observed: gate refused
