@@ -2459,20 +2459,22 @@ object Pipeline {
       Multimodal.toWavTable(s, Tables.load(s, dir, "documents"))),
     Some(Audio.mfccOracleSql()))
 
-  /** AUDIO FINGERPRINT DEDUP (Audio.fingerprints/offsetMatches — Wang
-    * 2003's constellation scheme): spectral peaks (integer power grid,
-    * strict > over 4 neighbors) paired anchor→target within 3 frames;
-    * the key (anchor bin, target bin, Δframe, integer power-ratio
-    * class) joins across clips and ≥ 4 hits at ONE consistent frame
-    * offset identify a time-shifted copy — the multimodal member of
-    * the dedup family for the modality SimHash/MinHash can't touch.
-    * Every 50th doc is planted again id+2·10⁹ with its first hop
-    * (16 samples) cropped: its surviving frames equal the original's
-    * shifted by exactly one, so every shared fingerprint aligns at
-    * offset +1 (clips whose crop leaves < 2 frames emit no pairs —
-    * deterministic on both engines). The oracle replays grid, peaks
-    * (same lag/lead windows), pairing, ratio classes, and the offset
-    * histogram on the synth formula. */
+  /** AUDIO FINGERPRINT LOOKUP (Audio.fingerprints/lookup — Wang
+    * 2003's constellation scheme in its production shape): spectral
+    * peaks (integer power grid, strict > over 4 neighbors) paired
+    * anchor→target within 3 frames; the key (anchor bin, target bin,
+    * Δframe, integer power-ratio class) joins each QUERY snippet
+    * against the library and the candidate with the most hits at ONE
+    * consistent frame offset wins — the multimodal retrieval/dedup
+    * member for the modality SimHash/MinHash can't touch. Queries are
+    * planted: every 20th sliced doc re-appears id+2·10⁹ with its
+    * first hop (16 samples) cropped, so its frames equal the source's
+    * shifted by one and the lookup must return the source (or an
+    * identical-audio chirp-class sibling — genuinely
+    * indistinguishable; the deterministic tie-break picks the
+    * smallest id) at offset −1. The oracle replays synthesis, grid,
+    * peaks (same lag/lead windows), pairing, ratio classes, histogram,
+    * and argmax. */
   val mmAudioFp = Q(
     "mm_audio_fingerprint",
     (s, dir) => {
@@ -2493,7 +2495,10 @@ object Pipeline {
               Audio.chirpSamples(id).drop(Audio.Hop))))
         else Iterator(orig)
       }).toDF()
-      Audio.offsetMatches(Audio.fingerprints(s, media), minMatches = 8)
+      val fp = Audio.fingerprints(s, media)
+      Audio.lookup(
+        fp.filter(col("doc_id") < 2000000000L),
+        fp.filter(col("doc_id") >= 2000000000L), minMatches = 8)
     },
     Some {
       val tone = Audio.toneLitSql()
@@ -2525,14 +2530,20 @@ object Pipeline {
               WHERE doc_id % 100 = 0) d,
              LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) i),
       ${Audio.fingerprintCtesSql()},
-      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              a.frame_idx - b.frame_idx AS off
-            FROM fp a JOIN fp b
-              ON a.ba = b.ba AND a.bb = b.bb AND a.dt = b.dt AND a.rb = b.rb
-              AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, off AS "offset", count(*) AS n_matches
-      FROM m GROUP BY doc_a, doc_b, off
-      HAVING count(*) >= 8"""
+      m AS (SELECT q.doc_id AS query_id, l.doc_id AS matched_doc,
+              q.frame_idx - l.frame_idx AS off
+            FROM fp q JOIN fp l
+              ON q.ba = l.ba AND q.bb = l.bb AND q.dt = l.dt AND q.rb = l.rb
+            WHERE q.doc_id >= 2000000000 AND l.doc_id < 2000000000),
+      h AS (SELECT query_id, matched_doc, off, count(*) AS n_matches
+            FROM m GROUP BY query_id, matched_doc, off
+            HAVING count(*) >= 8),
+      best AS (SELECT query_id, matched_doc, off, n_matches,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_matches DESC, matched_doc ASC, off ASC) AS rk
+               FROM h)
+      SELECT query_id, matched_doc, off AS "offset", n_matches
+      FROM best WHERE rk = 1"""
     })
 
   /** REAL image resize (Multimodal.bmp24/decodeBmp/resizeBmp):
