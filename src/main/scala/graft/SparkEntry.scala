@@ -72,7 +72,8 @@ object SparkEntry {
       "m24_hilbert_skipping", "a61_bootstrap_ci", "a62_prop_ztest",
       "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
       "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit",
-      "mm_mel_spectrogram", "mm_mfcc", "mm_audio_fingerprint")
+      "mm_mel_spectrogram", "mm_mfcc", "mm_audio_fingerprint",
+      "mm_audio_fp_stored")
     preferred.filter(queries.contains)
   }
 

@@ -373,11 +373,21 @@ object Audio {
       col("frame_idx").as("fq"), col("ba"), col("bb"), col("dt"), col("rb"))
     val l = libraryFp.select(col("doc_id").as("matched_doc"),
       col("frame_idx").as("fl"), col("ba"), col("bb"), col("dt"), col("rb"))
+    // the snippet batch ≪ the library by contract — broadcast it so
+    // the library side streams with no exchange
+    bestPerQuery(broadcast(q).join(l, Seq("ba", "bb", "dt", "rb")),
+      minMatches)
+  }
+
+  /** Histogram + argmax shared by [[lookup]]/[[lookupStored]]: input
+    * is the joined (query_id, fq, matched_doc, fl, …) pair stream. */
+  private def bestPerQuery(joined: DataFrame,
+      minMatches: Int): DataFrame = {
     val byQuery = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("n_matches").desc, col("matched_doc").asc,
         col("offset").asc)
-    q.join(l, Seq("ba", "bb", "dt", "rb"))
+    joined
       .select(col("query_id"), col("matched_doc"),
         (col("fq") - col("fl")).as("offset"))
       .groupBy("query_id", "matched_doc", "offset")
@@ -385,6 +395,44 @@ object Audio {
       .filter(col("n_matches") >= minMatches)
       .withColumn("rk", row_number().over(byQuery))
       .filter(col("rk") === 1).drop("rk")
+  }
+
+  /** The fingerprint key packed to ONE long — bijective (ba, bb ≤ 16,
+    * dt ≤ 3, rb ≤ 4), so an equi-join on `fpkey` equals the 4-column
+    * join while giving the stored index a single bucket column. */
+  def packKey(fp: DataFrame): DataFrame =
+    fp.withColumn("fpkey",
+      ((col("ba") * 17 + col("bb")) * 4 + col("dt")) * 5 + col("rb"))
+
+  /** Materialize a corpus's fingerprint table ONCE per (tag, process):
+    * extraction (decode → grid → peaks → pairs) is the expensive map
+    * stage, and the production serving story runs it at ingest, not
+    * per query batch (the bm25TopKStored discipline). Stored bucketed
+    * by [[packKey]]'s fpkey so a non-broadcast-sized query batch can
+    * co-locate on the join key with no library shuffle. `tag` must
+    * uniquely identify the input corpus (callers embed the source
+    * fingerprint — the sharedEdgesView freshness contract). */
+  def fingerprintIndex(spark: SparkSession, media: => DataFrame,
+      tag: String, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.ensureBucketed(
+      packKey(fingerprints(spark, media))
+        .select("doc_id", "frame_idx", "fpkey"),
+      s"g_audiofp_$tag",
+      s"${graft.sources.Bucketing.processRoot}/audiofp_$tag",
+      "fpkey", buckets)
+
+  /** [[lookup]] served from the table [[fingerprintIndex]] built:
+    * identical results (the stored-index contract) with the library's
+    * extraction amortized across query batches. */
+  def lookupStored(spark: SparkSession, queryFp: DataFrame, tag: String,
+      minMatches: Int): DataFrame = {
+    val l = spark.table(s"g_audiofp_$tag")
+      .select(col("doc_id").as("matched_doc"),
+        col("frame_idx").as("fl"), col("fpkey"))
+    val q = packKey(queryFp)
+      .select(col("doc_id").as("query_id"),
+        col("frame_idx").as("fq"), col("fpkey"))
+    bestPerQuery(broadcast(q).join(l, Seq("fpkey")), minMatches)
   }
 
   /** Tone tables for the fingerprint demo corpus: cosines at two

@@ -2475,32 +2475,37 @@ object Pipeline {
     * smallest id) at offset −1. The oracle replays synthesis, grid,
     * peaks (same lag/lead windows), pairing, ratio classes, histogram,
     * and argmax. */
-  val mmAudioFp = Q(
-    "mm_audio_fingerprint",
-    (s, dir) => {
-      import s.implicits._
-      // chirp corpus over every 5th doc (Audio.chirpSamples: two tones
-      // whose bins change per hop-sized block — true-duplicate classes
-      // exactly at id ≡ id' mod 143); every 20th slice member planted
-      // again id+2·10⁹ with its first HOP cropped, which aligns every
-      // copy frame with the original's NEXT frame
-      val ids = Tables.load(s, dir, "documents").select("doc_id").as[Long]
-        .filter(_ % 5 == 0)
-      val media = ids.mapPartitions(_.flatMap { id =>
-        val orig = graft.operators.MediaRow(id, "wav",
-          Multimodal.pcm16Wav(8000, Audio.chirpSamples(id)))
-        if (id % 100 == 0)
-          Iterator(orig, graft.operators.MediaRow(id + 2000000000L, "wav",
-            Multimodal.pcm16Wav(8000,
-              Audio.chirpSamples(id).drop(Audio.Hop))))
-        else Iterator(orig)
-      }).toDF()
-      val fp = Audio.fingerprints(s, media)
-      Audio.lookup(
-        fp.filter(col("doc_id") < 2000000000L),
-        fp.filter(col("doc_id") >= 2000000000L), minMatches = 8)
-    },
-    Some {
+  /** Chirp-clip library over every 5th doc (Audio.chirpSamples: two
+    * tones whose bins change per hop-sized block — true-duplicate
+    * classes exactly at id ≡ id' mod 143). */
+  private def chirpLibrary(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select("doc_id").as[Long]
+      .filter(_ % 5 == 0)
+      .mapPartitions(_.map(id => graft.operators.MediaRow(id, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(id)))))
+      .toDF()
+  }
+
+  /** The planted query snippets: every 20th sliced doc again id+2·10⁹
+    * with its first HOP cropped, which aligns every snippet frame with
+    * the source's NEXT frame. */
+  private def chirpSnippets(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select("doc_id").as[Long]
+      .filter(_ % 100 == 0)
+      .mapPartitions(_.map(id =>
+        graft.operators.MediaRow(id + 2000000000L, "wav",
+          Multimodal.pcm16Wav(8000,
+            Audio.chirpSamples(id).drop(Audio.Hop)))))
+      .toDF()
+  }
+
+  /** Shared oracle for the fingerprint-lookup pair: the stored variant
+    * must return IDENTICAL results (the stored-index contract). */
+  private lazy val audioFpOracleSql: String = {
       val tone = Audio.toneLitSql()
       val tone2 = Audio.tone2LitSql()
       val w = Audio.Window
@@ -2544,7 +2549,33 @@ object Pipeline {
                FROM h)
       SELECT query_id, matched_doc, off AS "offset", n_matches
       FROM best WHERE rk = 1"""
-    })
+  }
+
+  val mmAudioFp = Q(
+    "mm_audio_fingerprint",
+    (s, dir) => Audio.lookup(
+      Audio.fingerprints(s, chirpLibrary(s, dir)),
+      Audio.fingerprints(s, chirpSnippets(s, dir)), minMatches = 8),
+    Some(audioFpOracleSql))
+
+  /** The lookup served from the STORED fingerprint index
+    * (Audio.fingerprintIndex/lookupStored): extraction — decode, power
+    * grid, peaks, pairing — runs ONCE per corpus snapshot (tag embeds
+    * the source fingerprint, the sharedEdgesView freshness contract)
+    * into an fpkey-bucketed table; each snippet batch then joins the
+    * stored table with the library side unshuffled. Identical results
+    * to mm_audio_fingerprint IS the stored-index contract (the
+    * txt_bm25_stored pattern), so they share the oracle text. */
+  val mmAudioFpStored = Q(
+    "mm_audio_fp_stored",
+    (s, dir) => {
+      val tag = graft.sources.Bucketing.pathFingerprint(
+        s, s"$dir/documents.parquet")
+      Audio.fingerprintIndex(s, chirpLibrary(s, dir), tag)
+      Audio.lookupStored(s, Audio.fingerprints(s, chirpSnippets(s, dir)),
+        tag, minMatches = 8)
+    },
+    Some(audioFpOracleSql))
 
   /** REAL image resize (Multimodal.bmp24/decodeBmp/resizeBmp):
     * uncompressed 24-bit BMP needs no codec library, so the image path
@@ -3030,7 +3061,7 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmAudioFp, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
+    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmAudioFp, mmAudioFpStored, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
     mmSceneCut,
     corpusCurate,
     corpusCurateCut, corpusFreeze)
