@@ -73,7 +73,7 @@ object SparkEntry {
       "a63_did", "g_betweenness", "ml_auc", "ml_gains", "txt_zipf_fit",
       "mm_scene_cut", "sim_mips", "a64_srm", "txt_heaps_fit",
       "mm_mel_spectrogram", "mm_mfcc", "mm_audio_fingerprint",
-      "mm_audio_fp_stored")
+      "mm_audio_fp_stored", "mm_pframe_video")
     preferred.filter(queries.contains)
   }
 

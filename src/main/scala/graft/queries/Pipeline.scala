@@ -2664,6 +2664,47 @@ object Pipeline {
     * bytes are exactly what a decoder fleet receives. The oracle
     * replays the synth formula per frame, so equality proves the
     * writer and the demuxer byte-for-byte. */
+  /** INTER-FRAME video decode (Multimodal.gfv1/decodeGfv1): the GFV1
+    * I+P container — keyframe + sparse per-frame pixel writes — folded
+    * into per-frame reconstruction state, the property that makes
+    * video video (frame k is not decodable without frames 1..k-1; only
+    * H.264/VP9's ENTROPY CODING stays library-bound, per the
+    * Multimodal seam doc). The per-frame exact checksum proves the
+    * fold: a write list applied out of order, or against the wrong
+    * prior state, changes Σ pixels. The oracle reconstructs each
+    * (frame, pixel) as the LAST write at or before that frame (argmax
+    * over (f, j) — list order within a frame wins, like overlapping
+    * dirty rects) over the keyframe formula. */
+  val mmPframe = Q(
+    "mm_pframe_video",
+    (s, dir) => Multimodal.extractGfv1Stats(s,
+      Multimodal.toGfv1Table(s, Tables.load(s, dir, "documents"))).toDF(),
+    Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+      fr AS (SELECT doc_id, F FROM d,
+             LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS F) F),
+      bpx AS (SELECT doc_id, i.i AS idx,
+                (doc_id + 3 * (i.i % 8) + 7 * (i.i // 8)) % 256 AS bval
+              FROM d, LATERAL (SELECT unnest(generate_series(0, 47)) AS i) i),
+      wr AS (SELECT d.doc_id, f.f, j.j,
+               (d.doc_id * 13 + f.f * 31 + j.j * 17) % 48 AS idx,
+               (d.doc_id + f.f * 5 + j.j * 11) % 256 AS val
+             FROM d,
+               LATERAL (SELECT unnest(generate_series(1, nf - 1)) AS f) f,
+               LATERAL (SELECT unnest(generate_series(0, (d.doc_id + f.f) % 4)) AS j) j),
+      last AS (SELECT g.doc_id, g.F, w.idx, w.val,
+                 row_number() OVER (PARTITION BY g.doc_id, g.F, w.idx
+                   ORDER BY w.f DESC, w.j DESC) AS rn
+               FROM fr g JOIN wr w ON w.doc_id = g.doc_id AND w.f <= g.F),
+      px AS (SELECT b.doc_id, g.F, b.idx, coalesce(c.val, b.bval) AS v
+             FROM bpx b JOIN fr g ON g.doc_id = b.doc_id
+             LEFT JOIN (SELECT doc_id, F, idx, val FROM last WHERE rn = 1) c
+               ON c.doc_id = b.doc_id AND c.F = g.F AND c.idx = b.idx)
+      SELECT doc_id, F AS frame_idx,
+        CAST(sum(v) AS BIGINT) AS checksum,
+        CAST(CASE WHEN F = 0 THEN 0
+                  ELSE 1 + (doc_id + F) % 4 END AS BIGINT) AS n_writes
+      FROM px GROUP BY doc_id, F"""))
+
   val mmAvi = Q(
     "mm_avi_demux",
     (s, dir) => Multimodal.sampleAviFrames(s,
@@ -3061,7 +3102,7 @@ object Pipeline {
     ddSemanticKmeans,
     txtLangid,
     txtQuality, txtTokens, txtFingerprint, txtFpClusters, mmDecode,
-    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmAudioFp, mmAudioFpStored, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
+    mmFrames, mmResize, mmWav, mmMel, mmMfcc, mmAudioFp, mmAudioFpStored, mmPframe, mmBmpResize, mmAvi, mmPng, mmPhashDedup,
     mmSceneCut,
     corpusCurate,
     corpusCurateCut, corpusFreeze)

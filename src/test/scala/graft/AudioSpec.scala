@@ -85,4 +85,29 @@ class AudioSpec extends AnyFunSuite {
     assert(best._3 == 1L && best._4 >= 8L,
       s"offset 1 is not the dominant alignment: ${copyPair.toSeq}")
   }
+
+  test("stored fingerprint index rebuilds when the corpus tag changes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the sharedEdgesView freshness contract applied to the audio
+    // index: serving a stale fingerprint table after the corpus
+    // changed must be impossible when the tag embeds the snapshot
+    def mediaOf(ids: Seq[Long]) = ids.map(id =>
+      graft.operators.MediaRow(id, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(id)))).toDF()
+    val snippet = Audio.fingerprints(spark, Seq(
+      graft.operators.MediaRow(900L, "wav",
+        Multimodal.pcm16Wav(8000,
+          Audio.chirpSamples(77L).drop(Audio.Hop)))).toDF())
+    Audio.fingerprintIndex(spark, mediaOf(Seq(11L, 22L)), "audspec_v1")
+    val miss = Audio.lookupStored(spark, snippet, "audspec_v1", 8)
+      .collect()
+    // 77 is not in the v1 library; nothing should clear the bar
+    assert(!miss.exists(_.getLong(1) == 77L))
+    Audio.fingerprintIndex(spark, mediaOf(Seq(11L, 22L, 77L)), "audspec_v2")
+    val hit = Audio.lookupStored(spark, snippet, "audspec_v2", 8).collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 77L &&
+      hit.head.getLong(2) == -1L, // query frame f = source frame f+1
+      s"snippet must resolve to 77 at offset -1 in v2: ${hit.toSeq}")
+  }
 }

@@ -763,6 +763,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("GFV1: P-frame fold reconstructs state; corrupt payloads rejected") {
+    import graft.operators.Multimodal
+    // keyframe all-10s; frame 1 sets px 0 to 200 then overwrites it to
+    // 50 (list order wins); frame 2 sets px 5 to 0 — each checksum is
+    // the fold's running state, so any misordering changes it
+    val key = Array.fill(6 * 4)(10.toByte)
+    val clip = Multimodal.gfv1(6, 4, key,
+      Seq(Seq((0, 200), (0, 50)), Seq((5, 0))))
+    val stats = Multimodal.decodeGfv1(9L, clip).toSeq
+    assert(stats.map(s => (s.frame_idx, s.checksum, s.n_writes)) == Seq(
+      (0L, 240L, 0L),           // 24 x 10
+      (1L, 240L - 10 + 50, 2L), // last write wins: px0 = 50, not 200
+      (2L, 280L - 10, 1L)))     // px5 -> 0
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGfv1(2L, "not a clip".getBytes)
+    }
+    // a write outside the frame must fail loudly, not corrupt memory
+    val bad = Multimodal.gfv1(6, 4, key, Seq(Seq((999, 1))))
+    intercept[IllegalArgumentException] { Multimodal.decodeGfv1(3L, bad).toSeq }
+  }
+
   test("PNG codec: all five filters round-trip through DEFLATE; CRC corruption rejected") {
     import graft.operators.Multimodal
     // height 10 → rows exercise filter types 0..4 twice each
