@@ -267,6 +267,62 @@ object Audio {
   /** Max anchor→target frame distance for a fingerprint pair. */
   val FpMaxDt = 3
 
+  /** One constellation fingerprint row (see [[fingerprints]]). */
+  final case class FpRow(doc_id: Long, frame_idx: Long, ba: Long, bb: Long,
+      dt: Long, rb: Long)
+
+  /** [[fingerprints]] computed ENTIRELY inside the per-record kernel —
+    * value-identical (pinned in AudioSpec), zero shuffles: a clip's
+    * grid, peaks, and pairs never cross record boundaries, so the
+    * relational form's two windows + self-join can collapse into the
+    * same map stage that decodes the bytes. This is also the form a
+    * STREAMING source needs — lag/lead windows don't exist on an
+    * unbounded stream, but a per-record kernel runs on one unchanged
+    * ([[graft.streaming.AudioMatchStream]]). */
+  def fingerprintsKernel(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val (_, samples) = Multimodal.pcmSamples(r.doc_id, r.payload)
+      val n = samples.length
+      if (n < Window) Iterator.empty
+      else {
+        val nf = (n - Window) / Hop + 1
+        val p = Array.tabulate(nf, Bins) { (f, k) =>
+          var re = 0L; var im = 0L
+          var t = 0
+          while (t < Window) {
+            val v = samples(f * Hop + t).toLong
+            re += v * CosQ(k)(t); im += v * SinQ(k)(t)
+            t += 1
+          }
+          (re * re + im * im) / PowDiv
+        }
+        def at(f: Int, k: Int): Long =
+          if (f < 0 || f >= nf || k < 0 || k >= Bins) -1L else p(f)(k)
+        val peaks = for {
+          f <- 0 until nf; k <- 0 until Bins
+          v = p(f)(k)
+          if v > 0 && v > at(f - 1, k) && v > at(f + 1, k) &&
+            v > at(f, k - 1) && v > at(f, k + 1)
+        } yield (f, k, v)
+        val byFrame = peaks.groupBy(_._1)
+        peaks.iterator.flatMap { case (f, ba, pa) =>
+          (1 to FpMaxDt).iterator.flatMap { dt =>
+            byFrame.getOrElse(f + dt, Nil).map { case (_, bb, pb) =>
+              val rb =
+                if (pa >= pb * 16) 4L
+                else if (pa >= pb * 4) 3L
+                else if (pa >= pb) 2L
+                else if (pa * 4 >= pb) 1L
+                else 0L
+              FpRow(r.doc_id, f.toLong, ba.toLong, bb.toLong, dt.toLong, rb)
+            }
+          }
+        }
+      }
+    }).toDF()
+  }
+
   /** Audio fingerprints via the CONSTELLATION scheme (Wang 2003, the
     * Shazam paper): local spectral peaks — p strictly above all four
     * grid neighbors (integer comparisons, so both engines agree on
@@ -415,7 +471,7 @@ object Audio {
   def fingerprintIndex(spark: SparkSession, media: => DataFrame,
       tag: String, buckets: Int = 8): Unit =
     graft.sources.Bucketing.ensureBucketed(
-      packKey(fingerprints(spark, media))
+      packKey(fingerprintsKernel(spark, media))
         .select("doc_id", "frame_idx", "fpkey"),
       s"g_audiofp_$tag",
       s"${graft.sources.Bucketing.processRoot}/audiofp_$tag",

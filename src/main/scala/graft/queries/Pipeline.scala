@@ -2553,9 +2553,12 @@ object Pipeline {
 
   val mmAudioFp = Q(
     "mm_audio_fingerprint",
+    // the KERNEL fingerprint form serves (zero shuffles — grid, peaks,
+    // and pairs never leave the record); the relational form is pinned
+    // value-identical in AudioSpec and kept as the auditable twin
     (s, dir) => Audio.lookup(
-      Audio.fingerprints(s, chirpLibrary(s, dir)),
-      Audio.fingerprints(s, chirpSnippets(s, dir)), minMatches = 8),
+      Audio.fingerprintsKernel(s, chirpLibrary(s, dir)),
+      Audio.fingerprintsKernel(s, chirpSnippets(s, dir)), minMatches = 8),
     Some(audioFpOracleSql))
 
   /** The lookup served from the STORED fingerprint index
@@ -2572,7 +2575,8 @@ object Pipeline {
       val tag = graft.sources.Bucketing.pathFingerprint(
         s, s"$dir/documents.parquet")
       Audio.fingerprintIndex(s, chirpLibrary(s, dir), tag)
-      Audio.lookupStored(s, Audio.fingerprints(s, chirpSnippets(s, dir)),
+      Audio.lookupStored(s,
+        Audio.fingerprintsKernel(s, chirpSnippets(s, dir)),
         tag, minMatches = 8)
     },
     Some(audioFpOracleSql))

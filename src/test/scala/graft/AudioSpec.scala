@@ -110,4 +110,49 @@ class AudioSpec extends AnyFunSuite {
       hit.head.getLong(2) == -1L, // query frame f = source frame f+1
       s"snippet must resolve to 77 at offset -1 in v2: ${hit.toSeq}")
   }
+
+  test("kernel fingerprints equal the relational form row-for-row") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = (Seq(5L, 77L, 123L).map(id =>
+      graft.operators.MediaRow(id, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(id)))) :+
+      graft.operators.MediaRow(900L, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(77L).drop(Audio.Hop))))
+      .toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "frame_idx", "ba", "bb", "dt", "rb")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap // multiset equality
+    assert(rows(Audio.fingerprintsKernel(spark, media)) ==
+      rows(Audio.fingerprints(spark, media)))
+  }
+
+  test("streaming snippets resolve against the stored index per micro-batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def clip(id: Long) = Multimodal.pcm16Wav(8000, Audio.chirpSamples(id))
+    Audio.fingerprintIndex(spark,
+      Seq(11L, 22L, 77L).map(id =>
+        graft.operators.MediaRow(id, "wav", clip(id))).toDF(), "audstream_v1")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.operators.MediaRow]
+    mem.addData(
+      graft.operators.MediaRow(901L, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(77L).drop(Audio.Hop))),
+      graft.operators.MediaRow(902L, "wav",
+        Multimodal.pcm16Wav(8000, Audio.chirpSamples(22L).drop(Audio.Hop))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val ck = java.nio.file.Files.createTempDirectory("audstream").toString
+    val q = graft.streaming.AudioMatchStream.start(
+        spark, mem.toDF(), "audstream_v1", minMatches = 8, ck) { m =>
+      got ++= m.select("query_id", "matched_doc", "offset")
+        .as[(Long, Long, Long)].collect()
+      ()
+    }
+    q.awaitTermination(60000)
+    assert(got.toSet == Set((901L, 77L, -1L), (902L, 22L, -1L)),
+      s"streamed snippets misresolved: $got")
+  }
 }
