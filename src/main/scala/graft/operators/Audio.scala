@@ -467,9 +467,16 @@ object Audio {
     * by [[packKey]]'s fpkey so a non-broadcast-sized query batch can
     * co-locate on the join key with no library shuffle. `tag` must
     * uniquely identify the input corpus (callers embed the source
-    * fingerprint — the sharedEdgesView freshness contract). */
+    * fingerprint — the sharedEdgesView freshness contract).
+    *
+    * Bucket count is the SERVE parallelism, not a storage detail: the
+    * lookup's key expansion (snippet fp × library fp per shared key)
+    * runs inside the bucketed scan's tasks, and 8 buckets on a
+    * 32-core box measured 18 s where 32 buckets measure ~5 s at sf1 —
+    * size it like shuffle partitions at the target scale (the
+    * sharedKeyEdgesBucketed lesson, re-learned on the serve side). */
   def fingerprintIndex(spark: SparkSession, media: => DataFrame,
-      tag: String, buckets: Int = 8): Unit =
+      tag: String, buckets: Int = 32): Unit =
     graft.sources.Bucketing.ensureBucketed(
       packKey(fingerprintsKernel(spark, media))
         .select("doc_id", "frame_idx", "fpkey"),
